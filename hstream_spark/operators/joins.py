@@ -1,0 +1,140 @@
+"""Join operators: interval (WITHIN) joins, USING/NATURAL, stream-table.
+
+Reference grammar: ``FROM a [kind] JOIN b [ON e | USING (cols) | NATURAL]
+WITHIN (INTERVAL n UNIT)`` — hstream-sql/etc/SQL-v1.cf:121-145. The
+WITHIN interval becomes JoinWindows{before=t, after=t}
+(Codegen/V1.hs:287-291); the V1 physical algo is a symmetric buffered
+nested-loop interval join (hstream-processing/src/HStream/Processing/
+Stream.hs:228-312). V1 ignores outer-ness (Codegen/V1.hs:301,322,342);
+we implement LEFT/RIGHT/FULL properly (divergence documented —
+reference bug).
+
+Spark mapping and the scale story:
+
+- The join condition is ``equi-keys AND |ts_l - ts_r| <= interval``.
+  Catalyst extracts the equi-part for the shuffle/hash strategy and
+  applies the time predicate as a post-filter, so a keyed interval join
+  shuffles once on the key — same topology as the reference's
+  per-key stores, but partition-parallel.
+- A *pure* time-interval cross join (reference CrossJoin) has no equi
+  key; to avoid an O(n·m) nested-loop at scale we add a **time-bucket
+  equi key**: bucket = floor(ts / interval), join on bucket ∈ {b-1, b,
+  b+1}, then filter the exact interval. This turns the cross join into
+  a hash join whose fan-out is bounded by bucket occupancy.
+- In streaming, the same builders apply to withWatermark'ed inputs and
+  Spark's symmetric state-store join executes them (state retention
+  bounded by the interval — exactly the reference's ±interval buffer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interval_cond(left_ts: Column, right_ts: Column, interval_seconds: float) -> Column:
+    """|ts_l - ts_r| <= interval  (JoinWindows before=after=interval)."""
+    delta = left_ts.cast("double") - right_ts.cast("double")
+    return (delta <= interval_seconds) & (delta >= -interval_seconds)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column | None,
+    left_ts: Column,
+    right_ts: Column,
+    interval_seconds: float,
+    how: str = "inner",
+) -> DataFrame:
+    """LoopJoinOn within ±interval (Planner.hs:33, Codegen/V1.hs:301-321).
+
+    ``on`` is an arbitrary boolean expression; when it contains
+    equalities Catalyst extracts them as hash keys.
+    """
+    cond = _interval_cond(left_ts, right_ts, interval_seconds)
+    if on is not None:
+        cond = on & cond
+    return left.join(right, cond, how)
+
+
+def interval_join_using(
+    left: DataFrame,
+    right: DataFrame,
+    cols: Sequence[str],
+    left_ts: Column,
+    right_ts: Column,
+    interval_seconds: float,
+    how: str = "inner",
+) -> DataFrame:
+    """LoopJoinUsing — equality on named columns (Codegen/V1.hs:322-341)."""
+    on = None
+    for c in cols:
+        eq = left[c] == right[c]
+        on = eq if on is None else (on & eq)
+    joined = interval_join(left, right, on, left_ts, right_ts, interval_seconds, how)
+    # USING semantics: the join columns appear once.
+    dup_drop = [right[c] for c in cols]
+    for c in dup_drop:
+        joined = joined.drop(c)
+    return joined
+
+
+def interval_join_natural(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: Column,
+    right_ts: Column,
+    interval_seconds: float,
+    how: str = "inner",
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """LoopJoinNatural — equality on all shared column names
+    (Codegen/V1.hs:342-366)."""
+    shared = [c for c in left.columns if c in set(right.columns) and c not in set(exclude)]
+    return interval_join_using(left, right, shared, left_ts, right_ts, interval_seconds, how)
+
+
+def interval_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts_col: str,
+    right_ts_col: str,
+    interval_seconds: int,
+) -> DataFrame:
+    """CrossJoin within ±interval (Planner.hs:32, Codegen/V1.hs:283-300).
+
+    Bucketed rewrite: equi-join on adjacent time buckets, then the exact
+    interval filter — a hash join instead of a nested-loop cross join.
+    """
+    bucket = int(interval_seconds)
+    # Distinct helper names on each side keep self-joins unambiguous.
+    l = left.withColumn("_lts", left[left_ts_col].cast("double"))
+    r = right.withColumn("_rts", right[right_ts_col].cast("double"))
+    lb = (F.col("_lts") / bucket).cast("long")
+    rb = (F.col("_rts") / bucket).cast("long")
+    l = l.withColumn("_bucket", F.explode(F.array(lb - 1, lb, lb + 1)))
+    r = r.withColumn("_bucket", rb)
+    joined = l.join(r, "_bucket")
+    delta = F.col("_lts") - F.col("_rts")
+    joined = joined.filter((delta <= interval_seconds) & (delta >= -interval_seconds))
+    return joined.drop("_bucket", "_lts", "_rts")
+
+
+def stream_table_join(
+    stream: DataFrame,
+    table: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_table: bool = True,
+) -> DataFrame:
+    """Stream enriched by table lookup (Stream.hs:314-356 `joinTable`).
+
+    Dimension tables broadcast by default — no shuffle on the (large)
+    stream side; at 100 TB this is the difference between a map-only
+    stage and a full shuffle of the fact stream.
+    """
+    t = F.broadcast(table) if broadcast_table else table
+    return stream.join(t, on, how)

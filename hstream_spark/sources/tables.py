@@ -1,0 +1,75 @@
+"""Parquet table loading with nanosecond-timestamp normalization.
+
+The driver's testdata (and pandas/pyarrow-written parquet in general)
+stores timestamps as INT64 TIMESTAMP(NANOS), which Spark's vectorized
+parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read those
+columns as raw nanos (``spark.sql.legacy.parquet.nanosAsLong`` — set in
+session defaults) and rewrite them to TimestampType (microsecond
+precision) in the scan projection — a codegen'd cast, no Python in the
+path, column pruning/pushdown unaffected for the remaining columns.
+
+Column detection uses the parquet footer (pyarrow, driver-side, O(1))
+rather than data sampling.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Names of timestamp[ns] columns per the parquet footer."""
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        target = parts[0]
+    schema = pq.read_schema(target)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with timestamps normalized."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the frames."""
+    out = {}
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
