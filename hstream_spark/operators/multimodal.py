@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched Pandas UDFs via ``mapInPandas``.
+
+Design for 100 TB of images/audio/video:
+- payloads are ``binary`` columns with a sidecar metadata struct
+  (modality, codec, byte length) so planning never touches bytes;
+- per-batch processing through ``mapInPandas`` keeps transfers
+  Arrow-columnar and lets a batch hold many payloads (bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``);
+- decode / resize / frame-sample are modality-specific functions
+  plugged into the same batch loop.
+
+The actual media decoders (PIL/ffmpeg/soundfile) are NOT available in
+this environment, so ``decode_image``/``decode_audio`` are stubbed with
+``NotImplementedError`` behind an import-try, and the default feature
+extractor computes deterministic byte-level features (length, sha256,
+first-4-bytes int) — the Spark-side plumbing (schema, batching, UDF
+signature) is real and oracle-tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, sha256 string, head_int long"
+
+
+def decode_image(payload: bytes):  # pragma: no cover - env lacks codecs
+    """Decode an image payload to HxWxC array. STUB: PIL not installed."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError("image decode requires PIL, not in this env") from exc
+    raise NotImplementedError
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - env lacks codecs
+    """Decode an audio payload to a sample array. STUB: soundfile not installed."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError("audio decode requires soundfile, not in this env") from exc
+    raise NotImplementedError
+
+
+def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level feature extraction (the stub 'decoder')."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "sha256": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                "head_int": payloads.map(
+                    lambda b: int.from_bytes(bytes(b)[:4], "big") if len(b) >= 4 else 0
+                ).astype("int64"),
+            }
+        )
+
+
+def binary_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Extract per-payload features via mapInPandas (Arrow-batched)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_byte_features, schema=FEATURE_SCHEMA)
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text as an opaque utf-8 binary payload with
+    typed metadata — the shape a real image/audio table would have."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/utf-8").alias("modality"),
+            F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )

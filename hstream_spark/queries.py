@@ -1,0 +1,1121 @@
+"""The oracle-gated query catalog: every operator from SURVEY.md §2 (and
+the data-pipeline extensions) as a (Spark builder, DuckDB oracle SQL)
+pair with identical output column names.
+
+Conventions that make the Spark/DuckDB comparison exact:
+- Sums/averages over double columns go through DECIMAL(18,4) so the
+  arithmetic is exact in both engines (double summation order is
+  nondeterministic under parallelism); the final value casts to double.
+- Event-time arithmetic uses integer microseconds (``unix_micros`` /
+  ``epoch_us``) — no double rounding at window boundaries.
+- Window starts/ends are emitted as epoch seconds (BIGINT).
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hstream_spark.functions import aggregates as A
+from hstream_spark.functions import scalar as S
+from hstream_spark.operators import dedup as D
+from hstream_spark.operators import joins as J
+from hstream_spark.operators import relational as R
+from hstream_spark.operators import similarity as SIM
+from hstream_spark.operators import text as TX
+from hstream_spark.operators import windows as W
+from hstream_spark.sources.tables import load_table
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    builder: Builder
+    oracle: Optional[str]
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], tags: tuple[str, ...] = ()):
+    def deco(fn: Builder) -> Builder:
+        REGISTRY[name] = Query(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _dec(col):
+    """Exact-decimal projection of a double column for deterministic sums."""
+    return col.cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projection / filter / computed columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "select_where_project",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50.0
+    """,
+    tags=("relational",),
+)
+def q_select_where_project(spark, sf):
+    ev = load_table(spark, sf, "events")
+    flt = R.where(ev, (F.col("event_type") == "purchase") & (F.col("value") > 50.0))
+    return R.project(flt, ["event_id", "user_id", "value"])
+
+
+@register(
+    "affiliate_computed",
+    """
+    SELECT event_id,
+           value * 2.0                                   AS value2,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           upper(event_type)                             AS etype
+    FROM events
+    """,
+    tags=("relational",),
+)
+def q_affiliate_computed(spark, sf):
+    ev = load_table(spark, sf, "events")
+    aff = R.affiliate(
+        ev,
+        {
+            "value2": F.col("value") * 2.0,
+            "k": S.json_get(F.col("props"), "k").cast("long"),
+            "etype": S.to_upper(F.col("event_type")),
+        },
+    )
+    return R.project(aff, ["event_id", "value2", "k", "etype"])
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity / 3.0) AS BIGINT) AS q_floor,
+           CAST(ceil(l_quantity / 3.0) AS BIGINT)  AS q_ceil,
+           sqrt(l_quantity)                         AS q_sqrt,
+           round(ln(l_quantity + 1.0), 8)           AS q_ln,
+           round(log2(l_quantity + 1.0), 8)         AS q_log2,
+           abs(l_discount - 0.05)                   AS d_abs,
+           CAST(sign(l_discount - 0.05) AS BIGINT)  AS d_sign
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("scalar",),
+)
+def q_scalar_math(spark, sf):
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    q3 = F.col("l_quantity") / 3.0
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        S.floor(q3).alias("q_floor"),
+        S.ceil(q3).alias("q_ceil"),
+        S.sqrt(F.col("l_quantity")).alias("q_sqrt"),
+        F.round(S.log_(F.col("l_quantity") + 1.0), 8).alias("q_ln"),
+        F.round(S.log2(F.col("l_quantity") + 1.0), 8).alias("q_log2"),
+        S.abs_(F.col("l_discount") - 0.05).alias("d_abs"),
+        S.sign(F.col("l_discount") - 0.05).alias("d_sign"),
+    )
+
+
+@register(
+    "scalar_string",
+    """
+    SELECT c_custkey,
+           upper(c_name)                 AS name_u,
+           lower(c_mktsegment)           AS seg_l,
+           reverse(c_name)               AS name_rev,
+           length(c_name)                AS name_len,
+           substring(c_name, 1, 8)       AS take8,
+           substring(c_name, length(c_name) - 3, 4) AS takeend4,
+           substring(c_name, 5)          AS drop4,
+           substring(c_name, 1, greatest(length(c_name) - 3, 0)) AS dropend3,
+           trim('  ' || c_mktsegment || ' ') AS trimmed,
+           string_split(c_name, '#')     AS name_parts
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("scalar",),
+)
+def q_scalar_string(spark, sf):
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        S.to_upper(F.col("c_name")).alias("name_u"),
+        S.to_lower(F.col("c_mktsegment")).alias("seg_l"),
+        S.reverse_(F.col("c_name")).alias("name_rev"),
+        S.strlen(F.col("c_name")).alias("name_len"),
+        S.take(8, F.col("c_name")).alias("take8"),
+        S.takeend(4, F.col("c_name")).alias("takeend4"),
+        S.drop(4, F.col("c_name")).alias("drop4"),
+        S.dropend(3, F.col("c_name")).alias("dropend3"),
+        S.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        S.split("#", F.col("c_name")).alias("name_parts"),
+    )
+
+
+@register(
+    "scalar_array",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks)                                    AS n_toks,
+           len(list_distinct(toks))                     AS n_distinct,
+           list_sort(toks)[1:3]                         AS first3_sorted,
+           array_to_string(toks[1:5], '-')              AS head_joined,
+           list_contains(toks, 'the')                   AS has_the
+    FROM t
+    """,
+    tags=("scalar",),
+)
+def q_scalar_array(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        S.array_length(toks).alias("n_toks"),
+        S.array_length(S.array_distinct_(toks)).alias("n_distinct"),
+        F.slice(S.array_sort_(toks), 1, 3).alias("first3_sorted"),
+        S.array_join_(F.slice(toks, 1, 5), "-").alias("head_joined"),
+        S.array_contain(toks, F.lit("the")).alias("has_the"),
+    )
+
+
+@register(
+    "null_semantics",
+    """
+    SELECT event_id,
+           nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)  AS k_nz,
+           coalesce(nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0), -1) AS k_or_neg1,
+           coalesce(CAST(nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS VARCHAR), 'NULL') AS k_text,
+           (nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) IS NOT DISTINCT FROM NULL) AS k_is_null_eq
+    FROM events
+    """,
+    tags=("scalar", "nulls"),
+)
+def q_null_semantics(spark, sf):
+    ev = load_table(spark, sf, "events")
+    k = S.json_get(F.col("props"), "k").cast("long")
+    k_nz = S.nullif(k, F.lit(0))
+    return ev.select(
+        "event_id",
+        k_nz.alias("k_nz"),
+        S.ifnull(k_nz, F.lit(-1)).alias("k_or_neg1"),
+        S.cast_text(k_nz).alias("k_text"),
+        S.eq(k_nz, F.lit(None).cast("long")).alias("k_is_null_eq"),
+    )
+
+
+@register(
+    "cast_ops",
+    """
+    SELECT event_id,
+           CAST(floor(value) AS BIGINT)  AS v_int,
+           CAST(event_id AS DOUBLE)      AS id_float,
+           CAST(event_id AS VARCHAR)     AS id_text,
+           (value > 100)                 AS v_gt100
+    FROM events
+    """,
+    tags=("scalar", "casts"),
+)
+def q_cast_ops(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        S.cast_int(F.col("value")).alias("v_int"),
+        S.cast_float(F.col("event_id")).alias("id_float"),
+        S.cast_text(F.col("event_id")).alias("id_text"),
+        (F.col("value") > 100).alias("v_gt100"),
+    )
+
+
+@register(
+    "between_ops",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value BETWEEN 50 AND 150)     AS n_between,
+           count(*) FILTER (WHERE value NOT BETWEEN 50 AND 150) AS n_outside,
+           count(*) FILTER (WHERE value BETWEEN least(150,50) AND greatest(150,50)) AS n_sym
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar",),
+)
+def q_between_ops(spark, sf):
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(S.between(v, F.lit(50), F.lit(150)), 1)).alias("n_between"),
+        F.count(F.when(S.not_between(v, F.lit(50), F.lit(150)), 1)).alias("n_outside"),
+        F.count(F.when(S.between_symmetric(v, F.lit(150), F.lit(50)), 1)).alias("n_sym"),
+    )
+
+
+@register(
+    "json_ops",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_text,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_num
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_ops(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        S.json_get_text(F.col("props"), "k").alias("k_text"),
+        S.json_path(F.col("props"), ["k"]).cast("long").alias("k_num"),
+    )
+
+
+@register(
+    "datetime_ops",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S')                       AS ts_str,
+           CAST(floor(epoch(ts)) AS BIGINT)                        AS ts_epoch,
+           CAST(floor(epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS ts_roundtrip
+    FROM events
+    """,
+    tags=("scalar", "datetime"),
+)
+def q_datetime_ops(spark, sf):
+    ev = load_table(spark, sf, "events")
+    epoch = F.unix_timestamp(F.col("ts"))
+    ts_str = S.datetostring(epoch, "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id",
+        ts_str.alias("ts_str"),
+        epoch.alias("ts_epoch"),
+        S.stringtodate(ts_str, "yyyy-MM-dd HH:mm:ss").alias("ts_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_basic",
+    """
+    SELECT event_type,
+           count(*)                                              AS n,
+           count(value)                                          AS n_vals,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)     AS total,
+           min(value)                                            AS vmin,
+           max(value)                                            AS vmax,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS vavg
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_agg_basic(spark, sf):
+    ev = load_table(spark, sf, "events")
+    total = A.sum_(_dec(F.col("value"))).cast("double")
+    return R.reduce(
+        ev,
+        ["event_type"],
+        [
+            A.count_all().alias("n"),
+            A.count(F.col("value")).alias("n_vals"),
+            total.alias("total"),
+            A.min_(F.col("value")).alias("vmin"),
+            A.max_(F.col("value")).alias("vmax"),
+            (total / A.count(F.col("value"))).alias("vavg"),
+        ],
+    )
+
+
+@register(
+    "topk_agg",
+    """
+    SELECT event_type, (list(value ORDER BY value DESC))[1:5] AS top5
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "topk"),
+)
+def q_topk(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return R.reduce(ev, ["event_type"], [A.topk(F.col("value"), 5).alias("top5")])
+
+
+@register(
+    "topkdistinct_agg",
+    """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT event_type, (list(user_id ORDER BY user_id DESC))[1:5] AS top5u
+    FROM d GROUP BY event_type
+    """,
+    tags=("agg", "topk"),
+)
+def q_topkdistinct(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return R.reduce(ev, ["event_type"], [A.topkdistinct(F.col("user_id"), 5).alias("top5u")])
+
+
+@register(
+    "having_filter",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id HAVING count(*) >= 20
+    """,
+    tags=("agg",),
+)
+def q_having(spark, sf):
+    ev = load_table(spark, sf, "events")
+    agg = R.reduce(
+        ev,
+        ["user_id"],
+        [A.count_all().alias("n"), A.sum_(_dec(F.col("value"))).cast("double").alias("total")],
+    )
+    return R.having(agg, F.col("n") >= 20)
+
+
+@register(
+    "distinct_op",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=("relational",),
+)
+def q_distinct(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return R.distinct(ev.select("user_id", "event_type"))
+
+
+@register(
+    "union_op",
+    """
+    SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, value FROM events WHERE event_type = 'click'
+    """,
+    tags=("relational",),
+)
+def q_union(spark, sf):
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("event_id", "value")
+    b = ev.filter(F.col("event_type") == "click").select("event_id", "value")
+    return R.union(a, b)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows (batch flavor of the streaming windows; same operators run
+# on readStream inputs — see hstream_spark/streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumble_agg",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600    AS window_start,
+           event_type,
+           count(*)                                AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window",),
+)
+def q_tumble(spark, sf):
+    ev = load_table(spark, sf, "events")
+    agg = W.tumble(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [A.count_all().alias("n"), A.sum_(_dec(F.col("value"))).cast("double").alias("total")],
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "hop_agg",
+    """
+    WITH e AS (SELECT (epoch_us(ts) // 1800000000) * 1800 AS fb, event_type, value
+               FROM events),
+    x AS (SELECT unnest(generate_series(fb - 3600 + 1800, fb, 1800)) AS window_start,
+                 event_type, value
+          FROM e)
+    SELECT window_start, event_type,
+           count(*)                                          AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM x GROUP BY 1, 2
+    """,
+    tags=("window",),
+)
+def q_hop(spark, sf):
+    ev = load_table(spark, sf, "events")
+    agg = W.hop(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [A.count_all().alias("n"), A.sum_(_dec(F.col("value"))).cast("double").alias("total")],
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "session_agg",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS eu, value FROM events),
+    s AS (SELECT user_id, eu, value,
+                 CASE WHEN lag(eu) OVER w IS NULL
+                       OR eu - lag(eu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+    g AS (SELECT user_id, eu, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eu
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s)
+    SELECT user_id,
+           min(eu) // 1000000                                AS session_start,
+           count(*)                                          AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM g GROUP BY user_id, sess
+    """,
+    tags=("window", "session"),
+)
+def q_session(spark, sf):
+    ev = load_table(spark, sf, "events")
+    agg = W.session(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [A.count_all().alias("n"), A.sum_(_dec(F.col("value"))).cast("double").alias("total")],
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("session_start"),
+        "user_id",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "window_bounds",
+    """
+    SELECT strftime(to_timestamp((epoch_us(ts) // 3600000000) * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
+           strftime(to_timestamp((epoch_us(ts) // 3600000000) * 3600 + 3600), '%Y-%m-%d %H:%M:%S') AS w_end,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("window",),
+)
+def q_window_bounds(spark, sf):
+    ev = load_table(spark, sf, "events")
+    agg = W.tumble(ev, "ts", "1 hour", [], [A.count_all().alias("n")])
+    return agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_inner",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id AS uid
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    """,
+    tags=("join", "interval"),
+)
+def q_interval_join_inner(spark, sf):
+    ev = load_table(spark, sf, "events")
+    a = ev.select(F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid"),
+                  F.unix_micros(F.col("ts")).alias("tsa"))
+    b = ev.select(F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid_b"),
+                  F.unix_micros(F.col("ts")).alias("tsb"))
+    j = J.interval_join(
+        a, b,
+        (F.col("uid") == F.col("uid_b")) & (F.col("eid_a") < F.col("eid_b")),
+        F.col("tsa"), F.col("tsb"), 300_000_000,
+    )
+    return j.select("eid_a", "eid_b", "uid")
+
+
+@register(
+    "interval_join_left",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+    """,
+    tags=("join", "interval", "outer"),
+)
+def q_interval_join_left(spark, sf):
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid_a"),
+        F.unix_micros(F.col("ts")).alias("tsa"))
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid_b"),
+        F.unix_micros(F.col("ts")).alias("tsb"))
+    j = J.interval_join(
+        a, b, F.col("uid_a") == F.col("uid_b"),
+        F.col("tsa"), F.col("tsb"), 600_000_000, how="left",
+    )
+    return j.select("eid_a", "eid_b")
+
+
+@register(
+    "interval_join_using",
+    """
+    SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      USING (user_id)
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    """,
+    tags=("join", "interval"),
+)
+def q_interval_join_using(spark, sf):
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("eid_a"), F.unix_micros(F.col("ts")).alias("tsa"))
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("eid_b"), F.unix_micros(F.col("ts")).alias("tsb"))
+    j = J.interval_join_using(a, b, ["user_id"], F.col("tsa"), F.col("tsb"), 300_000_000)
+    return j.select("user_id", "eid_a", "eid_b")
+
+
+@register(
+    "cross_join_within",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b
+    FROM (SELECT * FROM events WHERE event_id < 200) a,
+         (SELECT * FROM events WHERE event_id >= 200 AND event_id < 400) b
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+    """,
+    tags=("join", "interval", "cross"),
+)
+def q_cross_join_within(spark, sf):
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("eid_a"), F.unix_micros(F.col("ts")).alias("tsa"))
+    b = ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 400)).select(
+        F.col("event_id").alias("eid_b"), F.unix_micros(F.col("ts")).alias("tsb"))
+    j = J.interval_cross_join(a, b, "tsa", "tsb", 600_000_000)
+    return j.select("eid_a", "eid_b")
+
+
+@register(
+    "stream_table_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    tags=("join", "stream-table"),
+)
+def q_stream_table_join(spark, sf):
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = load_table(spark, sf, "customer")
+    j = J.stream_table_join(
+        orders, cust, orders["o_custkey"] == cust["c_custkey"], how="inner"
+    )
+    return j.select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "join_outer_full",
+    """
+    SELECT p.p_partkey, p.p_name, l.cnt
+    FROM part p
+    FULL JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem WHERE l_quantity > 45
+               GROUP BY l_partkey) l
+      ON p.p_partkey = l.l_partkey
+    """,
+    tags=("join", "outer"),
+)
+def q_join_outer_full(spark, sf):
+    part = load_table(spark, sf, "part")
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_partkey")
+        .agg(A.count_all().alias("cnt"))
+    )
+    j = part.join(li, part["p_partkey"] == li["l_partkey"], "full")
+    return j.select("p_partkey", "p_name", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (the batch-OLAP workout for the relational layer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)       AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)  AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)      AS sum_charge,
+           count(*)                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg", "flagship"),
+)
+def q_tpch_q1(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    price = _dec(F.col("l_extendedprice"))
+    disc = _dec(F.col("l_discount"))
+    tax = _dec(F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            A.count_all().alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q3(spark, sf):
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = J.stream_table_join(
+        l.join(o, l["l_orderkey"] == o["o_orderkey"]),
+        c.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+    ).select(
+        "l_orderkey",
+        "revenue",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+    )
+
+
+@register(
+    "tpch_q5ish",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q5ish(spark, sf):
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+               c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "n_name")
+    )
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("analytic", "window-function"),
+)
+def q_top_orders_per_customer(spark, sf):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-pipeline extensions: dedup / similarity / text analysis / multimodal.
+# Oracle SQL is generated from the same constants the Spark operators use,
+# so the MinHash permutations, SimHash bits, and LSH hyperplanes are
+# identical in both engines.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents"
+_H31 = "('0x' || substring(md5({x}), 1, 15))::BIGINT % 2147483647"
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark, sf):
+    return D.exact_duplicates(load_table(spark, sf, "documents"))
+
+
+def _minhash_perm_values() -> str:
+    rows = [f"({i}, {D._perm_a(i)}, {D._perm_b(i)})" for i in range(D.MINHASH_PERMS)]
+    return ", ".join(rows)
+
+
+_MINHASH_ORACLE = f"""
+WITH docs AS ({_TOKS_CTE}),
+sh AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+),
+shh AS (SELECT DISTINCT doc_id, {_H31.format(x='shingle')} AS h FROM sh),
+perms AS (SELECT * FROM (VALUES {{perms}}) p(i, a, b)),
+mh AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+       FROM shh, perms GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+                 string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_sig
+          FROM mh GROUP BY doc_id, i // {D.ROWS_PER_BAND}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, hs FROM (SELECT doc_id, list(DISTINCT h) AS hs FROM shh GROUP BY doc_id)),
+jac AS (SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))::DOUBLE AS jaccard
+        FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+                    JOIN sets sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+""".replace("{perms}", _minhash_perm_values())
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup", "lsh"))
+def q_dedup_minhash(spark, sf):
+    return D.minhash_near_duplicates(load_table(spark, sf, "documents"), threshold=0.5)
+
+
+def _simhash_sums_sql() -> str:
+    return ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    )
+
+
+def _simhash_assemble_sql() -> str:
+    return " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(32))
+
+
+_SIMHASH_SIG_ORACLE = f"""
+WITH docs AS ({_TOKS_CTE}),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+h AS (SELECT doc_id, {_H31.format(x='tok')} AS h FROM t),
+s AS (SELECT doc_id, {_simhash_sums_sql()} FROM h GROUP BY doc_id)
+SELECT doc_id, {_simhash_assemble_sql()} AS simhash FROM s
+"""
+
+
+@register("simhash_signature", _SIMHASH_SIG_ORACLE, tags=("dedup", "simhash"))
+def q_simhash_signature(spark, sf):
+    return D.simhash(load_table(spark, sf, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH docs AS ({_TOKS_CTE}),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+h AS (SELECT doc_id, {_H31.format(x='tok')} AS h FROM t),
+s AS (SELECT doc_id, {_simhash_sums_sql()} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_simhash_assemble_sql()} AS simhash FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark, sf):
+    return D.simhash_near_duplicates(load_table(spark, sf, "documents"), max_hamming=3)
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH docs AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents),
+sh AS (
+  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS shingle
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+),
+shh AS (SELECT DISTINCT doc_id, lang, {_H31.format(x='shingle')} AS h FROM sh),
+sets AS (SELECT doc_id, lang, list(DISTINCT h) AS hs FROM shh GROUP BY doc_id, lang),
+jac AS (SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE AS jaccard
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT lang, doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+def q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), block_cols=["lang"], threshold=0.3, n=2
+    )
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         list_dot_product(q_vec, c_vec)
+           / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS cos
+  FROM q, c WHERE q_id != c_id),
+ranked AS (SELECT q_id, c_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+           FROM scored)
+SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE, tags=("similarity", "ann"))
+def q_ann_cosine_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
+def _plane_literal(dim: int, p: int) -> str:
+    vals = SIM._hyperplane(dim, p)
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+def _ann_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, v AS c_vec, bucket FROM b),
+scored AS (
+  SELECT q_id, c_id,
+         list_dot_product(q_vec, c_vec)
+           / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS cos
+  FROM q JOIN c USING (bucket) WHERE q_id != c_id),
+ranked AS (SELECT q_id, c_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+           FROM scored)
+SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle(), tags=("similarity", "ann", "lsh"))
+def q_ann_lsh_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10, planes=8)
+
+
+def _lang_counts_sql() -> str:
+    parts = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        parts.append(f"len(list_filter(toks, t -> t IN ({lst}))) AS c_{lang}")
+    return ", ".join(parts)
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(TX.LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        conds = [f"c_{lang} > 0"] + [f"c_{lang} >= c_{other}" for other in langs if other != lang]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+_LANG_ID_ORACLE = f"""
+WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+c AS (SELECT doc_id, {_lang_counts_sql()} FROM docs)
+SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM c
+"""
+
+
+@register("lang_id", _LANG_ID_ORACLE, tags=("text",))
+def q_lang_id(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       0.4 * least(len(toks)::DOUBLE / 50.0, 1.0)
+       + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+       + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) AS quality
+FROM t
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE, tags=("text",))
+def q_quality_score(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "token_stats",
+    """
+    WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                      length(text) AS n_chars_actual
+               FROM documents)
+    SELECT doc_id, lang,
+           len(toks)                AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           n_chars_actual
+    FROM t
+    """,
+    tags=("text",),
+)
+def q_token_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col("text")).alias("n_chars_actual"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH docs AS ({_TOKS_CTE}),
+h AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS hs FROM docs)
+SELECT doc_id,
+       list_reduce(list_concat([0::BIGINT], hs),
+                   (a, b) -> (a * {TX.FNV_B} + b) % {TX.P31}) AS fp
+FROM h
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE, tags=("text",))
+def q_doc_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))     AS n_bytes,
+           sha256(text)                   AS sha256,
+           CASE WHEN octet_length(encode(text)) >= 4
+                THEN 16777216 * ord(substring(text, 1, 1))
+                     + 65536 * ord(substring(text, 2, 1))
+                     + 256 * ord(substring(text, 3, 1))
+                     + ord(substring(text, 4, 1))
+                ELSE 0 END                AS head_int
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark, sf):
+    from hstream_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    return MM.binary_features(MM.documents_as_binary(docs))

@@ -1,0 +1,126 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs each ``__spark_entry__.queries()`` entry and its ``oracle_sql()``
+DuckDB equivalent side-by-side at sf0.01 (configurable), compares row
+count, column names, and order-insensitive values (columns sorted by
+name, rows sorted by all columns). Strictly stronger than a hash
+compare — on mismatch it prints the first differing rows.
+
+Usage: python tools/check.py [query ...]   (no args = all queries)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    if (a is None or a != a) and (b is None or b != b):  # NaN/None cross
+        return True
+    return a == b
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    issues = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        issues.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return issues
+    if len(spark_pdf) != len(duck_pdf):
+        issues.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    n = min(len(s), len(d))
+    mismatches = 0
+    for i in range(n):
+        for c in s.columns:
+            if not values_equal(s[c].iloc[i], d[c].iloc[i]):
+                mismatches += 1
+                if mismatches <= 3:
+                    issues.append(f"row {i} col {c}: spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}")
+    if mismatches > 3:
+        issues.append(f"... {mismatches} mismatched cells total")
+    return issues
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from hstream_spark import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failed, passed, weak = [], [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            weak.append(name)
+            print(f"~ {name}: no oracle (rows-only) — {len(spark_pdf)} rows")
+            continue
+        try:
+            duck_pdf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"✗ {name}: DUCKDB ERROR {str(e).splitlines()[0][:200]}")
+            continue
+        issues = compare(name, spark_pdf, duck_pdf)
+        if issues:
+            failed.append(name)
+            print(f"✗ {name}: {len(spark_pdf)} rows")
+            for msg in issues[:6]:
+                print(f"    {msg}")
+        else:
+            passed.append(name)
+            print(f"✓ {name}: {len(spark_pdf)} rows")
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(weak)} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
