@@ -1,0 +1,79 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes its full physical plan via a noop sink (no driver
+collect) — measuring scan + shuffle + agg/join work, not result
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "agg_basic",
+    "tumble_agg",
+    "hop_agg",
+    "session_agg",
+    "interval_join_inner",
+    "stream_table_join",
+    "top_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hstream_spark import get_spark
+    from hstream_spark.queries import REGISTRY
+
+    spark = get_spark("hstream_spark-bench")
+    # warm the JVM + parquet footers so timings measure the queries
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        start = time.perf_counter()
+        q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

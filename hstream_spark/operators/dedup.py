@@ -58,79 +58,85 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (space-joined token windows)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + 1 + k) for k in range(n)]),
-    )
+SHINGLE_B = 1_000_003  # polynomial combiner for token-hash n-grams
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct 31-bit shingle hashes per document."""
-    return F.array_distinct(F.transform(shingles(text, n), token_hash))
+    """Distinct 31-bit word-n-gram hashes per document.
+
+    Each shingle hash is the polynomial fold of its n token hashes mod
+    2^31-1 — arithmetic only, no string concat / re-hash per shingle;
+    intermediate products stay < 2^52.
+
+    Implementation note: built with ``zip_with`` over shifted slices of
+    the token-hash array rather than per-index ``element_at`` lambdas.
+    Higher-order functions are interpreted (no whole-stage codegen, no
+    common-subexpression elimination), so an ``element_at(th, i)``
+    inside a lambda re-evaluates the *entire* md5 transform per access
+    — O(tokens²) hashing. The zip form evaluates the token-hash array
+    n times total.
+    """
+    th = F.transform(tokens(text), token_hash)
+    acc = th
+    for k in range(1, n):
+        shifted = F.slice(th, k + 1, F.size(th))
+        acc = F.zip_with(acc, shifted, lambda x, y: (x * SHINGLE_B + y) % P31)
+    # zip_with pads the shorter (shifted) side with nulls → drop them.
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
-def minhash_signature(text: Column, n: int = 3, perms: int = MINHASH_PERMS) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    (A_i*h + B_i) mod P31. Empty shingle set → P31 sentinel."""
-    hashes = shingle_hashes(text, n)
-
-    def _permed(a: int, b: int):
-        # factory so the pyspark lambda keeps a single-arg signature
-        return F.transform(hashes, lambda h: (h * a + b) % P31)
-
-    sig = []
-    for i in range(perms):
-        permed = _permed(_perm_a(i), _perm_b(i))
-        sig.append(F.coalesce(F.array_min(permed), F.lit(P31)).alias(f"mh{i}"))
-    return F.array(*sig)
-
-
-def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
-    """(doc_id, band, signature-string) — the LSH bucketing key."""
-    sig = minhash_signature(F.col(text_col), n)
-    d = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
-    bands = []
-    for b in range(BANDS):
-        lo = b * ROWS_PER_BAND
-        parts = [F.element_at(F.col("sig"), lo + r + 1) for r in range(ROWS_PER_BAND)]
-        bands.append(
-            d.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("-", *[p.cast("string") for p in parts]).alias("band_sig"),
-            )
-        )
-    return _reduce(DataFrame.unionByName, bands)
-
-
-def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct candidate pairs sharing at least one band signature."""
-    b = minhash_bands(docs, text_col, id_col, n)
-    left = b.select(F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_a"))
-    right = b.select(F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_b"))
-    return (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+def doc_shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 3) -> DataFrame:
+    """(doc_id, hs) — the materialization point every downstream stage
+    (signatures, bands, Jaccard) reuses, so the tokenize+hash work runs
+    once per document instead of once per expression occurrence."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col), n).alias("hs")
     )
 
 
-def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Exact shingle-set Jaccard for the given candidate pairs.
+def minhash_signature_from_sets(sets: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, hs, sig): per permutation i, min over shingle hashes of
+    (A_i*h + B_i) mod P31. Empty shingle set → P31 sentinel. One
+    projection — tokenization is not re-run per permutation."""
 
-    Set algebra on sorted hash arrays: |∩| via array_intersect on
-    distinct hashes; |∪| = |A| + |B| − |∩|.
-    """
-    sets = docs.select(F.col(id_col).alias("doc_id"),
-                       shingle_hashes(F.col(text_col), n).alias("hs"))
+    def _permed(a: int, b: int):
+        # factory so the pyspark lambda keeps a single-arg signature
+        return F.transform(F.col("hs"), lambda h: (h * a + b) % P31)
+
+    sig = F.array(
+        *[
+            F.coalesce(F.array_min(_permed(_perm_a(i), _perm_b(i))), F.lit(P31))
+            for i in range(perms)
+        ]
+    )
+    return sets.withColumn("sig", sig)
+
+
+def minhash_bands_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) via a single posexplode pass — no
+    union-of-branches, so the signature expression evaluates once."""
+    with_sig = minhash_signature_from_sets(sets)
+    band_strs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return with_sig.select(
+        "doc_id", F.posexplode(band_strs).alias("band", "band_sig")
+    )
+
+
+def jaccard_for_pairs(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    |∩| via array_intersect on distinct hashes; |∪| = |A|+|B|−|∩|."""
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -145,11 +151,28 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5,
                             text_col: str = "text", id_col: str = "doc_id",
-                            n: int = 3) -> DataFrame:
-    """Full MinHash-LSH pipeline: bucket → candidates → verify ≥ threshold."""
-    cands = minhash_candidate_pairs(docs, text_col, id_col, n)
-    verified = jaccard_pairs(docs, cands, text_col, id_col, n)
-    return verified.filter(F.col("jaccard") >= threshold)
+                            n: int = 3, cache_sets: bool = True) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle sets → band buckets →
+    candidate self-join → exact-Jaccard verify ≥ threshold.
+
+    The shingle-set frame feeds three plan branches (bands ×2 sides,
+    Jaccard ×2 sides); ``cache_sets`` persists it so the tokenize+hash
+    scan runs once. At cluster scale replace the cache with a parquet
+    checkpoint of (doc_id, hs).
+    """
+    sets = doc_shingle_sets(docs, text_col, id_col, n)
+    if cache_sets:
+        sets = sets.persist()
+    bands = minhash_bands_from_sets(sets)
+    left = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    cands = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -211,7 +234,7 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
 
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float = 0.3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 2) -> DataFrame:
+                        n: int = 2, cache_sets: bool = True) -> DataFrame:
     """Exact word-n-gram Jaccard over all pairs within a block.
 
     Brute-force baseline: O(block²) — callers must bound block size
@@ -222,6 +245,8 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float
         F.col(id_col).alias("doc_id"),
         shingle_hashes(F.col(text_col), n).alias("hs"),
     )
+    if cache_sets:
+        sets = sets.persist()
     a = sets.select(*block_cols, F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = sets.select(*block_cols, F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = a.join(b, block_cols).filter(F.col("doc_a") < F.col("doc_b"))

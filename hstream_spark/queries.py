@@ -853,13 +853,17 @@ def _minhash_perm_values() -> str:
     return ", ".join(rows)
 
 
+_SHINGLE3 = ("((((th[i] * {B} + th[i+1]) % {P}) * {B} + th[i+2]) % {P})"
+             .format(B=D.SHINGLE_B, P=TX.P31))
+_SHINGLE2 = "((th[i] * {B} + th[i+1]) % {P})".format(B=D.SHINGLE_B, P=TX.P31)
+
 _MINHASH_ORACLE = f"""
 WITH docs AS ({_TOKS_CTE}),
-sh AS (
-  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
-),
-shh AS (SELECT DISTINCT doc_id, {_H31.format(x='shingle')} AS h FROM sh),
+tha AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS th FROM docs),
+sh AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(th) - 2), i -> {_SHINGLE3})) AS h
+       FROM tha),
+shh AS (SELECT DISTINCT doc_id, h FROM sh),
 perms AS (SELECT * FROM (VALUES {{perms}}) p(i, a, b)),
 mh AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
        FROM shh, perms GROUP BY doc_id, i),
@@ -927,26 +931,29 @@ def q_dedup_simhash(spark, sf):
 
 
 _NGRAM_JACCARD_ORACLE = f"""
-WITH docs AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+WITH docs AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS toks
               FROM documents),
-sh AS (
-  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS shingle
-  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
-),
-shh AS (SELECT DISTINCT doc_id, lang, {_H31.format(x='shingle')} AS h FROM sh),
-sets AS (SELECT doc_id, lang, list(DISTINCT h) AS hs FROM shh GROUP BY doc_id, lang),
-jac AS (SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+tha AS (SELECT doc_id, lang, source, list_transform(toks, t -> {_H31.format(x='t')}) AS th
+        FROM docs),
+sh AS (SELECT doc_id, lang, source,
+              unnest(list_transform(generate_series(1, len(th) - 1), i -> {_SHINGLE2})) AS h
+       FROM tha),
+shh AS (SELECT DISTINCT doc_id, lang, source, h FROM sh),
+sets AS (SELECT doc_id, lang, source, list(DISTINCT h) AS hs FROM shh GROUP BY doc_id, lang, source),
+jac AS (SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.hs, b.hs))::DOUBLE
                  / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE AS jaccard
-        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-SELECT lang, doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.source = b.source
+                                AND a.doc_id < b.doc_id)
+SELECT lang, source, doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3
 """
 
 
 @register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE, tags=("dedup", "jaccard"))
 def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), block_cols=["lang"], threshold=0.3, n=2
+        load_table(spark, sf, "documents"), block_cols=["lang", "source"],
+        threshold=0.3, n=2
     )
 
 
