@@ -1,0 +1,440 @@
+"""AST → DataFrame compiler.
+
+Assembles plans in the reference's fixed decouple order — Scan →
+Filter(WHERE) → Affiliate → Reduce(GROUP BY [+window]) →
+Filter(HAVING) → Project (hstream-sql/src/HStream/SQL/Planner.hs:
+338-387) — then lets Catalyst optimize (predicate pushdown, column
+pruning, join strategy), which the reference engine has no analog of.
+
+Aggregates nested inside expressions (``SUM(a) + 1``, HAVING
+``COUNT(*) > 2``) are hoisted: each AggFunc node is computed once under
+a hidden alias in the Reduce node and substituted back by identity —
+mirroring the reference's duplicate-aggregate elimination
+(Planner.hs:352-367).
+
+Windowed queries expose ``window_start``/``window_end`` columns, the
+batch rendering of the reference's windowed sink key
+(Codegen/V1.hs:420-456).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hstream_spark.functions import aggregates as AGG
+from hstream_spark.functions import scalar as S
+from hstream_spark.operators import joins as J
+from hstream_spark.plans import ast as A
+
+Resolver = Callable[[str], DataFrame]
+
+EVENT_TIME_COL = "_ts"  # implicit event-time column (reference: append time)
+
+
+class CompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# expression compilation
+# ---------------------------------------------------------------------------
+
+_BIN = {
+    "OR": lambda l, r: l | r,
+    "AND": lambda l, r: l & r,
+    "=": S.eq,
+    "<>": S.neq,
+    "<": lambda l, r: l < r,
+    ">": lambda l, r: l > r,
+    "<=": lambda l, r: l <= r,
+    ">=": lambda l, r: l >= r,
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+}
+
+_FUNCS_1 = {
+    "SIN": S.sin, "SINH": S.sinh, "ASIN": S.asin, "ASINH": S.asinh,
+    "COS": S.cos, "COSH": S.cosh, "ACOS": S.acos, "ACOSH": S.acosh,
+    "TAN": S.tan, "TANH": S.tanh, "ATAN": S.atan, "ATANH": S.atanh,
+    "ABS": S.abs_, "CEIL": S.ceil, "FLOOR": S.floor, "ROUND": S.round_,
+    "SIGN": S.sign, "SQRT": S.sqrt, "LOG": S.log_, "LOG2": S.log2,
+    "LOG10": S.log10, "EXP": S.exp, "TO_STR": S.to_str,
+    "TO_LOWER": S.to_lower, "TO_UPPER": S.to_upper, "TRIM": S.trim,
+    "LEFT_TRIM": S.left_trim, "RIGHT_TRIM": S.right_trim,
+    "REVERSE": S.reverse_, "STRLEN": S.strlen,
+    "ARRAY_DISTINCT": S.array_distinct_, "ARRAY_LENGTH": S.array_length,
+    "ARRAY_MAX": S.array_max_, "ARRAY_MIN": S.array_min_,
+    "ARRAY_SORT": S.array_sort_,
+}
+
+_FUNCS_2 = {
+    "IFNULL": S.ifnull, "NULLIF": S.nullif,
+    "ARRAY_CONTAIN": S.array_contain, "ARRAY_EXCEPT": S.array_except_,
+    "ARRAY_INTERSECT": S.array_intersect_, "ARRAY_REMOVE": S.array_remove_,
+    "ARRAY_UNION": S.array_union_,
+}
+
+
+def _lit(node: A.Lit) -> Column:
+    if node.kind == "null":
+        return F.lit(None)
+    if node.kind == "date":
+        return F.lit(node.value).cast("date")
+    if node.kind == "timestamp":
+        return F.lit(node.value).cast("timestamp")
+    if node.kind == "time":
+        return F.lit(node.value)  # no native TIME type: ISO string
+    return F.lit(node.value)
+
+
+def _require_int_lit(node: A.Expr, what: str) -> int:
+    if isinstance(node, A.Lit) and node.kind == "int":
+        return int(node.value)
+    raise CompileError(f"{what} expects an integer literal")
+
+
+def _require_str_lit(node: A.Expr, what: str) -> str:
+    if isinstance(node, A.Lit) and node.kind == "string":
+        return str(node.value)
+    raise CompileError(f"{what} expects a string literal")
+
+
+def compile_expr(node: A.Expr, agg_subst: Optional[dict[int, str]] = None) -> Column:
+    """Compile an expression AST to a Column. ``agg_subst`` maps
+    id(AggFunc node) → hidden column name (post-aggregation contexts)."""
+    if agg_subst is not None and isinstance(node, A.AggFunc):
+        return F.col(agg_subst[id(node)])
+    if isinstance(node, A.Lit):
+        return _lit(node)
+    if isinstance(node, A.Interval):
+        return F.lit(node.seconds)
+    if isinstance(node, A.ColRef):
+        return F.col(f"{node.stream}.{node.name}" if node.stream else node.name)
+    if isinstance(node, A.Arr):
+        return F.array(*[compile_expr(e, agg_subst) for e in node.items])
+    if isinstance(node, A.BinOp):
+        return _BIN[node.op](
+            compile_expr(node.left, agg_subst), compile_expr(node.right, agg_subst)
+        )
+    if isinstance(node, A.UnOp):
+        if node.op == "NOT":
+            return ~compile_expr(node.operand, agg_subst)
+        raise CompileError(f"unknown unary op {node.op}")
+    if isinstance(node, A.Between):
+        v = compile_expr(node.operand, agg_subst)
+        lo = compile_expr(node.low, agg_subst)
+        hi = compile_expr(node.high, agg_subst)
+        if node.symmetric:
+            out = S.between_symmetric(v, lo, hi)
+        else:
+            out = S.between(v, lo, hi)
+        return ~out if node.negated else out
+    if isinstance(node, A.Cast):
+        return _compile_cast(node, agg_subst)
+    if isinstance(node, A.JsonOp):
+        return _compile_json(node, agg_subst)
+    if isinstance(node, A.ArrayAccess):
+        arr = compile_expr(node.operand, agg_subst)
+        if not node.is_slice:
+            return S.array_index(arr, node.index)
+        return S.array_slice(arr, node.lo, node.hi)
+    if isinstance(node, A.Func):
+        return _compile_func(node, agg_subst)
+    if isinstance(node, A.AggFunc):
+        return compile_agg(node)
+    raise CompileError(f"cannot compile {type(node).__name__}")
+
+
+def _compile_cast(node: A.Cast, agg_subst) -> Column:
+    v = compile_expr(node.operand, agg_subst)
+    t = node.to_type
+    if t == "INTEGER":
+        return S.cast_int(v)
+    if t == "FLOAT":
+        return S.cast_float(v)
+    if t == "STRING":
+        return S.cast_text(v)
+    if t == "BOOLEAN":
+        return S.cast_bool(v)
+    if t == "BYTEA":
+        return v.cast("binary")
+    if t == "DATE":
+        return v.cast("date")
+    if t == "TIMESTAMP":
+        return v.cast("timestamp")
+    if t == "TIME":
+        return v.cast("string")
+    if t == "JSONB":
+        return v.cast("string")
+    if t.endswith("[]"):
+        inner = {"INTEGER": "long", "FLOAT": "double", "STRING": "string",
+                 "BOOLEAN": "boolean"}.get(t[:-2], "string")
+        return v.cast(f"array<{inner}>")
+    raise CompileError(f"unsupported cast target {t}")
+
+
+def _compile_json(node: A.JsonOp, agg_subst) -> Column:
+    left = compile_expr(node.left, agg_subst)
+    if node.op in ("->", "->>"):
+        key = _require_str_lit(node.right, node.op)
+        return S.json_get(left, key)
+    # #> / #>> take a path array literal
+    if not isinstance(node.right, A.Arr):
+        raise CompileError(f"{node.op} expects an array path literal")
+    path: list[str | int] = []
+    for el in node.right.items:
+        if isinstance(el, A.Lit) and el.kind == "string":
+            path.append(str(el.value))
+        elif isinstance(el, A.Lit) and el.kind == "int":
+            path.append(int(el.value))
+        else:
+            raise CompileError(f"{node.op} path elements must be literals")
+    return S.json_path(left, path)
+
+
+def _compile_func(node: A.Func, agg_subst) -> Column:
+    name, args = node.name, node.args
+    if name in _FUNCS_1:
+        if len(args) != 1:
+            raise CompileError(f"{name} expects 1 argument")
+        return _FUNCS_1[name](compile_expr(args[0], agg_subst))
+    if name in _FUNCS_2:
+        if len(args) != 2:
+            raise CompileError(f"{name} expects 2 arguments")
+        return _FUNCS_2[name](
+            compile_expr(args[0], agg_subst), compile_expr(args[1], agg_subst)
+        )
+    if name == "ARRAY_JOIN":
+        arr = compile_expr(args[0], agg_subst)
+        sep = _require_str_lit(args[1], "ARRAY_JOIN") if len(args) > 1 else None
+        return S.array_join_(arr, sep)
+    if name in ("TAKE", "TAKEEND", "DROP", "DROPEND", "CHUNKSOF"):
+        n = _require_int_lit(args[0], name)
+        s = compile_expr(args[1], agg_subst)
+        fn = {"TAKE": S.take, "TAKEEND": S.takeend, "DROP": S.drop,
+              "DROPEND": S.dropend, "CHUNKSOF": S.chunksof}[name]
+        return fn(n, s)
+    if name == "SPLIT":
+        delim = _require_str_lit(args[0], "SPLIT")
+        return S.split(delim, compile_expr(args[1], agg_subst))
+    if name == "DATETOSTRING":
+        return S.datetostring(
+            compile_expr(args[0], agg_subst), _require_str_lit(args[1], name)
+        )
+    if name == "STRINGTODATE":
+        return S.stringtodate(
+            compile_expr(args[0], agg_subst), _require_str_lit(args[1], name)
+        )
+    if name.startswith("IS_"):
+        # with declared schemas these are static type predicates; evaluated
+        # against the runtime value's castability (SEMANTICS.md)
+        v = compile_expr(args[0], agg_subst)
+        checks = {
+            "IS_INT": v.cast("long").isNotNull(),
+            "IS_FLOAT": v.cast("double").isNotNull(),
+            "IS_NUM": v.cast("double").isNotNull(),
+            "IS_BOOL": v.cast("boolean").isNotNull(),
+            "IS_STR": v.cast("string").isNotNull(),
+            "IS_ARRAY": F.lit(True),
+            "IS_DATE": v.cast("date").isNotNull(),
+            "IS_TIME": v.cast("timestamp").isNotNull(),
+        }
+        if name in checks:
+            return checks[name]
+    raise CompileError(f"unknown function {name}")
+
+
+def compile_agg(node: A.AggFunc) -> Column:
+    name, args = node.name, node.args
+    if name == "COUNT_ALL":
+        return AGG.count_all()
+    if name == "COUNT":
+        return AGG.count(compile_expr(args[0]))
+    if name == "SUM":
+        return AGG.sum_(compile_expr(args[0]))
+    if name == "MAX":
+        return AGG.max_(compile_expr(args[0]))
+    if name == "MIN":
+        return AGG.min_(compile_expr(args[0]))
+    if name == "AVG":
+        return AGG.avg(compile_expr(args[0]))
+    if name == "TOPK":
+        return AGG.topk(compile_expr(args[0]), _require_int_lit(args[1], "TOPK"))
+    if name == "TOPKDISTINCT":
+        return AGG.topkdistinct(
+            compile_expr(args[0]), _require_int_lit(args[1], "TOPKDISTINCT")
+        )
+    raise CompileError(f"unknown aggregate {name}")
+
+
+def find_aggs(node: Optional[A.Expr]) -> list[A.AggFunc]:
+    """All AggFunc nodes in an expression tree (pre-order)."""
+    out: list[A.AggFunc] = []
+
+    def walk(n):
+        if n is None:
+            return
+        if isinstance(n, A.AggFunc):
+            out.append(n)
+            return  # aggs do not nest in the dialect
+        for attr in ("left", "right", "operand", "low", "high"):
+            if hasattr(n, attr):
+                walk(getattr(n, attr))
+        for attr in ("items", "args"):
+            if hasattr(n, attr):
+                for c in getattr(n, attr):
+                    walk(c)
+
+    walk(node)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FROM clause compilation
+# ---------------------------------------------------------------------------
+
+
+class FromInfo:
+    def __init__(self, df: DataFrame, window: Optional[A.WindowedRef] = None):
+        self.df = df
+        self.window = window
+
+
+def _compile_from(ref: A.TableRef, resolve: Resolver) -> FromInfo:
+    if isinstance(ref, A.StreamRef):
+        df = resolve(ref.name)
+        return FromInfo(df.alias(ref.alias or ref.name))
+    if isinstance(ref, A.SubqueryRef):
+        df = compile_select(ref.select, resolve)
+        return FromInfo(df.alias(ref.alias) if ref.alias else df)
+    if isinstance(ref, A.WindowedRef):
+        inner = _compile_from(ref.inner, resolve)
+        if inner.window is not None:
+            raise CompileError("nested windows are not supported")
+        return FromInfo(inner.df, window=ref)
+    if isinstance(ref, A.JoinRef):
+        return FromInfo(_compile_join(ref, resolve))
+    raise CompileError(f"unsupported FROM clause {type(ref).__name__}")
+
+
+def _compile_join(ref: A.JoinRef, resolve: Resolver) -> DataFrame:
+    left = _compile_from(ref.left, resolve)
+    right = _compile_from(ref.right, resolve)
+    if left.window or right.window:
+        raise CompileError("window must wrap the whole FROM, not a join side")
+    how = {"INNER": "inner", "LEFT": "left", "RIGHT": "right",
+           "FULL": "full", "CROSS": "inner"}[ref.join_type]
+    lts = left.df[EVENT_TIME_COL] if EVENT_TIME_COL in left.df.columns else None
+    rts = right.df[EVENT_TIME_COL] if EVENT_TIME_COL in right.df.columns else None
+    within = ref.within.seconds if ref.within else None
+
+    if ref.cond_kind == "CROSS":
+        if within is not None and lts is not None and rts is not None:
+            return J.interval_join(left.df, right.df, None, lts, rts, within, how)
+        return left.df.crossJoin(right.df)
+    if ref.cond_kind == "ON":
+        on = compile_expr(ref.on)
+        if within is not None and lts is not None and rts is not None:
+            return J.interval_join(left.df, right.df, on, lts, rts, within, how)
+        return left.df.join(right.df, on, how)
+    if ref.cond_kind == "USING":
+        cols = list(ref.using)
+    else:  # NATURAL: all shared column names
+        cols = [c for c in left.df.columns
+                if c in set(right.df.columns) and c != EVENT_TIME_COL]
+    if within is not None and lts is not None and rts is not None:
+        return J.interval_join_using(left.df, right.df, cols, lts, rts, within, how)
+    return left.df.join(right.df, cols, how)
+
+
+# ---------------------------------------------------------------------------
+# SELECT compilation
+# ---------------------------------------------------------------------------
+
+
+def compile_select(sel: A.Select, resolve: Resolver) -> DataFrame:
+    if sel.from_ is None:
+        raise CompileError("SELECT without FROM is not supported")
+    src = _compile_from(sel.from_, resolve)
+    df = src.df
+
+    if sel.where is not None:
+        df = df.filter(compile_expr(sel.where))
+
+    item_aggs = {id(it): find_aggs(it.expr) for it in sel.items}
+    having_aggs = find_aggs(sel.having)
+    all_aggs = [a for aggs in item_aggs.values() for a in aggs] + having_aggs
+    is_aggregated = bool(all_aggs) or bool(sel.group_by) or src.window is not None
+
+    if not is_aggregated:
+        out_cols: list[Column] = []
+        for it in sel.items:
+            if it.wildcard:
+                out_cols.append(
+                    F.col(f"{it.wildcard_stream}.*") if it.wildcard_stream else F.col("*")
+                )
+            else:
+                out_cols.append(compile_expr(it.expr).alias(it.alias or it.text))
+        return df.select(*out_cols)
+
+    # --- Reduce node -------------------------------------------------------
+    group_cols: list[Column] = []
+    key_names: list[str] = []
+    if src.window is not None:
+        w = src.window
+        ts = F.col(EVENT_TIME_COL)
+        if w.window_kind == "TUMBLE":
+            group_cols.append(F.window(ts, w.size.spark_str).alias("window"))
+        elif w.window_kind == "HOP":
+            group_cols.append(
+                F.window(ts, w.size.spark_str, w.advance.spark_str).alias("window")
+            )
+        else:
+            group_cols.append(F.session_window(ts, w.size.spark_str).alias("window"))
+    for key in sel.group_by:
+        name = f"{key.stream}.{key.name}" if key.stream else key.name
+        group_cols.append(F.col(name))
+        key_names.append(key.name)
+
+    agg_subst: dict[int, str] = {}
+    agg_exprs: list[Column] = []
+    seen: dict[str, str] = {}  # textual agg key → hidden name (dedup rewrite)
+    for i, agg_node in enumerate(all_aggs):
+        key = f"{agg_node.name}:{[repr(a) for a in agg_node.args]}"
+        if key in seen:
+            agg_subst[id(agg_node)] = seen[key]
+            continue
+        hidden = f"__agg{i}"
+        seen[key] = hidden
+        agg_subst[id(agg_node)] = hidden
+        agg_exprs.append(compile_agg(agg_node).alias(hidden))
+
+    if not agg_exprs:
+        agg_exprs.append(AGG.count_all().alias("__agg_dummy"))
+
+    df = df.groupBy(*group_cols).agg(*agg_exprs)
+
+    if sel.having is not None:
+        df = df.filter(compile_expr(sel.having, agg_subst))
+
+    out_cols = []
+    if src.window is not None:
+        out_cols.append(F.col("window.start").alias("window_start"))
+        out_cols.append(F.col("window.end").alias("window_end"))
+    for it in sel.items:
+        if it.wildcard:
+            # wildcard over an aggregated relation = keys (reference keeps
+            # group keys + accumulator row)
+            out_cols.extend([F.col(k) for k in key_names])
+            continue
+        out_cols.append(compile_expr(it.expr, agg_subst).alias(it.alias or it.text))
+    return df.select(*out_cols)
+
+
+def explain(sel: A.Select, resolve: Resolver) -> str:
+    df = compile_select(sel, resolve)
+    return df._jdf.queryExecution().toString()

@@ -1,0 +1,448 @@
+"""The engine runtime: streams, continuous queries, materialized views,
+connectors — the DDL/control surface of the reference
+(hstream/src/HStream/Server/Core/{Query,View,Stream}.hs) re-expressed
+on Structured Streaming.
+
+Model:
+- A **stream** is a parquet directory under ``data_root`` plus a
+  registered schema. Batch reads scan it; streaming reads tail it via
+  ``readStream`` (file source). INSERT appends; at scale the same
+  stream abstraction points at Kafka topics instead (connectors).
+- A **continuous query** (CREATE STREAM AS SELECT / INSERT INTO ..
+  SELECT) compiles the SELECT against streaming sources and runs a
+  ``StreamingQuery`` writing into the target stream via foreachBatch —
+  an update-mode changelog, matching the reference's per-record
+  accumulator emission (GroupedStream.hs:79-102).
+- A **view** (CREATE VIEW AS SELECT) runs the aggregation in
+  ``complete`` output mode into an in-memory table; a one-shot SELECT
+  against the view is an ordinary batch query over that table — no
+  plan-splicing hack needed (SURVEY §3.3).
+- ``SELECT ... EMIT CHANGES`` attaches a memory sink and returns a
+  handle that yields emitted rows.
+- Late data: every streaming source gets a watermark on ``_ts``
+  (default 24h — the reference's fixed grace, TimeWindows.hs:39,47).
+
+Lifecycle: TERMINATE stops a query; PAUSE stops it but keeps its
+checkpoint; RESUME restarts from the checkpoint — Spark has no native
+pause, and checkpoint-restart gives the same exactly-once semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hstream_spark.plans import ast as A
+from hstream_spark.plans.compiler import (
+    EVENT_TIME_COL,
+    CompileError,
+    compile_select,
+    find_aggs,
+)
+from hstream_spark.plans.parser import parse
+
+DEFAULT_GRACE = "24 hours"
+
+_TYPE_MAP = {
+    "INTEGER": T.LongType(), "FLOAT": T.DoubleType(), "BOOLEAN": T.BooleanType(),
+    "BYTEA": T.BinaryType(), "STRING": T.StringType(), "DATE": T.DateType(),
+    "TIME": T.StringType(), "TIMESTAMP": T.TimestampType(),
+    "JSONB": T.StringType(),
+}
+
+
+def _ddl_type(name: str) -> T.DataType:
+    if name.endswith("[]"):
+        return T.ArrayType(_ddl_type(name[:-2]))
+    return _TYPE_MAP[name]
+
+
+@dataclass
+class StreamInfo:
+    name: str
+    path: str
+    schema: Optional[T.StructType] = None
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class QueryInfo:
+    name: str
+    sql: str
+    sink_stream: Optional[str]
+    checkpoint: str
+    handle: Optional[object] = None  # StreamingQuery
+    status: str = "RUNNING"  # RUNNING | PAUSED | TERMINATED
+
+
+@dataclass
+class ViewInfo:
+    name: str
+    sql: str
+    table: str  # in-memory sink table name
+    handle: Optional[object] = None
+
+
+@dataclass
+class ConnectorInfo:
+    name: str
+    kind: str
+    target: str
+    options: dict = field(default_factory=dict)
+    status: str = "RUNNING"
+
+
+class PushQueryHandle:
+    """EMIT CHANGES result: poll emitted rows from the memory sink."""
+
+    def __init__(self, engine: "HStreamEngine", query, table: str):
+        self.engine = engine
+        self.query = query
+        self.table = table
+
+    def drain(self) -> list:
+        """Process all available input synchronously, return emitted rows."""
+        self.query.processAllAvailable()
+        return self.engine.spark.sql(f"SELECT * FROM {self.table}").collect()
+
+    def stop(self):
+        self.query.stop()
+
+
+class HStreamEngine:
+    """One engine instance ≈ one hstream server: a catalog of streams /
+    queries / views / connectors over a SparkSession."""
+
+    def __init__(self, spark: SparkSession, data_root: str,
+                 grace: str = DEFAULT_GRACE):
+        self.spark = spark
+        self.data_root = data_root
+        self.grace = grace
+        self.streams: dict[str, StreamInfo] = {}
+        self.queries: dict[str, QueryInfo] = {}
+        self.views: dict[str, ViewInfo] = {}
+        self.connectors: dict[str, ConnectorInfo] = {}
+        self._qcounter = 0
+        os.makedirs(data_root, exist_ok=True)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _stream_path(self, name: str) -> str:
+        return os.path.join(self.data_root, "streams", name)
+
+    def _checkpoint(self, qname: str) -> str:
+        return os.path.join(self.data_root, "_checkpoints", qname)
+
+    def _next_qname(self, prefix: str = "q") -> str:
+        self._qcounter += 1
+        return f"{prefix}_{self._qcounter}_{uuid.uuid4().hex[:6]}"
+
+    def _schema_of(self, info: StreamInfo) -> T.StructType:
+        if info.schema is not None:
+            return info.schema
+        files = [f for f in os.listdir(info.path) if f.endswith(".parquet")] \
+            if os.path.isdir(info.path) else []
+        if not files:
+            raise CompileError(
+                f"stream {info.name!r} has no declared schema and no data yet"
+            )
+        info.schema = self.spark.read.parquet(info.path).schema
+        return info.schema
+
+    def _resolve_batch(self, name: str) -> DataFrame:
+        if name in self.views:
+            view = self.views[name]
+            return self.spark.sql(f"SELECT * FROM {view.table}")
+        info = self._require_stream(name)
+        return self.spark.read.schema(self._schema_of(info)).parquet(info.path)
+
+    def _resolve_stream(self, name: str) -> DataFrame:
+        info = self._require_stream(name)
+        df = (
+            self.spark.readStream.schema(self._schema_of(info))
+            .option("maxFilesPerTrigger", "64")
+            .parquet(info.path)
+        )
+        if EVENT_TIME_COL in df.columns:
+            df = df.withWatermark(EVENT_TIME_COL, self.grace)
+        return df
+
+    def _require_stream(self, name: str) -> StreamInfo:
+        if name not in self.streams:
+            raise CompileError(f"unknown stream {name!r}")
+        return self.streams[name]
+
+    # -- statement dispatch -------------------------------------------------
+
+    def execute(self, sql: str):
+        stmt = parse(sql)
+        if isinstance(stmt, A.Select):
+            return self._exec_select(stmt, sql)
+        if isinstance(stmt, A.CreateStream):
+            return self._exec_create_stream(stmt)
+        if isinstance(stmt, A.CreateStreamAs):
+            return self._exec_create_stream_as(stmt, sql)
+        if isinstance(stmt, A.CreateView):
+            return self._exec_create_view(stmt, sql)
+        if isinstance(stmt, A.CreateConnector):
+            return self._exec_create_connector(stmt)
+        if isinstance(stmt, A.Insert):
+            return self._exec_insert(stmt, sql)
+        if isinstance(stmt, A.Show):
+            return self._exec_show(stmt)
+        if isinstance(stmt, A.Drop):
+            return self._exec_drop(stmt)
+        if isinstance(stmt, A.Terminate):
+            return self._terminate(stmt.name)
+        if isinstance(stmt, A.Explain):
+            return self._exec_explain(stmt)
+        if isinstance(stmt, A.Pause):
+            return self._pause(stmt)
+        if isinstance(stmt, A.Resume):
+            return self._resume(stmt)
+        raise CompileError(f"unsupported statement {type(stmt).__name__}")
+
+    # -- DDL ----------------------------------------------------------------
+
+    def _exec_create_stream(self, stmt: A.CreateStream) -> StreamInfo:
+        if stmt.name in self.streams:
+            raise CompileError(f"stream {stmt.name!r} already exists")
+        path = self._stream_path(stmt.name)
+        os.makedirs(path, exist_ok=True)
+        schema = None
+        if stmt.columns:
+            fields = [T.StructField(c.name, _ddl_type(c.data_type)) for c in stmt.columns]
+            fields.append(T.StructField(EVENT_TIME_COL, T.TimestampType()))
+            schema = T.StructType(fields)
+        info = StreamInfo(stmt.name, path, schema, dict(stmt.options))
+        self.streams[stmt.name] = info
+        return info
+
+    def _start_continuous(self, select: A.Select, sink_stream: str, sql: str,
+                          qname: Optional[str] = None) -> QueryInfo:
+        qname = qname or self._next_qname()
+        sink = self.streams[sink_stream]
+        out = compile_select(select, self._resolve_stream)
+        if sink.schema is None:
+            # derived stream's schema is the query's output schema
+            sink.schema = out.schema
+        aggregated = bool(select.group_by) or any(
+            find_aggs(it.expr) for it in select.items
+        )
+        mode = "update" if aggregated else "append"
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int):
+            batch_df.write.mode("append").parquet(sink.path)
+
+        q = (
+            out.writeStream.outputMode(mode)
+            .option("checkpointLocation", self._checkpoint(qname))
+            .foreachBatch(sink_batch)
+            .start()
+        )
+        qi = QueryInfo(qname, sql, sink_stream, self._checkpoint(qname), q)
+        self.queries[qname] = qi
+        return qi
+
+    def _exec_create_stream_as(self, stmt: A.CreateStreamAs, sql: str) -> QueryInfo:
+        self._exec_create_stream(A.CreateStream(stmt.name, options=stmt.options))
+        return self._start_continuous(stmt.select, stmt.name, sql)
+
+    def _exec_create_view(self, stmt: A.CreateView, sql: str) -> ViewInfo:
+        if stmt.name in self.views:
+            raise CompileError(f"view {stmt.name!r} already exists")
+        aggregated = bool(stmt.select.group_by) or any(
+            find_aggs(it.expr) for it in stmt.select.items
+        )
+        if not aggregated:
+            raise CompileError("CREATE VIEW requires an aggregation (GROUP BY)")
+        table = f"__view_{stmt.name}"
+        out = compile_select(stmt.select, self._resolve_stream)
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .start()
+        )
+        vi = ViewInfo(stmt.name, sql, table, q)
+        self.views[stmt.name] = vi
+        qi = QueryInfo(self._next_qname("view"), sql, None, "", q)
+        self.queries[qi.name] = qi
+        return vi
+
+    def _exec_create_connector(self, stmt: A.CreateConnector) -> ConnectorInfo:
+        if stmt.name in self.connectors and not stmt.if_not_exist:
+            raise CompileError(f"connector {stmt.name!r} already exists")
+        info = ConnectorInfo(stmt.name, stmt.kind, stmt.target, dict(stmt.options))
+        self.connectors.setdefault(stmt.name, info)
+        return info
+
+    # -- DML ----------------------------------------------------------------
+
+    def _exec_insert(self, stmt: A.Insert, sql: str):
+        info = self._require_stream(stmt.stream)
+        if stmt.select is not None:
+            return self._start_continuous(stmt.select, stmt.stream, sql)
+        from hstream_spark.plans.compiler import compile_expr
+
+        if stmt.raw is not None:
+            payload = stmt.raw
+            while isinstance(payload, A.Cast):
+                payload = payload.operand
+            if not (isinstance(payload, A.Lit) and payload.kind == "string"):
+                raise CompileError("INSERT VALUES expects a JSON/raw string")
+            record = json.loads(payload.value)
+        else:
+            record = {}
+            for col, val in zip(stmt.columns, stmt.values):
+                if not isinstance(val, A.Lit):
+                    raise CompileError("INSERT VALUES must be literals")
+                record[col] = val.value
+        now = time.time()
+        schema = info.schema
+        if schema is None:
+            row_df = self.spark.createDataFrame([record]).withColumn(
+                EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
+            )
+            info.schema = row_df.schema
+        else:
+            values = [record.get(f.name) for f in schema.fields if f.name != EVENT_TIME_COL]
+            base = T.StructType([f for f in schema.fields if f.name != EVENT_TIME_COL])
+            row_df = self.spark.createDataFrame([values], base).withColumn(
+                EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
+            )
+        row_df.write.mode("append").parquet(info.path)
+        return 1
+
+    # -- queries ------------------------------------------------------------
+
+    def _exec_select(self, stmt: A.Select, sql: str):
+        if not stmt.emit_changes:
+            # one-shot SELECT: views and streams as batch tables
+            return compile_select(stmt, self._resolve_batch)
+        table = self._next_qname("push")
+        out = compile_select(stmt, self._resolve_stream)
+        aggregated = bool(stmt.group_by) or any(
+            find_aggs(it.expr) for it in stmt.items
+        )
+        mode = "complete" if aggregated else "append"
+        q = (
+            out.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(table)
+            .start()
+        )
+        qi = QueryInfo(table, sql, None, "", q)
+        self.queries[table] = qi
+        return PushQueryHandle(self, q, table)
+
+    def _exec_explain(self, stmt: A.Explain):
+        inner = stmt.stmt
+        sel = inner if isinstance(inner, A.Select) else inner.select
+        df = compile_select(sel, self._resolve_batch)
+        return df._jdf.queryExecution().toString()
+
+    # -- control ------------------------------------------------------------
+
+    def _exec_show(self, stmt: A.Show) -> DataFrame:
+        rows, schema = [], None
+        if stmt.what == "STREAMS":
+            rows = [(s.name, s.path) for s in self.streams.values()]
+            schema = "name string, path string"
+        elif stmt.what == "VIEWS":
+            rows = [(v.name, v.sql) for v in self.views.values()]
+            schema = "name string, sql string"
+        elif stmt.what == "QUERIES":
+            rows = [(q.name, q.status, q.sql) for q in self.queries.values()]
+            schema = "name string, status string, sql string"
+        else:
+            rows = [(c.name, c.kind, c.target, c.status) for c in self.connectors.values()]
+            schema = "name string, kind string, target string, status string"
+        return self.spark.createDataFrame(rows, schema)
+
+    def _exec_drop(self, stmt: A.Drop):
+        registry = {
+            "STREAM": self.streams, "VIEW": self.views,
+            "QUERY": self.queries, "CONNECTOR": self.connectors,
+        }[stmt.what]
+        if stmt.name not in registry:
+            if stmt.if_exists:
+                return False
+            raise CompileError(f"{stmt.what} {stmt.name!r} does not exist")
+        if stmt.what == "QUERY":
+            self._terminate(stmt.name)
+        if stmt.what == "VIEW":
+            view = self.views[stmt.name]
+            if view.handle is not None:
+                view.handle.stop()
+        if stmt.what == "STREAM":
+            shutil.rmtree(self.streams[stmt.name].path, ignore_errors=True)
+        del registry[stmt.name]
+        return True
+
+    def _terminate(self, qname: str):
+        if qname not in self.queries:
+            raise CompileError(f"unknown query {qname!r}")
+        q = self.queries[qname]
+        if q.handle is not None:
+            q.handle.stop()
+        q.status = "TERMINATED"
+        return q
+
+    def _pause(self, stmt: A.Pause):
+        if stmt.what == "CONNECTOR":
+            self.connectors[stmt.name].status = "PAUSED"
+            return self.connectors[stmt.name]
+        q = self.queries[stmt.name]
+        if q.status != "RUNNING":
+            raise CompileError(f"query {stmt.name!r} is not running")
+        if q.handle is not None:
+            q.handle.stop()
+        q.status = "PAUSED"
+        return q
+
+    def _resume(self, stmt: A.Resume):
+        if stmt.what == "CONNECTOR":
+            self.connectors[stmt.name].status = "RUNNING"
+            return self.connectors[stmt.name]
+        q = self.queries[stmt.name]
+        if q.status != "PAUSED":
+            raise CompileError(f"query {stmt.name!r} is not paused")
+        stmt_ast = parse(q.sql)
+        select = stmt_ast.select if hasattr(stmt_ast, "select") else stmt_ast
+        sink = self.streams[q.sink_stream]
+        out = compile_select(select, self._resolve_stream)
+        aggregated = bool(select.group_by) or any(
+            find_aggs(it.expr) for it in select.items
+        )
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int):
+            batch_df.write.mode("append").parquet(sink.path)
+
+        q.handle = (
+            out.writeStream.outputMode("update" if aggregated else "append")
+            .option("checkpointLocation", q.checkpoint)
+            .foreachBatch(sink_batch)
+            .start()
+        )
+        q.status = "RUNNING"
+        return q
+
+    # -- teardown -----------------------------------------------------------
+
+    def shutdown(self):
+        for q in self.queries.values():
+            if q.handle is not None:
+                try:
+                    q.handle.stop()
+                except Exception:  # noqa: BLE001
+                    pass

@@ -1,0 +1,152 @@
+"""E2E streaming tests — ports of the reference integration specs
+(hstream/test/HStream/RunSQLSpec.hs): insert+select, GROUP BY update
+stream, derived stream + materialized view, windowed aggregation,
+lifecycle control."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from hstream_spark.streaming.runtime import HStreamEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = HStreamEngine(spark, str(tmp_path / "data"))
+    yield eng
+    eng.shutdown()
+
+
+def wait_until(pred, timeout=30.0, step=0.5):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(step)
+    return False
+
+
+class TestBasics:
+    def test_insert_and_push_select(self, engine):
+        # RunSQLSpec "insert data and select" (readings fixture)
+        engine.execute("CREATE STREAM readings (temperature INTEGER, humidity INTEGER);")
+        engine.execute("INSERT INTO readings (temperature, humidity) VALUES (22, 80);")
+        engine.execute("INSERT INTO readings (temperature, humidity) VALUES (15, 10);")
+        handle = engine.execute(
+            "SELECT temperature, humidity FROM readings WHERE humidity > 50 EMIT CHANGES;"
+        )
+        rows = handle.drain()
+        assert [(r["temperature"], r["humidity"]) for r in rows] == [(22, 80)]
+        handle.stop()
+
+    def test_insert_raw_json(self, engine):
+        engine.execute("CREATE STREAM j (x INTEGER, y STRING);")
+        engine.execute("INSERT INTO j VALUES CAST('{\"x\": 7, \"y\": \"hi\"}' AS JSONB);")
+        df = engine.execute("SELECT x, y FROM j;")
+        assert [(r["x"], r["y"]) for r in df.collect()] == [(7, "hi")]
+
+    def test_group_by_update_stream(self, engine):
+        # RunSQLSpec "GROUP BY without timewindow" (pairs fixture):
+        # final accumulator per key must be reached.
+        engine.execute("CREATE STREAM pairs (a INTEGER, b INTEGER);")
+        for a, b in [(1, 2), (2, 2), (3, 2), (4, 3)]:
+            engine.execute(f"INSERT INTO pairs (a, b) VALUES ({a}, {b});")
+        handle = engine.execute("SELECT SUM(a) AS result, b FROM pairs GROUP BY b EMIT CHANGES;")
+        rows = handle.drain()
+        final = {r["b"]: r["result"] for r in rows}
+        assert final == {2: 6, 3: 4}
+        handle.stop()
+
+
+class TestViews:
+    def test_derived_stream_and_view(self, engine):
+        # RunSQLSpec ViewSpec chain: source1 → source2 (CSAS) → view v
+        engine.execute("CREATE STREAM source1 (a INTEGER);")
+        engine.execute("CREATE STREAM source2 AS SELECT a, 1 AS b FROM source1;")
+        engine.execute("CREATE VIEW v AS SELECT SUM(a) AS total, b FROM source2 GROUP BY b;")
+        for a in (1, 2, 3, 4):
+            engine.execute(f"INSERT INTO source1 (a) VALUES ({a});")
+        # CSAS propagates source1 → source2; the view aggregates source2.
+        csas = next(q for q in engine.queries.values() if q.sink_stream == "source2")
+        view_q = engine.views["v"].handle
+
+        def settled():
+            csas.handle.processAllAvailable()
+            view_q.processAllAvailable()
+            rows = engine.execute("SELECT total, b FROM v WHERE b = 1;").collect()
+            return bool(rows) and rows[0]["total"] == 10
+
+        assert wait_until(settled, timeout=60)
+        rows = engine.execute("SELECT total, b FROM v WHERE b = 1;").collect()
+        assert [(r["total"], r["b"]) for r in rows] == [(10, 1)]
+
+    def test_view_requires_aggregation(self, engine):
+        engine.execute("CREATE STREAM s1 (a INTEGER);")
+        with pytest.raises(Exception, match="aggregation"):
+            engine.execute("CREATE VIEW bad AS SELECT a FROM s1;")
+
+
+class TestWindows:
+    def test_tumbling_window_agg(self, engine):
+        engine.execute("CREATE STREAM ev (k STRING, v INTEGER);")
+        for k, v in [("x", 1), ("x", 2), ("y", 5)]:
+            engine.execute(f"INSERT INTO ev (k, v) VALUES ('{k}', {v});")
+        handle = engine.execute(
+            "SELECT k, SUM(v) AS s FROM TUMBLE(ev, INTERVAL 5 SECOND) GROUP BY k EMIT CHANGES;"
+        )
+        rows = handle.drain()
+        got = {(r["k"]): r["s"] for r in rows}
+        assert got == {"x": 3, "y": 5}
+        assert all(r["window_start"] is not None for r in rows)
+        handle.stop()
+
+
+class TestLifecycle:
+    def test_show_and_drop(self, engine):
+        engine.execute("CREATE STREAM s1 (a INTEGER);")
+        engine.execute("CREATE STREAM s2 (a INTEGER);")
+        names = {r["name"] for r in engine.execute("SHOW STREAMS;").collect()}
+        assert names == {"s1", "s2"}
+        engine.execute("DROP STREAM s2;")
+        names = {r["name"] for r in engine.execute("SHOW STREAMS;").collect()}
+        assert names == {"s1"}
+        assert engine.execute("DROP STREAM nope IF EXISTS;") is False
+        with pytest.raises(Exception, match="does not exist"):
+            engine.execute("DROP STREAM nope;")
+
+    def test_connector_registry(self, engine):
+        engine.execute("CREATE STREAM src (a INTEGER);")
+        engine.execute(
+            "CREATE SINK CONNECTOR c1 TO src WITH (\"type\" = 'blackhole');"
+        )
+        rows = engine.execute("SHOW CONNECTORS;").collect()
+        assert rows[0]["name"] == "c1" and rows[0]["kind"] == "SINK"
+        engine.execute("PAUSE CONNECTOR c1;")
+        assert engine.connectors["c1"].status == "PAUSED"
+        engine.execute("RESUME CONNECTOR c1;")
+        assert engine.connectors["c1"].status == "RUNNING"
+
+    def test_terminate_pause_resume_query(self, engine):
+        engine.execute("CREATE STREAM src (a INTEGER);")
+        engine.execute("INSERT INTO src (a) VALUES (1);")
+        qi = engine.execute("CREATE STREAM derived AS SELECT a * 2 AS a2 FROM src;")
+        assert qi.status == "RUNNING"
+        qi.handle.processAllAvailable()
+        engine.execute(f"PAUSE QUERY {qi.name};")
+        assert engine.queries[qi.name].status == "PAUSED"
+        engine.execute("INSERT INTO src (a) VALUES (2);")
+        engine.execute(f"RESUME QUERY {qi.name};")
+        q2 = engine.queries[qi.name]
+        assert q2.status == "RUNNING"
+        q2.handle.processAllAvailable()
+        rows = engine.execute("SELECT a2 FROM derived;").collect()
+        assert sorted(r["a2"] for r in rows) == [2, 4]
+        engine.execute(f"TERMINATE QUERY {qi.name};")
+        assert engine.queries[qi.name].status == "TERMINATED"
+
+    def test_explain(self, engine):
+        engine.execute("CREATE STREAM s1 (a INTEGER, b INTEGER);")
+        text = engine.execute("EXPLAIN SELECT SUM(a) AS s, b FROM s1 GROUP BY b;")
+        assert "Aggregate" in text
