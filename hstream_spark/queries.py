@@ -1126,3 +1126,169 @@ def q_multimodal_features(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return MM.binary_features(MM.documents_as_binary(docs))
+
+
+# ---------------------------------------------------------------------------
+# Queries driven through the HStream SQL frontend (parse → compile) —
+# proving dialect parity end-to-end against the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _sql_resolver(spark, sf):
+    def resolve(name: str):
+        df = load_table(spark, sf, name)
+        if "ts" in df.columns:
+            df = df.withColumn("_ts", F.col("ts"))
+        return df
+
+    return resolve
+
+
+@register(
+    "sql_frontend_agg",
+    """
+    SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*)                        AS n,
+           max(l_quantity)                 AS max_qty,
+           l_returnflag
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("frontend", "agg"),
+)
+def q_sql_frontend_agg(spark, sf):
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    # l_quantity is integral-valued, so the double sum is order-exact.
+    stmt = parse(
+        "SELECT SUM(l_quantity) AS sum_qty, COUNT(*) AS n, "
+        "MAX(l_quantity) AS max_qty, l_returnflag "
+        "FROM lineitem GROUP BY l_returnflag;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+@register(
+    "sql_frontend_scalar",
+    """
+    SELECT c_custkey,
+           upper(c_name)                          AS u,
+           length(c_name)                         AS n,
+           substring(c_name, 1, 8)                AS t8,
+           regexp_extract_all(c_name, '.{1,5}')   AS ch,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'x') AS seg
+    FROM customer
+    """,
+    tags=("frontend", "scalar"),
+)
+def q_sql_frontend_scalar(spark, sf):
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT c_custkey, TO_UPPER(c_name) AS u, STRLEN(c_name) AS n, "
+        "TAKE(8, c_name) AS t8, CHUNKSOF(5, c_name) AS ch, "
+        "IFNULL(NULLIF(c_mktsegment, 'BUILDING'), 'x') AS seg "
+        "FROM customer;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+@register(
+    "sql_frontend_tumble",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+           user_id,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("frontend", "window"),
+)
+def q_sql_frontend_tumble(spark, sf):
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT user_id, COUNT(*) AS n "
+        "FROM TUMBLE(events, INTERVAL 1 HOUR) GROUP BY user_id;"
+    )
+    df = compile_select(stmt, _sql_resolver(spark, sf))
+    return df.select(
+        F.unix_timestamp("window_start").alias("window_start"), "user_id", "n"
+    )
+
+
+@register(
+    "sql_frontend_interval_join",
+    """
+    SELECT a.event_id AS aid, b.event_id AS bid
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+    """,
+    tags=("frontend", "join"),
+)
+def q_sql_frontend_interval_join(spark, sf):
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    def resolve(name: str):
+        ev = load_table(spark, sf, "events").withColumn("_ts", F.col("ts"))
+        if name == "clicks_s":
+            return ev.filter(F.col("event_type") == "click").select(
+                F.col("event_id").alias("aid"), F.col("user_id").alias("auid"), "_ts"
+            )
+        if name == "purch_s":
+            return ev.filter(F.col("event_type") == "purchase").select(
+                F.col("event_id").alias("bid"), F.col("user_id").alias("buid"), "_ts"
+            )
+        raise KeyError(name)
+
+    stmt = parse(
+        "SELECT aid, bid FROM clicks_s JOIN purch_s "
+        "ON clicks_s.auid = purch_s.buid WITHIN (INTERVAL 2 MINUTE);"
+    )
+    return compile_select(stmt, resolve)
+
+
+@register(
+    "scalar_trig",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity), 8)  AS s,
+           round(cos(l_quantity), 8)  AS c,
+           round(atan(l_quantity), 8) AS a,
+           round((exp(2*l_discount) - 1) / (exp(2*l_discount) + 1), 8) AS th
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("scalar", "trig"),
+)
+def q_scalar_trig(spark, sf):
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(S.sin(F.col("l_quantity")), 8).alias("s"),
+        F.round(S.cos(F.col("l_quantity")), 8).alias("c"),
+        F.round(S.atan(F.col("l_quantity")), 8).alias("a"),
+        F.round(S.tanh(F.col("l_discount")), 8).alias("th"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_agg_count_distinct(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )

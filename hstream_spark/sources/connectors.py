@@ -1,0 +1,142 @@
+"""Source/sink connectors — the hstream-io surface
+(conf/hstream.yaml:129-143: mysql/postgresql/sqlserver/mongodb +
+generator sources; mysql/postgresql/mongodb/blackhole/elasticsearch/las
+sinks) re-expressed as Spark connectors.
+
+The reference runs each connector as a docker container speaking a
+side-protocol (hstream-io/HStream/IO/Worker.hs:252-257); here a source
+connector is a Spark reader feeding a stream directory and a sink
+connector is a ``foreachBatch`` writer draining one — both inherit
+Spark's partition parallelism and checkpointed exactly-once.
+
+JDBC / Mongo / Elasticsearch need their driver jars on the classpath
+(not present in this environment) — their builders raise a clear
+error at use, with the wiring (options → writer) real and unit-tested
+up to the jar boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConnectorError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """The 'generator' source connector: synthetic (timestamp, value)
+    records at a fixed rate. Maps to the reference's generator image."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+        .select(
+            F.col("value").alias("id"),
+            F.col("value").cast("double").alias("value"),
+            F.col("timestamp").alias("_ts"),
+        )
+    )
+
+
+def jdbc_source(spark: SparkSession, options: dict) -> DataFrame:
+    """CDC-style snapshot source over JDBC (mysql/postgresql/sqlserver).
+    Batch snapshot read; incremental tailing belongs to Kafka+Debezium."""
+    try:
+        reader = spark.read.format("jdbc")
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+    except Exception as exc:  # noqa: BLE001 - driver jar missing, bad opts
+        raise ConnectorError(f"jdbc source failed (driver jar on classpath?): {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# sinks — each returns a foreachBatch(batch_df, epoch_id) callable
+# ---------------------------------------------------------------------------
+
+SinkFn = Callable[[DataFrame, int], None]
+
+
+def blackhole_sink() -> SinkFn:
+    """The blackhole sink: execute the plan, discard the rows."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").format("noop").save()
+
+    return write
+
+
+def parquet_dir_sink(path: str) -> SinkFn:
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return write
+
+
+def jdbc_sink(options: dict) -> SinkFn:
+    url = options.get("url") or options.get("URL")
+    table = options.get("dbtable") or options.get("table") or options.get("TABLE")
+    if not url or not table:
+        raise ConnectorError("jdbc sink requires url and table options")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        writer = batch_df.write.format("jdbc").mode("append")
+        for k, v in options.items():
+            writer = writer.option(k, str(v))
+        try:
+            writer.save()
+        except Exception as exc:  # noqa: BLE001
+            raise ConnectorError(f"jdbc sink failed (driver jar on classpath?): {exc}") from exc
+
+    return write
+
+
+def mongodb_sink(options: dict) -> SinkFn:
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            writer = batch_df.write.format("mongodb").mode("append")
+            for k, v in options.items():
+                writer = writer.option(k, str(v))
+            writer.save()
+        except Exception as exc:  # noqa: BLE001
+            raise ConnectorError(f"mongodb sink failed (connector jar on classpath?): {exc}") from exc
+
+    return write
+
+
+def elasticsearch_sink(options: dict) -> SinkFn:
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            writer = batch_df.write.format("org.elasticsearch.spark.sql").mode("append")
+            for k, v in options.items():
+                writer = writer.option(k, str(v))
+            writer.save()
+        except Exception as exc:  # noqa: BLE001
+            raise ConnectorError(f"elasticsearch sink failed (es-hadoop jar on classpath?): {exc}") from exc
+
+    return write
+
+
+SINK_BUILDERS: dict[str, Callable[[dict], SinkFn]] = {
+    "blackhole": lambda opts: blackhole_sink(),
+    "mysql": jdbc_sink,
+    "postgresql": jdbc_sink,
+    "sqlserver": jdbc_sink,
+    "mongodb": mongodb_sink,
+    "elasticsearch": elasticsearch_sink,
+}
+
+
+def build_sink(ctype: str, options: dict) -> SinkFn:
+    if ctype not in SINK_BUILDERS:
+        raise ConnectorError(f"unknown sink connector type {ctype!r}")
+    return SINK_BUILDERS[ctype](options)

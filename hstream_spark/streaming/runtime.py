@@ -99,6 +99,7 @@ class ConnectorInfo:
     target: str
     options: dict = field(default_factory=dict)
     status: str = "RUNNING"
+    handle: Optional[object] = None  # StreamingQuery when materialized
 
 
 class PushQueryHandle:
@@ -283,6 +284,33 @@ class HStreamEngine:
         if stmt.name in self.connectors and not stmt.if_not_exist:
             raise CompileError(f"connector {stmt.name!r} already exists")
         info = ConnectorInfo(stmt.name, stmt.kind, stmt.target, dict(stmt.options))
+        ctype = str(info.options.get("TYPE", info.options.get("type", ""))).lower()
+        from hstream_spark.sources import connectors as C
+
+        if stmt.kind == "SINK" and ctype in C.SINK_BUILDERS:
+            sink_fn = C.build_sink(ctype, info.options)
+            src = self._resolve_stream(info.target)
+            info.handle = (
+                src.writeStream.outputMode("append")
+                .option("checkpointLocation", self._checkpoint(f"conn_{info.name}"))
+                .foreachBatch(sink_fn)
+                .start()
+            )
+        elif stmt.kind == "SOURCE" and ctype == "generator":
+            target = self._require_stream(info.target)
+            rate = C.rate_source(
+                self.spark, int(info.options.get("ROWS_PER_SECOND", 10))
+            )
+            if target.schema is None:
+                target.schema = rate.schema
+            info.handle = (
+                rate.writeStream.outputMode("append")
+                .option("checkpointLocation", self._checkpoint(f"conn_{info.name}"))
+                .foreachBatch(
+                    lambda batch_df, _eid: batch_df.write.mode("append").parquet(target.path)
+                )
+                .start()
+            )
         self.connectors.setdefault(stmt.name, info)
         return info
 
@@ -400,8 +428,12 @@ class HStreamEngine:
 
     def _pause(self, stmt: A.Pause):
         if stmt.what == "CONNECTOR":
-            self.connectors[stmt.name].status = "PAUSED"
-            return self.connectors[stmt.name]
+            c = self.connectors[stmt.name]
+            if c.handle is not None:
+                c.handle.stop()
+                c.handle = None
+            c.status = "PAUSED"
+            return c
         q = self.queries[stmt.name]
         if q.status != "RUNNING":
             raise CompileError(f"query {stmt.name!r} is not running")
@@ -412,8 +444,15 @@ class HStreamEngine:
 
     def _resume(self, stmt: A.Resume):
         if stmt.what == "CONNECTOR":
-            self.connectors[stmt.name].status = "RUNNING"
-            return self.connectors[stmt.name]
+            c = self.connectors[stmt.name]
+            if c.status == "PAUSED" and c.handle is None:
+                # rebuild from registry (checkpoint resumes offsets)
+                self.connectors.pop(c.name)
+                return self._exec_create_connector(
+                    A.CreateConnector(c.kind, c.name, c.target, True, c.options)
+                )
+            c.status = "RUNNING"
+            return c
         q = self.queries[stmt.name]
         if q.status != "PAUSED":
             raise CompileError(f"query {stmt.name!r} is not paused")
@@ -440,9 +479,11 @@ class HStreamEngine:
     # -- teardown -----------------------------------------------------------
 
     def shutdown(self):
-        for q in self.queries.values():
-            if q.handle is not None:
+        handles = [q.handle for q in self.queries.values()]
+        handles += [c.handle for c in self.connectors.values()]
+        for h in handles:
+            if h is not None:
                 try:
-                    q.handle.stop()
+                    h.stop()
                 except Exception:  # noqa: BLE001
                     pass
