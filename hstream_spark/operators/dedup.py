@@ -90,7 +90,9 @@ def doc_shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """(doc_id, hs) — the materialization point every downstream stage
     (signatures, bands, Jaccard) reuses, so the tokenize+hash work runs
     once per document instead of once per expression occurrence."""
-    return docs.select(
+    from hstream_spark.sources.tables import spread
+
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col), n).alias("hs")
     )
 
@@ -175,60 +177,80 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5,
     return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
 
 
+def simhash_column(text: Column, bits: int = 32) -> Column:
+    """32-bit SimHash as a pure projection: majority vote per bit over
+    token hashes (+1 if bit set, −1 otherwise; signature bit set iff
+    sum > 0).
+
+    Computed as a single per-row fold with an array-of-32 accumulator —
+    map-only, no explode, no shuffle: the per-document signature never
+    leaves the scan stage regardless of corpus size. All lambda
+    references are cheap bound variables (see shingle_hashes note on
+    interpreted higher-order functions).
+    """
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    th = F.transform(tokens(text), token_hash)
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    sums = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda v, p: v + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig_bits = F.zip_with(
+        sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(sig_bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document: majority vote per bit over token
-    hashes (+1 if bit set, −1 otherwise; bit set in signature iff sum>0).
+    """(doc_id, simhash) — see simhash_column."""
+    from hstream_spark.sources.tables import spread
 
-    explode → conditional sums is one shuffle on doc_id with map-side
-    partial aggregation; signature assembly is a projection.
-    """
-    toks = docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.transform(tokens(F.col(text_col)), token_hash)).alias("h"),
+        simhash_column(F.col(text_col), bits).alias("simhash"),
     )
-    sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
-    )
-    sig = _reduce(
-        lambda x, y: x + y,
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ],
-    )
-    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                            text_col: str = "text", id_col: str = "doc_id",
+                            cache_sigs: bool = True) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming, blocked on 8-bit bands.
 
     With 4 bands and Hamming ≤ 3, pigeonhole guarantees an equal band,
     so blocking loses no true pair while keeping the join keyed.
+    Signatures are persisted (they feed both join sides); bands come
+    from a single posexplode pass so the signature fold runs once.
     """
     sh = simhash(docs, text_col, id_col)
-    banded = []
-    for band in range(4):
-        key = F.shiftright(F.col("simhash"), band * 8).bitwiseAND(F.lit(255))
-        banded.append(sh.select("doc_id", "simhash", F.lit(band).alias("band"), key.alias("bkey")))
-    b = _reduce(DataFrame.unionByName, banded)
+    if cache_sigs:
+        sh = sh.persist()
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), band * 8).bitwiseAND(F.lit(255))
+            for band in range(4)
+        ]
+    )
+    b = sh.select(
+        "doc_id", "simhash", F.posexplode(band_keys).alias("band", "bkey")
+    )
     left = b.select("band", "bkey", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     right = b.select("band", "bkey", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    pairs = (
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Hamming-filter BEFORE distinct: the filter is cheap codegen'd
+    # bit arithmetic over the (possibly skew-inflated) candidate set,
+    # and dedup then runs on the small survivor set only.
+    return (
         left.join(right, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
@@ -240,7 +262,9 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float
     Brute-force baseline: O(block²) — callers must bound block size
     (use minhash_near_duplicates for unblocked corpora).
     """
-    sets = docs.select(
+    from hstream_spark.sources.tables import spread
+
+    sets = spread(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("doc_id"),
         shingle_hashes(F.col(text_col), n).alias("hs"),

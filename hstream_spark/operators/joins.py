@@ -34,8 +34,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _interval_cond(left_ts: Column, right_ts: Column, interval_seconds: float) -> Column:
-    """|ts_l - ts_r| <= interval  (JoinWindows before=after=interval)."""
+def _interval_cond(left_ts: Column, right_ts: Column, interval_seconds: float,
+                   ts_native: bool = False) -> Column:
+    """|ts_l - ts_r| <= interval  (JoinWindows before=after=interval).
+
+    ``ts_native=True`` keeps the bound as timestamp±INTERVAL arithmetic,
+    which Spark's stream-stream join analysis recognizes for
+    watermark-based state eviction (numeric casts would force unbounded
+    state). Use it whenever both sides are TimestampType.
+    """
+    if ts_native:
+        secs = int(interval_seconds)
+        lo = right_ts - F.expr(f"INTERVAL {secs} SECONDS")
+        hi = right_ts + F.expr(f"INTERVAL {secs} SECONDS")
+        return (left_ts >= lo) & (left_ts <= hi)
     delta = left_ts.cast("double") - right_ts.cast("double")
     return (delta <= interval_seconds) & (delta >= -interval_seconds)
 
@@ -48,13 +60,16 @@ def interval_join(
     right_ts: Column,
     interval_seconds: float,
     how: str = "inner",
+    ts_native: bool = False,
 ) -> DataFrame:
     """LoopJoinOn within ±interval (Planner.hs:33, Codegen/V1.hs:301-321).
 
     ``on`` is an arbitrary boolean expression; when it contains
-    equalities Catalyst extracts them as hash keys.
+    equalities Catalyst extracts them as hash keys. Pass
+    ``ts_native=True`` for TimestampType event-time columns (required
+    for streaming state eviction — see _interval_cond).
     """
-    cond = _interval_cond(left_ts, right_ts, interval_seconds)
+    cond = _interval_cond(left_ts, right_ts, interval_seconds, ts_native)
     if on is not None:
         cond = on & cond
     return left.join(right, cond, how)
@@ -68,13 +83,14 @@ def interval_join_using(
     right_ts: Column,
     interval_seconds: float,
     how: str = "inner",
+    ts_native: bool = False,
 ) -> DataFrame:
     """LoopJoinUsing — equality on named columns (Codegen/V1.hs:322-341)."""
     on = None
     for c in cols:
         eq = left[c] == right[c]
         on = eq if on is None else (on & eq)
-    joined = interval_join(left, right, on, left_ts, right_ts, interval_seconds, how)
+    joined = interval_join(left, right, on, left_ts, right_ts, interval_seconds, how, ts_native)
     # USING semantics: the join columns appear once.
     dup_drop = [right[c] for c in cols]
     for c in dup_drop:
@@ -90,11 +106,12 @@ def interval_join_natural(
     interval_seconds: float,
     how: str = "inner",
     exclude: Sequence[str] = (),
+    ts_native: bool = False,
 ) -> DataFrame:
     """LoopJoinNatural — equality on all shared column names
     (Codegen/V1.hs:342-366)."""
     shared = [c for c in left.columns if c in set(right.columns) and c not in set(exclude)]
-    return interval_join_using(left, right, shared, left_ts, right_ts, interval_seconds, how)
+    return interval_join_using(left, right, shared, left_ts, right_ts, interval_seconds, how, ts_native)
 
 
 def interval_cross_join(

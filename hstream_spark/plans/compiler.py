@@ -334,12 +334,12 @@ def _compile_join(ref: A.JoinRef, resolve: Resolver) -> DataFrame:
 
     if ref.cond_kind == "CROSS":
         if within is not None and lts is not None and rts is not None:
-            return J.interval_join(left.df, right.df, None, lts, rts, within, how)
+            return J.interval_join(left.df, right.df, None, lts, rts, within, how, ts_native=True)
         return left.df.crossJoin(right.df)
     if ref.cond_kind == "ON":
         on = compile_expr(ref.on)
         if within is not None and lts is not None and rts is not None:
-            return J.interval_join(left.df, right.df, on, lts, rts, within, how)
+            return J.interval_join(left.df, right.df, on, lts, rts, within, how, ts_native=True)
         return left.df.join(right.df, on, how)
     if ref.cond_kind == "USING":
         cols = list(ref.using)
@@ -347,7 +347,7 @@ def _compile_join(ref: A.JoinRef, resolve: Resolver) -> DataFrame:
         cols = [c for c in left.df.columns
                 if c in set(right.df.columns) and c != EVENT_TIME_COL]
     if within is not None and lts is not None and rts is not None:
-        return J.interval_join_using(left.df, right.df, cols, lts, rts, within, how)
+        return J.interval_join_using(left.df, right.df, cols, lts, rts, within, how, ts_native=True)
     return left.df.join(right.df, cols, how)
 
 

@@ -1038,7 +1038,9 @@ SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM c
 
 @register("lang_id", _LANG_ID_ORACLE, tags=("text",))
 def q_lang_id(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -1059,7 +1061,9 @@ FROM t
 
 @register("quality_score", _QUALITY_ORACLE, tags=("text",))
 def q_quality_score(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -1078,7 +1082,9 @@ def q_quality_score(spark, sf):
     tags=("text",),
 )
 def q_token_stats(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
     toks = TX.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1101,7 +1107,9 @@ FROM h
 
 @register("doc_fingerprint", _FINGERPRINT_ORACLE, tags=("text",))
 def q_doc_fingerprint(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 

@@ -73,3 +73,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def spread(df, partitions: int | None = None):
+    """Repartition a small-file input for CPU-heavy per-row operators.
+
+    A tiny parquet file arrives as ONE partition (row groups don't
+    split), so md5/fold-heavy projections (MinHash, SimHash,
+    fingerprinting) serialize on a single core. At real corpus scale
+    inputs already have thousands of partitions and callers should pass
+    ``partitions=None`` semantics apply: we only *increase* parallelism,
+    never coalesce.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -1,0 +1,87 @@
+"""Physical-plan regression tests — the scale properties the engine
+promises (pushdown, pruning, broadcast, equi-extraction, map-side
+partial aggregation, no cartesian products) asserted against the
+executed plans of catalog queries. A correctness-preserving change
+that silently degrades one of these plans fails here."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hstream_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = plan_of(spark, "select_where_project")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters in scan"
+    assert "EqualTo(event_type,purchase)" in m.group(1)
+    assert "GreaterThan(value,50.0)" in m.group(1)
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "tpch_q1")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    # only the 7 needed columns are read, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_date_filter_pushdown(spark):
+    plan = plan_of(spark, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_extracts_equi_keys(spark):
+    plan = plan_of(spark, "interval_join_inner")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(k in plan for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_bucketed_cross_join_is_hash_join(spark):
+    plan = plan_of(spark, "cross_join_within")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_agg_partial_before_shuffle(spark):
+    plan = plan_of(spark, "tumble_agg")
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_is_map_only(spark):
+    plan = plan_of(spark, "simhash_signature")
+    # per-row fold: no aggregation shuffle in the signature computation.
+    # A round-robin repartition (parallelism spread over few input files)
+    # is allowed; a hash-partitioned exchange (groupBy shuffle) is not.
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+def test_stream_table_join_broadcasts_dimension(spark):
+    plan = plan_of(spark, "stream_table_join")
+    assert "BroadcastHashJoin" in plan

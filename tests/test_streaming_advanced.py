@@ -1,0 +1,77 @@
+"""Advanced streaming: stream-stream interval joins through the SQL
+frontend in true streaming mode, and the custom stateful TOPK
+operator (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hstream_spark.streaming.runtime import HStreamEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = HStreamEngine(spark, str(tmp_path / "data"))
+    yield eng
+    eng.shutdown()
+
+
+def test_stream_stream_interval_join(engine):
+    # FIXTURES.md §6: orders_s ⋈ clicks ON cid WITHIN 10s, streaming mode
+    engine.execute("CREATE STREAM orders_s (oid INTEGER, cid INTEGER, amt INTEGER);")
+    engine.execute("CREATE STREAM clicks (cid2 INTEGER, page STRING);")
+    # inserts land within the same few seconds → all within the interval
+    engine.execute("INSERT INTO orders_s (oid, cid, amt) VALUES (10, 1, 99);")
+    engine.execute("INSERT INTO clicks (cid2, page) VALUES (1, 'home');")
+    engine.execute("INSERT INTO clicks (cid2, page) VALUES (2, 'cart');")
+    handle = engine.execute(
+        "SELECT oid, page FROM orders_s JOIN clicks "
+        "ON orders_s.cid = clicks.cid2 WITHIN (INTERVAL 1 MINUTE) EMIT CHANGES;"
+    )
+    rows = handle.drain()
+    assert [(r["oid"], r["page"]) for r in rows] == [(10, "home")]
+    handle.stop()
+
+
+def test_running_topk_stateful(engine, spark):
+    from hstream_spark.streaming.stateful import running_topk
+
+    engine.execute("CREATE STREAM vals (k STRING, v FLOAT);")
+    for k, v in [("a", 1.0), ("a", 5.0), ("a", 3.0), ("b", 9.0)]:
+        engine.execute(f"INSERT INTO vals (k, v) VALUES ('{k}', {v});")
+    stream = engine._resolve_stream("vals")
+    out = running_topk(stream.select("k", "v"), "k", "v", k=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk_out")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {r["key"]: list(r["topk"]) for r in spark.sql("SELECT * FROM topk_out").collect()}
+    q.stop()
+    assert rows["a"] == [5.0, 3.0]
+    assert rows["b"] == [9.0]
+
+
+def test_stateful_topk_incremental_across_batches(engine, spark):
+    from hstream_spark.streaming.stateful import running_topk
+
+    engine.execute("CREATE STREAM vals2 (k STRING, v FLOAT);")
+    engine.execute("INSERT INTO vals2 (k, v) VALUES ('a', 1.0);")
+    stream = engine._resolve_stream("vals2")
+    out = running_topk(stream.select("k", "v"), "k", "v", k=3)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk_inc")
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch arrives later; state must carry the first value
+    engine.execute("INSERT INTO vals2 (k, v) VALUES ('a', 7.0);")
+    q.processAllAvailable()
+    rows = [list(r["topk"]) for r in spark.sql(
+        "SELECT * FROM topk_inc WHERE key = 'a'").collect()]
+    q.stop()
+    assert [7.0, 1.0] in rows  # final accumulator includes both batches
