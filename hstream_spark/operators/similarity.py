@@ -99,6 +99,152 @@ def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
     return bucket
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocked: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+
+    ``blocked=True`` (the scale path) buckets both sides with
+    sign-LSH and only scores within-bucket pairs — one equi-join
+    shuffle keyed on the bucket instead of an O(n²) cross join.
+    High-cosine pairs land in the same bucket with probability
+    (1 − θ/π)^planes (θ = angle), so recall is tunable via ``planes``.
+    ``blocked=False`` is the exact quadratic baseline for small/
+    blocked corpora.
+    """
+    if blocked:
+        if dim is None:
+            raise ValueError("dim is required for the LSH-blocked path")
+        base = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            sign_lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+        )
+        a = base.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = base.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse centroids: element-wise mean of the
+    vectors in each of ``n_clusters`` seed groups (``id % n_clusters``).
+
+    A hash-partition seeding stands in for k-means iterations so the
+    quantizer is reproducible (and expressible in the SQL oracle);
+    swapping in ML-trained centroids changes nothing downstream.
+    Sums run in decimal so the mean is order-independent across
+    engines and partitionings.
+    """
+    e = corpus.select(
+        (F.col(id_col) % n_clusters).alias("cluster"),
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    per_dim = e.groupBy("cluster", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cv")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest coarse centroid (inverted lists); each query scores only
+    the lists of its ``nprobe`` nearest centroids.
+
+    The quantizer (n_clusters × dim doubles) is collected to the
+    driver and unrolled into literal expressions — assignment and
+    probe selection are then **map-only** (the standard IVF design:
+    the coarse quantizer is a tiny driver-side model, the inverted
+    lists are the distributed part). The only shuffle is the
+    candidate equi-join on the cluster id. At real scale n_clusters
+    is O(√n), keeping lists short and the join keys well-spread.
+    """
+    cents = sorted(
+        (r["cluster"], r["cvec"]) for r in ivf_centroids(corpus, n_clusters, id_col, vec_col).collect()
+    )
+
+    def cos_to(vec: Column, cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(v) for v in cvec])
+        return cosine(vec, lit)
+
+    def nearest_cluster(vec: Column) -> Column:
+        # lexicographic max of (cos, -cluster): best cosine, ties → lowest id
+        best = F.greatest(
+            *[
+                F.struct(cos_to(vec, cvec).alias("c"), F.lit(-cl).alias("n"))
+                for cl, cvec in cents
+            ]
+        )
+        return -best["n"]
+
+    def probe_clusters(vec: Column) -> Column:
+        # ascending sort of (-cos, cluster) structs → first nprobe
+        scored = F.array(
+            *[
+                F.struct((-cos_to(vec, cvec)).alias("nc"), F.lit(cl).alias("cl"))
+                for cl, cvec in cents
+            ]
+        )
+        return F.slice(
+            F.transform(F.array_sort(scored), lambda s: s["cl"]), 1, nprobe
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest_cluster(F.col(vec_col)).alias("cluster"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_clusters(F.col(vec_col))).alias("cluster"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

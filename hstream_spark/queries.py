@@ -1011,6 +1011,80 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10, planes=8)
 
 
+_ANN_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT vec_id % 8 AS cluster, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+cm AS (SELECT cluster, pos, (sum(val::DECIMAL(27,12))::DOUBLE) / count(*) AS cv
+       FROM ex GROUP BY cluster, pos),
+cent AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY cluster),
+ac AS (SELECT e.vec_id, e.v, cent.cluster,
+              list_dot_product(e.v, cent.cvec)
+                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cvec, cent.cvec))) AS cos
+       FROM e, cent),
+ar AS (SELECT vec_id, v, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
+       FROM ac),
+assigned AS (SELECT vec_id AS c_id, v AS c_vec, cluster FROM ar WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, v AS q_vec, cluster FROM ar WHERE vec_id < 20 AND rn <= 2),
+scored AS (SELECT q_id, c_id,
+                  list_dot_product(q_vec, c_vec)
+                    / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS cos
+           FROM probes JOIN assigned USING (cluster) WHERE q_id != c_id),
+ranked AS (SELECT q_id, c_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+           FROM scored)
+SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
+def q_ann_ivf_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, n_clusters=8, nprobe=2
+    )
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE, tags=("dedup", "embedding"))
+def q_dedup_embedding_cosine(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_near_duplicates(emb, threshold=0.4, blocked=False)
+
+
+def _emb_neardup_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.v, b2.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
+"""
+
+
+@register("dedup_embedding_lsh", _emb_neardup_lsh_oracle(), tags=("dedup", "embedding", "lsh"))
+def q_dedup_embedding_lsh(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_near_duplicates(
+        emb, threshold=0.2, dim=64, planes=8, blocked=True
+    )
+
+
 def _lang_counts_sql() -> str:
     parts = []
     for lang, markers in TX.LANG_MARKERS.items():

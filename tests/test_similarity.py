@@ -1,0 +1,78 @@
+"""Similarity-search operator tests: ANN (brute-force / LSH / IVF) and
+embedding-cosine near-duplicates — structure, recall, and the plan
+properties the scale path depends on (equi-joins, no cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hstream_spark.operators import similarity as SIM
+from hstream_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_topk_shape_and_ranks(spark, emb):
+    res = SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=8, nprobe=2)
+    rows = res.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+        assert r.q_id != r.c_id
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.c_id) for r in SIM.brute_force_topk(emb, qs, k=10).collect()}
+    approx = {(r.q_id, r.c_id) for r in SIM.ivf_topk(emb, qs, k=10, n_clusters=8, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of 8 near-random clusters: recall well above the ~25%
+    # mass of the probed lists because true neighbors skew into them
+    assert recall >= 0.2, recall
+
+
+def test_ivf_probe_join_is_equi(spark, emb):
+    plan = (
+        SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_duplicates_exact(spark, emb):
+    rows = SIM.embedding_near_duplicates(emb, threshold=0.4, blocked=False).collect()
+    assert rows, "threshold 0.4 should yield pairs on the synthetic corpus"
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.cos >= 0.4
+
+
+def test_embedding_near_duplicates_lsh_subset_of_exact(spark, emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_duplicates(emb, threshold=0.2, blocked=False).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_duplicates(
+            emb, threshold=0.2, dim=64, planes=8, blocked=True
+        ).collect()
+    }
+    assert blocked <= exact
+    assert blocked, "LSH blocking should retain some near-dup pairs"
+
+
+def test_embedding_near_duplicates_lsh_no_cartesian(spark, emb):
+    plan = (
+        SIM.embedding_near_duplicates(emb, threshold=0.2, dim=64, blocked=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
