@@ -188,7 +188,7 @@ def simhash_column(text: Column, bits: int = 32) -> Column:
     references are cheap bound variables (see shingle_hashes note on
     interpreted higher-order functions).
     """
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    powers = F.lit([1 << b for b in range(bits)])
     th = F.transform(tokens(text), token_hash)
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
     sums = F.aggregate(

@@ -46,6 +46,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(vec: Column) -> Column:
+    """vec / ‖vec‖ in two array traversals, norm computed ONCE.
+
+    Uses the 4-arg ``aggregate`` finish lambda so the squared-norm is a
+    *bound variable* inside the per-element division — higher-order
+    functions are interpreted without common-subexpression elimination,
+    so a naive ``transform(v, x -> x / norm_expr)`` would re-run the
+    whole norm fold for every element (64× the work at dim=64).
+
+    Normalizing once at the scan turns every downstream cosine into a
+    single dot fold (pairs × 1 traversal instead of pairs × 4), which
+    is the difference between O(pairs·d) and O(4·pairs·d) interpreted
+    ops in every similarity join.
+    """
+    d = _to_double(vec)
+    return F.aggregate(
+        d,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda s: F.transform(d, lambda x: x / F.sqrt(s)),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,15 +77,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
-    vectors (excluding itself). Ties broken by corpus id ascending."""
+    vectors (excluding itself). Ties broken by corpus id ascending.
+
+    Both sides are L2-normalized at the scan so per-pair scoring is a
+    single dot fold."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("q_id"), normalized(F.col(vec_col)).alias("q_vec")
+        )
     )
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), normalized(F.col(vec_col)).alias("c_vec")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
@@ -93,7 +123,10 @@ def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p)."""
     bucket = F.lit(0)
     for p in range(planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        # single array literal (one py4j call + one Literal node), not
+        # a CreateArray of `dim` scalar literals — plan construction
+        # and analysis cost scale with expression-tree size
+        plane = F.lit(_hyperplane(dim, p))
         d = dot(vec, plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
@@ -123,19 +156,19 @@ def embedding_near_duplicates(
             raise ValueError("dim is required for the LSH-blocked path")
         base = corpus.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
+            normalized(F.col(vec_col)).alias("vec"),
             sign_lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
         )
         a = base.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
         b = base.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        a = corpus.select(F.col(id_col).alias("id_a"), normalized(F.col(vec_col)).alias("vec_a"))
+        b = corpus.select(F.col(id_col).alias("id_b"), normalized(F.col(vec_col)).alias("vec_b"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos")
+            "id_a", "id_b", dot(F.col("vec_a"), F.col("vec_b")).alias("cos")
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -191,13 +224,25 @@ def ivf_topk(
     candidate equi-join on the cluster id. At real scale n_clusters
     is O(√n), keeping lists short and the join keys well-spread.
     """
+    import math
+
+    def _l2(vals: list[float]) -> list[float]:
+        # explicit left-to-right fold — bit-identical to the engines'
+        # sequential list folds, so the normalized centroid literals
+        # match the SQL oracle's exactly
+        s = 0.0
+        for v in vals:
+            s += v * v
+        n = math.sqrt(s)
+        return [v / n for v in vals]
+
     cents = sorted(
-        (r["cluster"], r["cvec"]) for r in ivf_centroids(corpus, n_clusters, id_col, vec_col).collect()
+        (r["cluster"], _l2(r["cvec"]))
+        for r in ivf_centroids(corpus, n_clusters, id_col, vec_col).collect()
     )
 
     def cos_to(vec: Column, cvec: list[float]) -> Column:
-        lit = F.array(*[F.lit(v) for v in cvec])
-        return cosine(vec, lit)
+        return dot(vec, F.lit(list(cvec)))
 
     def nearest_cluster(vec: Column) -> Column:
         # lexicographic max of (cos, -cluster): best cosine, ties → lowest id
@@ -221,21 +266,22 @@ def ivf_topk(
             F.transform(F.array_sort(scored), lambda s: s["cl"]), 1, nprobe
         )
 
+    # two-step selects: the normalized vector is materialized as an
+    # attribute before the 8-way centroid scoring references it, so the
+    # normalization fold runs once per row (Catalyst keeps the
+    # projections separate because the alias is non-cheap and
+    # multiply-referenced)
     assigned = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        nearest_cluster(F.col(vec_col)).alias("cluster"),
-    )
+        F.col(id_col).alias("c_id"), normalized(F.col(vec_col)).alias("c_vec")
+    ).withColumn("cluster", nearest_cluster(F.col("c_vec")))
     probes = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(probe_clusters(F.col(vec_col))).alias("cluster"),
-    )
+        F.col(id_col).alias("q_id"), normalized(F.col(vec_col)).alias("q_vec")
+    ).withColumn("cluster", F.explode(probe_clusters(F.col("q_vec"))))
     scored = (
         F.broadcast(probes)
         .join(assigned, "cluster")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
@@ -256,21 +302,22 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: both sides bucketed by sign-LSH, then
     exact scoring within the bucket. One equi-join shuffle on the
-    bucket key instead of a cross join."""
+    bucket key instead of a cross join; vectors L2-normalized at the
+    scan so in-bucket scoring is a single dot fold."""
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
+        normalized(F.col(vec_col)).alias("q_vec"),
         sign_lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
+        normalized(F.col(vec_col)).alias("c_vec"),
         sign_lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (

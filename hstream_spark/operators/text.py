@@ -90,7 +90,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
     toks = tokens(F.lower(text))
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
+        marker_arr = F.lit(list(markers))
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
     return out
 

@@ -957,13 +957,17 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
-_ANN_ORACLE = """
-WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+_NORM_VEC = (
+    "list_transform(embedding::DOUBLE[], x -> x / sqrt("
+    "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
+)
+
+_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_NORM_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, v AS c_vec FROM e),
 scored AS (
-  SELECT q_id, c_id,
-         list_dot_product(q_vec, c_vec)
-           / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS cos
+  SELECT q_id, c_id, list_dot_product(q_vec, c_vec) AS cos
   FROM q, c WHERE q_id != c_id),
 ranked AS (SELECT q_id, c_id, cos,
                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
@@ -989,14 +993,12 @@ def _ann_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
         for p in range(planes)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
-q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 20),
-c AS (SELECT vec_id AS c_id, v AS c_vec, bucket FROM b),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
+b AS (SELECT vec_id, vn, {bucket_terms} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, vn AS q_vec, bucket FROM b WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, vn AS c_vec, bucket FROM b),
 scored AS (
-  SELECT q_id, c_id,
-         list_dot_product(q_vec, c_vec)
-           / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS cos
+  SELECT q_id, c_id, list_dot_product(q_vec, c_vec) AS cos
   FROM q JOIN c USING (bucket) WHERE q_id != c_id),
 ranked AS (SELECT q_id, c_id, cos,
                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
@@ -1011,24 +1013,24 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10, planes=8)
 
 
-_ANN_IVF_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_ANN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
 ex AS (SELECT vec_id % 8 AS cluster, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
 cm AS (SELECT cluster, pos, (sum(val::DECIMAL(27,12))::DOUBLE) / count(*) AS cv
        FROM ex GROUP BY cluster, pos),
-cent AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY cluster),
-ac AS (SELECT e.vec_id, e.v, cent.cluster,
-              list_dot_product(e.v, cent.cvec)
-                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cvec, cent.cvec))) AS cos
+craw AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY cluster),
+cent AS (SELECT cluster,
+                list_transform(cvec, x -> x / sqrt(list_dot_product(cvec, cvec))) AS cn
+         FROM craw),
+ac AS (SELECT e.vec_id, e.vn, cent.cluster,
+              list_dot_product(e.vn, cent.cn) AS cos
        FROM e, cent),
-ar AS (SELECT vec_id, v, cluster,
+ar AS (SELECT vec_id, vn, cluster,
               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
        FROM ac),
-assigned AS (SELECT vec_id AS c_id, v AS c_vec, cluster FROM ar WHERE rn = 1),
-probes AS (SELECT vec_id AS q_id, v AS q_vec, cluster FROM ar WHERE vec_id < 20 AND rn <= 2),
-scored AS (SELECT q_id, c_id,
-                  list_dot_product(q_vec, c_vec)
-                    / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS cos
+assigned AS (SELECT vec_id AS c_id, vn AS c_vec, cluster FROM ar WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, vn AS q_vec, cluster FROM ar WHERE vec_id < 20 AND rn <= 2),
+scored AS (SELECT q_id, c_id, list_dot_product(q_vec, c_vec) AS cos
            FROM probes JOIN assigned USING (cluster) WHERE q_id != c_id),
 ranked AS (SELECT q_id, c_id, cos,
                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
@@ -1045,11 +1047,10 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
-_EMB_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_EMB_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_NORM_VEC} AS v FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             list_dot_product(a.v, b.v) AS cos
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
 """
@@ -1067,11 +1068,10 @@ def _emb_neardup_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
         for p in range(planes)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
+b AS (SELECT vec_id, vn, {bucket_terms} AS bucket FROM e),
 p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-             list_dot_product(a.v, b2.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+             list_dot_product(a.vn, b2.vn) AS cos
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
 """
