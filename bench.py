@@ -36,6 +36,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "dedup_embedding_lsh",
     "ann_cosine_topk",
+    "ann_bruteforce_np",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "lang_id",

@@ -102,6 +102,77 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 8,
+) -> DataFrame:
+    """Vectorized exact cosine top-k: the query matrix is collected
+    (queries are the small side by construction) and broadcast into an
+    Arrow-batched ``mapInPandas`` stage that scores each corpus batch
+    with one BLAS matmul — ~100× the per-element throughput of
+    interpreted expression folds.
+
+    Each batch emits only its local top-(k+1) per query (pruned with
+    ``argpartition``), so the post-shuffle global rank sees at most
+    partitions × queries × (k+1) rows regardless of corpus size — the
+    map-side-combine shape of a distributed top-k. Scores are rounded
+    to ``digits`` decimals to be reproducible across BLAS summation
+    orders.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+    kk = k + 1  # keep one spare so dropping a self-pair can't cost a hit
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+            S = np.round(Cn @ Qn.T, digits)
+            frames = []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                cand = np.nonzero(ids != q_ids[j])[0]
+                if cand.size == 0:
+                    continue
+                if cand.size > kk:
+                    cand = cand[np.argpartition(-col[cand], kk - 1)[:kk]]
+                order = np.lexsort((ids[cand], -col[cand]))
+                cand = cand[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(cand.size, q_ids[j]),
+                            "c_id": ids[cand],
+                            "cos": col[cand],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "q_id long, c_id long, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
     import hashlib

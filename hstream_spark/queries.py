@@ -1039,6 +1039,26 @@ SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= 10
 """
 
 
+_ANN_NP_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_NORM_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, v AS c_vec FROM e),
+scored AS (
+  SELECT q_id, c_id, round(list_dot_product(q_vec, c_vec), 8) AS cos
+  FROM q, c WHERE q_id != c_id),
+ranked AS (SELECT q_id, c_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+           FROM scored)
+SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_bruteforce_np", _ANN_NP_ORACLE, tags=("similarity", "ann", "pandas-udf"))
+def q_ann_bruteforce_np(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.brute_force_topk_np(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
 @register("ann_ivf_topk", _ANN_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")

@@ -39,6 +39,14 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert recall >= 0.2, recall
 
 
+def test_bruteforce_np_matches_expression_path(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 5)
+    expr = {(r.q_id, r.c_id) for r in SIM.brute_force_topk(emb, qs, k=10).collect()}
+    nppath = {(r.q_id, r.c_id) for r in SIM.brute_force_topk_np(emb, qs, k=10).collect()}
+    # identical neighbor sets (scores differ only in the 8th decimal)
+    assert nppath == expr
+
+
 def test_ivf_probe_join_is_equi(spark, emb):
     plan = (
         SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
