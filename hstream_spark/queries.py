@@ -1230,6 +1230,51 @@ def q_multimodal_features(spark, sf):
     return MM.binary_features(MM.documents_as_binary(docs))
 
 
+_FRAME_SAMPLE_ORACLE = """
+WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+idx AS (SELECT doc_id, text,
+               unnest(generate_series(0, ((n + 63) // 64) - 1, 2)) AS frame_idx
+        FROM f WHERE n > 0)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       substring(text, frame_idx * 64 + 1, 64) AS frame_text
+FROM idx
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE, tags=("multimodal", "pandas-udf"))
+def q_multimodal_frame_sample(spark, sf):
+    from hstream_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    frames = MM.sample_frames(MM.documents_as_binary(docs), frame_bytes=64, every=2)
+    # payloads are utf-8 text here, so frames decode losslessly — gives
+    # the oracle a string domain (DuckDB has no blob slicing/hashing)
+    return frames.select(
+        "doc_id", "frame_idx", F.decode(F.col("frame"), "utf-8").alias("frame_text")
+    )
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(generate_series(0, 31),
+                        i -> substring(text, (i * length(text)) // 32 + 1, 1)),
+         '') AS resized_text
+FROM documents
+"""
+
+
+@register("multimodal_resize", _RESIZE_ORACLE, tags=("multimodal", "pandas-udf"))
+def q_multimodal_resize(spark, sf):
+    from hstream_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    resized = MM.resize_payload(MM.documents_as_binary(docs), out_len=32)
+    return resized.select(
+        "doc_id", F.decode(F.col("resized"), "utf-8").alias("resized_text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Queries driven through the HStream SQL frontend (parse → compile) —
 # proving dialect parity end-to-end against the oracle.
