@@ -193,8 +193,15 @@ class Parser:
             what = self.next().text.upper()
             if what not in {"CONNECTOR", "STREAM", "VIEW", "QUERY"}:
                 raise ParseError(f"DROP: unknown object {what!r}")
-            name = self.ident()
             if_exists = False
+            # ANSI prefix form (DROP STREAM IF EXISTS s) accepted as a
+            # convenience; the reference dialect is postfix
+            # (DROP STREAM s IF EXISTS — SQL-v1.cf:92)
+            if self.at_kw("IF"):
+                self.next()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            name = self.ident()
             if self.at_kw("IF"):
                 self.next()
                 self.expect_kw("EXISTS")
