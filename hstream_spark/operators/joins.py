@@ -140,6 +140,75 @@ def interval_cross_join(
     return joined.drop("_bucket", "_lts", "_rts")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tiebreak: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join (extension — the reference has none, SURVEY §2.3):
+    for each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` in the same key group. ``tiebreak`` names a
+    right column that breaks equal-timestamp ties (max wins).
+
+    Scale design: NOT a time-range join (which explodes to every
+    earlier match and re-filters). Both sides are unioned with a side
+    tag and sorted once per key; a running ``last(_r, ignorenulls)``
+    over (ts, side, tiebreak) carries the latest right row forward to
+    each left row. One shuffle on the key + one sort — cost is
+    O(n log n) per key group independent of match fan-out. Right rows
+    sort before left rows at equal ts, so same-instant matches are
+    visible (inclusive as-of-backward).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in {"left", "inner"}:
+        raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    rschema = right.select(*rcols).schema
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(rschema).alias("_r"),
+    )
+    lschema = left.select(*lcols).schema
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lschema).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        order.append(F.col("_r").getField(tiebreak).asc())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2)
+    matched = (
+        u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("_l").getField(c).alias(c) for c in lcols]
+        + [F.col("_m").getField(c).alias(c) for c in rcols]
+    )
+    return matched.select(*out_cols)
+
+
 def stream_table_join(
     stream: DataFrame,
     table: DataFrame,

@@ -1230,6 +1230,38 @@ def q_multimodal_features(spark, sf):
     return MM.binary_features(MM.documents_as_binary(docs))
 
 
+_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.user_id, p.ts, c.click_id, c.cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.cts DESC, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts)
+SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts_us,
+       click_id, epoch_us(cts) AS click_ts_us
+FROM j WHERE rn = 1
+"""
+
+
+@register("asof_join_events", _ASOF_ORACLE, tags=("join", "asof"))
+def q_asof_join_events(spark, sf):
+    """Latest click at-or-before each purchase, per user — distributed
+    as-of via union + carry-forward window (no match explosion)."""
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    j = J.asof_join(p, c, on="user_id", left_ts="ts", right_ts="cts", tiebreak="click_id")
+    return j.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        "click_id",
+        F.unix_micros("cts").alias("click_ts_us"),
+    )
+
+
 _FRAME_SAMPLE_ORACLE = """
 WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
 idx AS (SELECT doc_id, text,
