@@ -140,6 +140,37 @@ def interval_cross_join(
     return joined.drop("_bucket", "_lts", "_rts")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: hot keys on the (large) left side are
+    spread across ``salt`` sub-partitions; the right side is replicated
+    ``salt``-fold so every sub-partition can match. Result is identical
+    to ``left.join(right, on, how)`` — only the shuffle layout changes.
+
+    Use when BOTH sides are too big to broadcast and a few keys carry a
+    disproportionate share of rows (AQE's skew-join handles sort-merge
+    skew after the fact; salting prevents the hot partition from being
+    built at all, and also covers shuffled-hash joins). The left salt
+    hashes the whole row, so rows of one hot key scatter uniformly.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in {"inner", "left"}:
+        # replicated right rows would duplicate right-side non-matches
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l2 = left.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r2 = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l2.join(r2, keys + ["_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

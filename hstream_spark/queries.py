@@ -1230,6 +1230,30 @@ def q_multimodal_features(spark, sf):
     return MM.binary_features(MM.documents_as_binary(docs))
 
 
+_SALTED_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000
+"""
+
+
+@register("salted_join", _SALTED_JOIN_ORACLE, tags=("join", "skew"))
+def q_salted_join(spark, sf):
+    """Result-equivalence proof for the skew-salted join rewrite: the
+    salted plan must produce exactly the plain join's rows."""
+    orders = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    j = J.salted_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+        salt=8,
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "c_name", F.col("o_totalprice").alias("total")
+    )
+
+
 _ASOF_ORACLE = """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events WHERE event_type = 'click'),

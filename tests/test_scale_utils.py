@@ -1,0 +1,61 @@
+"""Scale utilities: skew-salted join equivalence and bucketed
+co-located joins (the no-exchange property bucketing buys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hstream_spark.operators.joins import salted_join
+from hstream_spark.sources.tables import load_table, write_bucketed
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    plain = {tuple(r) for r in orders.join(cust, "o_custkey").collect()}
+    salted = {tuple(r) for r in salted_join(orders, cust, on="o_custkey", salt=8).collect()}
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, w string")
+    rows = {r.k: r.w for r in salted_join(left, right, on="k", salt=4, how="left").collect()}
+    assert rows == {1: "x", 2: None}
+
+
+def test_salted_join_rejects_full(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with zero Exchange nodes — the co-location contract."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(
+        orders, "b_orders", ["o_custkey"], buckets=8, sort_by=["o_custkey"],
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_cust", ["o_custkey"], buckets=8, sort_by=["o_custkey"],
+        path=str(tmp_path / "b_cust"),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
