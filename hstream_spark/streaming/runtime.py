@@ -88,8 +88,11 @@ class QueryInfo:
 class ViewInfo:
     name: str
     sql: str
-    table: str  # in-memory sink table name
+    table: str  # legacy memory-sink name (update-mode views use `state`)
     handle: Optional[object] = None
+    state: dict = field(default_factory=dict)  # group key -> latest accumulator row
+    schema: Optional[T.StructType] = None
+    key_cols: tuple = ()
 
 
 @dataclass
@@ -162,7 +165,8 @@ class HStreamEngine:
     def _resolve_batch(self, name: str) -> DataFrame:
         if name in self.views:
             view = self.views[name]
-            return self.spark.sql(f"SELECT * FROM {view.table}")
+            rows = list(view.state.values())
+            return self.spark.createDataFrame(rows, view.schema)
         info = self._require_stream(name)
         return self.spark.read.schema(self._schema_of(info)).parquet(info.path)
 
@@ -268,13 +272,47 @@ class HStreamEngine:
             raise CompileError("CREATE VIEW requires an aggregation (GROUP BY)")
         table = f"__view_{stmt.name}"
         out = compile_select(stmt.select, self._resolve_stream)
-        q = (
-            out.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(table)
-            .start()
-        )
-        vi = ViewInfo(stmt.name, sql, table, q)
+
+        # View state = latest accumulator per group key, upserted from the
+        # UPDATE-mode changelog (the reference's in-memory groupbyStores,
+        # View.hs:235-243). Update mode means (a) each trigger ships only
+        # the touched groups — not the whole result like complete mode —
+        # and (b) the watermark actually drops late rows and evicts
+        # closed-window state. At production scale the upsert target
+        # would be a keyed table (Delta/JDBC) instead of a driver dict;
+        # the streaming plan is identical.
+        key_cols: list[str] = []
+        if isinstance(stmt.select.from_, A.WindowedRef):
+            key_cols += ["window_start", "window_end"]
+        for it in stmt.select.items:
+            if it.wildcard:
+                key_cols += [g.name for g in stmt.select.group_by]
+            elif not find_aggs(it.expr):
+                key_cols.append(it.alias or it.text)
+        vi = ViewInfo(stmt.name, sql, table, None, {}, out.schema, tuple(key_cols))
+
+        def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in batch_df.collect():
+                vi.state[tuple(r[k] for k in vi.key_cols)] = r
+
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .option("checkpointLocation", self._checkpoint(f"view_{stmt.name}"))
+                .foreachBatch(upsert)
+                .start()
+            )
+        except Exception:
+            # e.g. streaming session windows reject update mode; fall back
+            # to complete (full-result refresh — reference-equivalent but
+            # not incremental)
+            q = (
+                out.writeStream.outputMode("complete")
+                .option("checkpointLocation", self._checkpoint(f"view_{stmt.name}"))
+                .foreachBatch(upsert)
+                .start()
+            )
+        vi.handle = q
         self.views[stmt.name] = vi
         qi = QueryInfo(self._next_qname("view"), sql, None, "", q)
         self.queries[qi.name] = qi
@@ -335,7 +373,11 @@ class HStreamEngine:
                 if not isinstance(val, A.Lit):
                     raise CompileError("INSERT VALUES must be literals")
                 record[col] = val.value
-        now = time.time()
+        # event time defaults to append time (reference semantics:
+        # srcTimestamp, Processor.hs:263-275); an explicit _ts column in
+        # the INSERT (epoch seconds) overrides it — event-time ingestion
+        # for replays and late-data testing
+        now = float(record.pop(EVENT_TIME_COL, time.time()))
         schema = info.schema
         if schema is None:
             row_df = self.spark.createDataFrame([record]).withColumn(

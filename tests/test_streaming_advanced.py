@@ -33,6 +33,45 @@ def test_stream_stream_interval_join(engine):
     handle.stop()
 
 
+def test_late_data_dropped_beyond_grace(spark, tmp_path):
+    """Reference semantics: records later than windowEnd + grace are
+    dropped (TimeWindowedStream.hs:99-113; fixed 24h there, configurable
+    here). A row an hour behind the watermark must not create state."""
+    import time as _time
+
+    eng = HStreamEngine(spark, str(tmp_path / "late"), grace="5 seconds")
+    try:
+        eng.execute("CREATE STREAM lev (k STRING, v INTEGER);")
+        now = _time.time()
+        eng.execute(f"INSERT INTO lev (k, v, _ts) VALUES ('fresh', 1, {now});")
+        eng.execute(
+            "CREATE VIEW lv AS SELECT k, COUNT(*) AS n "
+            "FROM TUMBLE(lev, INTERVAL 10 SECOND) GROUP BY k;"
+        )
+        eng.views["lv"].handle.processAllAvailable()
+        # watermark is now ~(now - 5s); this row is an hour late
+        eng.execute(f"INSERT INTO lev (k, v, _ts) VALUES ('stale', 1, {now - 3600});")
+        # and a fresh row that must still land
+        eng.execute(f"INSERT INTO lev (k, v, _ts) VALUES ('fresh', 2, {now + 1});")
+        eng.views["lv"].handle.processAllAvailable()
+        ks = {r["k"] for r in eng.execute("SELECT k, n FROM lv;").collect()}
+        assert "fresh" in ks
+        assert "stale" not in ks  # dropped, not aggregated
+    finally:
+        eng.shutdown()
+
+
+def test_insert_ts_override_sets_event_time(spark, tmp_path):
+    eng = HStreamEngine(spark, str(tmp_path / "ovr"))
+    try:
+        eng.execute("CREATE STREAM oev (a INTEGER);")
+        eng.execute("INSERT INTO oev (a, _ts) VALUES (1, 1704067200);")  # 2024-01-01
+        row = eng.execute("SELECT a, _ts FROM oev;").collect()[0]
+        assert str(row["_ts"]).startswith("2024-01-01")
+    finally:
+        eng.shutdown()
+
+
 def test_running_topk_stateful(engine, spark):
     from hstream_spark.streaming.stateful import running_topk
 

@@ -90,9 +90,14 @@ class TestViews:
 
 class TestWindows:
     def test_tumbling_window_agg(self, engine):
+        import time as _time
+
         engine.execute("CREATE STREAM ev (k STRING, v INTEGER);")
+        # pin one shared event time: wall-clock inserts take ~1s each and
+        # can straddle a 5s tumble boundary, splitting x across windows
+        ts = _time.time()
         for k, v in [("x", 1), ("x", 2), ("y", 5)]:
-            engine.execute(f"INSERT INTO ev (k, v) VALUES ('{k}', {v});")
+            engine.execute(f"INSERT INTO ev (k, v, _ts) VALUES ('{k}', {v}, {ts});")
         handle = engine.execute(
             "SELECT k, SUM(v) AS s FROM TUMBLE(ev, INTERVAL 5 SECOND) GROUP BY k EMIT CHANGES;"
         )
