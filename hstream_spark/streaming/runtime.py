@@ -404,13 +404,29 @@ class HStreamEngine:
         aggregated = bool(stmt.group_by) or any(
             find_aggs(it.expr) for it in stmt.items
         )
-        mode = "complete" if aggregated else "append"
-        q = (
-            out.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(table)
-            .start()
-        )
+        # Aggregated push queries emit the UPDATE stream — every input
+        # record surfaces its group's new accumulator, exactly the
+        # reference's per-record emission (GroupedStream.hs:98-102) —
+        # and, unlike complete mode, each trigger ships only touched
+        # groups (bounded output at scale). Complete fallback covers
+        # plans that reject update mode (e.g. session windows).
+        mode = "update" if aggregated else "append"
+        try:
+            q = (
+                out.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(table)
+                .start()
+            )
+        except Exception:
+            if not aggregated:
+                raise
+            q = (
+                out.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(table)
+                .start()
+            )
         qi = QueryInfo(table, sql, None, "", q)
         self.queries[table] = qi
         return PushQueryHandle(self, q, table)

@@ -72,6 +72,26 @@ def test_insert_ts_override_sets_event_time(spark, tmp_path):
         eng.shutdown()
 
 
+def test_push_query_emits_update_stream(engine):
+    """Aggregated EMIT CHANGES is a changelog: each trigger appends the
+    touched groups' new accumulators (reference GroupedStream.hs:98-102;
+    update-sequence assertion pattern of RunSQLSpec.hs:80-90)."""
+    import time as _time
+
+    engine.execute("CREATE STREAM uev (k STRING, v INTEGER);")
+    ts = _time.time()
+    engine.execute(f"INSERT INTO uev (k, v, _ts) VALUES ('a', 1, {ts});")
+    handle = engine.execute("SELECT k, SUM(v) AS s FROM uev GROUP BY k EMIT CHANGES;")
+    first = [(r["k"], r["s"]) for r in handle.drain()]
+    assert ("a", 1) in first
+    engine.execute(f"INSERT INTO uev (k, v, _ts) VALUES ('a', 4, {ts});")
+    engine.execute(f"INSERT INTO uev (k, v, _ts) VALUES ('b', 7, {ts});")
+    seq = [(r["k"], r["s"]) for r in handle.drain()]
+    # changelog retains the old accumulator AND appends the new ones
+    assert ("a", 1) in seq and ("a", 5) in seq and ("b", 7) in seq
+    handle.stop()
+
+
 def test_running_topk_stateful(engine, spark):
     from hstream_spark.streaming.stateful import running_topk
 
