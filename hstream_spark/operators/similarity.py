@@ -191,16 +191,20 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p)."""
-    bucket = F.lit(0)
-    for p in range(planes):
-        # single array literal (one py4j call + one Literal node), not
-        # a CreateArray of `dim` scalar literals — plan construction
-        # and analysis cost scale with expression-tree size
-        plane = F.lit(_hyperplane(dim, p))
-        d = dot(vec, plane)
-        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
+
+    All hyperplanes ship as ONE nested-array literal and the per-plane
+    dots come from a transform-over-planes fold — two Literal nodes
+    total instead of ``planes`` unrolled dot trees (plan construction
+    and analysis cost scale with expression size; see the F.lit note
+    in the module docstring)."""
+    plane_lit = F.lit([_hyperplane(dim, p) for p in range(planes)])
+    powers = F.lit([1 << p for p in range(planes)])
+    dots = F.transform(plane_lit, lambda p: dot(vec, p))
+    bits = F.zip_with(
+        dots, powers, lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def embedding_near_duplicates(
@@ -274,6 +278,33 @@ def ivf_centroids(
     )
 
 
+def train_ivf_quantizer(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train (collect + L2-normalize) the IVF coarse quantizer once;
+    reuse it across every query against the same corpus — the quantizer
+    is a tiny driver-side model, retrained only when the corpus shifts."""
+    import math
+
+    def _l2(vals: list[float]) -> list[float]:
+        # explicit left-to-right fold — bit-identical to the engines'
+        # sequential list folds, so the normalized centroid literals
+        # match the SQL oracle's exactly
+        s = 0.0
+        for v in vals:
+            s += v * v
+        n = math.sqrt(s)
+        return [v / n for v in vals]
+
+    return sorted(
+        (r["cluster"], _l2(r["cvec"]))
+        for r in ivf_centroids(corpus, n_clusters, id_col, vec_col).collect()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,6 +313,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their
     nearest coarse centroid (inverted lists); each query scores only
@@ -295,21 +327,10 @@ def ivf_topk(
     candidate equi-join on the cluster id. At real scale n_clusters
     is O(√n), keeping lists short and the join keys well-spread.
     """
-    import math
-
-    def _l2(vals: list[float]) -> list[float]:
-        # explicit left-to-right fold — bit-identical to the engines'
-        # sequential list folds, so the normalized centroid literals
-        # match the SQL oracle's exactly
-        s = 0.0
-        for v in vals:
-            s += v * v
-        n = math.sqrt(s)
-        return [v / n for v in vals]
-
-    cents = sorted(
-        (r["cluster"], _l2(r["cvec"]))
-        for r in ivf_centroids(corpus, n_clusters, id_col, vec_col).collect()
+    cents = (
+        quantizer
+        if quantizer is not None
+        else train_ivf_quantizer(corpus, n_clusters, id_col, vec_col)
     )
 
     def cos_to(vec: Column, cvec: list[float]) -> Column:

