@@ -283,7 +283,8 @@ class Parser:
                 if self.at_op(","):
                     self.next()
             self.expect_op(")")
-            return A.CreateStream(name, columns=cols)
+            opts = self._options() if self.at_kw("WITH") else {}
+            return A.CreateStream(name, columns=cols, options=opts)
         opts = self._options() if self.at_kw("WITH") else {}
         return A.CreateStream(name, options=opts)
 

@@ -51,6 +51,7 @@ from hstream_spark.plans.compiler import (
 from hstream_spark.plans.parser import parse
 
 DEFAULT_GRACE = "24 hours"
+DEFAULT_BACKLOG_SECONDS = 7 * 24 * 3600  # CREATE STREAM default (AST.hs:708-712)
 
 _TYPE_MAP = {
     "INTEGER": T.LongType(), "FLOAT": T.DoubleType(), "BOOLEAN": T.BooleanType(),
@@ -217,6 +218,39 @@ class HStreamEngine:
         raise CompileError(f"unsupported statement {type(stmt).__name__}")
 
     # -- DDL ----------------------------------------------------------------
+
+    def vacuum(self, stream: str | None = None) -> int:
+        """Enforce backlog retention: drop stream files older than the
+        stream's DURATION option (reference default 7 days,
+        AST.hs:708-712). Retention is append-time based — file mtime is
+        the append time since every INSERT writes fresh files. Returns
+        the number of files removed.
+
+        Called automatically on INSERT; a production deployment would
+        run it from a janitor schedule instead (same contract).
+        """
+        names = [stream] if stream else list(self.streams)
+        removed = 0
+        now = time.time()
+        for n in names:
+            info = self._require_stream(n)
+            dur = info.options.get("DURATION")
+            secs = (
+                dur.seconds
+                if hasattr(dur, "seconds")
+                else float(dur) if dur is not None else DEFAULT_BACKLOG_SECONDS
+            )
+            cutoff = now - secs
+            if not os.path.isdir(info.path):
+                continue
+            for f in os.listdir(info.path):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(info.path, f)
+                if os.path.getmtime(full) < cutoff:
+                    os.remove(full)
+                    removed += 1
+        return removed
 
     def _exec_create_stream(self, stmt: A.CreateStream) -> StreamInfo:
         if stmt.name in self.streams:
@@ -391,6 +425,7 @@ class HStreamEngine:
                 EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
             )
         row_df.write.mode("append").parquet(info.path)
+        self.vacuum(stmt.stream)
         return 1
 
     # -- queries ------------------------------------------------------------

@@ -72,6 +72,27 @@ def test_insert_ts_override_sets_event_time(spark, tmp_path):
         eng.shutdown()
 
 
+def test_duration_backlog_retention(spark, tmp_path):
+    """DURATION bounds the stored backlog (reference default 7 days;
+    AST.hs:708-712): files older than the retention are vacuumed."""
+    import time as _time
+
+    eng = HStreamEngine(spark, str(tmp_path / "ret"))
+    try:
+        eng.execute("CREATE STREAM r (a INTEGER) WITH (DURATION = INTERVAL 1 SECOND);")
+        eng.execute("INSERT INTO r (a) VALUES (1);")
+        _time.sleep(1.3)
+        eng.execute("INSERT INTO r (a) VALUES (2);")  # insert triggers vacuum
+        vals = sorted(r["a"] for r in eng.execute("SELECT a FROM r;").collect())
+        assert vals == [2], vals  # first append aged out of the backlog
+        # default retention (7 days) keeps everything
+        eng.execute("CREATE STREAM keep (a INTEGER);")
+        eng.execute("INSERT INTO keep (a) VALUES (1);")
+        assert eng.vacuum("keep") == 0
+    finally:
+        eng.shutdown()
+
+
 def test_push_query_emits_update_stream(engine):
     """Aggregated EMIT CHANGES is a changelog: each trigger appends the
     touched groups' new accumulators (reference GroupedStream.hs:98-102;
