@@ -85,37 +85,51 @@ def split(delim: Column | str, text: Column) -> Column:
     return F.split(text, re.escape(delim))
 
 
-def chunksof(n: int, text: Column) -> Column:
+def _count_col(n: int | Column) -> Column:
+    """Dialect count arguments may be any integer expression, not just
+    literals; negatives clamp to 0 (Haskell take/drop semantics)."""
+    c = F.lit(n) if isinstance(n, int) else n
+    return F.greatest(c.cast("int"), F.lit(0))
+
+
+def chunksof(n: int | Column, text: Column) -> Column:
     """CHUNKSOF(n, s) — string to array of n-char chunks (BinOp.hs:274-278).
 
     Expressed as a regexp_extract_all of `.{1,n}` — JVM-side, handles the
     ragged tail chunk like Haskell's chunksOf.
     """
-    return F.regexp_extract_all(text, F.lit(f"(.{{1,{int(n)}}})"), F.lit(1))
+    pattern = F.concat(F.lit("(.{1,"), _count_col(n).cast("string"), F.lit("})"))
+    return F.regexp_extract_all(text, pattern, F.lit(1))
 
 
-def take(n: int, text: Column) -> Column:
+def take(n: int | Column, text: Column) -> Column:
     """TAKE(n, s) — first n chars (BinOp.hs:286-288)."""
-    return F.substring(text, 1, int(n))
+    return F.substr(text, F.lit(1), _count_col(n))
 
 
-def takeend(n: int, text: Column) -> Column:
+def takeend(n: int | Column, text: Column) -> Column:
     """TAKEEND(n, s) — last n chars.
 
     Declared semantics; the reference accidentally implements this as
     T.take (BinOp.hs:290-294) — divergence documented in SEMANTICS.md.
     """
-    return F.substring(text, -int(n), int(n))
+    nn = _count_col(n)
+    # explicit start offset: substr with a negative position treats
+    # -0 as position 0 (whole string), so derive start from length
+    start = F.greatest(F.length(text) - nn + 1, F.lit(1))
+    return F.when(nn <= 0, F.lit("")).otherwise(F.substr(text, start, nn))
 
 
-def drop(n: int, text: Column) -> Column:
+def drop(n: int | Column, text: Column) -> Column:
     """DROP(n, s) — all but first n chars (declared semantics; ref bug as above)."""
-    return F.substring(text, int(n) + 1, 2147483647)
+    return F.substr(text, _count_col(n) + 1, F.lit(2147483647))
 
 
-def dropend(n: int, text: Column) -> Column:
+def dropend(n: int | Column, text: Column) -> Column:
     """DROPEND(n, s) — all but last n chars (declared semantics; ref bug as above)."""
-    return F.substring(text, F.lit(1), F.greatest(F.length(text) - int(n), F.lit(0)))
+    return F.substr(
+        text, F.lit(1), F.greatest(F.length(text) - _count_col(n), F.lit(0))
+    )
 
 
 def datetostring(epoch_ms_or_s: Column, fmt: str, *, millis: bool = False) -> Column:

@@ -213,7 +213,8 @@ def _compile_func(node: A.Func, agg_subst) -> Column:
         sep = _require_str_lit(args[1], "ARRAY_JOIN") if len(args) > 1 else None
         return S.array_join_(arr, sep)
     if name in ("TAKE", "TAKEEND", "DROP", "DROPEND", "CHUNKSOF"):
-        n = _require_int_lit(args[0], name)
+        # count may be any integer expression (dialect allows e.g. a column)
+        n = compile_expr(args[0], agg_subst)
         s = compile_expr(args[1], agg_subst)
         fn = {"TAKE": S.take, "TAKEEND": S.takeend, "DROP": S.drop,
               "DROPEND": S.dropend, "CHUNKSOF": S.chunksof}[name]
