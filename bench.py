@@ -23,12 +23,15 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
+    "tpch_q6",
     "agg_basic",
     "tumble_agg",
     "hop_agg",
     "session_agg",
     "interval_join_inner",
     "stream_table_join",
+    "asof_join_events",
+    "salted_join",
     "top_orders_per_customer",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -800,6 +800,39 @@ def q_tpch_q5ish(spark, sf):
 
 
 @register(
+    "tpch_q6",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("tpch", "agg", "pushdown"),
+)
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 (forecast revenue change): every predicate reaches the
+    parquet scan as a pushed filter — at 100 TB the scan itself is the
+    whole query, so selectivity × pushdown decides the runtime."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "top_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rn
