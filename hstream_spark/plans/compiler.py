@@ -333,23 +333,37 @@ def _compile_join(ref: A.JoinRef, resolve: Resolver) -> DataFrame:
     rts = right.df[EVENT_TIME_COL] if EVENT_TIME_COL in right.df.columns else None
     within = ref.within.seconds if ref.within else None
 
+    def _merge_ts(joined: DataFrame) -> DataFrame:
+        """Joined-record event time = max(ts_l, ts_r) (the reference's
+        merged-row timestamp, Stream.hs:228-312); collapsing to ONE _ts
+        also keeps further joins/windows unambiguous (V2 multi-join).
+        greatest() skips nulls, so outer-join non-matches keep the
+        present side's time."""
+        if lts is None or rts is None:
+            return joined
+        return (
+            joined.withColumn("__ts_m", F.greatest(lts, rts))
+            .drop(EVENT_TIME_COL)
+            .withColumnRenamed("__ts_m", EVENT_TIME_COL)
+        )
+
     if ref.cond_kind == "CROSS":
         if within is not None and lts is not None and rts is not None:
-            return J.interval_join(left.df, right.df, None, lts, rts, within, how, ts_native=True)
-        return left.df.crossJoin(right.df)
+            return _merge_ts(J.interval_join(left.df, right.df, None, lts, rts, within, how, ts_native=True))
+        return _merge_ts(left.df.crossJoin(right.df))
     if ref.cond_kind == "ON":
         on = compile_expr(ref.on)
         if within is not None and lts is not None and rts is not None:
-            return J.interval_join(left.df, right.df, on, lts, rts, within, how, ts_native=True)
-        return left.df.join(right.df, on, how)
+            return _merge_ts(J.interval_join(left.df, right.df, on, lts, rts, within, how, ts_native=True))
+        return _merge_ts(left.df.join(right.df, on, how))
     if ref.cond_kind == "USING":
         cols = list(ref.using)
     else:  # NATURAL: all shared column names
         cols = [c for c in left.df.columns
                 if c in set(right.df.columns) and c != EVENT_TIME_COL]
     if within is not None and lts is not None and rts is not None:
-        return J.interval_join_using(left.df, right.df, cols, lts, rts, within, how, ts_native=True)
-    return left.df.join(right.df, cols, how)
+        return _merge_ts(J.interval_join_using(left.df, right.df, cols, lts, rts, within, how, ts_native=True))
+    return _merge_ts(left.df.join(right.df, cols, how))
 
 
 # ---------------------------------------------------------------------------

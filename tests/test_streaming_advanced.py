@@ -72,6 +72,20 @@ def test_insert_ts_override_sets_event_time(spark, tmp_path):
         eng.shutdown()
 
 
+def test_multi_join_with_merged_event_time(engine):
+    """Chained joins (V2 grammar allows them): joined records carry
+    max(ts_l, ts_r) as their single event time (Stream.hs:228-312), so
+    a second join or window over the result stays unambiguous."""
+    for s, col in [("ma", "x"), ("mb", "y"), ("mc", "z")]:
+        engine.execute(f"CREATE STREAM {s} (k INTEGER, {col} INTEGER);")
+        engine.execute(f"INSERT INTO {s} (k, {col}) VALUES (1, 10);")
+    rows = engine.execute(
+        "SELECT x, y, z FROM ma JOIN mb ON ma.k = mb.k WITHIN (INTERVAL 1 HOUR) "
+        "JOIN mc ON mb.k = mc.k WITHIN (INTERVAL 1 HOUR);"
+    ).collect()
+    assert [(r["x"], r["y"], r["z"]) for r in rows] == [(10, 10, 10)]
+
+
 def test_duration_backlog_retention(spark, tmp_path):
     """DURATION bounds the stored backlog (reference default 7 days;
     AST.hs:708-712): files older than the retention are vacuumed."""
