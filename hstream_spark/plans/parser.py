@@ -339,6 +339,12 @@ class Parser:
         if self.at_kw("FROM"):
             self.next()
             from_ = self._table_ref()
+            # comma-list folds to cross joins (V2 grammar,
+            # Planner.hs:331-333); WHERE supplies the join predicates
+            while self.at_op(","):
+                self.next()
+                right = self._table_ref()
+                from_ = A.JoinRef(from_, right, "CROSS", "CROSS")
         where = None
         if self.at_kw("WHERE"):
             self.next()

@@ -53,6 +53,8 @@ OK_CASES = [
     "SELECT * FROM s1 FULL OUTER JOIN s2 USING (k) WITHIN (INTERVAL 1 DAY);",
     "SELECT * FROM s1 NATURAL JOIN s2 WITHIN (INTERVAL 5 SECOND);",
     "SELECT * FROM s1 CROSS JOIN s2 WITHIN (INTERVAL 5 SECOND);",
+    "SELECT * FROM s1, s2 WHERE s1.k = s2.k;",
+    "SELECT * FROM s1, s2, s3;",
     # push / continuous
     "SELECT a FROM s1 EMIT CHANGES;",
     # DDL / DML / control
