@@ -332,27 +332,30 @@ def ivf_topk(
         if quantizer is not None
         else train_ivf_quantizer(corpus, n_clusters, id_col, vec_col)
     )
+    # centroid matrix + ids as two nested literals; per-row centroid
+    # cosines come from one transform fold (not n_clusters unrolled dot
+    # trees — plan-build cost scales with expression size)
+    cent_lit = F.lit([cvec for _, cvec in cents])
+    ids_lit = F.lit([cl for cl, _ in cents])
 
-    def cos_to(vec: Column, cvec: list[float]) -> Column:
-        return dot(vec, F.lit(list(cvec)))
+    def centroid_cos(vec: Column) -> Column:
+        return F.transform(cent_lit, lambda c: dot(vec, c))
 
     def nearest_cluster(vec: Column) -> Column:
         # lexicographic max of (cos, -cluster): best cosine, ties → lowest id
-        best = F.greatest(
-            *[
-                F.struct(cos_to(vec, cvec).alias("c"), F.lit(-cl).alias("n"))
-                for cl, cvec in cents
-            ]
+        best = F.array_max(
+            F.zip_with(
+                centroid_cos(vec), ids_lit,
+                lambda c, i: F.struct(c.alias("c"), (-i).alias("n")),
+            )
         )
         return -best["n"]
 
     def probe_clusters(vec: Column) -> Column:
         # ascending sort of (-cos, cluster) structs → first nprobe
-        scored = F.array(
-            *[
-                F.struct((-cos_to(vec, cvec)).alias("nc"), F.lit(cl).alias("cl"))
-                for cl, cvec in cents
-            ]
+        scored = F.zip_with(
+            centroid_cos(vec), ids_lit,
+            lambda c, i: F.struct((-c).alias("nc"), i.alias("cl")),
         )
         return F.slice(
             F.transform(F.array_sort(scored), lambda s: s["cl"]), 1, nprobe
