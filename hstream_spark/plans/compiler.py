@@ -371,7 +371,15 @@ def _compile_join(ref: A.JoinRef, resolve: Resolver) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def compile_select(sel: A.Select, resolve: Resolver) -> DataFrame:
+def compile_select(
+    sel: A.Select, resolve: Resolver, keep_event_time: bool = False
+) -> DataFrame:
+    """``keep_event_time`` (continuous queries writing to streams):
+    carry the record timestamp through the projection — reference
+    records always have one (srcTimestamp propagated end-to-end,
+    Processor.hs:263-275). Non-aggregated output keeps the source _ts;
+    windowed aggregation emits window_end as the new event time;
+    unwindowed aggregation leaves it to the sink (append time)."""
     if sel.from_ is None:
         raise CompileError("SELECT without FROM is not supported")
     src = _compile_from(sel.from_, resolve)
@@ -387,13 +395,23 @@ def compile_select(sel: A.Select, resolve: Resolver) -> DataFrame:
 
     if not is_aggregated:
         out_cols: list[Column] = []
+        has_wildcard = False
         for it in sel.items:
             if it.wildcard:
+                has_wildcard = True
                 out_cols.append(
                     F.col(f"{it.wildcard_stream}.*") if it.wildcard_stream else F.col("*")
                 )
             else:
                 out_cols.append(compile_expr(it.expr).alias(it.alias or it.text))
+        if (
+            keep_event_time
+            and EVENT_TIME_COL in df.columns
+            and not has_wildcard
+            and not any(it.text == EVENT_TIME_COL or it.alias == EVENT_TIME_COL
+                        for it in sel.items)
+        ):
+            out_cols.append(F.col(EVENT_TIME_COL))
         return df.select(*out_cols)
 
     # --- Reduce node -------------------------------------------------------
@@ -447,6 +465,9 @@ def compile_select(sel: A.Select, resolve: Resolver) -> DataFrame:
             out_cols.extend([F.col(k) for k in key_names])
             continue
         out_cols.append(compile_expr(it.expr, agg_subst).alias(it.alias or it.text))
+    if keep_event_time and src.window is not None:
+        # windowed aggregate records time-stamp at the window close
+        out_cols.append(F.col("window.end").alias(EVENT_TIME_COL))
     return df.select(*out_cols)
 
 

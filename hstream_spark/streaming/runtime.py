@@ -270,16 +270,27 @@ class HStreamEngine:
                           qname: Optional[str] = None) -> QueryInfo:
         qname = qname or self._next_qname()
         sink = self.streams[sink_stream]
-        out = compile_select(select, self._resolve_stream)
+        out = compile_select(select, self._resolve_stream, keep_event_time=True)
+        # unwindowed aggregates have no derivable event time: sink
+        # records are stamped with append time (reference semantics)
+        stamp_ts = EVENT_TIME_COL not in out.columns
         if sink.schema is None:
             # derived stream's schema is the query's output schema
-            sink.schema = out.schema
+            sink.schema = (
+                T.StructType(
+                    out.schema.fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
+                )
+                if stamp_ts
+                else out.schema
+            )
         aggregated = bool(select.group_by) or any(
             find_aggs(it.expr) for it in select.items
         )
         mode = "update" if aggregated else "append"
 
         def sink_batch(batch_df: DataFrame, epoch_id: int):
+            if stamp_ts:
+                batch_df = batch_df.withColumn(EVENT_TIME_COL, F.current_timestamp())
             batch_df.write.mode("append").parquet(sink.path)
 
         q = (

@@ -72,6 +72,29 @@ def test_insert_ts_override_sets_event_time(spark, tmp_path):
         eng.shutdown()
 
 
+def test_windowed_agg_over_derived_stream(engine):
+    """Event time survives CSAS (reference propagates srcTimestamp
+    end-to-end): a TUMBLE over the derived stream groups by the
+    original records' times."""
+    import time as _time
+
+    engine.execute("CREATE STREAM base (k STRING, v INTEGER);")
+    engine.execute("CREATE STREAM doubled AS SELECT k, v * 2 AS v2 FROM base;")
+    ts = _time.time()
+    engine.execute(f"INSERT INTO base (k, v, _ts) VALUES ('a', 1, {ts});")
+    engine.execute(f"INSERT INTO base (k, v, _ts) VALUES ('a', 2, {ts});")
+    csas = next(q for q in engine.queries.values() if q.sink_stream == "doubled")
+    csas.handle.processAllAvailable()
+    handle = engine.execute(
+        "SELECT k, SUM(v2) AS s FROM TUMBLE(doubled, INTERVAL 5 SECOND) GROUP BY k EMIT CHANGES;"
+    )
+    rows = handle.drain()
+    assert {(r["k"], r["s"]) for r in rows} == {("a", 6)}
+    # the derived records kept the ORIGINAL event time, not write time
+    assert all(abs(r["window_start"].timestamp() - ts) < 10 for r in rows)
+    handle.stop()
+
+
 def test_multi_join_with_merged_event_time(engine):
     """Chained joins (V2 grammar allows them): joined records carry
     max(ts_l, ts_r) as their single event time (Stream.hs:228-312), so
