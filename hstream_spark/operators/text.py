@@ -36,12 +36,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.split(F.trim(text), r"\s+")
 
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer: contraction suffixes, letter runs, digit
+# runs, punctuation runs, residual whitespace — the BPE-ish segmentation
+# whose match count approximates a subword-token count.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments (JVM-side
+    regexp_count — no UDF)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
 
 
 def token_hash(tok: Column) -> Column:

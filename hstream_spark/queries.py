@@ -1203,13 +1203,15 @@ def q_quality_score(spark, sf):
 
 @register(
     "token_stats",
-    """
+    f"""
     WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                      len(regexp_extract_all(text, '{TX.BPE_PATTERN.replace("'", "''")}')) AS n_subword_tokens,
                       length(text) AS n_chars_actual
                FROM documents)
     SELECT doc_id, lang,
            len(toks)                AS n_tokens,
            len(list_distinct(toks)) AS n_distinct_tokens,
+           n_subword_tokens,
            n_chars_actual
     FROM t
     """,
@@ -1225,6 +1227,7 @@ def q_token_stats(spark, sf):
         "lang",
         TX.token_count(F.col("text")).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        TX.subword_token_count(F.col("text")).alias("n_subword_tokens"),
         F.length(F.col("text")).alias("n_chars_actual"),
     )
 
