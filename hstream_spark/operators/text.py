@@ -76,6 +76,20 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+# union of all language marker words — the deterministic stopword list
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of (lowercased) tokens that are stopwords — high-quality
+    prose sits in a band; near-0 suggests keyword spam / non-language,
+    near-1 suggests boilerplate. Map-only."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(F.lit(list(STOPWORDS)), t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0, 1]:
 

@@ -1178,27 +1178,37 @@ def q_lang_id(spark, sf):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
-_QUALITY_ORACLE = """
+def _quality_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    return f"""
 WITH t AS (
   SELECT doc_id,
          regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
   FROM documents)
 SELECT doc_id,
        0.4 * least(len(toks)::DOUBLE / 50.0, 1.0)
        + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
-       + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) AS quality
+       + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) AS quality,
+       CASE WHEN len(ltoks) > 0
+            THEN len(list_filter(ltoks, t -> t IN ({stops})))::DOUBLE / len(ltoks)::DOUBLE
+            ELSE 0.0 END AS stop_ratio
 FROM t
 """
 
 
-@register("quality_score", _QUALITY_ORACLE, tags=("text",))
+@register("quality_score", _quality_oracle(), tags=("text",))
 def q_quality_score(spark, sf):
     from hstream_spark.sources.tables import spread
 
     docs = spread(load_table(spark, sf, "documents"))
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    return docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
 
 
 @register(
