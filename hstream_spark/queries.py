@@ -1307,6 +1307,55 @@ def q_salted_join(spark, sf):
     )
 
 
+_CDC_APPLY_ORACLE = """
+WITH c AS (SELECT user_id, event_id, value,
+                  epoch_us(ts) // 1000 AS ts_ms,
+                  CASE WHEN event_type = 'error' THEN 'd'
+                       WHEN event_type = 'signup' THEN 'c'
+                       ELSE 'u' END AS op
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+      FROM c)
+SELECT user_id, event_id, value, ts_ms, op FROM r WHERE rn = 1 AND op != 'd'
+"""
+
+
+@register("cdc_apply_latest", _CDC_APPLY_ORACLE, tags=("connector", "cdc"))
+def q_cdc_apply_latest(spark, sf):
+    """CDC round-trip: events re-encoded as Debezium-style envelopes,
+    parsed back (cdc_envelope), compacted to current table state
+    (cdc_apply: latest per key wins, deletes drop the key)."""
+    from hstream_spark.sources import connectors as C
+
+    ev = load_table(spark, sf, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "signup", "c")
+        .otherwise("u")
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+                F.struct("user_id", "event_id", "value").alias("after"),
+            )
+        ).alias("value")
+    )
+    parsed = C.cdc_envelope(
+        envelopes, "value", value_schema="user_id long, event_id long, value double"
+    )
+    flat = parsed.select(
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.value").alias("value"),
+        "ts_ms",
+        "op",
+    )
+    return C.cdc_apply(flat, ["user_id"], order_cols=["ts_ms", "event_id"])
+
+
 _ASOF_ORACLE = """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events WHERE event_type = 'click'),

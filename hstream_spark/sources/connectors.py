@@ -28,6 +28,68 @@ class ConnectorError(RuntimeError):
 
 
 # ---------------------------------------------------------------------------
+# CDC (Debezium-style envelopes — the wire shape of the reference's
+# mysql/postgresql/sqlserver/mongodb source connector images)
+# ---------------------------------------------------------------------------
+
+
+def cdc_envelope(
+    df: DataFrame,
+    payload_col: str = "value",
+    value_schema: Optional[str] = None,
+) -> DataFrame:
+    """Parse a Debezium-style CDC envelope
+    ``{"op": "c|u|d|r", "ts_ms": ..., "before": {...}, "after": {...}}``
+    into (op, ts_ms, before, after) columns. With ``value_schema`` (a
+    DDL string) before/after become typed structs; otherwise they stay
+    JSON strings for downstream ``get_json_object`` access — the
+    schemaless mode matching the reference's dynamic rows.
+
+    Pure projection (JVM json path expressions): map-only at any scale.
+    """
+    c = F.col(payload_col)
+    out = df.select(
+        "*",
+        F.get_json_object(c, "$.op").alias("op"),
+        F.get_json_object(c, "$.ts_ms").cast("long").alias("ts_ms"),
+        F.get_json_object(c, "$.before").alias("before"),
+        F.get_json_object(c, "$.after").alias("after"),
+    )
+    if value_schema is not None:
+        out = out.withColumn("before", F.from_json(F.col("before"), value_schema))
+        out = out.withColumn("after", F.from_json(F.col("after"), value_schema))
+    return out
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Materialize a changelog into its current table state: the latest
+    change per key wins (ordered by ``order_cols``, e.g. ts + lsn), and
+    keys whose latest op is a delete ('d') drop out.
+
+    One hash shuffle on the key + per-key top-1 — the standard CDC
+    upsert compaction; at scale this runs per micro-batch with MERGE
+    semantics into a keyed sink.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["ts_ms"]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.filter(F.col(op_col) != "d")
+
+
+# ---------------------------------------------------------------------------
 # sources
 # ---------------------------------------------------------------------------
 

@@ -60,3 +60,43 @@ def test_unknown_sink_type_rejected():
 def test_jdbc_sink_requires_options():
     with pytest.raises(ConnectorError, match="url and table"):
         jdbc_sink({})
+
+
+from pyspark.sql import functions as F
+
+
+class TestCDC:
+    ENV = [
+        ('{"op": "c", "ts_ms": 100, "after": {"k": 1, "v": 10.0}}',),
+        ('{"op": "u", "ts_ms": 200, "after": {"k": 1, "v": 20.0}}',),
+        ('{"op": "c", "ts_ms": 150, "after": {"k": 2, "v": 5.0}}',),
+        ('{"op": "d", "ts_ms": 300, "before": {"k": 2, "v": 5.0}, "after": null}',),
+    ]
+
+    def test_cdc_envelope_typed(self, spark):
+        from hstream_spark.sources.connectors import cdc_envelope
+
+        df = spark.createDataFrame(self.ENV, "value string")
+        out = cdc_envelope(df, "value", value_schema="k long, v double").collect()
+        assert [r.op for r in out] == ["c", "u", "c", "d"]
+        assert out[1].after.v == 20.0
+        assert out[3].after is None and out[3].before.k == 2
+
+    def test_cdc_envelope_schemaless(self, spark):
+        from hstream_spark.sources.connectors import cdc_envelope
+
+        df = spark.createDataFrame(self.ENV[:1], "value string")
+        row = cdc_envelope(df, "value").collect()[0]
+        assert isinstance(row.after, str) and '"k":1' in row.after.replace(" ", "")
+
+    def test_cdc_apply_upsert_and_delete(self, spark):
+        from hstream_spark.sources.connectors import cdc_apply, cdc_envelope
+
+        df = spark.createDataFrame(self.ENV, "value string")
+        # deleted rows carry no after-image key; materialize key from either side
+        flat = cdc_envelope(df, "value", value_schema="k long, v double").select(
+            F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
+            F.col("after.v").alias("v"), "op", "ts_ms",
+        )
+        state = {r.k: r.v for r in cdc_apply(flat, ["k"]).collect()}
+        assert state == {1: 20.0}  # k=1 upserted to 20, k=2 deleted
