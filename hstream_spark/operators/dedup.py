@@ -177,6 +177,68 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5,
     return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate clusters from a pair list: iterative min-label
+    propagation (each node adopts the smallest id reachable so far)
+    until fixpoint — the dedup completion step that turns pairwise
+    matches into groups with a deterministic canonical member
+    (component = min id).
+
+    Pregel-style driver loop: every iteration is ONE distributed
+    join+groupBy (no per-row driver work); iterations needed = graph
+    diameter, which for near-dup clusters is tiny. ``localCheckpoint``
+    truncates lineage each round so the plan stays flat no matter how
+    many iterations run.
+    """
+    e = pairs.select(
+        F.col(left_col).cast("long").alias("a"),
+        F.col(right_col).cast("long").alias("b"),
+    )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def simhash_column(text: Column, bits: int = 32) -> Column:
     """32-bit SimHash as a pure projection: majority vote per bit over
     token hashes (+1 if bit set, −1 otherwise; signature bit set iff

@@ -1145,6 +1145,41 @@ def q_dedup_embedding_lsh(spark, sf):
     )
 
 
+def _dedup_components_oracle(dim: int = 64, planes: int = 8) -> str:
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
+b AS (SELECT vec_id, vn, {bucket_terms} AS bucket FROM e),
+pr AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE list_dot_product(a.vn, b2.vn) >= 0.2),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+nodes AS (SELECT DISTINCT a FROM edges)
+SELECT n.a AS doc_id, least(n.a, min(r.b)) AS component
+FROM nodes n JOIN reach r ON r.a = n.a
+GROUP BY n.a
+"""
+
+
+@register("dedup_components", _dedup_components_oracle(), tags=("dedup", "components"))
+def q_dedup_components(spark, sf):
+    """Near-dup clusters of the embedding-LSH pair graph: iterative
+    min-label propagation vs the oracle's recursive transitive closure."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = SIM.embedding_near_duplicates(
+        emb, threshold=0.2, dim=64, planes=8, blocked=True
+    )
+    return D.connected_components(pairs, left_col="id_a", right_col="id_b")
+
+
 def _lang_counts_sql() -> str:
     parts = []
     for lang, markers in TX.LANG_MARKERS.items():

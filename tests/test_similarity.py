@@ -78,6 +78,25 @@ def test_embedding_near_duplicates_lsh_subset_of_exact(spark, emb):
     assert blocked, "LSH blocking should retain some near-dup pairs"
 
 
+def test_connected_components_chain_and_islands(spark):
+    from hstream_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # island 10-11, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty(spark):
+    from hstream_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
 def test_embedding_near_duplicates_lsh_no_cartesian(spark, emb):
     plan = (
         SIM.embedding_near_duplicates(emb, threshold=0.2, dim=64, blocked=True)
