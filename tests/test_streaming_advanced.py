@@ -72,6 +72,36 @@ def test_insert_ts_override_sets_event_time(spark, tmp_path):
         eng.shutdown()
 
 
+def test_streaming_left_outer_interval_join(spark, tmp_path):
+    """LEFT outer stream-stream interval join in true streaming mode:
+    the unmatched left row emits with nulls once BOTH watermarks pass
+    the join window (reference V1 silently treats outer as INNER — we
+    implement the declared semantics, SEMANTICS.md)."""
+    import time as _time
+
+    eng = HStreamEngine(spark, str(tmp_path / "souter"), grace="10 seconds")
+    try:
+        eng.execute("CREATE STREAM lo (k INTEGER, x INTEGER);")
+        eng.execute("CREATE STREAM ro (k2 INTEGER, y INTEGER);")
+        t0 = _time.time() - 3600
+        eng.execute(f"INSERT INTO lo (k, x, _ts) VALUES (1, 10, {t0});")
+        eng.execute(f"INSERT INTO lo (k, x, _ts) VALUES (2, 20, {t0});")
+        eng.execute(f"INSERT INTO ro (k2, y, _ts) VALUES (1, 99, {t0});")
+        h = eng.execute(
+            "SELECT k, x, y FROM lo LEFT JOIN ro ON lo.k = ro.k2 "
+            "WITHIN (INTERVAL 1 MINUTE) EMIT CHANGES;"
+        )
+        assert sorted((r["k"], r["x"], r["y"]) for r in h.drain()) == [(1, 10, 99)]
+        # push both watermarks far past the join window -> null emission
+        eng.execute(f"INSERT INTO lo (k, x, _ts) VALUES (9, 0, {t0 + 1800});")
+        eng.execute(f"INSERT INTO ro (k2, y, _ts) VALUES (9, 0, {t0 + 1800});")
+        got = sorted((r["k"], r["x"], r["y"]) for r in h.drain())
+        assert (2, 20, None) in got
+        h.stop()
+    finally:
+        eng.shutdown()
+
+
 def test_windowed_agg_over_derived_stream(engine):
     """Event time survives CSAS (reference propagates srcTimestamp
     end-to-end): a TUMBLE over the derived stream groups by the
