@@ -109,11 +109,18 @@ def spread(df, partitions: int | None = None):
     A tiny parquet file arrives as ONE partition (row groups don't
     split), so md5/fold-heavy projections (MinHash, SimHash,
     fingerprinting) serialize on a single core. At real corpus scale
-    inputs already have thousands of partitions and callers should pass
-    ``partitions=None`` semantics apply: we only *increase* parallelism,
-    never coalesce.
+    inputs span many files and this is a no-op. Apply directly to a
+    fresh scan (the input-file count is the parallelism proxy); frames
+    that were already repartitioned upstream don't need it.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # file count as the parallelism proxy: metadata-only (~ms), whereas
+    # df.rdd.getNumPartitions() converts the plan to an RDD (~0.9s of
+    # driver time per fresh DataFrame)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
