@@ -231,21 +231,27 @@ def _compile_func(node: A.Func, agg_subst) -> Column:
             compile_expr(args[0], agg_subst), _require_str_lit(args[1], name)
         )
     if name.startswith("IS_"):
-        # with declared schemas these are static type predicates; evaluated
-        # against the runtime value's castability (SEMANTICS.md)
+        # runtime type predicates (UnaryOp.hs:247-280 checks the value's
+        # dynamic type, not castability). With declared schemas the type
+        # is the column's — typeof() resolves from the schema and
+        # constant-folds — but NULL is its own type in the reference
+        # (FlowNull is not an int), so NULL → FALSE for every IS_*.
         v = compile_expr(args[0], agg_subst)
+        t = F.typeof(v)
+        int_types = ("tinyint", "smallint", "int", "bigint")
+        float_types = ("float", "double")
         checks = {
-            "IS_INT": v.cast("long").isNotNull(),
-            "IS_FLOAT": v.cast("double").isNotNull(),
-            "IS_NUM": v.cast("double").isNotNull(),
-            "IS_BOOL": v.cast("boolean").isNotNull(),
-            "IS_STR": v.cast("string").isNotNull(),
-            "IS_ARRAY": F.lit(True),
-            "IS_DATE": v.cast("date").isNotNull(),
-            "IS_TIME": v.cast("timestamp").isNotNull(),
+            "IS_INT": t.isin(*int_types),
+            "IS_FLOAT": t.isin(*float_types) | t.startswith("decimal"),
+            "IS_NUM": t.isin(*int_types, *float_types) | t.startswith("decimal"),
+            "IS_BOOL": t == "boolean",
+            "IS_STR": t == "string",
+            "IS_ARRAY": t.startswith("array"),
+            "IS_DATE": t == "date",
+            "IS_TIME": t.isin("timestamp", "timestamp_ntz"),
         }
         if name in checks:
-            return checks[name]
+            return v.isNotNull() & checks[name]
     raise CompileError(f"unknown function {name}")
 
 

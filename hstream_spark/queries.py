@@ -1485,6 +1485,37 @@ def _sql_resolver(spark, sf):
 
 
 @register(
+    "type_predicates",
+    """
+    SELECT event_id,
+           event_id   IS NOT NULL AS p_int,
+           event_type IS NOT NULL AS p_str,
+           value      IS NOT NULL AS p_float,
+           value      IS NOT NULL AS p_num,
+           ts         IS NOT NULL AS p_time,
+           FALSE                  AS n_str_of_float,
+           FALSE                  AS n_int_of_str
+    FROM events
+    """,
+    tags=("frontend", "scalar", "types"),
+)
+def q_type_predicates(spark, sf):
+    """IS_* runtime type predicates (UnaryOp.hs:247-280): under declared
+    schemas they reduce to null checks for matching types and constant
+    FALSE for mismatches."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT event_id, IS_INT(event_id) AS p_int, IS_STR(event_type) AS p_str, "
+        "IS_FLOAT(value) AS p_float, IS_NUM(value) AS p_num, IS_TIME(_ts) AS p_time, "
+        "IS_STR(value) AS n_str_of_float, IS_INT(event_type) AS n_int_of_str "
+        "FROM events;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+@register(
     "sql_frontend_agg",
     """
     SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
