@@ -100,17 +100,22 @@ def doc_shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def minhash_signature_from_sets(sets: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """(doc_id, hs, sig): per permutation i, min over shingle hashes of
     (A_i*h + B_i) mod P31. Empty shingle set → P31 sentinel. One
-    projection — tokenization is not re-run per permutation."""
-
-    def _permed(a: int, b: int):
-        # factory so the pyspark lambda keeps a single-arg signature
-        return F.transform(F.col("hs"), lambda h: (h * a + b) % P31)
-
-    sig = F.array(
-        *[
-            F.coalesce(F.array_min(_permed(_perm_a(i), _perm_b(i))), F.lit(P31))
-            for i in range(perms)
-        ]
+    projection — tokenization is not re-run per permutation, and all
+    permutation coefficients ship as ONE nested literal with a
+    transform fold (not ``perms`` unrolled trees — plan construction
+    cost scales with expression size)."""
+    perm_lit = F.lit([[_perm_a(i), _perm_b(i)] for i in range(perms)])
+    sig = F.transform(
+        perm_lit,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h: (h * F.element_at(p, 1) + F.element_at(p, 2)) % P31,
+                )
+            ),
+            F.lit(P31).cast("long"),
+        ),
     )
     return sets.withColumn("sig", sig)
 
@@ -119,17 +124,15 @@ def minhash_bands_from_sets(sets: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) via a single posexplode pass — no
     union-of-branches, so the signature expression evaluates once."""
     with_sig = minhash_signature_from_sets(sets)
-    band_strs = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[
-                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1).cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-            for b in range(BANDS)
-        ]
+    band_strs = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                lambda x: x.cast("string"),
+            ),
+            "-",
+        ),
     )
     return with_sig.select(
         "doc_id", F.posexplode(band_strs).alias("band", "band_sig")
