@@ -46,6 +46,13 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "token_stats",
+    "tpch_q10ish",
+    "tpch_q14ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "sliding_agg",
+    "repetition_signals",
+    "decontaminate",
 ]
 
 

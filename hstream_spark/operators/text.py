@@ -137,6 +137,129 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined). Map-only Catalyst expression.
+    Empty array for texts shorter than n tokens (guards F.sequence, which
+    would otherwise count downward)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Repetition signal: fraction of n-grams that are repeats of an
+    earlier n-gram (1 - distinct/total). High values indicate boilerplate
+    or degenerate machine text. Map-only."""
+    g = ngrams(text, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 2):
+    """Repetition quality signals per document: duplicate-n-gram fraction
+    (1 - distinct/total) and top-n-gram share (most frequent n-gram's
+    share of all n-grams).
+
+    Linear formulation: explode n-grams → count per (doc, gram) → roll up
+    per doc. Two shuffles, both keyed by doc_id(+gram) with map-side
+    partial counts — scales to book-length documents where the pure
+    expression form (`top_ngram_fraction`) is quadratic per row. Docs
+    with fewer than n tokens produce no n-grams and drop out.
+    """
+    # hash each n-gram to int64 before the shuffle: the signals only need
+    # counts, not gram identity, so shuffling 8-byte keys instead of
+    # strings cuts exchange volume ~10x (64-bit collisions are noise)
+    g = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("g"),
+    )
+    counts = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt")
+    return counts.groupBy(id_col).agg(
+        (F.lit(1.0) - F.count(F.lit(1)).cast("double") / total.cast("double"))
+        .alias(f"dup_{'bi' if n == 2 else str(n)}gram_frac"),
+        (F.max("cnt").cast("double") / total.cast("double"))
+        .alias(f"top_{'bi' if n == 2 else str(n)}gram_frac"),
+    )
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Repetition signal: share of all n-grams taken by the single most
+    frequent one. Pure expression — O(distinct·total) per document; only
+    for short texts. For corpus-scale scans use `repetition_signals`
+    (explode→groupBy, linear per doc)."""
+    g = ngrams(text, n)
+    total = F.size(g)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda b: F.size(F.filter(g, lambda x: x == b)),
+        )
+    )
+    return F.when(
+        total > 0, top.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+# PII detection patterns — deliberately simple syntax that means the same
+# thing in Java regex (Spark) and RE2 (DuckDB), so the oracle can verify
+# the counts bit-for-bit.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_PATTERN))
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_PATTERN))
+
+
+def decontaminate(train, eval_set, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5):
+    """Benchmark-decontamination scan: for every training document, how
+    many of its distinct word ``n``-grams also appear in the evaluation
+    set, and the contaminated fraction.
+
+    Shape: explode distinct n-grams per train doc (map-side), build the
+    eval n-gram set (distinct), LEFT JOIN train grams against it, and
+    re-aggregate per document. Eval sets are small relative to training
+    corpora, so the join side is broadcast — at 100 TB the train grams
+    never shuffle; the only wide op is the per-doc count re-aggregation,
+    which Spark does with map-side partial counts.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("g"),
+        )
+
+    eval_g = grams(eval_set).select("g").distinct()
+    train_g = grams(train)
+    hit = eval_g.withColumn("__hit", F.lit(1))
+    joined = train_g.join(broadcast(hit), "g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("contamination_frac"),
+    )
+
+
 def _bit(col: Column, b: int) -> Column:
     return F.shiftright(col, b).bitwiseAND(F.lit(1))
 

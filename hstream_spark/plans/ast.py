@@ -127,7 +127,7 @@ class SubqueryRef:
 @dataclass
 class WindowedRef:
     inner: "TableRef"
-    window_kind: str  # TUMBLE | HOP | SESSION
+    window_kind: str  # TUMBLE | HOP | SESSION | SLIDING (V2, SQL-v2.cf:119)
     size: Interval
     advance: Optional[Interval] = None  # HOP only
 

@@ -421,6 +421,9 @@ def compile_select(
         return df.select(*out_cols)
 
     # --- Reduce node -------------------------------------------------------
+    if src.window is not None and src.window.window_kind == "SLIDING":
+        return _compile_sliding(sel, src, df, all_aggs, keep_event_time)
+
     group_cols: list[Column] = []
     key_names: list[str] = []
     if src.window is not None:
@@ -474,6 +477,57 @@ def compile_select(
     if keep_event_time and src.window is not None:
         # windowed aggregate records time-stamp at the window close
         out_cols.append(F.col("window.end").alias(EVENT_TIME_COL))
+    return df.select(*out_cols)
+
+
+def _compile_sliding(
+    sel: A.Select,
+    src: FromInfo,
+    df: DataFrame,
+    all_aggs: list,
+    keep_event_time: bool,
+) -> DataFrame:
+    """SLIDING window (V2 engine, SQL-v2.cf:119) — per-record trailing
+    aggregate: each output row is the group's aggregate over records with
+    _ts in (row_ts - size, row_ts], i.e. the V2 update stream sampled at
+    event arrivals (Handler/Common.hs:97-105 inserts a record at t and
+    retracts it at t + size). Compiled as a range-frame window function:
+    one shuffle on the GROUP BY keys, no self-join."""
+    from pyspark.sql import Window as SparkWindow
+
+    key_names = [f"{k.stream}.{k.name}" if k.stream else k.name for k in sel.group_by]
+    us = F.unix_micros(F.col(EVENT_TIME_COL))
+    size_us = src.window.size.seconds * 1_000_000
+    spec = (
+        SparkWindow.partitionBy(*[F.col(k) for k in key_names])
+        .orderBy(us)
+        .rangeBetween(-(size_us - 1), 0)
+    )
+
+    agg_subst: dict[int, str] = {}
+    seen: dict[str, str] = {}
+    for i, agg_node in enumerate(all_aggs):
+        key = f"{agg_node.name}:{[repr(a) for a in agg_node.args]}"
+        if key in seen:
+            agg_subst[id(agg_node)] = seen[key]
+            continue
+        hidden = f"__agg{i}"
+        seen[key] = hidden
+        agg_subst[id(agg_node)] = hidden
+        df = df.withColumn(hidden, compile_agg(agg_node).over(spec))
+
+    if sel.having is not None:
+        df = df.filter(compile_expr(sel.having, agg_subst))
+
+    out_cols: list[Column] = []
+    for it in sel.items:
+        if it.wildcard:
+            out_cols.extend([F.col(k) for k in key_names])
+            continue
+        out_cols.append(compile_expr(it.expr, agg_subst).alias(it.alias or it.text))
+    if keep_event_time and EVENT_TIME_COL in df.columns:
+        # each output row keeps its triggering record's event time
+        out_cols.append(F.col(EVENT_TIME_COL))
     return df.select(*out_cols)
 
 

@@ -36,7 +36,7 @@ KEYWORDS = {
     "IF", "NOT", "EXIST", "EXISTS", "AND", "OR", "BETWEEN", "SYMMETRIC", "CAST",
     "NULL", "TRUE", "FALSE", "DATE", "TIME", "TIMESTAMP", "INTERVAL", "JOIN",
     "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "NATURAL", "ON", "USING",
-    "WITHIN", "TUMBLE", "HOP", "SESSION", "TO", "QUERIES", "STREAMS",
+    "WITHIN", "TUMBLE", "HOP", "SESSION", "SLIDING", "TO", "QUERIES", "STREAMS",
     "CONNECTORS", "VIEWS", "QUERY",
 }
 
@@ -459,7 +459,7 @@ class Parser:
 
     def _table_ref_primary(self) -> A.TableRef:
         ref: A.TableRef
-        if self.at_kw("TUMBLE", "HOP", "SESSION"):
+        if self.at_kw("TUMBLE", "HOP", "SESSION", "SLIDING"):
             kind = self.next().text.upper()
             self.expect_op("(")
             inner = self._table_ref_primary()

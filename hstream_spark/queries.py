@@ -1663,3 +1663,363 @@ def q_agg_count_distinct(spark, sf):
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLIDING window (V2 engine, SQL-v2.cf:119) — per-record trailing aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_agg",
+    """
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS sliding_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sliding_sum
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "sliding"),
+)
+def q_sliding_agg(spark, sf):
+    """V2 SLIDING window: each event's trailing-1h aggregate within its
+    group (Handler/Common.hs:97-105 — insert at t, retract at t+size).
+    One shuffle on the group key; frame arithmetic in integer micros."""
+    ev = load_table(spark, sf, "events")
+    out = W.sliding(
+        ev,
+        "ts",
+        3600,
+        keys=["event_type"],
+        aggs={
+            "sliding_cnt": F.count(F.lit(1)),
+            "sliding_sum": F.sum(_dec(F.col("value"))),
+        },
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "sliding_cnt",
+        F.col("sliding_sum").cast("double").alias("sliding_sum"),
+    )
+
+
+@register(
+    "sql_frontend_sliding",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(SUM(user_id) OVER w AS BIGINT) AS uid_sum,
+           COUNT(*) OVER w AS cnt
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("frontend", "window", "sliding"),
+)
+def q_sql_frontend_sliding(spark, sf):
+    """SLIDING(...) through the SQL dialect frontend (integer-typed
+    aggregates so both engines sum exactly)."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT event_id, event_type, SUM(user_id) AS uid_sum, COUNT(*) AS cnt "
+        "FROM SLIDING(events, INTERVAL 10 MINUTE) GROUP BY event_type;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# Text pipeline: repetition signals, PII detection, decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_signals",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+             AS dup_bigram_frac,
+           CAST(list_max(list_transform(list_distinct(g),
+                  b -> len(list_filter(g, x -> x = b)))) AS DOUBLE)
+             / CAST(len(g) AS DOUBLE) AS top_bigram_frac
+    FROM grams
+    """,
+    tags=("text", "quality"),
+)
+def q_repetition_signals(spark, sf):
+    """Repetition-based quality signals: duplicate-bigram fraction and
+    top-bigram share. Linear explode→groupBy formulation (the pure
+    expression form is quadratic per doc — 100× slower on long texts)."""
+    docs = load_table(spark, sf, "documents")
+    return TX.repetition_signals(docs, n=2)
+
+
+@register(
+    "pii_detect",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 7 = 0 THEN
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1-555-0' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+               ELSE text
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_hits,
+           len(regexp_extract_all(text,
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?')) AS phone_hits,
+           (len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text,
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?'))) > 0 AS has_pii
+    FROM aug
+    """,
+    tags=("text", "pii"),
+)
+def q_pii_detect(spark, sf):
+    """PII scan (email/phone regex counts) over documents. The testdata
+    corpus contains no PII, so the query deterministically augments every
+    7th doc with a synthetic address+number — identical augmentation on
+    the oracle side — to exercise non-zero match paths. Map-only
+    regexp_count, no UDF."""
+    docs = load_table(spark, sf, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.select("doc_id", aug.alias("text"))
+    email = TX.pii_email_count(F.col("text"))
+    phone = TX.pii_phone_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        email.alias("email_hits"),
+        phone.alias("phone_hits"),
+        ((email + phone) > 0).alias("has_pii"),
+    )
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+    ), eval_g AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+    ), train_g AS (
+      SELECT * FROM grams WHERE doc_id % 20 <> 0
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COALESCE(SUM(CASE WHEN e.g IS NOT NULL THEN 1 END), 0) AS BIGINT)
+             AS n_overlap,
+           CAST(COALESCE(SUM(CASE WHEN e.g IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+             / COUNT(*) AS contamination_frac
+    FROM train_g LEFT JOIN eval_g e USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: distinct 5-gram overlap of each training
+    doc against a held-out eval set (every 20th doc). Eval grams broadcast;
+    train grams never shuffle except the final per-doc count."""
+    docs = load_table(spark, sf, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return TX.decontaminate(train, eval_set, n=5)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: q10ish / q14ish / q18ish / q19ish
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10ish",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q10ish(spark, sf):
+    """Q10: returned-item revenue by customer. lineitem⋈orders shuffles on
+    orderkey; the customer join shuffles on custkey; nation broadcasts."""
+    lo = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q14ish",
+    """
+    SELECT CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                   ELSE 0 END)
+           / sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q14ish(spark, sf):
+    """Q14: promo revenue share. part is the small side → broadcast; the
+    shipdate filter pushes to the lineitem scan (one month of data)."""
+    lo = F.lit("1995-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1995-10-01 00:00:00").cast("timestamp")
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    ).cast("double")
+    return j.agg(
+        (F.lit(100.0) * promo / F.sum(rev).cast("double")).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q18ish",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 200
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("tpch", "join", "agg", "semi"),
+)
+def q_tpch_q18ish(spark, sf):
+    """Q18: large-volume orders. The HAVING subquery is a LEFT SEMI join
+    on orderkey — the semi side is the already-aggregated (small) key set,
+    so it broadcasts; lineitem scans once per branch with AQE reuse."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    o_big = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "leftsemi")
+    j = l.join(o_big, l["l_orderkey"] == o_big["o_orderkey"]).join(
+        c, o_big["o_custkey"] == c["c_custkey"]
+    )
+    return j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty")
+    ).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        "total_qty",
+    )
+
+
+@register(
+    "tpch_q19ish",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q19ish(spark, sf):
+    """Q19: OR-of-ANDs predicate join. part broadcasts; the disjunction
+    evaluates post-join inside codegen (equi-key extraction still applies,
+    so this is a broadcast hash join, not a nested loop)."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), p["p_partkey"] == l["l_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )

@@ -1,0 +1,121 @@
+"""Unit tests for the text-pipeline extensions added after round-1
+baseline: n-grams / repetition signals, PII detection, decontamination,
+and the V2 SLIDING window (batch semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hstream_spark.operators import text as TX
+from hstream_spark.operators import windows as W
+
+
+def test_ngrams_basic_and_short_text(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="a b c d"), Row(id=2, text="a b"), Row(id=3, text="x")]
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select("id", TX.ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n -> empty, not a reversed sequence
+    assert out[3] == []
+
+
+def test_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="go go go go go"),  # bigrams: 4x "go go"
+            Row(id=2, text="a b c d e"),  # all distinct
+        ]
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.dup_ngram_fraction(F.col("text"), 2).alias("dup"),
+            TX.top_ngram_fraction(F.col("text"), 2).alias("top"),
+        ).collect()
+    }
+    assert rows[1]["dup"] == 0.75  # 4 bigrams, 1 distinct
+    assert rows[1]["top"] == 1.0
+    assert rows[2]["dup"] == 0.0
+    assert rows[2]["top"] == 0.25
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="mail me at bob@example.com or +1-555-123-4567"),
+            Row(id=2, text="no pii here"),
+        ]
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.pii_email_count(F.col("text")).alias("e"),
+            TX.pii_phone_count(F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["p"]) == (1, 1)
+    assert (rows[2]["e"], rows[2]["p"]) == (0, 0)
+
+
+def test_decontaminate_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely different words in this sentence here now"),
+        ]
+    )
+    eval_set = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps far away")]
+    )
+    out = {r["doc_id"]: r for r in TX.decontaminate(train, eval_set, n=5).collect()}
+    # train doc 1 shares the 5-gram "the quick brown fox jumps" with eval
+    assert out[1]["n_overlap"] == 1
+    assert out[1]["n_grams"] == 5
+    assert out[2]["n_overlap"] == 0
+    assert out[2]["contamination_frac"] == 0.0
+
+
+def test_sliding_window_trailing_frame(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts="2024-01-01 00:00:00", v=1),
+            Row(k="a", ts="2024-01-01 00:00:30", v=2),
+            Row(k="a", ts="2024-01-01 00:01:00", v=4),  # 60s: first row retracts
+            Row(k="b", ts="2024-01-01 00:00:10", v=10),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = W.sliding(
+        df, "ts", 60, keys=["k"], aggs={"s": F.sum("v"), "n": F.count(F.lit(1))}
+    )
+    rows = {(r["k"], r["v"]): (r["s"], r["n"]) for r in out.collect()}
+    assert rows[("a", 1)] == (1, 1)
+    assert rows[("a", 2)] == (3, 2)
+    # frame is (t-60s, t]: the 00:00:00 record has retracted at 00:01:00
+    assert rows[("a", 4)] == (6, 2)
+    assert rows[("b", 10)] == (10, 1)
+
+
+def test_sliding_parses_through_frontend(spark):
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT k, SUM(v) AS s FROM SLIDING(src, INTERVAL 1 MINUTE) GROUP BY k;"
+    )
+    src = spark.createDataFrame(
+        [
+            Row(k="a", _ts="2024-01-01 00:00:00", v=1),
+            Row(k="a", _ts="2024-01-01 00:00:30", v=2),
+        ]
+    ).withColumn("_ts", F.col("_ts").cast("timestamp"))
+    out = compile_select(stmt, lambda name: src)
+    got = sorted((r["k"], r["s"]) for r in out.collect())
+    assert got == [("a", 1), ("a", 3)]
