@@ -169,28 +169,58 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
     (1 - distinct/total) and top-n-gram share (most frequent n-gram's
     share of all n-grams).
 
-    Linear formulation: explode n-grams → count per (doc, gram) → roll up
-    per doc. Two shuffles, both keyed by doc_id(+gram) with map-side
-    partial counts — scales to book-length documents where the pure
-    expression form (`top_ngram_fraction`) is quadratic per row. Docs
-    with fewer than n tokens produce no n-grams and drop out.
+    Map-only formulation: hash each n-gram to int64 (the signals need
+    counts, not gram identity; 64-bit collisions are noise), sort the
+    hash array, and take distinct-count + longest-run in ONE linear pass
+    with `F.aggregate` over the sorted array. O(m log m) per document,
+    zero shuffles — at 100 TB every document is scored inside its scan
+    task, versus the explode→groupBy form whose (doc, gram) shuffle
+    moves the entire exploded corpus (partial aggregation doesn't help:
+    most grams are distinct). Docs with fewer than n tokens produce no
+    n-grams and drop out (same as the explode form).
     """
-    # hash each n-gram to int64 before the shuffle: the signals only need
-    # counts, not gram identity, so shuffling 8-byte keys instead of
-    # strings cuts exchange volume ~10x (64-bit collisions are noise)
-    g = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
-        ).alias("g"),
+    g = F.array_sort(
+        F.transform(ngrams(F.col(text_col), n), lambda x: F.xxhash64(x))
     )
-    counts = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
-    total = F.sum("cnt")
-    return counts.groupBy(id_col).agg(
-        (F.lit(1.0) - F.count(F.lit(1)).cast("double") / total.cast("double"))
-        .alias(f"dup_{'bi' if n == 2 else str(n)}gram_frac"),
-        (F.max("cnt").cast("double") / total.cast("double"))
-        .alias(f"top_{'bi' if n == 2 else str(n)}gram_frac"),
+    total = F.size(g)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("uniq"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            F.when(same, acc["uniq"]).otherwise(acc["uniq"] + 1).alias("uniq"),
+        )
+
+    scan = F.aggregate(g, init, step)
+    suffix = "bi" if n == 2 else str(n)
+    # Drop gram-less docs (< n tokens) with a CHEAP pushable predicate —
+    # "has >= n-1 whitespace runs" — instead of filtering on size(g):
+    # a filter that embeds the tokenize+hash+sort tree gets pushed below
+    # the exchange by Catalyst and re-runs the whole heavy expression in
+    # the (possibly single-task) scan stage.
+    has_ngrams = F.trim(F.col(text_col)).rlike(r"^(\S+\s+){%d}\S" % (n - 1))
+    return (
+        df.filter(has_ngrams)
+        .select(F.col(id_col), scan.alias("__s"), total.alias("__t"))
+        .select(
+            id_col,
+            (
+                F.lit(1.0)
+                - F.col("__s.uniq").cast("double") / F.col("__t").cast("double")
+            ).alias(f"dup_{suffix}gram_frac"),
+            (F.col("__s.best").cast("double") / F.col("__t").cast("double"))
+            .alias(f"top_{suffix}gram_frac"),
+        )
     )
 
 
@@ -238,14 +268,24 @@ def decontaminate(train, eval_set, text_col: str = "text", id_col: str = "doc_id
     re-aggregate per document. Eval sets are small relative to training
     corpora, so the join side is broadcast — at 100 TB the train grams
     never shuffle; the only wide op is the per-doc count re-aggregation,
-    which Spark does with map-side partial counts.
+    which Spark does with map-side partial counts. Both sides hash their
+    grams to int64 before the join (overlap needs membership, not gram
+    identity): the broadcast table carries 8-byte keys instead of
+    ~30-byte strings and every probe is a long compare, not a string
+    compare. 64-bit collisions are noise at eval-set scale.
     """
     from pyspark.sql.functions import broadcast
 
     def grams(df):
         return df.select(
             F.col(id_col),
-            F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("g"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        ngrams(F.col(text_col), n), lambda x: F.xxhash64(x)
+                    )
+                )
+            ).alias("g"),
         )
 
     eval_g = grams(eval_set).select("g").distinct()

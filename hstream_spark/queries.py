@@ -1759,9 +1759,12 @@ def q_sql_frontend_sliding(spark, sf):
 )
 def q_repetition_signals(spark, sf):
     """Repetition-based quality signals: duplicate-bigram fraction and
-    top-bigram share. Linear explode→groupBy formulation (the pure
-    expression form is quadratic per doc — 100× slower on long texts)."""
-    docs = load_table(spark, sf, "documents")
+    top-bigram share. Map-only sorted-hash run-length scan — zero
+    shuffles (spread() fans the small local file across cores; a no-op
+    on real multi-file corpora)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
     return TX.repetition_signals(docs, n=2)
 
 
@@ -1853,7 +1856,9 @@ def q_decontaminate(spark, sf):
     """Benchmark decontamination: distinct 5-gram overlap of each training
     doc against a held-out eval set (every 20th doc). Eval grams broadcast;
     train grams never shuffle except the final per-doc count."""
-    docs = load_table(spark, sf, "documents")
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
     eval_set = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return TX.decontaminate(train, eval_set, n=5)
