@@ -53,6 +53,15 @@ HEADLINE = [
     "sliding_agg",
     "repetition_signals",
     "decontaminate",
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q13ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    "rollup_agg",
+    "cube_agg",
 ]
 
 

@@ -255,3 +255,36 @@ def stream_table_join(
     """
     t = F.broadcast(table) if broadcast_table else table
     return stream.join(t, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, cond: Column,
+              broadcast_right: bool = True) -> DataFrame:
+    """LEFT SEMI join: rows of ``left`` with at least one match in
+    ``right`` (SQL EXISTS / IN-subquery). Absent from the reference
+    grammar (SURVEY.md §2.3 — no semi/anti joins anywhere); first-class
+    here because EXISTS-shaped filters are the backbone of TPC-H-style
+    analytics.
+
+    Scale: a semi join never widens rows — output carries only ``left``
+    columns, and the probe side short-circuits on first match. The
+    filtering key set is usually small (an aggregated or filtered key
+    list), so it broadcasts by default: the big side stays map-only.
+    Set ``broadcast_right=False`` when the right side is itself large —
+    Spark falls back to a shuffled hash semi join on the equi-keys.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond, "leftsemi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, cond: Column,
+              broadcast_right: bool = True) -> DataFrame:
+    """LEFT ANTI join: rows of ``left`` with NO match in ``right``
+    (SQL NOT EXISTS / NOT IN with non-null keys). Same scale shape as
+    `semi_join` — exclusion lists are small, so broadcast by default.
+
+    NOTE: this implements NOT EXISTS semantics. SQL's NOT IN differs
+    when the subquery can produce NULL keys (NOT IN yields no rows);
+    callers translating NOT IN must pre-filter NULLs from ``right``.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond, "leftanti")

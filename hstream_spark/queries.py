@@ -2028,3 +2028,373 @@ def q_tpch_q19ish(spark, sf):
         .cast("double")
         .alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth 2: semi/anti joins, outer-join aggregation, correlated
+# subquery patterns, grouping sets (q4/q7/q13/q16/q17/q21/q22 analogues)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4ish",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "semi", "agg"),
+)
+def q_tpch_q4ish(spark, sf):
+    """Q4: order-priority count of orders with a late-shipping lineitem.
+    EXISTS = LEFT SEMI join on orderkey with the lateness predicate as a
+    join residual — semi joins never widen rows and short-circuit on
+    first match, so the big probe side streams through one hash lookup.
+    """
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = J.semi_join(
+        o,
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        broadcast_right=False,
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q7ish",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q7ish(spark, sf):
+    """Q7: bilateral trade volume between two nations by ship year.
+    Five-way join: the two fact joins (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey) shuffle; supplier and both nation dims
+    broadcast. The nation-pair disjunction is a post-join residual that
+    AQE can't pre-prune, but the broadcast nation joins make the filter
+    map-side."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q13ish",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg", "outer"),
+)
+def q_tpch_q13ish(spark, sf):
+    """Q13: distribution of customers by non-urgent order count,
+    including zero-order customers — the LEFT OUTER join keeps them and
+    COUNT(o_orderkey) skips their NULLs. Two aggregations: per-customer
+    (shuffles on custkey) then the tiny distribution rollup."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    j = c.join(
+        o,
+        (o["o_custkey"] == c["c_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q16ish",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tpch", "anti", "agg"),
+)
+def q_tpch_q16ish(spark, sf):
+    """Q16: supplier variety per part group, excluding blacklisted
+    suppliers. NOT IN (non-null keys) = LEFT ANTI join against the tiny
+    exclusion list — broadcast, so lineitem stays map-only until the
+    COUNT DISTINCT shuffle."""
+    l = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") != "Brand#4")
+    bad = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    keep = J.anti_join(l, bad, l["l_suppkey"] == bad["s_suppkey"])
+    j = keep.join(F.broadcast(p), p["p_partkey"] == keep["l_partkey"])
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q17ish",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0 AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#19'
+      AND CAST(l.l_quantity AS DECIMAL(18,4)) * t.cnt * 5 < t.sum_qty
+    GROUP BY ()
+    """,
+    tags=("tpch", "join", "agg", "correlated"),
+)
+def q_tpch_q17ish(spark, sf):
+    """Q17: revenue from small-quantity orders of one brand — the
+    correlated "below 20% of this part's average quantity" subquery as a
+    join against the per-part aggregate. The threshold compare is kept
+    in exact integer/decimal arithmetic (qty*cnt*5 < sum) so no engine
+    disagrees on borderline rows. Per-part aggregate of the filtered
+    brand would be smaller, but the reference pattern aggregates the
+    whole table once and reuses it — AQE broadcasts it if small."""
+    l = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#19")
+        .select("p_partkey")
+    )
+    t = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+    )
+    j = l.join(F.broadcast(p), p["p_partkey"] == l["l_partkey"]).join(
+        t, F.col("t_partkey") == l["l_partkey"]
+    )
+    small = j.filter(_dec(F.col("l_quantity")) * F.col("cnt") * 5 < F.col("sum_qty"))
+    return small.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q21ish",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+    tags=("tpch", "semi", "anti", "agg"),
+)
+def q_tpch_q21ish(spark, sf):
+    """Q21: suppliers who were the SOLE late shipper on a finished
+    multi-supplier order. Composes one semi join (another supplier
+    shipped on the order) and one anti join (no OTHER supplier was
+    late) over the same late-lineitem base — both shuffled hash joins
+    keyed on orderkey; the supplier dim broadcasts at the end."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    with_other = J.semi_join(
+        l1,
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        broadcast_right=False,
+    )
+    sole_late = J.anti_join(
+        with_other.alias("l1"),
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        broadcast_right=False,
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22ish",
+    """
+    WITH pos AS (
+      SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.cnt > pos.total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("tpch", "anti", "agg", "correlated"),
+)
+def q_tpch_q22ish(spark, sf):
+    """Q22: wealthy-but-quiet customers — above-average balance (scalar
+    subquery = 1-row aggregate cross-joined in, compared in exact
+    decimal arithmetic) with no urgent orders (anti join on the urgent
+    key set). The 1-row aggregate broadcasts as a trivial dimension."""
+    c = load_table(spark, sf, "customer")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec(F.col("c_acctbal"))).alias("total"),
+        )
+    )
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        _dec(F.col("c_acctbal")) * F.col("cnt") > F.col("total")
+    )
+    quiet = J.anti_join(
+        rich, urgent, rich["c_custkey"] == urgent["o_custkey"], broadcast_right=False
+    )
+    return quiet.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_agg(spark, sf):
+    """ROLLUP hierarchy totals (flag, flag+status, grand total) in one
+    pass — absent from the reference (SURVEY §2.4: no grouping sets);
+    native in Spark. Physically a single shuffle: Expand replicates each
+    row per grouping set BEFORE the exchange, partial aggregation
+    collapses the replicas map-side."""
+    l = load_table(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_agg(spark, sf):
+    """CUBE: all 2^k grouping-set combinations in one Expand+shuffle."""
+    l = load_table(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_price")
+    )
