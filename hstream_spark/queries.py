@@ -2398,3 +2398,166 @@ def q_cube_agg(spark, sf):
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, percentiles, sketches, sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+           (CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            - CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+              * CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS variance,
+           sqrt((CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark, sf):
+    """Sample variance/stddev via exact decimal sum + sum-of-squares,
+    finishing in double with the SAME IEEE operations on both engines —
+    bit-identical results, unlike native stddev whose Welford merge
+    order is nondeterministic under parallelism. One shuffle with
+    map-side partial sums (the sufficient statistics are associative)."""
+    ev = load_table(spark, sf, "events")
+    d = _dec(F.col("value"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("__s"),
+        F.sum(d * d).alias("__ss"),
+    )
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    n = F.col("n")
+    var = (ss - s * s / n) / (n - 1)
+    return g.select(
+        "event_type", "n", s.alias("sum_v"), var.alias("variance"),
+        F.sqrt(var).alias("stddev"),
+    )
+
+
+@register(
+    "percentile_exact",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_percentile_exact(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` vs DuckDB
+    `quantile_cont` — both linear interpolation over the sorted group).
+    Exact percentile requires materializing each group; for corpus-scale
+    profiles use `sketch_quantiles` (fixed-size sketch, mergeable)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+@register(
+    "sketch_distinct_users",
+    None,  # HLL estimates are engine-specific — driver does the rows-only
+    # check; tests/test_sketches.py pins the <5% relative-error bound
+    tags=("agg", "sketch"),
+)
+def q_sketch_distinct_users(spark, sf):
+    """HyperLogLog++ distinct-user estimate per event type. The sketch is
+    fixed-size and mergeable, so the shuffle carries one ~KB sketch per
+    (partition, group) instead of the full user-id set — THE way to
+    count distinct over 100 TB when exactness isn't required."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sketch_quantiles",
+    None,  # approx sketch — rows-only check; error bound pinned in tests
+    tags=("agg", "sketch"),
+)
+def q_sketch_quantiles(spark, sf):
+    """Approximate quantiles per event type (Greenwald-Khanna sketch,
+    `percentile_approx`): bounded-memory, mergeable — the scale path for
+    percentile profiles where `percentile_exact` would buffer whole
+    groups."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("q"),
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p50_approx"),
+        F.col("q")[1].alias("p95_approx"),
+    )
+
+
+@register(
+    "event_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, tus, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(tus) // 1000000 AS session_start,
+           MAX(tus) // 1000000 AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionize"),
+)
+def q_event_sessionize(spark, sf):
+    """Gap-based sessionization via window functions: LAG marks session
+    starts (>30 min silence), a running SUM numbers sessions, then one
+    group-by rolls sessions up. All three steps share ONE partitioning
+    (user_id) — Spark plans a single Exchange and reuses its sort for
+    both window functions. This is the batch mirror of the streaming
+    SESSION window (`F.session_window`), with a stable session_id.
+
+    Event-time arithmetic in integer microseconds; ties within a
+    timestamp are ordered by event_id so both engines agree."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w)
+    new_s = F.when(prev.isNull() | (F.col("tus") - prev > 1_800_000_000), 1).otherwise(0)
+    flagged = ev.withColumn("new_s", new_s)
+    run = Window.partitionBy("user_id").orderBy("tus", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.floor(F.min("tus") / 1_000_000).alias("session_start"),
+        F.floor(F.max("tus") / 1_000_000).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
