@@ -78,3 +78,30 @@ def running_topk(
 
 def _spark_type_of(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "_ts",
+    watermark: str | None = "24 hours",
+) -> DataFrame:
+    """Exact streaming deduplication on ``keys`` with bounded state.
+
+    `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    EVICTS it once the event-time watermark passes — without the
+    watermark bound, streaming dedup state grows forever (the reason
+    plain `dropDuplicates` is unusable on an unbounded 100 TB/day
+    stream). Duplicates arriving later than the watermark are NOT
+    caught — the same trade-off the reference makes for late records
+    (TimeWindowedStream.hs:99-113: beyond grace → dropped).
+
+    Pass ``watermark=None`` when the stream already carries one (e.g.
+    frames from `HStreamEngine._resolve_stream`, which watermarks the
+    event-time column with the engine grace) — Spark rejects redefining
+    a watermark.
+
+    The batch analogue is `operators/dedup.py::exact_dedup`.
+    """
+    wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(keys)

@@ -222,3 +222,61 @@ def test_stateful_topk_incremental_across_batches(engine, spark):
         "SELECT * FROM topk_inc WHERE key = 'a'").collect()]
     q.stop()
     assert [7.0, 1.0] in rows  # final accumulator includes both batches
+
+
+def test_streaming_session_window_view(engine):
+    """SESSION(gap) in a continuous view: records closer than the gap
+    merge into one session; a silence longer than the gap splits them
+    (SessionWindowedStream.hs:93-138 gap-merge; Spark session_window)."""
+    import time as _time
+
+    engine.execute("CREATE STREAM sess_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    # two bursts 60s apart, gap 10s → two sessions for 'a'
+    for off in (0.0, 1.0, 2.0):
+        engine.execute(
+            f"INSERT INTO sess_ev (k, v, _ts) VALUES ('a', 1, {base + off});"
+        )
+    for off in (60.0, 61.0):
+        engine.execute(
+            f"INSERT INTO sess_ev (k, v, _ts) VALUES ('a', 1, {base + off});"
+        )
+    engine.execute(
+        "CREATE VIEW sess_view AS SELECT k, COUNT(*) AS n "
+        "FROM SESSION(sess_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    engine.views["sess_view"].handle.processAllAvailable()
+    rows = engine.execute("SELECT k, n FROM sess_view;").collect()
+    counts = sorted(r["n"] for r in rows)
+    assert counts == [2, 3]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys inside the watermark window
+    collapse to one row; state is evicted past the watermark."""
+    from hstream_spark.streaming.runtime import HStreamEngine
+    from hstream_spark.streaming.stateful import streaming_dedup
+
+    eng = HStreamEngine(spark, str(tmp_path / "dd"))
+    try:
+        eng.execute("CREATE STREAM dup_ev (k STRING, v INTEGER);")
+        for _ in range(3):
+            eng.execute("INSERT INTO dup_ev (k, v) VALUES ('x', 1);")
+        eng.execute("INSERT INTO dup_ev (k, v) VALUES ('y', 2);")
+        src = eng._resolve_stream("dup_ev")
+        out = streaming_dedup(src, ["k"], watermark=None)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT k FROM dedup_sink").collect()
+            assert sorted(r["k"] for r in rows) == ["x", "y"]
+        finally:
+            q.stop()
+    finally:
+        eng.shutdown()
