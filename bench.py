@@ -62,6 +62,13 @@ HEADLINE = [
     "tpch_q22ish",
     "rollup_agg",
     "cube_agg",
+    "agg_stats",
+    "percentile_exact",
+    "sketch_distinct_users",
+    "event_sessionize",
+    "deterministic_sample",
+    "stratified_sample",
+    "embedding_kmeans",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines.
+
+Random sampling (`df.sample`) is irreproducible across engines, Spark
+versions, and partitionings — a training corpus sampled that way can't
+be audited or re-derived. Everything here buckets rows by an
+engine-agnostic md5-derived hash of a stable id instead:
+
+- the same row always lands in the same bucket, on any engine — the
+  DuckDB oracle verifies the exact selected row set;
+- samples are consistent under re-partitioning, retries, and
+  incremental re-runs (a re-ingested row keeps its split);
+- train/test splits are disjoint BY CONSTRUCTION (disjoint bucket
+  ranges of one hash), not by bookkeeping.
+
+All operators are map-only Catalyst expressions: no shuffle, no UDF —
+sampling 100 TB costs one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 10k buckets → 0.01% fraction granularity
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Engine-agnostic bucket in [0, buckets): first 60 bits of
+    md5(key as string), mod buckets. Mirrors the DuckDB expression
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = BUCKETS
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash bucket of ``key_col``."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    buckets: int = BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag each row 'train' or 'test' — disjoint bucket ranges of one
+    hash, so the split survives re-runs and incremental ingestion."""
+    b = hash_bucket(F.col(key_col), buckets)
+    return df.withColumn(
+        split_col,
+        F.when(b < int(test_fraction * buckets), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. keep 100% of rare
+    high-quality documents but 1% of boilerplate. Unlisted strata get
+    ``default_fraction``. Still map-only: the stratum picks a threshold,
+    the hash picks the rows."""
+    thresh: Column = F.lit(int(default_fraction * buckets))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * buckets))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)

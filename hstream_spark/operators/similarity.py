@@ -420,3 +420,104 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos", "rank")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd iterations, cosine metric)
+    over an embedding column — the iterative trainer for the IVF coarse
+    quantizer (`ivf_topk` accepts its output via ``quantizer=``).
+
+    Per iteration: (1) assignment is MAP-ONLY — the k×dim centroid
+    matrix ships as one nested literal, each vector picks its argmax-
+    cosine centroid inside the scan task; (2) the centroid update is
+    one posexplode → (cluster, dim) hash-agg — shuffle volume is
+    O(partitions × k × dim) partial sums, independent of corpus size;
+    (3) only the k×dim centroid matrix (a few KB) returns to the
+    driver. This is the canonical Spark iterative-algorithm shape:
+    driver holds the model, executors hold the data, per-iteration
+    traffic is model-sized, never data-sized.
+
+    Deterministic end to end: seed centroids are the id-hash group
+    means (`ivf_centroids`), per-dimension sums run in decimal (order-
+    independent), ties break toward the lowest cluster id. A cluster
+    that loses all members keeps its previous centroid.
+    """
+    import math
+
+    def _l2(vals):
+        s = 0.0
+        for v in vals:
+            s += v * v
+        n = math.sqrt(s) or 1.0
+        return [v / n for v in vals]
+
+    cents = train_ivf_quantizer(corpus, k, id_col, vec_col)
+    base = corpus.select(normalized(F.col(vec_col)).alias("kvec"))
+    for _ in range(iters):
+        cent_lit = F.lit([cvec for _, cvec in cents])
+        ids_lit = F.lit([cl for cl, _ in cents])
+        best = F.array_max(
+            F.zip_with(
+                F.transform(cent_lit, lambda c: dot(F.col("kvec"), c)),
+                ids_lit,
+                lambda c, i: F.struct(c.alias("c"), (-i).alias("n")),
+            )
+        )
+        assigned = base.withColumn("cluster", -best["n"])
+        per_dim = (
+            assigned.select("cluster", F.posexplode("kvec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+        )
+        rows = (
+            per_dim.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        updated = {r["cluster"]: _l2(r["cvec"]) for r in rows}
+        cents = sorted(
+            (cl, updated.get(cl, old)) for cl, old in cents
+        )
+    return cents
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid — map-only,
+    same literal-matrix fold as training. Returns (id, cluster, cos)."""
+    cent_lit = F.lit([cvec for _, cvec in centroids])
+    ids_lit = F.lit([cl for cl, _ in centroids])
+    nv = normalized(F.col(vec_col))
+    base = corpus.select(F.col(id_col), nv.alias("kvec"))
+    best = F.array_max(
+        F.zip_with(
+            F.transform(cent_lit, lambda c: dot(F.col("kvec"), c)),
+            ids_lit,
+            lambda c, i: F.struct(c.alias("c"), (-i).alias("n")),
+        )
+    )
+    return base.select(
+        id_col,
+        (-best["n"]).alias("cluster"),
+        best["c"].alias("cos"),
+    )

@@ -2561,3 +2561,110 @@ def q_event_sessionize(spark, sf):
         F.floor(F.max("tus") / 1_000_000).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splitting (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_HB = "('0x' || substring(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
+
+@register(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, n_tokens
+    FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+          FROM documents)
+    WHERE {_HB.format(x='doc_id')} < 1000
+    """,
+    tags=("sampling",),
+)
+def q_deterministic_sample(spark, sf):
+    """~10% reproducible sample of documents by id-hash bucket — the
+    exact selected row set is engine-independent (oracle-verified),
+    unlike df.sample. Map-only: no shuffle at any scale."""
+    from hstream_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return SMP.deterministic_sample(docs, "doc_id", 0.10)
+
+
+@register(
+    "train_test_split",
+    f"""
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
+    FROM (SELECT doc_id,
+                 CASE WHEN {_HB.format(x='doc_id')} < 1000 THEN 'test'
+                      ELSE 'train' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+    tags=("sampling",),
+)
+def q_train_test_split(spark, sf):
+    """Disjoint-by-construction train/test tagging (bucket ranges of one
+    id hash); rolled up per split so the oracle pins both sizes and
+    membership stability."""
+    from hstream_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    tagged = SMP.train_test_split(docs, "doc_id", test_fraction=0.10)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE {_HB.format(x='event_id')} <
+          CASE event_type
+            WHEN 'purchase' THEN 10000
+            WHEN 'click'    THEN 500
+            ELSE 100
+          END
+    """,
+    tags=("sampling",),
+)
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic sampling: keep ALL purchases, 5% of
+    clicks, 1% of everything else — the downsample-boilerplate /
+    keep-rare-data shape of corpus curation. Map-only."""
+    from hstream_spark.operators import sampling as SMP
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    return SMP.stratified_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"purchase": 1.0, "click": 0.05},
+        default_fraction=0.01,
+    )
+
+
+@register(
+    "embedding_kmeans",
+    None,  # iterative algorithm — not SQL-expressible; rows-only check,
+    # convergence/determinism pinned in tests/test_similarity.py
+    tags=("similarity", "iterative"),
+)
+def q_embedding_kmeans(spark, sf):
+    """Spherical k-means clustering of the embedding corpus (4 clusters,
+    3 Lloyd iterations) + map-only final assignment; output is the
+    per-cluster size and mean cosine-to-centroid. Per iteration the
+    cluster exchanges only model-sized state (k x dim sums) — the
+    canonical driver-model / executor-data iterative shape."""
+    from hstream_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=3)
+    assigned = kmeans_assign(emb, cents)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("cos").alias("mean_cos"),
+    )

@@ -103,3 +103,35 @@ def test_embedding_near_duplicates_lsh_no_cartesian(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+class TestKMeans:
+    def test_kmeans_improves_cohesion_and_is_deterministic(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators.similarity import (
+            kmeans_assign,
+            kmeans_fit,
+            train_ivf_quantizer,
+        )
+        from hstream_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def cohesion(cents):
+            return (
+                kmeans_assign(emb, cents)
+                .agg(F.avg("cos").alias("m"))
+                .collect()[0]["m"]
+            )
+
+        seed = train_ivf_quantizer(emb, 4)
+        trained = kmeans_fit(emb, k=4, iters=3)
+        # Lloyd iterations must not worsen the (monotone) objective
+        assert cohesion(trained) >= cohesion(seed) - 1e-12
+        # bit-deterministic: same data, same result
+        again = kmeans_fit(emb, k=4, iters=3)
+        assert trained == again
+        assert len(trained) == 4
+        for _, c in trained:
+            assert abs(sum(v * v for v in c) - 1.0) < 1e-9  # unit norm
