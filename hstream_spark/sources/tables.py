@@ -64,6 +64,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: `/` would be DOUBLE division, which loses
         # sub-microsecond exactness at 2024-epoch nanos (~1.7e18 > 2^53)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # timestamp[us] with no timezone reads as TIMESTAMP_NTZ, which
+    # unix_micros / watermarks reject. Session tz is pinned to UTC, so
+    # the cast is a wall-clock-preserving metadata change (matches the
+    # DuckDB oracle's naive-timestamp epoch semantics).
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
