@@ -150,7 +150,7 @@ def q_scalar_math(spark, sf):
            substring(c_name, 5)          AS drop4,
            substring(c_name, 1, greatest(length(c_name) - 3, 0)) AS dropend3,
            trim('  ' || c_mktsegment || ' ') AS trimmed,
-           string_split(c_name, '#')     AS name_parts
+           array_to_string(string_split(c_name, '#'), '|') AS name_parts
     FROM customer WHERE c_custkey <= 200
     """,
     tags=("scalar",),
@@ -168,7 +168,8 @@ def q_scalar_string(spark, sf):
         S.drop(4, F.col("c_name")).alias("drop4"),
         S.dropend(3, F.col("c_name")).alias("dropend3"),
         S.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
-        S.split("#", F.col("c_name")).alias("name_parts"),
+        # joined to a scalar string (driver canonicalizer can't hash lists)
+        F.array_join(S.split("#", F.col("c_name")), "|").alias("name_parts"),
     )
 
 
@@ -180,7 +181,7 @@ def q_scalar_string(spark, sf):
     SELECT doc_id,
            len(toks)                                    AS n_toks,
            len(list_distinct(toks))                     AS n_distinct,
-           list_sort(toks)[1:3]                         AS first3_sorted,
+           array_to_string(list_sort(toks)[1:3], '|')   AS first3_sorted,
            array_to_string(toks[1:5], '-')              AS head_joined,
            list_contains(toks, 'the')                   AS has_the
     FROM t
@@ -194,7 +195,8 @@ def q_scalar_array(spark, sf):
         "doc_id",
         S.array_length(toks).alias("n_toks"),
         S.array_length(S.array_distinct_(toks)).alias("n_distinct"),
-        F.slice(S.array_sort_(toks), 1, 3).alias("first3_sorted"),
+        # joined to a scalar string (driver canonicalizer can't hash lists)
+        S.array_join_(F.slice(S.array_sort_(toks), 1, 3), "|").alias("first3_sorted"),
         S.array_join_(F.slice(toks, 1, 5), "-").alias("head_joined"),
         S.array_contain(toks, F.lit("the")).alias("has_the"),
     )
@@ -350,28 +352,48 @@ def q_agg_basic(spark, sf):
 @register(
     "topk_agg",
     """
-    SELECT event_type, (list(value ORDER BY value DESC))[1:5] AS top5
-    FROM events GROUP BY event_type
+    WITH t AS (SELECT event_type, list(value ORDER BY value DESC) AS l
+               FROM events GROUP BY event_type)
+    SELECT event_type, l[1] AS top1, l[2] AS top2, l[3] AS top3,
+           l[4] AS top4, l[5] AS top5
+    FROM t
     """,
     tags=("agg", "topk"),
 )
 def q_topk(spark, sf):
+    # The TOPK array unnests to per-rank scalar columns so the driver's
+    # canonicalizer (which can't hash list cells) can value-compare it;
+    # keeping the elements as doubles (not a joined string) avoids
+    # engine-specific float formatting.
     ev = load_table(spark, sf, "events")
-    return R.reduce(ev, ["event_type"], [A.topk(F.col("value"), 5).alias("top5")])
+    agg = R.reduce(ev, ["event_type"], [A.topk(F.col("value"), 5).alias("top5")])
+    return agg.select(
+        "event_type",
+        *[F.element_at(F.col("top5"), i).alias(f"top{i}") for i in range(1, 6)],
+    )
 
 
 @register(
     "topkdistinct_agg",
     """
-    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
-    SELECT event_type, (list(user_id ORDER BY user_id DESC))[1:5] AS top5u
-    FROM d GROUP BY event_type
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    t AS (SELECT event_type, list(user_id ORDER BY user_id DESC) AS l
+          FROM d GROUP BY event_type)
+    SELECT event_type, l[1] AS top1u, l[2] AS top2u, l[3] AS top3u,
+           l[4] AS top4u, l[5] AS top5u
+    FROM t
     """,
     tags=("agg", "topk"),
 )
 def q_topkdistinct(spark, sf):
     ev = load_table(spark, sf, "events")
-    return R.reduce(ev, ["event_type"], [A.topkdistinct(F.col("user_id"), 5).alias("top5u")])
+    agg = R.reduce(
+        ev, ["event_type"], [A.topkdistinct(F.col("user_id"), 5).alias("top5u")]
+    )
+    return agg.select(
+        "event_type",
+        *[F.element_at(F.col("top5u"), i).alias(f"top{i}u") for i in range(1, 6)],
+    )
 
 
 @register(
