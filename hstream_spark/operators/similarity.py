@@ -109,6 +109,7 @@ def brute_force_topk_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 8,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Vectorized exact cosine top-k: the query matrix is collected
     (queries are the small side by construction) and broadcast into an
@@ -126,7 +127,19 @@ def brute_force_topk_np(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    # the query side is collected + broadcast into every score task, so
+    # it must be driver/executor-memory sized; fail loudly (with the fix)
+    # instead of OOMing the driver when someone points it at a corpus
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col)).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_np: query side exceeds max_queries={max_queries} "
+            "rows; it is collected to the driver and broadcast per task. "
+            "Pass a smaller query set (or raise max_queries deliberately), "
+            "or use ann_lsh_topk / ann_ivf_topk for corpus-x-corpus search."
+        )
     q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))

@@ -2293,41 +2293,46 @@ def q_tpch_q17ish(spark, sf):
 )
 def q_tpch_q21ish(spark, sf):
     """Q21: suppliers who were the SOLE late shipper on a finished
-    multi-supplier order. Composes one semi join (another supplier
-    shipped on the order) and one anti join (no OTHER supplier was
-    late) over the same late-lineitem base — both shuffled hash joins
-    keyed on orderkey; the supplier dim broadcasts at the end."""
+    multi-supplier order.
+
+    The EXISTS/NOT EXISTS pair is rewritten so the expensive
+    lineitem⋈orders base is scanned and shuffled ONCE (the naive
+    semi+anti self-join pair rebuilds it per branch). Rewrite:
+    "another supplier shipped the order" ⇔ the order has ≥2 distinct
+    suppliers; "no OTHER supplier was late" ⇔ exactly 1 distinct late
+    supplier (l1's own supplier is always late). Both counts derive
+    from one pre-aggregation to (orderkey, suppkey) grain — a single
+    full-data shuffle with map-side combine — after which the per-order
+    counts ride a window over the ~|orders|-sized reduced frame and the
+    supplier dim broadcasts at the end. At 100 TB the one wide shuffle
+    is the whole cost; everything downstream is order-cardinality."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    flagged = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "__late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("int"),
     )
-    l1 = late.alias("l1")
-    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    with_other = J.semi_join(
-        l1,
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        broadcast_right=False,
+    g = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("__late").alias("__n_late_rows")
     )
-    sole_late = J.anti_join(
-        with_other.alias("l1"),
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        broadcast_right=False,
+    w = Window.partitionBy("l_orderkey")
+    h = g.withColumn("__n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "__n_late_supp", F.sum((F.col("__n_late_rows") > 0).cast("int")).over(w)
+    )
+    hits = h.filter(
+        (F.col("__n_late_rows") > 0)
+        & (F.col("__n_late_supp") == 1)
+        & (F.col("__n_supp") >= 2)
     )
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        hits.join(F.broadcast(s), hits["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__n_late_rows").cast("long").alias("numwait"))
     )
 
 

@@ -135,3 +135,8 @@ class TestKMeans:
         assert len(trained) == 4
         for _, c in trained:
             assert abs(sum(v * v for v in c) - 1.0) < 1e-9  # unit norm
+
+
+def test_bruteforce_np_rejects_oversized_query_side(spark, emb):
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.brute_force_topk_np(emb, emb, k=3, max_queries=10)
