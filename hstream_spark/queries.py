@@ -2695,3 +2695,101 @@ def q_embedding_kmeans(spark, sf):
         F.count(F.lit(1)).alias("n"),
         F.avg("cos").alias("mean_cos"),
     )
+
+
+@register(
+    "extended_json_scan",
+    """
+    SELECT event_id, user_id AS uid, value AS val, event_type AS et,
+           strftime(ts, '%Y-%m-%d') AS d_str,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+    tags=("source", "json", "extended"),
+)
+def q_extended_json_scan(spark, sf):
+    """Extended-JSON wire-format round trip: typed events columns are
+    serialized into the reference's runtime record encoding
+    ($numberLong / $numberDouble / $binary / $date / $timestamp —
+    Rts/Old.hs:134-198) and lowered back to typed columns by the scan
+    decoder. The oracle pins decode ∘ encode = identity against the
+    original typed values, proving both directions. Map-only both ways
+    (one from_json pass + per-field Catalyst decoders, no Python)."""
+    from hstream_spark.sources import extended_json as EJ
+
+    ev = load_table(spark, sf, "events")
+    fields = {
+        "uid": "INTEGER",
+        "val": "FLOAT",
+        "blob": "BYTEA",
+        "d": "DATE",
+        "tstamp": "TIMESTAMP",
+    }
+    typed = ev.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.col("value").alias("val"),
+        F.col("event_type").cast("binary").alias("blob"),
+        F.to_date("ts").alias("d"),
+        F.col("ts").alias("tstamp"),
+    )
+    wire = EJ.encode_record(typed, fields).select("event_id", "payload")
+    dec = EJ.decode_record(wire, "payload", fields, keep=["event_id"])
+    return dec.select(
+        "event_id",
+        "uid",
+        "val",
+        F.col("blob").cast("string").alias("et"),
+        F.date_format("d", "yyyy-MM-dd").alias("d_str"),
+        F.unix_micros("tstamp").alias("ts_us"),
+    )
+
+
+_KMEANS_SEEDS = (1, 7, 19, 42)
+
+_KMEANS_ASSIGN_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_NORM_VEC} AS vn FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vn AS cvec
+      FROM e WHERE vec_id IN {_KMEANS_SEEDS}),
+scored AS (SELECT e.vec_id, c.cluster, list_dot_product(e.vn, c.cvec) AS cos
+           FROM e CROSS JOIN c),
+ranked AS (SELECT vec_id, cluster, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cluster ASC) AS rn
+           FROM scored)
+SELECT vec_id, cluster, cos FROM ranked WHERE rn = 1
+"""
+
+
+@register("kmeans_assign", _KMEANS_ASSIGN_ORACLE, tags=("similarity", "kmeans"))
+def q_kmeans_assign(spark, sf):
+    """The assignment stage of k-means in isolation, oracle-checked with
+    FIXED centroids (the normalized embeddings of four pinned vec_ids) —
+    a deterministic map-only projection both engines replicate exactly
+    (sequential-fold dot products on identical doubles). The trainer
+    (`embedding_kmeans`) stays convergence-pinned in unit tests; this
+    entry proves the assignment math it shares. Collecting the 4 seed
+    rows is model-sized driver traffic, not a data collect."""
+    import math
+
+    from hstream_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").isin(*_KMEANS_SEEDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def _l2(vals):
+        s = 0.0
+        for v in vals:
+            s += v * v
+        n = math.sqrt(s) or 1.0
+        return [v / n for v in vals]
+
+    cents = [
+        (i, _l2([float(x) for x in r["embedding"]]))
+        for i, r in enumerate(sorted(rows, key=lambda r: r["vec_id"]))
+    ]
+    return kmeans_assign(emb, cents)

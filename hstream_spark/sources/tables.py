@@ -56,6 +56,20 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _has_nested_ntz(dtype) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        return True
+    if isinstance(dtype, StructType):
+        return any(_has_nested_ntz(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        return _has_nested_ntz(dtype.elementType)
+    if isinstance(dtype, MapType):
+        return _has_nested_ntz(dtype.keyType) or _has_nested_ntz(dtype.valueType)
+    return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with timestamps normalized."""
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -65,14 +79,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sub-microsecond exactness at 2024-epoch nanos (~1.7e18 > 2^53)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     # timestamp[us] with no timezone reads as TIMESTAMP_NTZ, which
-    # unix_micros / watermarks reject. Session tz is pinned to UTC, so
-    # the cast is a wall-clock-preserving metadata change (matches the
-    # DuckDB oracle's naive-timestamp epoch semantics).
+    # unix_micros / watermarks reject. The cast below is only
+    # epoch-preserving when the session tz is UTC (pinned in
+    # session.py); fail loudly rather than silently shifting epochs.
     from pyspark.sql.types import TimestampNTZType
 
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT"):
+                raise ValueError(
+                    f"load_table requires spark.sql.session.timeZone=UTC to cast "
+                    f"TIMESTAMP_NTZ column {field.name!r} epoch-preservingly; "
+                    f"session has {tz!r} (use hstream_spark.get_spark)"
+                )
+            df = df.withColumn(field.name, df[field.name].cast("timestamp"))
+        elif _has_nested_ntz(field.dataType):
+            # none of the testdata nests timestamps; if that changes the
+            # rewrite must recurse (transform/withField) — fail loudly
+            raise NotImplementedError(
+                f"column {field.name!r} nests TIMESTAMP_NTZ; nested "
+                "normalization is not implemented"
+            )
     return df
 
 

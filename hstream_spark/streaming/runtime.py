@@ -411,7 +411,15 @@ class HStreamEngine:
                 payload = payload.operand
             if not (isinstance(payload, A.Lit) and payload.kind == "string"):
                 raise CompileError("INSERT VALUES expects a JSON/raw string")
-            record = json.loads(payload.value)
+            from hstream_spark.sources.extended_json import decode_python_value
+
+            # extended-JSON wrappers ($numberLong, $binary, ...) decode at
+            # ingestion, like the reference's jsonObjectToFlowObject
+            # (Rts/Old.hs:134-198); malformed wrappers reject the INSERT
+            try:
+                record = decode_python_value(json.loads(payload.value))
+            except (ValueError, KeyError, TypeError) as exc:
+                raise CompileError(f"invalid extended-JSON record: {exc}") from exc
         else:
             record = {}
             for col, val in zip(stmt.columns, stmt.values):
