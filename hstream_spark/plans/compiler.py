@@ -531,6 +531,129 @@ def _compile_sliding(
     return df.select(*out_cols)
 
 
+_SESSION_AGG_KIND = {
+    "COUNT_ALL": "count_all",
+    "COUNT": "count",
+    "SUM": "sum",
+    "MIN": "min",
+    "MAX": "max",
+    "AVG": "avg",
+}
+
+
+def compile_select_session_update(
+    sel: A.Select, resolve: Resolver
+) -> Optional[DataFrame]:
+    """Streaming SESSION-window aggregation as an UPDATE stream.
+
+    Spark's built-in session_window only runs in append/complete output
+    modes (merging sessions defeat its update-mode bookkeeping), so a
+    SESSION view compiled the normal way silently degrades to a full-
+    result refresh per trigger — a scale-killer for large key spaces.
+    This path routes the Reduce node through the custom
+    ``stateful.session_aggregate`` (applyInPandasWithState, bounded
+    state, per-trigger deltas) instead.
+
+    Returns None when the SELECT shape exceeds what the stateful
+    operator folds (TOPK, HAVING, wildcard, non-key plain columns) —
+    the caller falls back to complete mode for those.
+    """
+    if sel.from_ is None:
+        return None
+    src = _compile_from(sel.from_, resolve)
+    if src.window is None or src.window.window_kind != "SESSION":
+        return None
+    if sel.having is not None:
+        return None
+    df = src.df
+    if EVENT_TIME_COL not in df.columns:
+        return None
+    if sel.where is not None:
+        df = df.filter(compile_expr(sel.where))
+
+    key_names = [k.name for k in sel.group_by]
+    key_refs = [f"{k.stream}.{k.name}" if k.stream else k.name for k in sel.group_by]
+
+    kinds: list[str] = []
+    in_exprs: list[Optional[Column]] = []
+    out_names: list[str] = []
+    order: list[tuple[str, str]] = []  # (slot kind, name) in item order
+    for it in sel.items:
+        if it.wildcard:
+            return None
+        aggs = find_aggs(it.expr)
+        name = it.alias or it.text
+        if not aggs:
+            # plain column: only group keys pass through an aggregation
+            if isinstance(it.expr, A.ColRef) and it.expr.name in key_names:
+                order.append(("key", it.expr.name))
+                continue
+            return None
+        # supported: the item IS a single aggregate call
+        if not isinstance(it.expr, A.AggFunc):
+            return None
+        kind = _SESSION_AGG_KIND.get(it.expr.name)
+        if kind is None:
+            return None
+        kinds.append(kind)
+        in_exprs.append(
+            compile_expr(it.expr.args[0]) if it.expr.args else None
+        )
+        out_names.append(name)
+        order.append(("agg", name))
+
+    # project group keys + event-time micros + aggregate inputs; the
+    # watermarked _ts column stays in the frame so the watermark node
+    # survives into the stateful operator (late-row filtering + eviction)
+    proj: list[Column] = [F.col(EVENT_TIME_COL)]
+    proj += [F.col(r).alias(n) for r, n in zip(key_refs, key_names)]
+    proj.append(F.unix_micros(F.col(EVENT_TIME_COL)).alias("__ts_us"))
+    input_cols: list[Optional[str]] = []
+    for j, e in enumerate(in_exprs):
+        if e is None:
+            input_cols.append(None)
+        else:
+            proj.append(e.alias(f"__in{j}"))
+            input_cols.append(f"__in{j}")
+    sdf = df.select(*proj)
+
+    dtypes = dict(sdf.dtypes)
+    int_types = {"tinyint", "smallint", "int", "bigint", "long"}
+    out_casts = []
+    for j, kind in enumerate(kinds):
+        if kind in ("count_all", "count"):
+            out_casts.append("bigint")
+        elif kind == "avg":
+            out_casts.append("double")
+        else:
+            t = dtypes[input_cols[j]]
+            if t in int_types:
+                out_casts.append("bigint")
+            elif t in ("double", "float", "decimal"):
+                out_casts.append("double")
+            else:
+                return None  # non-numeric MIN/MAX: fall back
+    key_ddl = ", ".join(f"`{n}` {dtypes[n]}" for n in key_names)
+
+    from hstream_spark.streaming.stateful import session_aggregate
+
+    out = session_aggregate(
+        sdf,
+        key_names,
+        "__ts_us",
+        src.window.size.seconds * 1_000_000,
+        kinds,
+        input_cols,
+        out_names,
+        out_casts,
+        key_ddl,
+    )
+    # reorder to the declared item order (after window bounds)
+    final = [F.col("window_start"), F.col("window_end")]
+    final += [F.col(nm) for _, nm in order]
+    return out.select(*final)
+
+
 def explain(sel: A.Select, resolve: Resolver) -> str:
     df = compile_select(sel, resolve)
     return df._jdf.queryExecution().toString()

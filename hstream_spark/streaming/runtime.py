@@ -89,11 +89,17 @@ class QueryInfo:
 class ViewInfo:
     name: str
     sql: str
-    table: str  # legacy memory-sink name (update-mode views use `state`)
+    table: str  # legacy memory-sink name
     handle: Optional[object] = None
-    state: dict = field(default_factory=dict)  # group key -> latest accumulator row
+    state_dir: str = ""  # versioned keyed-parquet state (see _view_upsert)
     schema: Optional[T.StructType] = None
     key_cols: tuple = ()
+    # session views: an emitted (merged) session supersedes every state
+    # row it overlaps, not just its exact key match
+    merge_on_overlap: bool = False
+    # complete-mode fallback: every trigger carries the FULL result, so
+    # state is replaced wholesale (an upsert would retain stale rows)
+    replace_all: bool = False
 
 
 @dataclass
@@ -165,11 +171,86 @@ class HStreamEngine:
 
     def _resolve_batch(self, name: str) -> DataFrame:
         if name in self.views:
-            view = self.views[name]
-            rows = list(view.state.values())
-            return self.spark.createDataFrame(rows, view.schema)
+            return self._view_state_read(self.views[name])
         info = self._require_stream(name)
         return self.spark.read.schema(self._schema_of(info)).parquet(info.path)
+
+    # -- view state (distributed keyed upsert) ------------------------------
+    #
+    # View state = latest accumulator per group key, kept as a versioned
+    # parquet table under ``state_dir`` with an atomically-swapped CURRENT
+    # pointer — the reference's in-memory groupbyStores (View.hs:235-243)
+    # made durable and DISTRIBUTED: the per-trigger merge is an anti-join
+    # + union executed by the cluster, never a driver materialization, so
+    # state size is bounded by executor storage, not driver heap. With
+    # Delta/Iceberg available this is exactly MERGE INTO; plain parquet
+    # needs copy-on-write versions to keep concurrent readers consistent.
+
+    def _view_state_read(self, vi: ViewInfo) -> DataFrame:
+        ptr = os.path.join(vi.state_dir, "CURRENT")
+        if not os.path.exists(ptr):
+            return self.spark.createDataFrame([], vi.schema)
+        with open(ptr) as f:
+            v = int(f.read().strip())
+        return self.spark.read.schema(vi.schema).parquet(
+            os.path.join(vi.state_dir, f"v{v}")
+        )
+
+    @staticmethod
+    def _view_upsert(vi: ViewInfo, batch_df: DataFrame) -> None:
+        spark = batch_df.sparkSession
+        key_cols = list(vi.key_cols)
+        batch = batch_df.dropDuplicates(key_cols) if key_cols else batch_df
+        ptr = os.path.join(vi.state_dir, "CURRENT")
+        cur_v = -1
+        if vi.replace_all:
+            if os.path.exists(ptr):
+                with open(ptr) as f:
+                    cur_v = int(f.read().strip())
+            nxt = cur_v + 1
+            batch.write.mode("overwrite").parquet(
+                os.path.join(vi.state_dir, f"v{nxt}")
+            )
+            tmp = ptr + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(nxt))
+            os.replace(tmp, ptr)
+            shutil.rmtree(os.path.join(vi.state_dir, f"v{nxt - 2}"), ignore_errors=True)
+            return
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur_v = int(f.read().strip())
+            cur = spark.read.schema(vi.schema).parquet(
+                os.path.join(vi.state_dir, f"v{cur_v}")
+            )
+            if vi.merge_on_overlap:
+                # a merged session covers its constituents: drop any
+                # state row with the same group keys whose window
+                # overlaps an incoming row's window
+                plain = [k for k in key_cols if k not in ("window_start", "window_end")]
+                cond = (cur["window_start"] < batch["window_end"]) & (
+                    cur["window_end"] > batch["window_start"]
+                )
+                for k in plain:
+                    cond = cond & cur[k].eqNullSafe(batch[k])
+                keep = cur.join(batch, cond, "left_anti")
+                new = keep.unionByName(batch)
+            elif key_cols:
+                keep = cur.join(batch.select(*key_cols), key_cols, "left_anti")
+                new = keep.unionByName(batch)
+            else:
+                # keyless (global) aggregate: ≤1 row per trigger, replace
+                new = batch if not batch.isEmpty() else cur
+        else:
+            new = batch
+        nxt = cur_v + 1
+        new.write.mode("overwrite").parquet(os.path.join(vi.state_dir, f"v{nxt}"))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, ptr)
+        # keep one superseded version for in-flight readers
+        shutil.rmtree(os.path.join(vi.state_dir, f"v{nxt - 2}"), ignore_errors=True)
 
     def _resolve_stream(self, name: str) -> DataFrame:
         info = self._require_stream(name)
@@ -316,16 +397,29 @@ class HStreamEngine:
         if not aggregated:
             raise CompileError("CREATE VIEW requires an aggregation (GROUP BY)")
         table = f"__view_{stmt.name}"
-        out = compile_select(stmt.select, self._resolve_stream)
 
         # View state = latest accumulator per group key, upserted from the
         # UPDATE-mode changelog (the reference's in-memory groupbyStores,
         # View.hs:235-243). Update mode means (a) each trigger ships only
         # the touched groups — not the whole result like complete mode —
         # and (b) the watermark actually drops late rows and evicts
-        # closed-window state. At production scale the upsert target
-        # would be a keyed table (Delta/JDBC) instead of a driver dict;
-        # the streaming plan is identical.
+        # closed-window state. The upsert target is the distributed
+        # keyed-parquet state (_view_upsert) — never a driver structure.
+        is_session = (
+            isinstance(stmt.select.from_, A.WindowedRef)
+            and stmt.select.from_.window_kind == "SESSION"
+        )
+        out = None
+        merge_on_overlap = False
+        if is_session:
+            from hstream_spark.plans.compiler import compile_select_session_update
+
+            out = compile_select_session_update(stmt.select, self._resolve_stream)
+            merge_on_overlap = out is not None
+        session_fellback = is_session and out is None
+        if out is None:
+            out = compile_select(stmt.select, self._resolve_stream)
+
         key_cols: list[str] = []
         if isinstance(stmt.select.from_, A.WindowedRef):
             key_cols += ["window_start", "window_end"]
@@ -334,23 +428,29 @@ class HStreamEngine:
                 key_cols += [g.name for g in stmt.select.group_by]
             elif not find_aggs(it.expr):
                 key_cols.append(it.alias or it.text)
-        vi = ViewInfo(stmt.name, sql, table, None, {}, out.schema, tuple(key_cols))
+        state_dir = os.path.join(self.data_root, "_viewstate", stmt.name)
+        os.makedirs(state_dir, exist_ok=True)
+        vi = ViewInfo(
+            stmt.name, sql, table, None, state_dir, out.schema, tuple(key_cols),
+            merge_on_overlap,
+        )
 
         def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-            for r in batch_df.collect():
-                vi.state[tuple(r[k] for k in vi.key_cols)] = r
+            self._view_upsert(vi, batch_df)
 
+        vi.replace_all = session_fellback
+        mode = "complete" if session_fellback else "update"
         try:
             q = (
-                out.writeStream.outputMode("update")
+                out.writeStream.outputMode(mode)
                 .option("checkpointLocation", self._checkpoint(f"view_{stmt.name}"))
                 .foreachBatch(upsert)
                 .start()
             )
         except Exception:
-            # e.g. streaming session windows reject update mode; fall back
-            # to complete (full-result refresh — reference-equivalent but
-            # not incremental)
+            # last-resort fallback for plans that reject update mode
+            # (full-result refresh — reference-equivalent, not incremental)
+            vi.replace_all = True
             q = (
                 out.writeStream.outputMode("complete")
                 .option("checkpointLocation", self._checkpoint(f"view_{stmt.name}"))
@@ -454,7 +554,16 @@ class HStreamEngine:
             # one-shot SELECT: views and streams as batch tables
             return compile_select(stmt, self._resolve_batch)
         table = self._next_qname("push")
-        out = compile_select(stmt, self._resolve_stream)
+        out = None
+        if (
+            isinstance(stmt.from_, A.WindowedRef)
+            and stmt.from_.window_kind == "SESSION"
+        ):
+            from hstream_spark.plans.compiler import compile_select_session_update
+
+            out = compile_select_session_update(stmt, self._resolve_stream)
+        if out is None:
+            out = compile_select(stmt, self._resolve_stream)
         aggregated = bool(stmt.group_by) or any(
             find_aggs(it.expr) for it in stmt.items
         )
@@ -524,6 +633,7 @@ class HStreamEngine:
             view = self.views[stmt.name]
             if view.handle is not None:
                 view.handle.stop()
+            shutil.rmtree(view.state_dir, ignore_errors=True)
         if stmt.what == "STREAM":
             shutil.rmtree(self.streams[stmt.name].path, ignore_errors=True)
         del registry[stmt.name]

@@ -80,6 +80,197 @@ def _spark_type_of(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
 
 
+# ---------------------------------------------------------------------------
+# Generic session-window aggregation as an UPDATE stream
+# ---------------------------------------------------------------------------
+
+# (kind, needs_input): how each supported aggregate folds into its
+# (value, non-null count) partial pair
+_SESSION_KINDS = ("count_all", "count", "sum", "min", "max", "avg")
+
+
+def _fold_row(kind: str, v: float | None, n: int, x) -> tuple[float | None, int]:
+    """Fold one input value into a (value, count) partial."""
+    import math
+
+    is_null = x is None or (isinstance(x, float) and math.isnan(x))
+    if kind == "count_all":
+        return (v or 0.0) + 1.0, n + 1
+    if is_null:
+        return v, n
+    x = float(x)
+    if kind == "count":
+        return (v or 0.0) + 1.0, n + 1
+    if kind in ("sum", "avg"):
+        return (v or 0.0) + x, n + 1
+    if kind == "min":
+        return x if v is None else min(v, x), n + 1
+    if kind == "max":
+        return x if v is None else max(v, x), n + 1
+    raise ValueError(kind)
+
+
+def _merge_partial(kind: str, a: tuple, b: tuple) -> tuple:
+    (va, na), (vb, nb) = a, b
+    if va is None:
+        return vb, na + nb
+    if vb is None:
+        return va, na + nb
+    if kind == "min":
+        return min(va, vb), na + nb
+    if kind == "max":
+        return max(va, vb), na + nb
+    return va + vb, na + nb  # count/sum/avg partials are additive
+
+
+def session_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    ts_us_col: str,
+    gap_us: int,
+    kinds: list[str],
+    input_cols: list[str | None],
+    out_names: list[str],
+    out_casts: list[str],
+    key_ddl: str,
+) -> DataFrame:
+    """SESSION-window aggregation emitting an UPDATE stream — the
+    operator Spark's built-in session_window cannot run in update mode
+    (sessions merge, so update emission needs custom state; Spark only
+    offers append/complete). The reference emits per-record accumulator
+    updates for session windows (SessionWindowedStream.hs:93-138 +
+    GroupedStream emission); this reproduces that shape with BOUNDED
+    state.
+
+    State per group key = the open sessions only: parallel arrays of
+    [start_us, last_event_us] plus one (value, non-null count) partial
+    pair per aggregate — O(open sessions × aggs), independent of stream
+    length. Each trigger merges the batch's rows into the session list
+    (gap-merge sweep), emits ONLY the touched sessions (update-mode
+    deltas: output per trigger is bounded by batch keys, never the full
+    result), and evicts sessions whose close time has passed the event-
+    time watermark (they can no longer merge with on-time data).
+
+    A session's window is [start, last_event + gap) — Spark
+    session_window semantics, matching the batch path. When sessions
+    merge, the emitted merged row's window COVERS the superseded rows'
+    windows; the view-state upsert resolves supersession by overlap
+    (runtime._view_upsert merge_on_overlap).
+    """
+    assert len(kinds) == len(input_cols) == len(out_names) == len(out_casts)
+    for k in kinds:
+        if k not in _SESSION_KINDS:
+            raise ValueError(f"unsupported session aggregate kind {k!r}")
+
+    import pandas as pd
+
+    n_agg = len(kinds)
+    state_type = (
+        "starts array<long>, lasts array<long>, "
+        "vals array<array<double>>, cnts array<array<long>>"
+    )
+    out_fields = ["window_start timestamp", "window_end timestamp"]
+    if key_ddl:
+        out_fields.append(key_ddl)
+    out_fields += [f"`{nm}` {tp}" for nm, tp in zip(out_names, out_casts)]
+    out_type = ", ".join(out_fields)
+
+    def step(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            starts, lasts, vals, cnts = state.get
+            sessions = [
+                # [start, last, partials, changed]
+                [s, l, [(vals[i][j], cnts[i][j]) for j in range(n_agg)], False]
+                for i, (s, l) in enumerate(zip(starts, lasts))
+            ]
+        else:
+            sessions = []
+
+        for pdf in batches:
+            # positional access: itertuples would mangle the __-prefixed
+            # projection names (namedtuple rejects leading underscores)
+            ts_arr = pdf[ts_us_col].astype("int64").values
+            in_series = [pdf[c] if c is not None else None for c in input_cols]
+            for r in range(len(pdf)):
+                partial = []
+                for j, kind in enumerate(kinds):
+                    x = in_series[j].iloc[r] if in_series[j] is not None else None
+                    partial.append(_fold_row(kind, None, 0, x))
+                sessions.append([int(ts_arr[r]), int(ts_arr[r]), partial, True])
+
+        # gap-merge sweep: sort by start, coalesce overlapping-within-gap
+        sessions.sort(key=lambda s: s[0])
+        merged: list = []
+        for s in sessions:
+            if merged and s[0] <= merged[-1][1] + gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], s[1])
+                m[2] = [
+                    _merge_partial(kinds[j], m[2][j], s[2][j]) for j in range(n_agg)
+                ]
+                m[3] = m[3] or s[3]
+            else:
+                merged.append(s)
+
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except Exception:  # no watermark on the stream: keep all state
+            wm_us = 0
+        keep = [s for s in merged if s[1] + gap_us >= wm_us or wm_us == 0]
+        if keep:
+            state.update(
+                (
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [[p[0] for p in s[2]] for s in keep],
+                    [[p[1] for p in s[2]] for s in keep],
+                )
+            )
+        else:
+            state.remove()
+
+        changed = [s for s in merged if s[3]]
+        if not changed:
+            return
+        out: dict = {
+            "window_start": pd.to_datetime([s[0] for s in changed], unit="us"),
+            "window_end": pd.to_datetime(
+                [s[1] + gap_us for s in changed], unit="us"
+            ),
+        }
+        for i, kcol in enumerate(keys):
+            out[kcol] = [key[i]] * len(changed)
+        for j, nm in enumerate(out_names):
+            col = []
+            for s in changed:
+                v, n = s[2][j]
+                if kinds[j] == "count_all" or kinds[j] == "count":
+                    col.append(int(v or 0))
+                elif n == 0 or v is None:
+                    col.append(None)
+                elif kinds[j] == "avg":
+                    col.append(v / n)
+                elif out_casts[j] in ("bigint", "int", "long"):
+                    col.append(int(v))
+                else:
+                    col.append(v)
+            out[nm] = col
+        yield pd.DataFrame(out)
+
+    from pyspark.sql import functions as F
+
+    # keyless (global) sessionization still needs a grouping column for
+    # the state store; a constant key routes everything to one state row
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(0).alias("__gk"))
+    return grouped.applyInPandasWithState(
+        step,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],

@@ -280,3 +280,81 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
             q.stop()
     finally:
         eng.shutdown()
+
+
+def test_view_state_distributed_multi_partition(engine, spark):
+    """View state lives in a keyed parquet table merged by the cluster
+    (anti-join + union), never a driver structure: many keys across
+    many partitions upsert correctly over multiple triggers."""
+    engine.execute("CREATE STREAM mk_ev (k INTEGER, v INTEGER);")
+    for k in range(20):
+        engine.execute(f"INSERT INTO mk_ev (k, v) VALUES ({k}, 1);")
+    engine.execute(
+        "CREATE VIEW mk_view AS SELECT k, SUM(v) AS total FROM mk_ev GROUP BY k;"
+    )
+    vi = engine.views["mk_view"]
+    vi.handle.processAllAvailable()
+    rows = {r["k"]: r["total"] for r in engine.execute("SELECT k, total FROM mk_view;").collect()}
+    assert rows == {k: 1 for k in range(20)}
+    # second trigger updates a subset; untouched keys must survive the merge
+    for k in (3, 7):
+        engine.execute(f"INSERT INTO mk_ev (k, v) VALUES ({k}, 10);")
+    vi.handle.processAllAvailable()
+    rows = {r["k"]: r["total"] for r in engine.execute("SELECT k, total FROM mk_view;").collect()}
+    assert rows[3] == 11 and rows[7] == 11 and rows[0] == 1 and len(rows) == 20
+    # the state is a real distributed table on disk, read with >1 partition allowed
+    state = engine._view_state_read(vi)
+    assert state.count() == 20
+    import os
+
+    assert os.path.exists(os.path.join(vi.state_dir, "CURRENT"))
+
+
+def test_session_view_update_mode_and_merge(engine):
+    """Streaming SESSION views run in UPDATE mode (per-trigger deltas
+    via the stateful session operator, not a complete-mode refresh), and
+    a bridging event MERGES two sessions — the merged row supersedes its
+    overlapped constituents in view state."""
+    import time as _time
+
+    engine.execute("CREATE STREAM smg_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    engine.execute(f"INSERT INTO smg_ev (k, v, _ts) VALUES ('a', 1, {base});")
+    engine.execute(f"INSERT INTO smg_ev (k, v, _ts) VALUES ('a', 1, {base + 15.0});")
+    engine.execute(
+        "CREATE VIEW smg_view AS SELECT k, COUNT(*) AS n "
+        "FROM SESSION(smg_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    vi = engine.views["smg_view"]
+    assert vi.merge_on_overlap and not vi.replace_all, "session view must use the update path"
+    vi.handle.processAllAvailable()
+    rows = engine.execute("SELECT k, n FROM smg_view;").collect()
+    assert sorted(r["n"] for r in rows) == [1, 1]
+    # bridge the 10s gap: both sessions + the bridge merge into ONE
+    engine.execute(f"INSERT INTO smg_ev (k, v, _ts) VALUES ('a', 1, {base + 7.0});")
+    vi.handle.processAllAvailable()
+    rows = engine.execute("SELECT k, n FROM smg_view;").collect()
+    assert [r["n"] for r in rows] == [3], rows
+
+
+def test_session_push_query_emits_only_touched_sessions(engine):
+    """SELECT ... EMIT CHANGES over SESSION windows ships per-trigger
+    deltas: a trigger touching only key 'b' must not re-emit 'a' rows
+    (the complete-mode fallback would)."""
+    import time as _time
+
+    engine.execute("CREATE STREAM sp_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    engine.execute(f"INSERT INTO sp_ev (k, v, _ts) VALUES ('a', 1, {base});")
+    handle = engine.execute(
+        "SELECT k, COUNT(*) AS n FROM SESSION(sp_ev, INTERVAL 10 SECOND) "
+        "GROUP BY k EMIT CHANGES;"
+    )
+    first = handle.drain()
+    assert [r["k"] for r in first] == ["a"]
+    engine.execute(f"INSERT INTO sp_ev (k, v, _ts) VALUES ('b', 1, {base});")
+    second = handle.drain()
+    # memory sink accumulates; the delta is exactly one 'b' row
+    assert len(second) == len(first) + 1
+    assert [r["k"] for r in second if r["k"] == "b"] == ["b"]
+    handle.stop()
