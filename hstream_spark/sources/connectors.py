@@ -9,10 +9,13 @@ connector is a Spark reader feeding a stream directory and a sink
 connector is a ``foreachBatch`` writer draining one — both inherit
 Spark's partition parallelism and checkpointed exactly-once.
 
-JDBC / Mongo / Elasticsearch need their driver jars on the classpath
-(not present in this environment) — their builders raise a clear
-error at use, with the wiring (options → writer) real and unit-tested
-up to the jar boundary.
+The JDBC path is integration-tested end to end against embedded Derby
+(its driver ships inside Spark) — a real database round trip through
+``jdbc_sink``/``jdbc_source``; mysql/postgresql/sqlserver reuse the
+same code with their driver jar on the classpath. Mongo/Elasticsearch
+need connector jars absent from this environment — their builders
+raise a clear ConnectorError at first batch, with the wiring
+(options → writer) real and tested up to the jar boundary.
 """
 
 from __future__ import annotations
@@ -145,14 +148,19 @@ def parquet_dir_sink(path: str) -> SinkFn:
 
 
 def jdbc_sink(options: dict) -> SinkFn:
-    url = options.get("url") or options.get("URL")
-    table = options.get("dbtable") or options.get("table") or options.get("TABLE")
+    # the SQL parser uppercases WITH-clause keys; Spark's JDBC option map
+    # is case-insensitive, but normalize for our own required-key check
+    opts = {str(k).lower(): v for k, v in options.items()}
+    opts.pop("type", None)
+    url = opts.get("url")
+    table = opts.get("dbtable") or opts.pop("table", None)
     if not url or not table:
         raise ConnectorError("jdbc sink requires url and table options")
+    opts["dbtable"] = table
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         writer = batch_df.write.format("jdbc").mode("append")
-        for k, v in options.items():
+        for k, v in opts.items():
             writer = writer.option(k, str(v))
         try:
             writer.save()
@@ -190,6 +198,7 @@ def elasticsearch_sink(options: dict) -> SinkFn:
 
 SINK_BUILDERS: dict[str, Callable[[dict], SinkFn]] = {
     "blackhole": lambda opts: blackhole_sink(),
+    "jdbc": jdbc_sink,  # generic: any JDBC URL + driver on the classpath
     "mysql": jdbc_sink,
     "postgresql": jdbc_sink,
     "sqlserver": jdbc_sink,

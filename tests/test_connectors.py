@@ -100,3 +100,62 @@ class TestCDC:
         )
         state = {r.k: r.v for r in cdc_apply(flat, ["k"]).collect()}
         assert state == {1: 20.0}  # k=1 upserted to 20, k=2 deleted
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+class TestJDBCRoundTrip:
+    """Real-database integration: embedded Derby (driver ships inside
+    Spark's jars) through the exact jdbc_sink/jdbc_source code paths the
+    mysql/postgresql/sqlserver connectors use."""
+
+    def test_sink_then_source_round_trip(self, engine, spark):
+        from hstream_spark.sources.connectors import jdbc_source
+
+        engine.execute("CREATE STREAM jrt (k INTEGER, s STRING);")
+        engine.execute("INSERT INTO jrt (k, s) VALUES (1, 'a');")
+        engine.execute("INSERT INTO jrt (k, s) VALUES (2, 'b');")
+        info = engine.execute(
+            "CREATE SINK CONNECTOR jd TO jrt WITH (\"type\" = 'jdbc', "
+            "\"url\" = 'jdbc:derby:memory:rtdb;create=true', "
+            "\"dbtable\" = 'jrt_tab', "
+            f"\"driver\" = '{DERBY_DRIVER}');"
+        )
+        assert info.handle is not None
+        info.handle.processAllAvailable()
+        back = jdbc_source(
+            spark,
+            {
+                "url": "jdbc:derby:memory:rtdb",
+                "dbtable": "jrt_tab",
+                "driver": DERBY_DRIVER,
+            },
+        )
+        rows = sorted((r["k"], r["s"]) for r in back.select("k", "s").collect())
+        assert rows == [(1, "a"), (2, "b")]
+        # exactly-once-per-batch: reprocessing without new input adds nothing
+        info.handle.processAllAvailable()
+        assert back.count() == 2
+
+    def test_jdbc_source_bad_options_clear_error(self, spark):
+        from hstream_spark.sources.connectors import ConnectorError, jdbc_source
+
+        with pytest.raises(ConnectorError, match="jdbc source failed"):
+            jdbc_source(spark, {"url": "jdbc:nosuch:x", "dbtable": "t"})
+
+
+class TestJarGatedSinks:
+    def test_mongodb_sink_fails_cleanly_without_jar(self, spark):
+        from hstream_spark.sources.connectors import ConnectorError, mongodb_sink
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ConnectorError, match="mongodb sink failed"):
+            mongodb_sink({"uri": "mongodb://localhost/nope"})(df, 0)
+
+    def test_elasticsearch_sink_fails_cleanly_without_jar(self, spark):
+        from hstream_spark.sources.connectors import ConnectorError, elasticsearch_sink
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ConnectorError, match="elasticsearch sink failed"):
+            elasticsearch_sink({"es.nodes": "localhost"})(df, 0)
