@@ -113,17 +113,36 @@ class ConnectorInfo:
 
 
 class PushQueryHandle:
-    """EMIT CHANGES result: poll emitted rows from the memory sink."""
+    """EMIT CHANGES result: poll emitted rows from the memory sink.
 
-    def __init__(self, engine: "HStreamEngine", query, table: str):
+    The memory sink + collect models the gRPC push stream to ONE client
+    (Handler/Query.hs streaming responses) — inherently driver-sized.
+    ``max_rows`` caps the collect so a push query pointed at a firehose
+    fails loudly instead of OOMing the driver; raise it deliberately for
+    larger drains.
+    """
+
+    def __init__(self, engine: "HStreamEngine", query, table: str,
+                 max_rows: int = 1_000_000):
         self.engine = engine
         self.query = query
         self.table = table
+        self.max_rows = max_rows
 
     def drain(self) -> list:
         """Process all available input synchronously, return emitted rows."""
         self.query.processAllAvailable()
-        return self.engine.spark.sql(f"SELECT * FROM {self.table}").collect()
+        rows = (
+            self.engine.spark.sql(f"SELECT * FROM {self.table}")
+            .limit(self.max_rows + 1)
+            .collect()
+        )
+        if len(rows) > self.max_rows:
+            raise RuntimeError(
+                f"push query {self.table!r} exceeded max_rows={self.max_rows}; "
+                "route high-volume results to a stream/connector sink instead"
+            )
+        return rows
 
     def stop(self):
         self.query.stop()
@@ -479,6 +498,25 @@ class HStreamEngine:
                 .foreachBatch(sink_fn)
                 .start()
             )
+        elif stmt.kind == "SOURCE" and ctype in (
+            "jdbc", "mysql", "postgresql", "sqlserver",
+        ):
+            # per-database CDC source (conf/hstream.yaml:129-134) as a
+            # JDBC snapshot into the stream: the initial-load phase of
+            # Debezium-style CDC; continuous tailing belongs to a
+            # Kafka+Debezium deployment of the same stream abstraction
+            target = self._require_stream(info.target)
+            opts = {
+                str(k).lower(): v
+                for k, v in info.options.items()
+                if str(k).upper() != "TYPE"
+            }
+            snap = C.jdbc_source(self.spark, opts).withColumn(
+                EVENT_TIME_COL, F.current_timestamp()
+            )
+            if target.schema is None:
+                target.schema = snap.schema
+            snap.write.mode("append").parquet(target.path)
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
             rate = C.rate_source(

@@ -159,3 +159,23 @@ class TestJarGatedSinks:
         df = spark.createDataFrame([(1,)], "a long")
         with pytest.raises(ConnectorError, match="elasticsearch sink failed"):
             elasticsearch_sink({"es.nodes": "localhost"})(df, 0)
+
+
+def test_jdbc_source_connector_snapshot_into_stream(engine, spark):
+    """Per-database CDC source (mysql/postgresql/... = JDBC snapshot
+    phase) through the engine's SQL surface, against embedded Derby."""
+    src = spark.createDataFrame([(10, "x"), (20, "y")], "k long, s string")
+    (src.write.format("jdbc").mode("append")
+        .option("url", "jdbc:derby:memory:srcdb;create=true")
+        .option("dbtable", "src_tab").option("driver", DERBY_DRIVER).save())
+    engine.execute("CREATE STREAM jsrc;")
+    engine.execute(
+        "CREATE SOURCE CONNECTOR js FROM jsrc WITH (\"type\" = 'jdbc', "
+        "\"url\" = 'jdbc:derby:memory:srcdb', "
+        "\"dbtable\" = 'src_tab', "
+        f"\"driver\" = '{DERBY_DRIVER}');"
+    )
+    out = engine.execute("SELECT * FROM jsrc;")
+    cols = {c.lower(): c for c in out.columns}
+    rows = sorted((r[cols["k"]], r[cols["s"]]) for r in out.collect())
+    assert rows == [(10, "x"), (20, "y")]
