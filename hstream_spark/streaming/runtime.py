@@ -67,12 +67,36 @@ def _ddl_type(name: str) -> T.DataType:
     return _TYPE_MAP[name]
 
 
+def _infer_dynamic_type(v) -> T.DataType:
+    """Spark type for a JSON-decoded dynamic-record value (schemaless
+    evolution). bool before int: bool is an int subclass in Python."""
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(v, list):
+        elem = _infer_dynamic_type(v[0]) if v else T.StringType()
+        return T.ArrayType(elem)
+    return T.StringType()  # str, None, and JSONB-serialized documents
+
+
 @dataclass
 class StreamInfo:
     name: str
     path: str
     schema: Optional[T.StructType] = None
     options: dict = field(default_factory=dict)
+    # schemaless mode (the reference DEFAULT — FlowObject dynamic rows,
+    # Rts/Old.hs:44): streams declared without columns accept records
+    # with unseen fields by EVOLVING the schema (new nullable columns;
+    # older parquet files read as NULL for them). Typed streams reject
+    # unknown fields. Heterogeneous types per field are the documented
+    # divergence: we are column-typed, the reference is value-typed.
+    dynamic: bool = False
 
 
 @dataclass
@@ -362,7 +386,9 @@ class HStreamEngine:
             fields = [T.StructField(c.name, _ddl_type(c.data_type)) for c in stmt.columns]
             fields.append(T.StructField(EVENT_TIME_COL, T.TimestampType()))
             schema = T.StructType(fields)
-        info = StreamInfo(stmt.name, path, schema, dict(stmt.options))
+        info = StreamInfo(
+            stmt.name, path, schema, dict(stmt.options), dynamic=not stmt.columns
+        )
         self.streams[stmt.name] = info
         return info
 
@@ -569,6 +595,10 @@ class HStreamEngine:
         # the INSERT (epoch seconds) overrides it — event-time ingestion
         # for replays and late-data testing
         now = float(record.pop(EVENT_TIME_COL, time.time()))
+        # nested documents (FlowSubObject) persist as JSONB text columns
+        record = {
+            k: json.dumps(v) if isinstance(v, dict) else v for k, v in record.items()
+        }
         schema = info.schema
         if schema is None:
             row_df = self.spark.createDataFrame([record]).withColumn(
@@ -576,11 +606,35 @@ class HStreamEngine:
             )
             info.schema = row_df.schema
         else:
+            known = {f.name for f in schema.fields}
+            extra = [(k, v) for k, v in record.items() if k not in known]
+            if extra and not info.dynamic:
+                raise CompileError(
+                    f"unknown column(s) {sorted(k for k, _ in extra)!r} in INSERT "
+                    f"into typed stream {info.name!r}"
+                )
+            if extra:
+                # schemaless evolution: widen the stream schema; existing
+                # parquet files surface NULL for the new columns
+                base_fields = [f for f in schema.fields if f.name != EVENT_TIME_COL]
+                base_fields += [
+                    T.StructField(k, _infer_dynamic_type(v)) for k, v in extra
+                ]
+                info.schema = T.StructType(
+                    base_fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
+                )
+                schema = info.schema
             values = [record.get(f.name) for f in schema.fields if f.name != EVENT_TIME_COL]
             base = T.StructType([f for f in schema.fields if f.name != EVENT_TIME_COL])
-            row_df = self.spark.createDataFrame([values], base).withColumn(
-                EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
-            )
+            try:
+                row_df = self.spark.createDataFrame([values], base).withColumn(
+                    EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
+                )
+            except Exception as exc:  # noqa: BLE001 - type conflict
+                raise CompileError(
+                    f"INSERT value types conflict with stream {info.name!r} "
+                    f"schema ({exc})"
+                ) from exc
         row_df.write.mode("append").parquet(info.path)
         self.vacuum(stmt.stream)
         return 1
