@@ -69,6 +69,8 @@ HEADLINE = [
     "deterministic_sample",
     "stratified_sample",
     "embedding_kmeans",
+    "extended_json_scan",
+    "kmeans_assign",
 ]
 
 

@@ -2714,8 +2714,13 @@ def q_extended_json_scan(spark, sf):
     Rts/Old.hs:134-198) and lowered back to typed columns by the scan
     decoder. The oracle pins decode ∘ encode = identity against the
     original typed values, proving both directions. Map-only both ways
-    (one from_json pass + per-field Catalyst decoders, no Python)."""
+    (one from_json pass + per-field Catalyst decoders, no Python);
+    `spread` fans the small-file test input across cores — JSON parse
+    is CPU-bound, and at corpus scale the many input files make it a
+    no-op. Projection BEFORE the spread shuffle: only the six needed
+    columns move, not the whole record."""
     from hstream_spark.sources import extended_json as EJ
+    from hstream_spark.sources.tables import spread
 
     ev = load_table(spark, sf, "events")
     fields = {
@@ -2725,13 +2730,15 @@ def q_extended_json_scan(spark, sf):
         "d": "DATE",
         "tstamp": "TIMESTAMP",
     }
-    typed = ev.select(
-        "event_id",
-        F.col("user_id").alias("uid"),
-        F.col("value").alias("val"),
-        F.col("event_type").cast("binary").alias("blob"),
-        F.to_date("ts").alias("d"),
-        F.col("ts").alias("tstamp"),
+    typed = spread(
+        ev.select(
+            "event_id",
+            F.col("user_id").alias("uid"),
+            F.col("value").alias("val"),
+            F.col("event_type").cast("binary").alias("blob"),
+            F.to_date("ts").alias("d"),
+            F.col("ts").alias("tstamp"),
+        )
     )
     wire = EJ.encode_record(typed, fields).select("event_id", "payload")
     dec = EJ.decode_record(wire, "payload", fields, keep=["event_id"])
