@@ -177,7 +177,7 @@ class HStreamEngine:
     queries / views / connectors over a SparkSession."""
 
     def __init__(self, spark: SparkSession, data_root: str,
-                 grace: str = DEFAULT_GRACE):
+                 grace: str = DEFAULT_GRACE, recover: bool = True):
         self.spark = spark
         self.data_root = data_root
         self.grace = grace
@@ -186,7 +186,45 @@ class HStreamEngine:
         self.views: dict[str, ViewInfo] = {}
         self.connectors: dict[str, ConnectorInfo] = {}
         self._qcounter = 0
+        self._replaying = False
         os.makedirs(data_root, exist_ok=True)
+        if recover:
+            self._recover()
+
+    # -- catalog durability --------------------------------------------------
+    #
+    # The reference persists its catalog in a meta-store and rebuilds
+    # server state on restart (hstream/src/HStream/Server/Core — stream/
+    # query/view metadata survive the process). Here the meta-store is an
+    # append-only DDL log: every successful catalog-mutating statement is
+    # recorded, and a new engine over the same data_root REPLAYS it.
+    # Stream data (parquet dirs), view state (keyed-parquet versions),
+    # and query progress (Structured Streaming checkpoints) are already
+    # durable on disk, so replaying the DDL reattaches to all of them —
+    # continuous queries resume from their checkpoints exactly-once.
+
+    @property
+    def _ddl_log(self) -> str:
+        return os.path.join(self.data_root, "_ddl_log.jsonl")
+
+    def _log_ddl(self, sql: str) -> None:
+        if self._replaying:
+            return
+        with open(self._ddl_log, "a") as f:
+            f.write(json.dumps({"sql": sql}) + "\n")
+
+    def _recover(self) -> None:
+        if not os.path.exists(self._ddl_log):
+            return
+        self._replaying = True
+        try:
+            with open(self._ddl_log) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self.execute(json.loads(line)["sql"])
+        finally:
+            self._replaying = False
 
     # -- helpers ------------------------------------------------------------
 
@@ -318,27 +356,46 @@ class HStreamEngine:
         if isinstance(stmt, A.Select):
             return self._exec_select(stmt, sql)
         if isinstance(stmt, A.CreateStream):
-            return self._exec_create_stream(stmt)
+            out = self._exec_create_stream(stmt)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.CreateStreamAs):
-            return self._exec_create_stream_as(stmt, sql)
+            out = self._exec_create_stream_as(stmt, sql)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.CreateView):
-            return self._exec_create_view(stmt, sql)
+            out = self._exec_create_view(stmt, sql)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.CreateConnector):
-            return self._exec_create_connector(stmt)
+            out = self._exec_create_connector(stmt)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.Insert):
-            return self._exec_insert(stmt, sql)
+            out = self._exec_insert(stmt, sql)
+            if stmt.select is not None:  # continuous query → catalog state
+                self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.Show):
             return self._exec_show(stmt)
         if isinstance(stmt, A.Drop):
-            return self._exec_drop(stmt)
+            out = self._exec_drop(stmt)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.Terminate):
-            return self._terminate(stmt.name)
+            out = self._terminate(stmt.name)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.Explain):
             return self._exec_explain(stmt)
         if isinstance(stmt, A.Pause):
-            return self._pause(stmt)
+            out = self._pause(stmt)
+            self._log_ddl(sql)
+            return out
         if isinstance(stmt, A.Resume):
-            return self._resume(stmt)
+            out = self._resume(stmt)
+            self._log_ddl(sql)
+            return out
         raise CompileError(f"unsupported statement {type(stmt).__name__}")
 
     # -- DDL ----------------------------------------------------------------
@@ -431,7 +488,11 @@ class HStreamEngine:
 
     def _exec_create_stream_as(self, stmt: A.CreateStreamAs, sql: str) -> QueryInfo:
         self._exec_create_stream(A.CreateStream(stmt.name, options=stmt.options))
-        return self._start_continuous(stmt.select, stmt.name, sql)
+        # deterministic query name → the DDL-log replay after a restart
+        # reattaches to the same checkpoint (exactly-once resume)
+        return self._start_continuous(
+            stmt.select, stmt.name, sql, qname=f"csas_{stmt.name}"
+        )
 
     def _exec_create_view(self, stmt: A.CreateView, sql: str) -> ViewInfo:
         if stmt.name in self.views:
@@ -530,7 +591,12 @@ class HStreamEngine:
             # per-database CDC source (conf/hstream.yaml:129-134) as a
             # JDBC snapshot into the stream: the initial-load phase of
             # Debezium-style CDC; continuous tailing belongs to a
-            # Kafka+Debezium deployment of the same stream abstraction
+            # Kafka+Debezium deployment of the same stream abstraction.
+            # On DDL-log replay the snapshot already sits in the stream
+            # directory — re-running it would duplicate every row.
+            if self._replaying:
+                self.connectors.setdefault(stmt.name, info)
+                return info
             target = self._require_stream(info.target)
             opts = {
                 str(k).lower(): v
@@ -566,7 +632,10 @@ class HStreamEngine:
     def _exec_insert(self, stmt: A.Insert, sql: str):
         info = self._require_stream(stmt.stream)
         if stmt.select is not None:
-            return self._start_continuous(stmt.select, stmt.stream, sql)
+            import hashlib
+
+            qname = f"ins_{hashlib.md5(sql.encode()).hexdigest()[:10]}"
+            return self._start_continuous(stmt.select, stmt.stream, sql, qname=qname)
         from hstream_spark.plans.compiler import compile_expr
 
         if stmt.raw is not None:
@@ -733,6 +802,8 @@ class HStreamEngine:
 
     def _terminate(self, qname: str):
         if qname not in self.queries:
+            if self._replaying:
+                return None  # e.g. a push query that isn't recreated on restart
             raise CompileError(f"unknown query {qname!r}")
         q = self.queries[qname]
         if q.handle is not None:
@@ -741,6 +812,10 @@ class HStreamEngine:
         return q
 
     def _pause(self, stmt: A.Pause):
+        if self._replaying and stmt.name not in (
+            self.connectors if stmt.what == "CONNECTOR" else self.queries
+        ):
+            return None
         if stmt.what == "CONNECTOR":
             c = self.connectors[stmt.name]
             if c.handle is not None:
@@ -757,6 +832,10 @@ class HStreamEngine:
         return q
 
     def _resume(self, stmt: A.Resume):
+        if self._replaying and stmt.name not in (
+            self.connectors if stmt.what == "CONNECTOR" else self.queries
+        ):
+            return None
         if stmt.what == "CONNECTOR":
             c = self.connectors[stmt.name]
             if c.status == "PAUSED" and c.handle is None:

@@ -201,3 +201,74 @@ class TestSchemalessMode:
         # ingestion, then the document serialized as JSONB text
         assert row["k"] == 1
         assert '"x":9' in row["doc"].replace(" ", "")
+
+
+class TestRestartRecovery:
+    """Server-restart recovery — the reference rebuilds streams/queries/
+    views from its meta-store on startup; here a new engine over the
+    same data_root replays the DDL log, reattaching to stream parquet,
+    view state, and query checkpoints (exactly-once resume)."""
+
+    def test_catalog_and_view_survive_restart(self, spark, tmp_path):
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "srv")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM rec_ev (k STRING, v INTEGER);")
+        a.execute("INSERT INTO rec_ev (k, v) VALUES ('x', 1);")
+        a.execute(
+            "CREATE VIEW rec_view AS SELECT k, SUM(v) AS total FROM rec_ev GROUP BY k;"
+        )
+        a.views["rec_view"].handle.processAllAvailable()
+        assert [(r["k"], r["total"]) for r in a.execute("SELECT k, total FROM rec_view;").collect()] == [("x", 1)]
+        a.shutdown()
+
+        b = HStreamEngine(spark, root)
+        try:
+            assert set(b.streams) == {"rec_ev"}
+            assert set(b.views) == {"rec_view"}
+            # view state readable immediately after recovery
+            rows = b.execute("SELECT k, total FROM rec_view;").collect()
+            assert [(r["k"], r["total"]) for r in rows] == [("x", 1)]
+            # the recovered continuous query resumes from its checkpoint:
+            # new input increments, the pre-restart row is NOT re-counted
+            b.execute("INSERT INTO rec_ev (k, v) VALUES ('x', 4);")
+            b.views["rec_view"].handle.processAllAvailable()
+            rows = b.execute("SELECT k, total FROM rec_view;").collect()
+            assert [(r["k"], r["total"]) for r in rows] == [("x", 5)]
+        finally:
+            b.shutdown()
+
+    def test_terminated_query_stays_terminated(self, spark, tmp_path):
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "srv2")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM t_src (a INTEGER);")
+        a.execute("CREATE STREAM t_dst AS SELECT a FROM t_src;")
+        qname = next(iter(a.queries))
+        a.execute(f"TERMINATE QUERY {qname};")
+        a.shutdown()
+
+        b = HStreamEngine(spark, root)
+        try:
+            assert set(b.streams) == {"t_src", "t_dst"}
+            assert b.queries[qname].status == "TERMINATED"
+            assert b.queries[qname].handle is None or not b.queries[qname].handle.isActive
+        finally:
+            b.shutdown()
+
+    def test_dropped_objects_stay_dropped(self, spark, tmp_path):
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "srv3")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM d1 (a INTEGER);")
+        a.execute("CREATE STREAM d2 (a INTEGER);")
+        a.execute("DROP STREAM d1;")
+        a.shutdown()
+        b = HStreamEngine(spark, root)
+        try:
+            assert set(b.streams) == {"d2"}
+        finally:
+            b.shutdown()
