@@ -71,6 +71,7 @@ HEADLINE = [
     "embedding_kmeans",
     "extended_json_scan",
     "kmeans_assign",
+    "dedup_prune",
 ]
 
 

@@ -192,11 +192,14 @@ def connected_components(
     matches into groups with a deterministic canonical member
     (component = min id).
 
-    Pregel-style driver loop: every iteration is ONE distributed
-    join+groupBy (no per-row driver work); iterations needed = graph
-    diameter, which for near-dup clusters is tiny. ``localCheckpoint``
-    truncates lineage each round so the plan stays flat no matter how
-    many iterations run.
+    Pregel-style driver loop with POINTER JUMPING: each round a node
+    takes the min of its own label, its neighbors' labels, and its
+    label's label (path compression), so convergence is O(log diameter)
+    rounds instead of O(diameter) — the difference between 4 and 40
+    shuffles on chain-shaped clusters at corpus scale. Every round is
+    two distributed joins + one groupBy; the convergence flag rides the
+    checkpointed frame (no extra join job), and ``localCheckpoint``
+    truncates lineage so the plan stays flat regardless of rounds.
     """
     e = pairs.select(
         F.col(left_col).cast("long").alias("a"),
@@ -217,23 +220,28 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nb_label"))
         )
+        # label-of-label (pointer jumping): follow one indirection so
+        # chains halve every round
+        lbl2 = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.node")
+        ).select(F.col("x.node").alias("n2"), F.col("y.label").alias("ll"))
+        best = F.least(
+            F.col("label"),
+            F.coalesce(F.col("nb_label"), F.col("label")),
+            F.coalesce(F.col("ll"), F.col("label")),
+        )
         new_labels = (
             labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .join(lbl2, labels["node"] == lbl2["n2"], "left")
             .select(
                 F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
-                ).alias("label"),
+                best.alias("label"),
+                (best < F.col("label")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     edges.unpersist()
@@ -344,4 +352,33 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float
     jac = inter.cast("double") / union.cast("double")
     return joined.select(*block_cols, "doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def prune_duplicates(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """End-to-end duplicate REMOVAL: keep one canonical member per
+    near-duplicate cluster — the completion step every dedup pipeline
+    actually ships (pairs → clusters → pruned corpus).
+
+    Clusters come from min-label propagation (`connected_components`),
+    whose component id IS the minimum member id, so the canonical
+    survivor per cluster is deterministic (lowest id) and the losers
+    are exactly the rows where doc_id != component. The prune is one
+    left-anti hash join of the corpus against that loser set — at
+    100 TB the corpus never moves except through the anti join's
+    equi-shuffle, and the loser side is |duplicates|-sized, typically
+    a small fraction of the corpus (broadcast when it fits).
+    """
+    comps = connected_components(pairs, left_col=left_col, right_col=right_col)
+    losers = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("__loser")
+    )
+    return corpus.join(
+        losers, corpus[id_col] == losers["__loser"], "left_anti"
     )

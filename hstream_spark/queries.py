@@ -1202,6 +1202,43 @@ def q_dedup_components(spark, sf):
     return D.connected_components(pairs, left_col="id_a", right_col="id_b")
 
 
+def _dedup_prune_oracle(dim: int = 64, planes: int = 8) -> str:
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
+b AS (SELECT vec_id, vn, {bucket_terms} AS bucket FROM e),
+pr AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE list_dot_product(a.vn, b2.vn) >= 0.2),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
+@register("dedup_prune", _dedup_prune_oracle(), tags=("dedup", "prune"))
+def q_dedup_prune(spark, sf):
+    """The dedup pipeline's final step: remove every near-duplicate
+    except its cluster's canonical (minimum-id) member. pairs → min-
+    label components → one left-anti join against the loser set; the
+    oracle replays it with a recursive transitive closure."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = SIM.embedding_near_duplicates(
+        emb, threshold=0.2, dim=64, planes=8, blocked=True
+    )
+    return D.prune_duplicates(emb, pairs, id_col="vec_id").select("vec_id")
+
+
 def _lang_counts_sql() -> str:
     parts = []
     for lang, markers in TX.LANG_MARKERS.items():
