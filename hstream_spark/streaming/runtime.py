@@ -471,11 +471,9 @@ class HStreamEngine:
         )
         mode = "update" if aggregated else "append"
 
-        def sink_batch(batch_df: DataFrame, epoch_id: int):
-            if stamp_ts:
-                batch_df = batch_df.withColumn(EVENT_TIME_COL, F.current_timestamp())
-            batch_df.write.mode("append").parquet(sink.path)
-
+        sink_batch = self._idempotent_sink(
+            self._checkpoint(qname), sink.path, stamp_ts=stamp_ts
+        )
         q = (
             out.writeStream.outputMode(mode)
             .option("checkpointLocation", self._checkpoint(qname))
@@ -485,6 +483,39 @@ class HStreamEngine:
         qi = QueryInfo(qname, sql, sink_stream, self._checkpoint(qname), q)
         self.queries[qname] = qi
         return qi
+
+    @staticmethod
+    def _idempotent_sink(checkpoint_dir: str, sink_path: str, stamp_ts: bool = False):
+        """foreachBatch writer with epoch-marker idempotence: Spark's
+        foreachBatch is at-least-once (a crash between the sink write
+        and the offset commit replays the epoch), so the sink records
+        the last epoch it wrote and skips replays — the standard
+        batchId-dedup pattern that upgrades the parquet sink to
+        exactly-once."""
+
+        marker = os.path.join(checkpoint_dir, "_sink_epoch")
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            last = -1
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    last = int(f.read().strip() or -1)
+            if epoch_id <= last:
+                return  # replayed epoch: already durable in the sink
+            if stamp_ts:
+                out_df = batch_df.withColumn(
+                    EVENT_TIME_COL, F.current_timestamp()
+                )
+            else:
+                out_df = batch_df
+            out_df.write.mode("append").parquet(sink_path)
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(epoch_id))
+            os.replace(tmp, marker)
+
+        return sink_batch
 
     def _exec_create_stream_as(self, stmt: A.CreateStreamAs, sql: str) -> QueryInfo:
         self._exec_create_stream(A.CreateStream(stmt.name, options=stmt.options))
@@ -856,14 +887,10 @@ class HStreamEngine:
         aggregated = bool(select.group_by) or any(
             find_aggs(it.expr) for it in select.items
         )
-
-        def sink_batch(batch_df: DataFrame, epoch_id: int):
-            batch_df.write.mode("append").parquet(sink.path)
-
         q.handle = (
             out.writeStream.outputMode("update" if aggregated else "append")
             .option("checkpointLocation", q.checkpoint)
-            .foreachBatch(sink_batch)
+            .foreachBatch(self._idempotent_sink(q.checkpoint, sink.path))
             .start()
         )
         q.status = "RUNNING"

@@ -272,3 +272,35 @@ class TestRestartRecovery:
             assert set(b.streams) == {"d2"}
         finally:
             b.shutdown()
+
+
+def test_idempotent_sink_skips_replayed_epochs(spark, tmp_path):
+    """foreachBatch is at-least-once; the epoch marker upgrades the
+    parquet sink to exactly-once by skipping replayed batch ids."""
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(ckpt)
+    fn = HStreamEngine._idempotent_sink(ckpt, sink)
+    df = spark.createDataFrame([(1,)], "a long")
+    fn(df, 0)
+    fn(df, 0)  # replay of the same epoch: must not double-write
+    fn(df, 1)
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_streaming_topk_view(engine):
+    """TOPK as a streaming incremental aggregate through the view path
+    (the reference's update-mode TOPK accumulator, AggOp.hs:153-157)."""
+    engine.execute("CREATE STREAM tkv_ev (k STRING, v INTEGER);")
+    for v in (5, 9, 1, 7):
+        engine.execute(f"INSERT INTO tkv_ev (k, v) VALUES ('a', {v});")
+    engine.execute(
+        "CREATE VIEW tkv_view AS SELECT k, TOPK(v, 2) AS t2 FROM tkv_ev GROUP BY k;"
+    )
+    engine.views["tkv_view"].handle.processAllAvailable()
+    rows = engine.execute("SELECT k, t2 FROM tkv_view;").collect()
+    assert [(r["k"], list(r["t2"])) for r in rows] == [("a", [9, 7])]
