@@ -72,6 +72,9 @@ HEADLINE = [
     "extended_json_scan",
     "kmeans_assign",
     "dedup_prune",
+    "tpch_q12ish",
+    "tpch_q15ish",
+    "tpch_q9ish",
 ]
 
 

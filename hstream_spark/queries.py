@@ -2423,6 +2423,139 @@ def q_tpch_q22ish(spark, sf):
 
 
 @register(
+    "tpch_q12ish",
+    """
+    SELECT o.o_orderpriority,
+           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END)                               AS late_lines,
+           SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END)                               AS ontime_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         ELSE 0 END) AS DOUBLE)                      AS late_revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "agg", "conditional"),
+)
+def q_tpch_q12ish(spark, sf):
+    """Q12 shape (shipping-priority lateness): conditional aggregation —
+    CASE expressions inside SUM so one pass over the join produces both
+    branches. One shuffle on the tiny priority key after a broadcast-
+    eligible orders join; the CASE arithmetic is all codegen'd."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+        F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_lines"),
+        F.sum(F.when(late, _dec(F.col("l_extendedprice"))).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("late_revenue"),
+    )
+
+
+@register(
+    "tpch_q15ish",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("tpch", "agg", "scalar-subquery"),
+)
+def q_tpch_q15ish(spark, sf):
+    """Q15 (top supplier): the revenue CTE is built ONCE and reused for
+    both the max (a 1-row aggregate broadcast back in) and the final
+    filter — localCheckpoint-free reuse via a cheap crossJoin of the
+    scalar. Ties keep every maximal supplier (reference semantics)."""
+    lo = F.lit("1996-01-01").cast("date")
+    hi = F.lit("1996-04-01").cast("date")
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("total_rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "tpch_q9ish",
+    """
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q9ish(spark, sf):
+    """Q9 shape (product-line profit by nation and year): a five-way
+    join where every dimension side (filtered part, supplier, nation)
+    broadcasts and only lineitem⋈orders shuffles; the year comes from a
+    codegen'd date_format. At 100 TB the single wide shuffle on
+    orderkey is the whole cost."""
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+    )
+    return (
+        j.withColumn("o_year", F.date_format("o_orderdate", "yyyy").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@register(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
