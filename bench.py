@@ -75,6 +75,7 @@ HEADLINE = [
     "tpch_q12ish",
     "tpch_q15ish",
     "tpch_q9ish",
+    "boilerplate_signals",
 ]
 
 

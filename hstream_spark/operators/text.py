@@ -311,3 +311,58 @@ def simhash_bits() -> int:
 def simhash_weights(text: Column) -> Column:
     """Token-hash array used by the SimHash aggregation (see dedup.simhash)."""
     return F.transform(tokens(text), token_hash)
+
+
+def boilerplate_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 3,
+):
+    """Corpus-level boilerplate detection — the C4-style "remove lines
+    that repeat across many documents" pass, at word-n-gram granularity
+    (this corpus has no line structure): for each document, how many of
+    its distinct n-grams occur in >= ``min_df`` documents, and the
+    boilerplate fraction.
+
+    Shape: per-doc DISTINCT grams explode map-side (int64-hashed —
+    8-byte keys through every shuffle); one gram-keyed groupBy with
+    map-side partial counts produces the document-frequency table; the
+    high-DF "boiler" set is TINY by construction (repetition across
+    >= min_df docs) so the membership check is a broadcast-eligible
+    semi join; a final per-doc re-aggregation emits the signals. At
+    100 TB: two shuffles (gram DF, per-doc re-agg), boiler set
+    broadcast, no strings wider than the hash ever move.
+    """
+    from pyspark.sql.functions import broadcast
+
+    g = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(ngrams(F.col(text_col), n), lambda x: F.xxhash64(x))
+            )
+        ).alias("g"),
+    )
+    boiler = (
+        g.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
+    ).select("g")
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        g.join(broadcast(boiler), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("boiler_frac"),
+        )
+    )

@@ -1202,6 +1202,33 @@ def q_dedup_components(spark, sf):
     return D.connected_components(pairs, left_col="id_a", right_col="id_b")
 
 
+_BOILER_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 2)) AS s(i)),
+boiler AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram) d
+           WHERE df >= 3),
+per AS (SELECT doc_id,
+               count(*) AS n_grams,
+               count(*) FILTER (WHERE gram IN (SELECT gram FROM boiler)) AS n_boiler
+        FROM g GROUP BY doc_id)
+SELECT doc_id, n_grams, n_boiler,
+       n_boiler / CAST(n_grams AS DOUBLE) AS boiler_frac
+FROM per
+"""
+
+
+@register("boilerplate_signals", _BOILER_ORACLE, tags=("text", "boilerplate"))
+def q_boilerplate_signals(spark, sf):
+    """C4-style cross-document boilerplate detection (per-doc count and
+    fraction of 3-grams repeated in >=3 documents)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.boilerplate_signals(docs, n=3, min_df=3)
+
+
 def _dedup_prune_oracle(dim: int = 64, planes: int = 8) -> str:
     bucket_terms = " + ".join(
         f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"

@@ -119,3 +119,22 @@ def test_sliding_parses_through_frontend(spark):
     out = compile_select(stmt, lambda name: src)
     got = sorted((r["k"], r["s"]) for r in out.collect())
     assert got == [("a", 1), ("a", 3)]
+
+
+def test_boilerplate_signals_flags_repeated_grams(spark):
+    from hstream_spark.operators.text import boilerplate_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "call us now for more info today"),
+            (2, "call us now please and thanks a lot"),
+            (3, "call us now about anything else entirely"),
+            (4, "completely unrelated words appear right here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_signals(docs, n=3, min_df=3).collect()}
+    # "call us now" appears in 3 docs -> boiler; doc 4 has none
+    assert rows[1]["n_boiler"] == 1 and rows[2]["n_boiler"] == 1 and rows[3]["n_boiler"] == 1
+    assert rows[4]["n_boiler"] == 0 and rows[4]["boiler_frac"] == 0.0
+    assert rows[1]["boiler_frac"] > 0
