@@ -76,6 +76,8 @@ HEADLINE = [
     "tpch_q15ish",
     "tpch_q9ish",
     "boilerplate_signals",
+    "embedding_quantize",
+    "cap_per_group",
 ]
 
 

@@ -77,3 +77,32 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * buckets))
         ).otherwise(thresh)
     return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    limit: int,
+) -> DataFrame:
+    """Keep at most ``limit`` rows per group, chosen DETERMINISTICALLY
+    by id-hash rank — the "at most K documents per domain/source"
+    downsampling rule of corpus curation, reproducible across engines
+    and partitionings (unlike per-group random reservoirs).
+
+    One shuffle on the group key; the rank is a window row_number over
+    (hash, id) so ties are impossible for distinct ids. Skewed groups
+    (one domain with 10^9 docs) cost one hot partition during ranking —
+    for pathological skew, pre-filter with `deterministic_sample` to
+    approach the cap before the exact rank.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), 1_000_000_007), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= limit)
+        .drop("__rk")
+    )

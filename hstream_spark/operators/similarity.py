@@ -534,3 +534,32 @@ def kmeans_assign(
         (-best["n"]).alias("cluster"),
         best["c"].alias("cos"),
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4×
+    storage/bandwidth reduction step before a corpus-scale ANN index
+    (dequantized value = q / scale, |error| <= 0.5/scale per element).
+
+    Map-only Catalyst expressions; the per-vector scale (127/max|x|)
+    is materialized as a COLUMN in a first projection so the per-
+    element transform reads it instead of re-deriving the array max
+    per element (higher-order functions are interpreted without CSE).
+    Rounding is floor(x*scale + 0.5) — identical on every engine,
+    unlike round()'s half-even/half-away divergence.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = corpus.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    q = F.transform(
+        F.col("__v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
+    )
+    return base.select(id_col, "scale", q.alias("qvec"))

@@ -1202,6 +1202,71 @@ def q_dedup_components(spark, sf):
     return D.connected_components(pairs, left_col="id_a", right_col="id_b")
 
 
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 1.0 END AS scale
+      FROM e),
+q AS (SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+      FROM s)
+SELECT vec_id, scale,
+       list_sum(qv)  AS qsum,
+       list_min(qv)  AS qmin,
+       list_max(qv)  AS qmax
+FROM q
+"""
+
+
+@register("embedding_quantize", _QUANT_ORACLE, tags=("similarity", "quantize"))
+def q_embedding_quantize(spark, sf):
+    """Int8 symmetric quantization of the embedding corpus, verified by
+    per-vector checksums (sum/min/max of the quantized values + scale)
+    since the canonicalizer can't hash arrays."""
+    emb = load_table(spark, sf, "embeddings")
+    q = SIM.quantize_embeddings(emb)
+    qv = F.col("qvec")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.array_min(qv).alias("qmin"),
+        F.array_max(qv).alias("qmax"),
+    )
+
+
+@register(
+    "cap_per_group",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000007, doc_id
+             ) AS rk
+      FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS lang
+            FROM documents)
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 20
+    """,
+    tags=("sampling", "cap"),
+)
+def q_cap_per_group(spark, sf):
+    """At-most-K-per-group downsampling (the per-domain cap of corpus
+    curation) with a deterministic hash rank — the kept set is
+    engine-independent. Group = a synthetic 16-way label derived from
+    the id hash (the corpus has no domain column)."""
+    from hstream_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("lang")
+    )
+    return SMP.cap_per_group(docs, "doc_id", "lang", 20)
+
+
 _BOILER_ORACLE = """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
            FROM documents),

@@ -59,3 +59,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from hstream_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "doc_id long, grp string"
+    )
+    a = cap_per_group(df, "doc_id", "grp", 5)
+    b = cap_per_group(df.repartition(7), "doc_id", "grp", 5)
+    rows_a = sorted((r["grp"], r["doc_id"]) for r in a.collect())
+    rows_b = sorted((r["grp"], r["doc_id"]) for r in b.collect())
+    assert rows_a == rows_b, "kept set must be partitioning-independent"
+    from collections import Counter
+
+    per = Counter(g for g, _ in rows_a)
+    assert all(n == 5 for n in per.values())
+
+
+def test_quantize_embeddings_error_bound(spark):
+    from hstream_spark.operators.similarity import quantize_embeddings
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df).collect()
+    by_id = {r["vec_id"]: r for r in q}
+    # dequantized error <= 0.5/scale per element; max|q| == 127 exactly
+    for r in q:
+        assert max(abs(x) for x in r["qvec"]) == 127
+    assert by_id[1]["scale"] == 127.0  # max|x| = 1.0
