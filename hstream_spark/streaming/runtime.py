@@ -819,14 +819,29 @@ class HStreamEngine:
             if stmt.if_exists:
                 return False
             raise CompileError(f"{stmt.what} {stmt.name!r} does not exist")
+        # dropped objects take their checkpoints with them: a stale
+        # checkpoint would make a same-name successor resume from the
+        # predecessor's offsets over empty state and silently skip
+        # every pre-existing record
         if stmt.what == "QUERY":
             self._terminate(stmt.name)
+            shutil.rmtree(self._checkpoint(stmt.name), ignore_errors=True)
         if stmt.what == "VIEW":
             view = self.views[stmt.name]
             if view.handle is not None:
                 view.handle.stop()
             shutil.rmtree(view.state_dir, ignore_errors=True)
+            shutil.rmtree(
+                self._checkpoint(f"view_{stmt.name}"), ignore_errors=True
+            )
         if stmt.what == "STREAM":
+            # cascade: stop + forget any continuous query sinking into it
+            for qn, qi in list(self.queries.items()):
+                if qi.sink_stream == stmt.name:
+                    if qi.handle is not None:
+                        qi.handle.stop()
+                    shutil.rmtree(qi.checkpoint, ignore_errors=True)
+                    del self.queries[qn]
             shutil.rmtree(self.streams[stmt.name].path, ignore_errors=True)
         del registry[stmt.name]
         return True

@@ -304,3 +304,19 @@ def test_streaming_topk_view(engine):
     engine.views["tkv_view"].handle.processAllAvailable()
     rows = engine.execute("SELECT k, t2 FROM tkv_view;").collect()
     assert [(r["k"], list(r["t2"])) for r in rows] == [("a", [9, 7])]
+
+
+def test_recreated_view_sees_full_history(engine):
+    """DROP VIEW must remove the checkpoint with the view: a stale
+    checkpoint would make the same-name successor resume from old
+    offsets over empty state and miss every pre-existing record."""
+    engine.execute("CREATE STREAM rv_ev (k STRING, v INTEGER);")
+    engine.execute("INSERT INTO rv_ev (k, v) VALUES ('a', 1);")
+    engine.execute("CREATE VIEW rv AS SELECT k, COUNT(*) AS n FROM rv_ev GROUP BY k;")
+    engine.views["rv"].handle.processAllAvailable()
+    assert engine.execute("SELECT n FROM rv;").collect()[0]["n"] == 1
+    engine.execute("DROP VIEW rv;")
+    engine.execute("INSERT INTO rv_ev (k, v) VALUES ('a', 2);")
+    engine.execute("CREATE VIEW rv AS SELECT k, COUNT(*) AS n FROM rv_ev GROUP BY k;")
+    engine.views["rv"].handle.processAllAvailable()
+    assert engine.execute("SELECT n FROM rv;").collect()[0]["n"] == 2
