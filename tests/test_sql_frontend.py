@@ -250,3 +250,21 @@ class TestCompiler:
 
         text = explain(parse("SELECT SUM(a), b FROM pairs GROUP BY b;"), streams)
         assert "Aggregate" in text or "HashAggregate" in text
+
+
+class TestMultiJoin:
+    def test_three_stream_interval_join(self, spark, streams):
+        """V2 multi-join: three streams chained with ON + WITHIN; the
+        merged event time (max of sides) keeps the second join's
+        interval unambiguous (Stream.hs:228-312 ts-merge)."""
+        rows = compile_select(
+            parse(
+                "SELECT clicks.page AS page, orders_s.amt AS amt, pairs.a AS a FROM clicks "
+                "JOIN orders_s ON clicks.cid = orders_s.cid WITHIN (INTERVAL 10 SECOND) "
+                "JOIN pairs ON pairs.b = orders_s.cid WITHIN (INTERVAL 10 SECOND);"
+            ),
+            streams,
+        ).collect()
+        got = sorted((r["page"], r["amt"], r["a"]) for r in rows)
+        # clicks(2,'cart',t4) x orders(11,cid2,t5) within 10s; pairs b=2 → a∈{1,2,3}
+        assert got == [("cart", 50, 1), ("cart", 50, 2), ("cart", 50, 3)]
