@@ -117,3 +117,38 @@ def test_insert_values_decodes_extended_json(spark, tmp_path):
         assert [(r["x"], r["y"]) for r in rows] == [(99, "ok")]
     finally:
         eng.shutdown()
+
+
+from hypothesis import given, settings, strategies as st
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            _TEXT,
+            st.binary(max_size=16),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_roundtrip_property(spark, recs):
+    """decode ∘ encode == identity over arbitrary typed records — one
+    Spark job per hypothesis example batch."""
+    fields = {"i": "INTEGER", "f": "FLOAT", "s": "STRING", "by": "BYTEA"}
+    df = spark.createDataFrame(
+        [(i, f, s, bytearray(b)) for i, f, s, b in recs],
+        "i long, f double, s string, by binary",
+    )
+    wire = EJ.encode_record(df, fields).select("payload")
+    back = EJ.decode_record(wire, "payload", fields).collect()
+    got = sorted((r["i"], r["f"], r["s"], bytes(r["by"])) for r in back)
+    want = sorted((i, f, s, bytes(b)) for i, f, s, b in recs)
+    assert got == want
