@@ -140,3 +140,27 @@ class TestKMeans:
 def test_bruteforce_np_rejects_oversized_query_side(spark, emb):
     with pytest.raises(ValueError, match="max_queries"):
         SIM.brute_force_topk_np(emb, emb, k=3, max_queries=10)
+
+
+def test_ivf_index_persist_and_prune(spark, emb, tmp_path):
+    """Build-once/query-many IVF index: results match the in-memory IVF
+    path, and the probe read is PARTITION-PRUNED (scans only the probed
+    cluster directories, not the whole corpus)."""
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path, n_clusters=8)
+    qs = emb.filter(F.col("vec_id") < 5)
+    res = SIM.ivf_index_topk(spark, path, qs, k=10, nprobe=2)
+    rows = {(r.q_id, r.c_id) for r in res.collect()}
+    mem = {(r.q_id, r.c_id)
+           for r in SIM.ivf_topk(emb, qs, k=10, n_clusters=8, nprobe=2).collect()}
+    assert rows == mem
+    # pruning: the probed read touches a strict subset of partition dirs
+    import os
+    all_parts = [d for d in os.listdir(os.path.join(path, "vectors"))
+                 if d.startswith("cluster=")]
+    probed = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cluster").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120]
+    assert len(all_parts) == 8
