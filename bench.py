@@ -78,6 +78,7 @@ HEADLINE = [
     "boilerplate_signals",
     "embedding_quantize",
     "cap_per_group",
+    "hypertable_rollup",
 ]
 
 

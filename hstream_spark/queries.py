@@ -1267,6 +1267,51 @@ def q_cap_per_group(spark, sf):
     return SMP.cap_per_group(docs, "doc_id", "lang", 20)
 
 
+@register(
+    "hypertable_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY dt, event_type
+    """,
+    tags=("hypertable", "rollup"),
+)
+def q_hypertable_rollup(spark, sf):
+    """Hypertable continuous aggregate: events land chunk-partitioned
+    by day (dt=YYYY-MM-DD directories → time-range scans prune at the
+    directory level) and the daily rollup is maintained INCREMENTALLY —
+    only chunks missing from the rollup are aggregated per maintenance
+    run, so steady-state cost tracks the delta, never the table. The
+    oracle pins the materialized rollup against a direct aggregation
+    of the source."""
+    import hashlib
+    import os
+    import tempfile
+
+    from hstream_spark.sources import hypertable as H
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"hstream_ht_{tag}")
+    rollup = os.path.join(tempfile.gettempdir(), f"hstream_ru_{tag}")
+    if not H.chunks(base):
+        ev = load_table(spark, sf, "events")
+        H.write_time_partitioned(ev, base, "ts", "day", mode="overwrite")
+
+    def daily(src):
+        return src.groupBy("dt", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total"),
+        )
+
+    H.incremental_rollup(spark, base, rollup, daily)
+    # partition-value inference reads dt back as DATE; normalize to the
+    # chunk string for the comparison
+    return spark.read.parquet(rollup).select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"), "event_type", "n", "total"
+    )
+
+
 _BOILER_ORACLE = """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
            FROM documents),
