@@ -79,6 +79,7 @@ HEADLINE = [
     "embedding_quantize",
     "cap_per_group",
     "hypertable_rollup",
+    "range_join_bands",
 ]
 
 

@@ -288,3 +288,43 @@ def anti_join(left: DataFrame, right: DataFrame, cond: Column,
     """
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, cond, "leftanti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Numeric range join: left rows matched to right rows whose
+    [lo, hi] interval contains the left value — the shape behind band
+    lookups, histogram binning against irregular bins, and IP-range /
+    price-band enrichment.
+
+    Naively this is a theta join (BroadcastNestedLoop when the right
+    side is big enough to matter). With ``bucket_width`` set, both
+    sides key on fixed-width value buckets — the right interval
+    EXPLODES into every bucket it overlaps — and the join becomes a
+    bucket equi-join plus an exact refine filter: one hash shuffle,
+    right-side replication factor = avg interval width / bucket_width.
+    Pick bucket_width ≈ the median interval width so replication stays
+    O(1). With ``bucket_width=None`` the right side broadcasts (small
+    band tables — the common case).
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+    if bucket_width is None:
+        return left.join(F.broadcast(right), cond, how)
+    lb = left.withColumn("__rb", F.floor(F.col(value_col) / bucket_width))
+    rb = right.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    return lb.join(rb, "__rb", how).filter(cond).drop("__rb")

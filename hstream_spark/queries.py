@@ -1267,6 +1267,37 @@ def q_cap_per_group(spark, sf):
     return SMP.cap_per_group(docs, "doc_id", "lang", 20)
 
 
+_BANDS = [
+    (0, 0.0, 50.0),
+    (1, 50.0, 150.0),
+    (2, 150.0, 350.0),
+    (3, 350.0, 750.0),
+    (4, 750.0, 100000.0),
+]
+
+_RANGE_JOIN_ORACLE = f"""
+WITH bands(band, lo, hi) AS (VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)})
+SELECT b.band, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+GROUP BY b.band
+"""
+
+
+@register("range_join_bands", _RANGE_JOIN_ORACLE, tags=("join", "range"))
+def q_range_join_bands(spark, sf):
+    """Numeric range join (value ∈ [lo, hi] band lookup) exercised
+    through the bucketed path — bucket equi-join + exact refine, one
+    hash shuffle instead of a nested-loop theta join."""
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(_BANDS, "band long, lo double, hi double")
+    j = J.range_join(ev, bands, "value", "lo", "hi", bucket_width=100.0)
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total"),
+    )
+
+
 @register(
     "hypertable_rollup",
     """

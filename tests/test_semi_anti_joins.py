@@ -80,3 +80,23 @@ def test_rollup_and_cube_row_counts(spark, sf_dir):
     cube = l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)))
     assert rollup.count() == pairs + flags + 1
     assert cube.count() == pairs + flags + statuses + 1
+
+
+def test_range_join_bucketed_matches_broadcast(spark):
+    from hstream_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 20.0), (1, 15.0, 60.0), (2, 55.0, 99.0)],
+        "band long, lo double, hi double",
+    )
+    bc = {(r["id"], r["band"])
+          for r in range_join(left, bands, "v", "lo", "hi").collect()}
+    bk = {(r["id"], r["band"])
+          for r in range_join(left, bands, "v", "lo", "hi", bucket_width=25.0).collect()}
+    assert bc == bk and bc
+    plan = (range_join(left, bands, "v", "lo", "hi", bucket_width=25.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
