@@ -1,0 +1,99 @@
+"""Plan-quality regression tests — the scale properties SCALE.md
+claims, pinned against the EXECUTED plans so a refactor that silently
+un-pushes a filter, materializes a cartesian product, or drops a
+broadcast fails loudly.
+
+These are the properties that decide 100 TB behavior: filters reaching
+the parquet scan, narrow read schemas, map-side partial aggregation
+before every exchange, dimension broadcasts, and the absence of
+nested-loop/cartesian physical nodes in every hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hstream_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_of(spark, sf_dir, name)
+        return cache[name]
+
+    return get
+
+
+def test_q6_filters_reach_the_scan(plans):
+    p = plans("tpch_q6")
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_reads_only_needed_columns(plans):
+    p = plans("tpch_q6")
+    schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # 4 referenced columns, not the 11-column table
+    assert "l_extendedprice" in schema and "l_returnflag" not in schema
+
+
+def test_dim_joins_broadcast(plans):
+    for q in ("stream_table_join", "tpch_q5ish", "tpch_q9ish"):
+        assert "BroadcastHashJoin" in plans(q), q
+
+
+def test_no_cartesian_or_nested_loop_in_hot_paths(plans):
+    for q in (
+        "cross_join_within",
+        "dedup_minhash_lsh",
+        "dedup_embedding_lsh",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "range_join_bands",
+        "tpch_q21ish",
+        "interval_join_inner",
+    ):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoop" not in p, q
+
+
+def test_aggregations_partial_before_exchange(plans):
+    for q in ("tpch_q1", "agg_basic", "tumble_agg"):
+        p = plans(q)
+        # partial + final hash aggregation around the exchange
+        assert p.count("HashAggregate") >= 2, q
+        assert "Exchange" in p, q
+
+
+def test_whole_stage_codegen_covers_scans(spark, sf_dir):
+    # the scan→filter→project→agg pipeline must live inside codegen
+    # stages; AQE wraps the plan lazily, so flip it off to see the
+    # materialized codegen spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["tpch_q6"].builder(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen stages print as *(N) prefixes: span 1 = scan→filter→
+    # project→partial-agg, span 2 = final agg after the exchange
+    assert "*(1) Filter" in p and "*(1) HashAggregate" in p
+    assert "*(2) HashAggregate" in p
+
+
+def test_single_wide_shuffle_q21(plans):
+    # the q21 rewrite's contract: the lineitem-orders base is shuffled
+    # once; a regression to the semi+anti self-join pair doubles scans
+    p = plans("tpch_q21ish")
+    assert p.count("Scan parquet") <= 3  # lineitem, orders, supplier
