@@ -1267,12 +1267,16 @@ def q_cap_per_group(spark, sf):
     return SMP.cap_per_group(docs, "doc_id", "lang", 20)
 
 
+# band spans stay within ~1 order of magnitude of the bucket width so
+# the bucketed path's interval explosion is O(1) per band (a catch-all
+# [x, huge] band would explode into thousands of bucket rows — cap the
+# last band at the domain ceiling instead)
 _BANDS = [
     (0, 0.0, 50.0),
     (1, 50.0, 150.0),
     (2, 150.0, 350.0),
     (3, 350.0, 750.0),
-    (4, 750.0, 100000.0),
+    (4, 750.0, 1600.0),
 ]
 
 _RANGE_JOIN_ORACLE = f"""
