@@ -80,6 +80,7 @@ HEADLINE = [
     "cap_per_group",
     "hypertable_rollup",
     "range_join_bands",
+    "curation_pipeline",
 ]
 
 

@@ -1374,6 +1374,82 @@ def q_boilerplate_signals(spark, sf):
     return TX.boilerplate_signals(docs, n=3, min_df=3)
 
 
+def _curation_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+scored AS (
+  SELECT doc_id, text,
+         0.4 * least(len(toks)::DOUBLE / 50.0, 1.0)
+         + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+         + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) AS q
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        FROM documents)),
+good AS (SELECT doc_id, text FROM scored WHERE q >= 0.75),
+reps AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+s1 AS (SELECT g.doc_id, g.text FROM good g JOIN reps r ON g.doc_id = r.doc_id),
+t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM s1),
+h AS (SELECT doc_id, {_H31.format(x='tok')} AS h FROM t),
+s AS (SELECT doc_id, {_simhash_sums_sql()} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_simhash_assemble_sql()} AS simhash FROM s),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+final AS (SELECT doc_id, text FROM s1
+          WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component))
+SELECT (SELECT count(*) FROM documents) AS n_raw,
+       (SELECT count(*) FROM good)      AS n_quality,
+       (SELECT count(*) FROM s1)        AS n_exact,
+       (SELECT count(*) FROM final)     AS n_final,
+       (SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+        FROM final)                     AS total_tokens
+"""
+
+
+@register("curation_pipeline", _curation_oracle(), tags=("pipeline", "composite"))
+def q_curation_pipeline(spark, sf):
+    """The end-to-end corpus-curation pipeline as ONE query: quality
+    filter (>= 0.75) → exact dedup (min-id per content hash) →
+    simhash near-dup prune (Hamming <= 3, pointer-jumping components,
+    keep cluster minimum) → corpus summary. Every stage reuses the
+    individually-oracle-gated operator; this entry proves they COMPOSE
+    (the oracle replays the whole chain, recursive closure included).
+    Stage frames stay distributed end to end — the only driver traffic
+    is the component fixpoint's model-sized round counters."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
+    good = docs.filter(TX.quality_score(F.col("text")) >= 0.75)
+    reps = good.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = good.join(reps.select("doc_id"), "doc_id", "left_semi").persist()
+    pairs = D.simhash_near_duplicates(s1, max_hamming=3)
+    final = D.prune_duplicates(
+        s1, pairs, id_col="doc_id", left_col="doc_a", right_col="doc_b"
+    )
+    counts = (
+        docs.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(good.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(
+            final.agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum(TX.token_count(F.col("text")))
+                .cast("long")
+                .alias("total_tokens"),
+            )
+        )
+    )
+    return counts
+
+
 def _dedup_prune_oracle(dim: int = 64, planes: int = 8) -> str:
     bucket_terms = " + ".join(
         f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
