@@ -81,6 +81,8 @@ HEADLINE = [
     "hypertable_rollup",
     "range_join_bands",
     "curation_pipeline",
+    "vocab_top",
+    "lm_cross_entropy",
 ]
 
 

@@ -366,3 +366,68 @@ def boilerplate_signals(
             ).alias("boiler_frac"),
         )
     )
+
+
+def vocab_top(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 1000,
+) -> DataFrame:
+    """Vocabulary induction: the top-``k`` corpus tokens by frequency,
+    with deterministic ids (rank by count desc, token asc) — the
+    build-the-vocab step before any tokenizer/embedding work. One
+    hash aggregation with map-side combine, then a distributed
+    TakeOrdered top-k (per-partition heads merged on the driver — the
+    global row_number window only ever sees the k survivors, never the
+    full vocabulary)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return topk.withColumn("token_id", F.row_number().over(w)).select(
+        "token_id", "tok", "n"
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the CCNet-style
+    perplexity quality signal: score(d) = mean over tokens of
+    -ln p(tok), with p estimated from the corpus itself. Low scores =
+    typical text, high scores = rare-token soup.
+
+    Two shuffles at scale: the token-count aggregation (map-side
+    combine; the model IS the count table, stays distributed) and the
+    per-doc re-aggregation after a token-keyed equi-join of the doc
+    tokens against their probabilities. Per-doc sums run in decimal so
+    the mean is independent of token order and partitioning — exactly
+    reproducible cross-engine.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (-F.log(F.col("n").cast("double") / F.col("total").cast("double"))).alias(
+            "nll"
+        ),
+    )
+    scored = tok.join(probs, "tok")
+    # the total emits as exact integer micro-nats: decimal→double casts
+    # round differently across engines in the last ulp, integer ops
+    # don't. cross_entropy = nll_micro / 1e6 / n_tokens.
+    nll_sum = F.sum(F.col("nll").cast("decimal(27,18)"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(nll_sum * F.lit(1_000_000)).cast("long").alias("nll_micro"),
+    )

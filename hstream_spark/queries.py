@@ -1374,6 +1374,49 @@ def q_boilerplate_signals(spark, sf):
     return TX.boilerplate_signals(docs, n=3, min_df=3)
 
 
+_VOCAB_ORACLE = """
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM documents),
+c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS token_id FROM c)
+SELECT token_id, tok, n FROM r WHERE token_id <= 1000
+"""
+
+
+@register("vocab_top", _VOCAB_ORACLE, tags=("text", "vocab"))
+def q_vocab_top(spark, sf):
+    """Tokenizer-vocabulary induction: top-1000 corpus tokens with
+    deterministic ids."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.vocab_top(docs, k=1000)
+
+
+_LM_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+             FROM documents),
+c AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM c),
+p AS (SELECT tok, -ln(n::DOUBLE / total::DOUBLE) AS nll FROM c, tot)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(floor(sum(CAST(p.nll AS DECIMAL(27,18))) * 1000000) AS BIGINT) AS nll_micro
+FROM tok t JOIN p USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+@register("lm_cross_entropy", _LM_ORACLE, tags=("text", "lm"))
+def q_lm_cross_entropy(spark, sf):
+    """Unigram-LM cross-entropy per document (the CCNet perplexity
+    quality signal), decimal-summed for cross-engine determinism."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.lm_cross_entropy(docs)
+
+
 def _curation_oracle() -> str:
     return f"""
 WITH RECURSIVE
