@@ -803,8 +803,23 @@ class HStreamEngine:
             rows = [(v.name, v.sql) for v in self.views.values()]
             schema = "name string, sql string"
         elif stmt.what == "QUERIES":
-            rows = [(q.name, q.status, q.sql) for q in self.queries.values()]
-            schema = "name string, status string, sql string"
+            # progress from the StreamingQuery handle (the reference's
+            # query-stats API surface, Core/Query.hs listQueries)
+            def _progress(q: QueryInfo) -> tuple:
+                h = q.handle
+                lp = getattr(h, "lastProgress", None) if h is not None else None
+                if not lp:
+                    return (-1, -1)
+                return (int(lp.get("batchId", -1)), int(lp.get("numInputRows", -1)))
+
+            rows = [
+                (q.name, q.status, *(_progress(q)), q.sql)
+                for q in self.queries.values()
+            ]
+            schema = (
+                "name string, status string, last_batch long, "
+                "last_rows long, sql string"
+            )
         else:
             rows = [(c.name, c.kind, c.target, c.status) for c in self.connectors.values()]
             schema = "name string, kind string, target string, status string"

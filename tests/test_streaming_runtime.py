@@ -320,3 +320,15 @@ def test_recreated_view_sees_full_history(engine):
     engine.execute("CREATE VIEW rv AS SELECT k, COUNT(*) AS n FROM rv_ev GROUP BY k;")
     engine.views["rv"].handle.processAllAvailable()
     assert engine.execute("SELECT n FROM rv;").collect()[0]["n"] == 2
+
+
+def test_show_queries_reports_progress(engine):
+    engine.execute("CREATE STREAM pg_ev (a INTEGER);")
+    engine.execute("INSERT INTO pg_ev (a) VALUES (1);")
+    engine.execute("CREATE STREAM pg_out AS SELECT a FROM pg_ev;")
+    qi = next(q for q in engine.queries.values() if q.sink_stream == "pg_out")
+    qi.handle.processAllAvailable()
+    rows = {r["name"]: r for r in engine.execute("SHOW QUERIES;").collect()}
+    row = rows[qi.name]
+    assert row["status"] == "RUNNING"
+    assert row["last_batch"] >= 0 and row["last_rows"] >= 0
