@@ -654,6 +654,102 @@ def compile_select_session_update(
     return out.select(*final)
 
 
+def compile_select_sliding_update(
+    sel: A.Select, resolve: Resolver
+) -> Optional[DataFrame]:
+    """Streaming SLIDING-window aggregation (the V2 engine's native
+    mode): per-record trailing aggregates need window functions, which
+    streaming Spark lacks, so this routes the Reduce node through
+    ``stateful.sliding_aggregate`` (raw events in bounded state,
+    insert-at-t / retract-at-t+size — Handler/Common.hs:97-105).
+    Emission is append-per-record, matching the batch range-frame
+    compilation sampled at arrivals. Returns None for unsupported
+    SELECT shapes (caller raises the normal compile error)."""
+    if sel.from_ is None:
+        return None
+    src = _compile_from(sel.from_, resolve)
+    if src.window is None or src.window.window_kind != "SLIDING":
+        return None
+    if sel.having is not None:
+        return None
+    df = src.df
+    if EVENT_TIME_COL not in df.columns:
+        return None
+    if sel.where is not None:
+        df = df.filter(compile_expr(sel.where))
+
+    key_names = [k.name for k in sel.group_by]
+    key_refs = [f"{k.stream}.{k.name}" if k.stream else k.name for k in sel.group_by]
+
+    kinds: list[str] = []
+    in_exprs: list[Optional[Column]] = []
+    out_names: list[str] = []
+    order: list[tuple[str, str]] = []
+    for it in sel.items:
+        if it.wildcard:
+            return None
+        name = it.alias or it.text
+        if not find_aggs(it.expr):
+            if isinstance(it.expr, A.ColRef) and it.expr.name in key_names:
+                order.append(("key", it.expr.name))
+                continue
+            return None
+        if not isinstance(it.expr, A.AggFunc):
+            return None
+        kind = _SESSION_AGG_KIND.get(it.expr.name)
+        if kind is None:
+            return None
+        kinds.append(kind)
+        in_exprs.append(compile_expr(it.expr.args[0]) if it.expr.args else None)
+        out_names.append(name)
+        order.append(("agg", name))
+
+    proj: list[Column] = [F.col(EVENT_TIME_COL)]
+    proj += [F.col(r).alias(n) for r, n in zip(key_refs, key_names)]
+    proj.append(F.unix_micros(F.col(EVENT_TIME_COL)).alias("__ts_us"))
+    input_cols: list[Optional[str]] = []
+    for j, e in enumerate(in_exprs):
+        if e is None:
+            input_cols.append(None)
+        else:
+            proj.append(e.alias(f"__in{j}"))
+            input_cols.append(f"__in{j}")
+    sdf = df.select(*proj)
+
+    dtypes = dict(sdf.dtypes)
+    int_types = {"tinyint", "smallint", "int", "bigint", "long"}
+    out_casts = []
+    for j, kind in enumerate(kinds):
+        if kind in ("count_all", "count"):
+            out_casts.append("bigint")
+        elif kind == "avg":
+            out_casts.append("double")
+        else:
+            t = dtypes[input_cols[j]]
+            if t in int_types:
+                out_casts.append("bigint")
+            elif t in ("double", "float", "decimal"):
+                out_casts.append("double")
+            else:
+                return None
+    key_ddl = ", ".join(f"`{n}` {dtypes[n]}" for n in key_names)
+
+    from hstream_spark.streaming.stateful import sliding_aggregate
+
+    out = sliding_aggregate(
+        sdf,
+        key_names,
+        "__ts_us",
+        src.window.size.seconds * 1_000_000,
+        kinds,
+        input_cols,
+        out_names,
+        out_casts,
+        key_ddl,
+    )
+    return out.select(*[F.col(nm) for _, nm in order])
+
+
 def explain(sel: A.Select, resolve: Resolver) -> str:
     df = compile_select(sel, resolve)
     return df._jdf.queryExecution().toString()

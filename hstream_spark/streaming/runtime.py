@@ -747,18 +747,29 @@ class HStreamEngine:
             return compile_select(stmt, self._resolve_batch)
         table = self._next_qname("push")
         out = None
-        if (
-            isinstance(stmt.from_, A.WindowedRef)
-            and stmt.from_.window_kind == "SESSION"
-        ):
-            from hstream_spark.plans.compiler import compile_select_session_update
+        sliding_append = False
+        if isinstance(stmt.from_, A.WindowedRef):
+            if stmt.from_.window_kind == "SESSION":
+                from hstream_spark.plans.compiler import (
+                    compile_select_session_update,
+                )
 
-            out = compile_select_session_update(stmt, self._resolve_stream)
+                out = compile_select_session_update(stmt, self._resolve_stream)
+            elif stmt.from_.window_kind == "SLIDING":
+                # batch SLIDING compiles to window functions, which
+                # streaming rejects outright — the stateful operator is
+                # the only streaming path
+                from hstream_spark.plans.compiler import (
+                    compile_select_sliding_update,
+                )
+
+                out = compile_select_sliding_update(stmt, self._resolve_stream)
+                sliding_append = out is not None
         if out is None:
             out = compile_select(stmt, self._resolve_stream)
-        aggregated = bool(stmt.group_by) or any(
-            find_aggs(it.expr) for it in stmt.items
-        )
+        aggregated = (
+            bool(stmt.group_by) or any(find_aggs(it.expr) for it in stmt.items)
+        ) and not sliding_append  # sliding emits append-per-record
         # Aggregated push queries emit the UPDATE stream — every input
         # record surfaces its group's new accumulator, exactly the
         # reference's per-record emission (GroupedStream.hs:98-102) —

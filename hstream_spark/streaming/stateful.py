@@ -271,6 +271,134 @@ def session_aggregate(
     )
 
 
+def sliding_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    ts_us_col: str,
+    size_us: int,
+    kinds: list[str],
+    input_cols: list[str | None],
+    out_names: list[str],
+    out_casts: list[str],
+    key_ddl: str,
+) -> DataFrame:
+    """V2 SLIDING window as a true streaming operator: each arriving
+    record emits its group's aggregate over the trailing ``size``
+    interval (ts - size, ts] — the reference inserts a record's
+    contribution at t and retracts it at t + size
+    (Handler/Common.hs:97-105); the update stream sampled at arrivals.
+
+    The batch analogue is the range-frame window function in
+    ``_compile_sliding``; streaming Spark has no window functions, so
+    state holds the RAW (ts, inputs) events still inside some open
+    window — bounded by arrival rate × size (exactly the reference's
+    retract-buffer) — and is evicted once the watermark passes
+    ts + size. Emission is append-per-record.
+    """
+    assert len(kinds) == len(input_cols) == len(out_names) == len(out_casts)
+    for k in kinds:
+        if k not in _SESSION_KINDS:
+            raise ValueError(f"unsupported sliding aggregate kind {k!r}")
+
+    import math
+
+    import pandas as pd
+
+    n_agg = len(kinds)
+    state_type = "ts array<long>, vals array<array<double>>"
+    out_fields = [f"`{ts_us_col}` long"]
+    if key_ddl:
+        out_fields.append(key_ddl)
+    out_fields += [f"`{nm}` {tp}" for nm, tp in zip(out_names, out_casts)]
+    out_type = ", ".join(out_fields)
+
+    def step(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ts_list, vals = state.get
+            events = [
+                (ts_list[i], list(vals[i])) for i in range(len(ts_list))
+            ]
+        else:
+            events = []
+
+        new_rows = []
+        for pdf in batches:
+            ts_arr = pdf[ts_us_col].astype("int64").values
+            in_series = [pdf[c] if c is not None else None for c in input_cols]
+            for r in range(len(pdf)):
+                row_vals = []
+                for j in range(n_agg):
+                    if in_series[j] is None:
+                        row_vals.append(1.0)  # count_all marker
+                    else:
+                        x = in_series[j].iloc[r]
+                        row_vals.append(
+                            float("nan")
+                            if x is None
+                            or (isinstance(x, float) and math.isnan(x))
+                            else float(x)
+                        )
+                new_rows.append((int(ts_arr[r]), row_vals))
+
+        events.extend(new_rows)
+        events.sort(key=lambda e: e[0])
+
+        out_rows = []
+        for ts, _ in new_rows:
+            lo = ts - size_us
+            partials = [(None, 0)] * n_agg
+            for ets, evals in events:
+                if ets <= lo or ets > ts:
+                    continue
+                for j, kind in enumerate(kinds):
+                    x = None if math.isnan(evals[j]) else evals[j]
+                    if kind == "count_all":
+                        x = 1.0
+                    v, n = partials[j]
+                    partials[j] = _fold_row(kind, v, n, x)
+            rec = [ts]
+            for i in range(len(keys)):
+                rec.append(key[i])
+            for j, kind in enumerate(kinds):
+                v, n = partials[j]
+                if kind in ("count_all", "count"):
+                    rec.append(int(v or 0))
+                elif n == 0 or v is None:
+                    rec.append(None)
+                elif kind == "avg":
+                    rec.append(v / n)
+                elif out_casts[j] in ("bigint", "int", "long"):
+                    rec.append(int(v))
+                else:
+                    rec.append(v)
+            out_rows.append(rec)
+
+        try:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except Exception:
+            wm_us = 0
+        keep = [e for e in events if wm_us == 0 or e[0] + size_us >= wm_us]
+        if keep:
+            state.update(([e[0] for e in keep], [e[1] for e in keep]))
+        else:
+            state.remove()
+
+        if out_rows:
+            cols = [ts_us_col, *keys, *out_names]
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(0).alias("__gk"))
+    return grouped.applyInPandasWithState(
+        step,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],

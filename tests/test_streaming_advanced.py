@@ -358,3 +358,36 @@ def test_session_push_query_emits_only_touched_sessions(engine):
     assert len(second) == len(first) + 1
     assert [r["k"] for r in second if r["k"] == "b"] == ["b"]
     handle.stop()
+
+
+def test_streaming_sliding_window_push_query(engine, spark):
+    """V2 SLIDING windows in a streaming push query: each record emits
+    its group's trailing-interval aggregate (insert at t, retract at
+    t + size — Handler/Common.hs:97-105). The emitted multiset must
+    equal the batch range-frame compilation over the same data."""
+    import time as _time
+
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    engine.execute("CREATE STREAM slw_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    for off, v in [(0.0, 1), (5.0, 2), (8.0, 4), (30.0, 8), (32.0, 16)]:
+        engine.execute(
+            f"INSERT INTO slw_ev (k, v, _ts) VALUES ('a', {v}, {base + off});"
+        )
+    sql = (
+        "SELECT k, SUM(v) AS s, COUNT(*) AS n "
+        "FROM SLIDING(slw_ev, INTERVAL 10 SECOND) GROUP BY k EMIT CHANGES;"
+    )
+    handle = engine.execute(sql)
+    rows = handle.drain()
+    got = sorted((r["k"], r["s"], r["n"]) for r in rows)
+    handle.stop()
+    # batch analogue over the same stream contents
+    stmt = parse(sql.replace(" EMIT CHANGES", ""))
+    batch = compile_select(stmt, engine._resolve_batch).collect()
+    want = sorted((r["k"], r["s"], r["n"]) for r in batch)
+    assert got == want, (got, want)
+    # windows: [1],[1,2],[1,2,4],[8],[8,16] -> sums 1,3,7,8,24
+    assert [g[1] for g in got] == sorted([1, 3, 7, 8, 24])
