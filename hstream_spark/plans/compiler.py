@@ -655,7 +655,7 @@ def compile_select_session_update(
 
 
 def compile_select_sliding_update(
-    sel: A.Select, resolve: Resolver
+    sel: A.Select, resolve: Resolver, keep_ts: bool = False
 ) -> Optional[DataFrame]:
     """Streaming SLIDING-window aggregation (the V2 engine's native
     mode): per-record trailing aggregates need window functions, which
@@ -747,7 +747,12 @@ def compile_select_sliding_update(
         out_casts,
         key_ddl,
     )
-    return out.select(*[F.col(nm) for _, nm in order])
+    final = [F.col(nm) for _, nm in order]
+    if keep_ts:
+        # view upsert orders by this to keep each key's LATEST trailing
+        # aggregate (the V2 materialized-view read of an update stream)
+        final.append(F.col("__ts_us").alias("__slide_ts"))
+    return out.select(*final)
 
 
 def explain(sel: A.Select, resolve: Resolver) -> str:

@@ -124,6 +124,9 @@ class ViewInfo:
     # complete-mode fallback: every trigger carries the FULL result, so
     # state is replaced wholesale (an upsert would retain stale rows)
     replace_all: bool = False
+    # sliding views: batches carry several rows per key (one per input
+    # record); the LATEST by this column wins the upsert
+    order_col: Optional[str] = None
 
 
 @dataclass
@@ -281,7 +284,19 @@ class HStreamEngine:
     def _view_upsert(vi: ViewInfo, batch_df: DataFrame) -> None:
         spark = batch_df.sparkSession
         key_cols = list(vi.key_cols)
-        batch = batch_df.dropDuplicates(key_cols) if key_cols else batch_df
+        if vi.order_col is not None and key_cols:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(F.col(vi.order_col).desc())
+            batch = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif key_cols:
+            batch = batch_df.dropDuplicates(key_cols)
+        else:
+            batch = batch_df
         ptr = os.path.join(vi.state_dir, "CURRENT")
         cur_v = -1
         if vi.replace_all:
@@ -542,23 +557,41 @@ class HStreamEngine:
         # and (b) the watermark actually drops late rows and evicts
         # closed-window state. The upsert target is the distributed
         # keyed-parquet state (_view_upsert) — never a driver structure.
-        is_session = (
-            isinstance(stmt.select.from_, A.WindowedRef)
-            and stmt.select.from_.window_kind == "SESSION"
+        window_kind = (
+            stmt.select.from_.window_kind
+            if isinstance(stmt.select.from_, A.WindowedRef)
+            else None
         )
         out = None
         merge_on_overlap = False
-        if is_session:
+        order_col = None
+        if window_kind == "SESSION":
             from hstream_spark.plans.compiler import compile_select_session_update
 
             out = compile_select_session_update(stmt.select, self._resolve_stream)
             merge_on_overlap = out is not None
-        session_fellback = is_session and out is None
+        elif window_kind == "SLIDING":
+            # batch SLIDING compiles to window functions, which streaming
+            # rejects in every output mode — the stateful operator is the
+            # only viable plan; view state keeps each key's latest
+            # trailing aggregate (latest-wins upsert on __slide_ts)
+            from hstream_spark.plans.compiler import compile_select_sliding_update
+
+            out = compile_select_sliding_update(
+                stmt.select, self._resolve_stream, keep_ts=True
+            )
+            if out is None:
+                raise CompileError(
+                    "SLIDING view SELECT shape unsupported (plain aggregate "
+                    "calls over group keys only)"
+                )
+            order_col = "__slide_ts"
+        session_fellback = window_kind == "SESSION" and out is None
         if out is None:
             out = compile_select(stmt.select, self._resolve_stream)
 
         key_cols: list[str] = []
-        if isinstance(stmt.select.from_, A.WindowedRef):
+        if window_kind in ("TUMBLE", "HOP", "SESSION"):
             key_cols += ["window_start", "window_end"]
         for it in stmt.select.items:
             if it.wildcard:
@@ -569,14 +602,19 @@ class HStreamEngine:
         os.makedirs(state_dir, exist_ok=True)
         vi = ViewInfo(
             stmt.name, sql, table, None, state_dir, out.schema, tuple(key_cols),
-            merge_on_overlap,
+            merge_on_overlap, order_col=order_col,
         )
 
         def upsert(batch_df: DataFrame, epoch_id: int) -> None:
             self._view_upsert(vi, batch_df)
 
         vi.replace_all = session_fellback
-        mode = "complete" if session_fellback else "update"
+        if session_fellback:
+            mode = "complete"
+        elif window_kind == "SLIDING":
+            mode = "append"  # the stateful operator emits per-record
+        else:
+            mode = "update"
         try:
             q = (
                 out.writeStream.outputMode(mode)

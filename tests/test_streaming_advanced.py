@@ -391,3 +391,29 @@ def test_streaming_sliding_window_push_query(engine, spark):
     assert got == want, (got, want)
     # windows: [1],[1,2],[1,2,4],[8],[8,16] -> sums 1,3,7,8,24
     assert [g[1] for g in got] == sorted([1, 3, 7, 8, 24])
+
+
+def test_sliding_view_keeps_latest_trailing_aggregate(engine):
+    """A SLIDING view materializes each key's LATEST trailing-window
+    aggregate (the V2 update-stream read): after events at t, t+5, t+30
+    with a 10s window, the view shows the t+30 record's window only."""
+    import time as _time
+
+    engine.execute("CREATE STREAM slv_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    for off, v in [(0.0, 1), (5.0, 2), (30.0, 8)]:
+        engine.execute(
+            f"INSERT INTO slv_ev (k, v, _ts) VALUES ('a', {v}, {base + off});"
+        )
+    engine.execute(
+        "CREATE VIEW slv AS SELECT k, SUM(v) AS s, COUNT(*) AS n "
+        "FROM SLIDING(slv_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    engine.views["slv"].handle.processAllAvailable()
+    rows = engine.execute("SELECT k, s, n FROM slv;").collect()
+    assert [(r["k"], r["s"], r["n"]) for r in rows] == [("a", 8, 1)]
+    # a new record re-opens the key's window and supersedes the state
+    engine.execute(f"INSERT INTO slv_ev (k, v, _ts) VALUES ('a', 16, {base + 32.0});")
+    engine.views["slv"].handle.processAllAvailable()
+    rows = engine.execute("SELECT k, s, n FROM slv;").collect()
+    assert [(r["k"], r["s"], r["n"]) for r in rows] == [("a", 24, 2)]
