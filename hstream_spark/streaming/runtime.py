@@ -349,6 +349,13 @@ class HStreamEngine:
         shutil.rmtree(os.path.join(vi.state_dir, f"v{nxt - 2}"), ignore_errors=True)
 
     def _resolve_stream(self, name: str) -> DataFrame:
+        if name in self.views:
+            # a view referenced inside a streaming query joins as the
+            # STATIC side (Spark stream-static join): the state snapshot
+            # at query start enriches every stream record — the
+            # stream-table join surface (Stream.hs:314-356 joinTable)
+            # with the view as the table
+            return self._view_state_read(self.views[name])
         info = self._require_stream(name)
         df = (
             self.spark.readStream.schema(self._schema_of(info))

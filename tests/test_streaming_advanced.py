@@ -417,3 +417,25 @@ def test_sliding_view_keeps_latest_trailing_aggregate(engine):
     engine.views["slv"].handle.processAllAvailable()
     rows = engine.execute("SELECT k, s, n FROM slv;").collect()
     assert [(r["k"], r["s"], r["n"]) for r in rows] == [("a", 24, 2)]
+
+
+def test_stream_joins_view_state(engine):
+    """A push query can enrich a stream against a VIEW's materialized
+    state (stream-static join with the view as the table side)."""
+    engine.execute("CREATE STREAM sv_base (k STRING, v INTEGER);")
+    for k, v in [("a", 10), ("a", 20), ("b", 5)]:
+        engine.execute(f"INSERT INTO sv_base (k, v) VALUES ('{k}', {v});")
+    engine.execute(
+        "CREATE VIEW sv_totals AS SELECT k, SUM(v) AS total FROM sv_base GROUP BY k;"
+    )
+    engine.views["sv_totals"].handle.processAllAvailable()
+    engine.execute("CREATE STREAM sv_live (k STRING, x INTEGER);")
+    engine.execute("INSERT INTO sv_live (k, x) VALUES ('a', 1);")
+    engine.execute("INSERT INTO sv_live (k, x) VALUES ('b', 2);")
+    handle = engine.execute(
+        "SELECT sv_live.k AS k, sv_live.x AS x, sv_totals.total AS total "
+        "FROM sv_live JOIN sv_totals ON sv_live.k = sv_totals.k EMIT CHANGES;"
+    )
+    rows = sorted((r["k"], r["x"], r["total"]) for r in handle.drain())
+    handle.stop()
+    assert rows == [("a", 1, 30), ("b", 2, 5)]
