@@ -332,3 +332,36 @@ def test_show_queries_reports_progress(engine):
     row = rows[qi.name]
     assert row["status"] == "RUNNING"
     assert row["last_batch"] >= 0 and row["last_rows"] >= 0
+
+
+def test_session_view_survives_restart(spark, tmp_path):
+    """DDL replay recreates a SESSION view on the stateful update path;
+    checkpoint + view state reattach and post-restart events merge into
+    the right sessions."""
+    import time as _time
+
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    root = str(tmp_path / "sess_srv")
+    base = _time.time()
+    a = HStreamEngine(spark, root)
+    a.execute("CREATE STREAM ssr_ev (k STRING, v INTEGER);")
+    a.execute(f"INSERT INTO ssr_ev (k, v, _ts) VALUES ('a', 1, {base});")
+    a.execute(
+        "CREATE VIEW ssr AS SELECT k, COUNT(*) AS n "
+        "FROM SESSION(ssr_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    a.views["ssr"].handle.processAllAvailable()
+    assert [r["n"] for r in a.execute("SELECT n FROM ssr;").collect()] == [1]
+    a.shutdown()
+
+    b = HStreamEngine(spark, root)
+    try:
+        assert b.views["ssr"].merge_on_overlap
+        # an event 5s after the first extends the SAME session
+        b.execute(f"INSERT INTO ssr_ev (k, v, _ts) VALUES ('a', 1, {base + 5.0});")
+        b.views["ssr"].handle.processAllAvailable()
+        rows = b.execute("SELECT k, n FROM ssr;").collect()
+        assert [(r["k"], r["n"]) for r in rows] == [("a", 2)]
+    finally:
+        b.shutdown()
