@@ -541,27 +541,27 @@ _SESSION_AGG_KIND = {
 }
 
 
-def compile_select_session_update(
-    sel: A.Select, resolve: Resolver
+def _compile_stateful_window(
+    sel: A.Select,
+    resolve: Resolver,
+    window_kind: str,
+    keep_ts: bool = False,
 ) -> Optional[DataFrame]:
-    """Streaming SESSION-window aggregation as an UPDATE stream.
+    """Shared Reduce-node compilation for the custom stateful window
+    operators (SESSION update stream, SLIDING retract buffer).
 
-    Spark's built-in session_window only runs in append/complete output
-    modes (merging sessions defeat its update-mode bookkeeping), so a
-    SESSION view compiled the normal way silently degrades to a full-
-    result refresh per trigger — a scale-killer for large key spaces.
-    This path routes the Reduce node through the custom
-    ``stateful.session_aggregate`` (applyInPandasWithState, bounded
-    state, per-trigger deltas) instead.
-
-    Returns None when the SELECT shape exceeds what the stateful
-    operator folds (TOPK, HAVING, wildcard, non-key plain columns) —
-    the caller falls back to complete mode for those.
+    Items may be group-key references or ARBITRARY expressions over the
+    supported aggregates (COUNT/COUNT(*)/SUM/MIN/MAX/AVG): each unique
+    aggregate call computes once as a hidden stateful output and the
+    item expressions project over those (the same agg-dedup rewrite as
+    the batch path, Planner.hs:352-367). Returns None when the shape
+    exceeds the operator (TOPK, HAVING, wildcard, non-key plain
+    columns, non-numeric MIN/MAX) — callers fall back or raise.
     """
     if sel.from_ is None:
         return None
     src = _compile_from(sel.from_, resolve)
-    if src.window is None or src.window.window_kind != "SESSION":
+    if src.window is None or src.window.window_kind != window_kind:
         return None
     if sel.having is not None:
         return None
@@ -574,33 +574,34 @@ def compile_select_session_update(
     key_names = [k.name for k in sel.group_by]
     key_refs = [f"{k.stream}.{k.name}" if k.stream else k.name for k in sel.group_by]
 
+    # unique supported aggregates across all items -> hidden outputs
     kinds: list[str] = []
     in_exprs: list[Optional[Column]] = []
-    out_names: list[str] = []
-    order: list[tuple[str, str]] = []  # (slot kind, name) in item order
+    hidden: list[str] = []
+    agg_subst: dict[int, str] = {}
+    seen: dict[str, str] = {}
     for it in sel.items:
         if it.wildcard:
             return None
         aggs = find_aggs(it.expr)
-        name = it.alias or it.text
         if not aggs:
-            # plain column: only group keys pass through an aggregation
-            if isinstance(it.expr, A.ColRef) and it.expr.name in key_names:
-                order.append(("key", it.expr.name))
+            if not (isinstance(it.expr, A.ColRef) and it.expr.name in key_names):
+                return None
+            continue
+        for node in aggs:
+            key = f"{node.name}:{[repr(a) for a in node.args]}"
+            if key in seen:
+                agg_subst[id(node)] = seen[key]
                 continue
-            return None
-        # supported: the item IS a single aggregate call
-        if not isinstance(it.expr, A.AggFunc):
-            return None
-        kind = _SESSION_AGG_KIND.get(it.expr.name)
-        if kind is None:
-            return None
-        kinds.append(kind)
-        in_exprs.append(
-            compile_expr(it.expr.args[0]) if it.expr.args else None
-        )
-        out_names.append(name)
-        order.append(("agg", name))
+            kind = _SESSION_AGG_KIND.get(node.name)
+            if kind is None:
+                return None
+            name = f"__agg{len(hidden)}"
+            seen[key] = name
+            agg_subst[id(node)] = name
+            hidden.append(name)
+            kinds.append(kind)
+            in_exprs.append(compile_expr(node.args[0]) if node.args else None)
 
     # project group keys + event-time micros + aggregate inputs; the
     # watermarked _ts column stays in the frame so the watermark node
@@ -635,23 +636,52 @@ def compile_select_session_update(
                 return None  # non-numeric MIN/MAX: fall back
     key_ddl = ", ".join(f"`{n}` {dtypes[n]}" for n in key_names)
 
-    from hstream_spark.streaming.stateful import session_aggregate
+    size_us = src.window.size.seconds * 1_000_000
+    if window_kind == "SESSION":
+        from hstream_spark.streaming.stateful import session_aggregate
 
-    out = session_aggregate(
-        sdf,
-        key_names,
-        "__ts_us",
-        src.window.size.seconds * 1_000_000,
-        kinds,
-        input_cols,
-        out_names,
-        out_casts,
-        key_ddl,
-    )
-    # reorder to the declared item order (after window bounds)
-    final = [F.col("window_start"), F.col("window_end")]
-    final += [F.col(nm) for _, nm in order]
+        out = session_aggregate(
+            sdf, key_names, "__ts_us", size_us, kinds, input_cols,
+            hidden, out_casts, key_ddl,
+        )
+    else:
+        from hstream_spark.streaming.stateful import sliding_aggregate
+
+        out = sliding_aggregate(
+            sdf, key_names, "__ts_us", size_us, kinds, input_cols,
+            hidden, out_casts, key_ddl,
+        )
+
+    final: list[Column] = []
+    if window_kind == "SESSION":
+        final += [F.col("window_start"), F.col("window_end")]
+    for it in sel.items:
+        name = it.alias or it.text
+        if find_aggs(it.expr):
+            final.append(compile_expr(it.expr, agg_subst).alias(name))
+        else:
+            final.append(F.col(it.expr.name))
+    if keep_ts:
+        # view upsert orders by this to keep each key's LATEST trailing
+        # aggregate (the V2 materialized-view read of an update stream)
+        final.append(F.col("__ts_us").alias("__slide_ts"))
     return out.select(*final)
+
+
+def compile_select_session_update(
+    sel: A.Select, resolve: Resolver
+) -> Optional[DataFrame]:
+    """Streaming SESSION-window aggregation as an UPDATE stream.
+
+    Spark's built-in session_window only runs in append/complete output
+    modes (merging sessions defeat its update-mode bookkeeping), so a
+    SESSION view compiled the normal way silently degrades to a full-
+    result refresh per trigger — a scale-killer for large key spaces.
+    This path routes the Reduce node through the custom
+    ``stateful.session_aggregate`` (applyInPandasWithState, bounded
+    state, per-trigger deltas) instead.
+    """
+    return _compile_stateful_window(sel, resolve, "SESSION")
 
 
 def compile_select_sliding_update(
@@ -663,96 +693,9 @@ def compile_select_sliding_update(
     ``stateful.sliding_aggregate`` (raw events in bounded state,
     insert-at-t / retract-at-t+size — Handler/Common.hs:97-105).
     Emission is append-per-record, matching the batch range-frame
-    compilation sampled at arrivals. Returns None for unsupported
-    SELECT shapes (caller raises the normal compile error)."""
-    if sel.from_ is None:
-        return None
-    src = _compile_from(sel.from_, resolve)
-    if src.window is None or src.window.window_kind != "SLIDING":
-        return None
-    if sel.having is not None:
-        return None
-    df = src.df
-    if EVENT_TIME_COL not in df.columns:
-        return None
-    if sel.where is not None:
-        df = df.filter(compile_expr(sel.where))
-
-    key_names = [k.name for k in sel.group_by]
-    key_refs = [f"{k.stream}.{k.name}" if k.stream else k.name for k in sel.group_by]
-
-    kinds: list[str] = []
-    in_exprs: list[Optional[Column]] = []
-    out_names: list[str] = []
-    order: list[tuple[str, str]] = []
-    for it in sel.items:
-        if it.wildcard:
-            return None
-        name = it.alias or it.text
-        if not find_aggs(it.expr):
-            if isinstance(it.expr, A.ColRef) and it.expr.name in key_names:
-                order.append(("key", it.expr.name))
-                continue
-            return None
-        if not isinstance(it.expr, A.AggFunc):
-            return None
-        kind = _SESSION_AGG_KIND.get(it.expr.name)
-        if kind is None:
-            return None
-        kinds.append(kind)
-        in_exprs.append(compile_expr(it.expr.args[0]) if it.expr.args else None)
-        out_names.append(name)
-        order.append(("agg", name))
-
-    proj: list[Column] = [F.col(EVENT_TIME_COL)]
-    proj += [F.col(r).alias(n) for r, n in zip(key_refs, key_names)]
-    proj.append(F.unix_micros(F.col(EVENT_TIME_COL)).alias("__ts_us"))
-    input_cols: list[Optional[str]] = []
-    for j, e in enumerate(in_exprs):
-        if e is None:
-            input_cols.append(None)
-        else:
-            proj.append(e.alias(f"__in{j}"))
-            input_cols.append(f"__in{j}")
-    sdf = df.select(*proj)
-
-    dtypes = dict(sdf.dtypes)
-    int_types = {"tinyint", "smallint", "int", "bigint", "long"}
-    out_casts = []
-    for j, kind in enumerate(kinds):
-        if kind in ("count_all", "count"):
-            out_casts.append("bigint")
-        elif kind == "avg":
-            out_casts.append("double")
-        else:
-            t = dtypes[input_cols[j]]
-            if t in int_types:
-                out_casts.append("bigint")
-            elif t in ("double", "float", "decimal"):
-                out_casts.append("double")
-            else:
-                return None
-    key_ddl = ", ".join(f"`{n}` {dtypes[n]}" for n in key_names)
-
-    from hstream_spark.streaming.stateful import sliding_aggregate
-
-    out = sliding_aggregate(
-        sdf,
-        key_names,
-        "__ts_us",
-        src.window.size.seconds * 1_000_000,
-        kinds,
-        input_cols,
-        out_names,
-        out_casts,
-        key_ddl,
-    )
-    final = [F.col(nm) for _, nm in order]
-    if keep_ts:
-        # view upsert orders by this to keep each key's LATEST trailing
-        # aggregate (the V2 materialized-view read of an update stream)
-        final.append(F.col("__ts_us").alias("__slide_ts"))
-    return out.select(*final)
+    compilation sampled at arrivals.
+    """
+    return _compile_stateful_window(sel, resolve, "SLIDING", keep_ts=keep_ts)
 
 
 def explain(sel: A.Select, resolve: Resolver) -> str:

@@ -439,3 +439,26 @@ def test_stream_joins_view_state(engine):
     rows = sorted((r["k"], r["x"], r["total"]) for r in handle.drain())
     handle.stop()
     assert rows == [("a", 1, 30), ("b", 2, 5)]
+
+
+def test_session_view_expressions_over_aggregates(engine):
+    """Items may be expressions over the supported aggregates (the
+    batch path's agg-dedup rewrite applied to the stateful update
+    plan): a reused SUM composed with COUNT(*) in one item."""
+    import time as _time
+
+    engine.execute("CREATE STREAM sx_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    for off, v in [(0.0, 10), (2.0, 20), (4.0, 30)]:
+        engine.execute(
+            f"INSERT INTO sx_ev (k, v, _ts) VALUES ('a', {v}, {base + off});"
+        )
+    engine.execute(
+        "CREATE VIEW sx AS SELECT k, SUM(v) AS s, SUM(v) + COUNT(*) AS s_plus_n "
+        "FROM SESSION(sx_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    vi = engine.views["sx"]
+    assert vi.merge_on_overlap, "expression items must stay on the update path"
+    vi.handle.processAllAvailable()
+    rows = engine.execute("SELECT k, s, s_plus_n FROM sx;").collect()
+    assert [(r["k"], r["s"], r["s_plus_n"]) for r in rows] == [("a", 60, 63)]
