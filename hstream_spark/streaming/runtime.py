@@ -853,8 +853,17 @@ class HStreamEngine:
     def _exec_show(self, stmt: A.Show) -> DataFrame:
         rows, schema = [], None
         if stmt.what == "STREAMS":
-            rows = [(s.name, s.path) for s in self.streams.values()]
-            schema = "name string, path string"
+            def _bytes(p: str) -> int:
+                if not os.path.isdir(p):
+                    return 0
+                return sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+
+            rows = [(s.name, s.path, _bytes(s.path)) for s in self.streams.values()]
+            schema = "name string, path string, bytes long"
         elif stmt.what == "VIEWS":
             rows = [(v.name, v.sql) for v in self.views.values()]
             schema = "name string, sql string"

@@ -365,3 +365,16 @@ def test_session_view_survives_restart(spark, tmp_path):
         assert [(r["k"], r["n"]) for r in rows] == [("a", 2)]
     finally:
         b.shutdown()
+
+
+def test_drop_stream_cascades_to_sinking_queries(engine):
+    engine.execute("CREATE STREAM casc_src (a INTEGER);")
+    engine.execute("CREATE STREAM casc_dst AS SELECT a FROM casc_src;")
+    qnames = [n for n, q in engine.queries.items() if q.sink_stream == "casc_dst"]
+    assert qnames
+    engine.execute("DROP STREAM casc_dst;")
+    assert all(n not in engine.queries for n in qnames)
+    rows = engine.execute("SHOW STREAMS;").collect()
+    names = {r["name"] for r in rows}
+    assert "casc_dst" not in names and "casc_src" in names
+    assert all(r["bytes"] >= 0 for r in rows)
