@@ -475,7 +475,29 @@ class HStreamEngine:
                           qname: Optional[str] = None) -> QueryInfo:
         qname = qname or self._next_qname()
         sink = self.streams[sink_stream]
-        out = compile_select(select, self._resolve_stream, keep_event_time=True)
+        # SESSION/SLIDING aggregations need the custom stateful plans
+        # (Spark rejects session aggregation in update mode and window
+        # functions in streaming entirely)
+        out = None
+        stateful_mode = None
+        if isinstance(select.from_, A.WindowedRef):
+            wk = select.from_.window_kind
+            if wk == "SESSION":
+                from hstream_spark.plans.compiler import (
+                    compile_select_session_update,
+                )
+
+                out = compile_select_session_update(select, self._resolve_stream)
+                stateful_mode = "update" if out is not None else None
+            elif wk == "SLIDING":
+                from hstream_spark.plans.compiler import (
+                    compile_select_sliding_update,
+                )
+
+                out = compile_select_sliding_update(select, self._resolve_stream)
+                stateful_mode = "append" if out is not None else None
+        if out is None:
+            out = compile_select(select, self._resolve_stream, keep_event_time=True)
         # unwindowed aggregates have no derivable event time: sink
         # records are stamped with append time (reference semantics)
         stamp_ts = EVENT_TIME_COL not in out.columns
@@ -491,7 +513,7 @@ class HStreamEngine:
         aggregated = bool(select.group_by) or any(
             find_aggs(it.expr) for it in select.items
         )
-        mode = "update" if aggregated else "append"
+        mode = stateful_mode or ("update" if aggregated else "append")
 
         sink_batch = self._idempotent_sink(
             self._checkpoint(qname), sink.path, stamp_ts=stamp_ts

@@ -462,3 +462,31 @@ def test_session_view_expressions_over_aggregates(engine):
     vi.handle.processAllAvailable()
     rows = engine.execute("SELECT k, s, s_plus_n FROM sx;").collect()
     assert [(r["k"], r["s"], r["s_plus_n"]) for r in rows] == [("a", 60, 63)]
+
+
+def test_csas_over_session_and_sliding(engine):
+    """CREATE STREAM AS SELECT works over SESSION and SLIDING windows
+    (routed through the stateful plans; the default compilation is
+    rejected by streaming Spark for both)."""
+    import time as _time
+
+    engine.execute("CREATE STREAM cs_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    for off, v in [(0.0, 1), (5.0, 2)]:
+        engine.execute(
+            f"INSERT INTO cs_ev (k, v, _ts) VALUES ('a', {v}, {base + off});"
+        )
+    q1 = engine.execute(
+        "CREATE STREAM cs_sess AS SELECT k, COUNT(*) AS n "
+        "FROM SESSION(cs_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    q1.handle.processAllAvailable()
+    sess = engine.execute("SELECT k, n FROM cs_sess;").collect()
+    assert ("a", 2) in {(r["k"], r["n"]) for r in sess}
+    q2 = engine.execute(
+        "CREATE STREAM cs_slide AS SELECT k, SUM(v) AS s "
+        "FROM SLIDING(cs_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    q2.handle.processAllAvailable()
+    slide = sorted((r["k"], r["s"]) for r in engine.execute("SELECT k, s FROM cs_slide;").collect())
+    assert slide == [("a", 1), ("a", 3)]  # per-record trailing sums
