@@ -19,6 +19,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hstream_spark.queries import REGISTRY  # noqa: E402
 
+# Names already driver-sampled in CORRECTNESS_r01/r02.  The driver draws 50
+# entries per round from the front of the enumeration, so list the
+# never-yet-sampled catalog entries first to converge the driver-proven set
+# toward the full catalog (oracles themselves are unchanged).
+_ALREADY_SAMPLED = frozenset(
+    {
+        "affiliate_computed", "agg_basic", "ann_bruteforce_np", "ann_cosine_topk",
+        "ann_ivf_topk", "ann_lsh_topk", "between_ops", "boilerplate_signals",
+        "cap_per_group", "cast_ops", "cdc_apply_latest", "cross_join_within",
+        "datetime_ops", "dedup_components", "dedup_embedding_cosine",
+        "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "distinct_op", "doc_fingerprint", "having_filter", "hop_agg",
+        "hypertable_rollup", "interval_join_inner", "interval_join_left",
+        "interval_join_using", "join_outer_full", "json_ops", "lang_id",
+        "lm_cross_entropy", "multimodal_features", "ngram_jaccard_pairs",
+        "null_semantics", "quality_score", "range_join_bands", "salted_join",
+        "scalar_array", "scalar_math", "scalar_string", "select_where_project",
+        "session_agg", "simhash_signature", "stream_table_join", "token_stats",
+        "top_orders_per_customer", "topk_agg", "topkdistinct_agg", "tpch_q1",
+        "tpch_q3", "tpch_q5ish", "tpch_q6", "tumble_agg", "union_op", "vocab_top",
+        "window_bounds",
+    }
+)
+
+
+def _driver_order() -> list[str]:
+    # embedding_quantize (the one red r2 row — oracle dtype, now cast) is
+    # deliberately absent from _ALREADY_SAMPLED so the fix gets re-verified.
+    names = list(REGISTRY)
+    fresh = [n for n in names if n not in _ALREADY_SAMPLED]
+    seen = [n for n in names if n in _ALREADY_SAMPLED]
+    return fresh + seen
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -38,10 +71,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(q.builder) for name, q in REGISTRY.items()}
+    return {name: _wrap(REGISTRY[name].builder) for name in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent per query (omitted entries get
     the driver's weaker rows-only check)."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _driver_order()
+        if REGISTRY[name].oracle is not None
+    }

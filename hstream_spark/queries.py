@@ -1213,7 +1213,7 @@ q AS (SELECT vec_id, scale,
              list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
       FROM s)
 SELECT vec_id, scale,
-       list_sum(qv)  AS qsum,
+       CAST(list_sum(qv) AS BIGINT) AS qsum,
        list_min(qv)  AS qmin,
        list_max(qv)  AS qmax
 FROM q
