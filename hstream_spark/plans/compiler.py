@@ -660,7 +660,7 @@ def _compile_stateful_window(
         if find_aggs(it.expr):
             final.append(compile_expr(it.expr, agg_subst).alias(name))
         else:
-            final.append(F.col(it.expr.name))
+            final.append(F.col(it.expr.name).alias(name))
     if keep_ts:
         # view upsert orders by this to keep each key's LATEST trailing
         # aggregate (the V2 materialized-view read of an update stream)

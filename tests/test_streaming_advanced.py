@@ -441,6 +441,96 @@ def test_stream_joins_view_state(engine):
     assert rows == [("a", 1, 30), ("b", 2, 5)]
 
 
+def test_session_view_aliased_group_key(engine):
+    """SELECT k AS kk ... GROUP BY k over SESSION must register the
+    ALIASED column in the stateful operator output (the non-agg item
+    branch previously dropped the alias, so the view upsert keyed on a
+    missing column and failed at the first trigger)."""
+    import time as _time
+
+    engine.execute("CREATE STREAM sak_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    engine.execute(f"INSERT INTO sak_ev (k, v, _ts) VALUES ('a', 1, {base});")
+    engine.execute(f"INSERT INTO sak_ev (k, v, _ts) VALUES ('a', 2, {base + 3.0});")
+    engine.execute(
+        "CREATE VIEW sak AS SELECT k AS kk, SUM(v) AS s "
+        "FROM SESSION(sak_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    vi = engine.views["sak"]
+    assert vi.merge_on_overlap and not vi.replace_all, "must stay on the update path"
+    vi.handle.processAllAvailable()
+    rows = engine.execute("SELECT kk, s FROM sak;").collect()
+    assert [(r["kk"], r["s"]) for r in rows] == [("a", 3)]
+
+
+def test_sliding_view_aliased_group_key(engine):
+    import time as _time
+
+    engine.execute("CREATE STREAM slak_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    engine.execute(f"INSERT INTO slak_ev (k, v, _ts) VALUES ('a', 1, {base});")
+    engine.execute(f"INSERT INTO slak_ev (k, v, _ts) VALUES ('a', 2, {base + 3.0});")
+    engine.execute(
+        "CREATE VIEW slak AS SELECT k AS kk, SUM(v) AS s "
+        "FROM SLIDING(slak_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    engine.views["slak"].handle.processAllAvailable()
+    rows = engine.execute("SELECT kk, s FROM slak;").collect()
+    assert [(r["kk"], r["s"]) for r in rows] == [("a", 3)]
+
+
+def test_complete_fallback_is_loud(engine):
+    """A SESSION view shape the stateful update operator can't express
+    (HAVING) falls back to complete mode — the fallback must warn and
+    surface mode='complete(fallback)' in SHOW QUERIES instead of
+    engaging silently (a full-result refresh per trigger)."""
+    import time as _time
+
+    engine.execute("CREATE STREAM cfb_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    engine.execute(f"INSERT INTO cfb_ev (k, v, _ts) VALUES ('a', 1, {base});")
+    with pytest.warns(RuntimeWarning, match="complete output mode"):
+        engine.execute(
+            "CREATE VIEW cfb AS SELECT k, COUNT(*) AS n "
+            "FROM SESSION(cfb_ev, INTERVAL 10 SECOND) GROUP BY k "
+            "HAVING COUNT(*) > 0;"
+        )
+    assert engine.views["cfb"].replace_all
+    rows = {r["name"]: r for r in engine.execute("SHOW QUERIES;").collect()}
+    assert rows["view_cfb"]["mode"] == "complete(fallback)"
+    # the update-path session view advertises its real mode
+    engine.execute(
+        "CREATE VIEW cfb_ok AS SELECT k, COUNT(*) AS n "
+        "FROM SESSION(cfb_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    rows = {r["name"]: r for r in engine.execute("SHOW QUERIES;").collect()}
+    assert rows["view_cfb_ok"]["mode"] == "update"
+
+
+def test_view_lifecycle_survives_restart(spark, tmp_path):
+    """View-backing queries get deterministic names (view_<name>), so a
+    logged TERMINATE replays onto the same query after restart instead
+    of silently resurrecting the refresh as RUNNING."""
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    root = str(tmp_path / "vterm")
+    a = HStreamEngine(spark, root)
+    a.execute("CREATE STREAM vt_ev (k STRING, v INTEGER);")
+    a.execute("CREATE VIEW vt AS SELECT k, SUM(v) AS s FROM vt_ev GROUP BY k;")
+    assert "view_vt" in a.queries
+    a.execute("TERMINATE QUERY view_vt;")
+    assert a.queries["view_vt"].status == "TERMINATED"
+    a.shutdown()
+
+    b = HStreamEngine(spark, root)
+    try:
+        assert b.queries["view_vt"].status == "TERMINATED"
+        h = b.queries["view_vt"].handle
+        assert h is None or not h.isActive
+    finally:
+        b.shutdown()
+
+
 def test_session_view_expressions_over_aggregates(engine):
     """Items may be expressions over the supported aggregates (the
     batch path's agg-dedup rewrite applied to the stateful update
