@@ -99,7 +99,39 @@ def _infer_dynamic_type(v) -> T.DataType:
     if isinstance(v, list):
         elem = _infer_dynamic_type(v[0]) if v else T.StringType()
         return T.ArrayType(elem)
-    return T.StringType()  # str, None, and JSONB-serialized documents
+    return T.StringType()  # str, None, dicts (JSONB text), documents
+
+
+def _value_fits(v, dt: T.DataType) -> bool:
+    """Does a JSON-decoded python value read back losslessly under the
+    column's logical type via ``from_json``? StringType accepts every
+    JSON value (Jackson token-text coercion: 1→'1', {..}→'{..}') — the
+    JSONB demotion target for heterogeneous fields."""
+    if v is None or isinstance(dt, T.StringType):
+        return True
+    if isinstance(v, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(v, int):
+        return isinstance(dt, (T.LongType, T.DoubleType))
+    if isinstance(v, float):
+        return isinstance(dt, T.DoubleType)
+    if isinstance(v, (bytes, bytearray)):
+        return isinstance(dt, T.BinaryType)
+    if isinstance(v, list):
+        return isinstance(dt, T.ArrayType) and all(
+            _value_fits(x, dt.elementType) for x in v
+        )
+    return False  # dicts only coerce to StringType (handled above)
+
+
+def _payload_default(v):
+    """json.dumps fallback for payload records: bytes → base64 text
+    (read back through ``unbase64`` for BinaryType logical fields)."""
+    import base64
+
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    raise TypeError(f"unserializable dynamic value {type(v).__name__}")
 
 
 @dataclass
@@ -110,11 +142,19 @@ class StreamInfo:
     options: dict = field(default_factory=dict)
     # schemaless mode (the reference DEFAULT — FlowObject dynamic rows,
     # Rts/Old.hs:44): streams declared without columns accept records
-    # with unseen fields by EVOLVING the schema (new nullable columns;
-    # older parquet files read as NULL for them). Typed streams reject
-    # unknown fields. Heterogeneous types per field are the documented
-    # divergence: we are column-typed, the reference is value-typed.
+    # with unseen fields by EVOLVING the schema. Typed streams reject
+    # unknown fields.
     dynamic: bool = False
+    # VALUE-TYPED physical layout (matches the reference's per-record
+    # FlowObject typing): rows persist as one JSON payload column +
+    # event time; ``schema`` is the LOGICAL schema projected at read
+    # via from_json, and a per-field type conflict demotes that field
+    # to JSONB text instead of rejecting the INSERT. Chosen when a
+    # schemaless stream's first write is an INSERT VALUES; streams
+    # claimed by a structured writer (CSAS sink, connector snapshot)
+    # stay column-typed parquet. Either way the evolved schema is
+    # durably persisted in a _schema.json sidecar (restart-safe).
+    payload: bool = False
 
 
 @dataclass
@@ -263,8 +303,37 @@ class HStreamEngine:
         self._qcounter += 1
         return f"{prefix}_{self._qcounter}_{uuid.uuid4().hex[:6]}"
 
+    # -- dynamic-stream schema persistence ----------------------------------
+    #
+    # A schemaless stream's evolved schema lives ONLY in engine memory
+    # unless persisted: plain INSERTs are deliberately not in the DDL
+    # log, and per-file footer inference after a restart would pick one
+    # arbitrary file (losing evolved columns). The _schema.json sidecar
+    # is the durable record; underscore-prefixed files are invisible to
+    # Spark's file listing so it can live inside the stream directory.
+
+    def _schema_sidecar(self, info: StreamInfo) -> str:
+        return os.path.join(info.path, "_schema.json")
+
+    def _save_stream_schema(self, info: StreamInfo) -> None:
+        data = {
+            "layout": "payload" if info.payload else "columns",
+            "schema": info.schema.jsonValue(),
+        }
+        tmp = self._schema_sidecar(info) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, self._schema_sidecar(info))
+
     def _schema_of(self, info: StreamInfo) -> T.StructType:
         if info.schema is not None:
+            return info.schema
+        sidecar = self._schema_sidecar(info)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                data = json.load(f)
+            info.payload = data.get("layout") == "payload"
+            info.schema = T.StructType.fromJson(data["schema"])
             return info.schema
         files = [f for f in os.listdir(info.path) if f.endswith(".parquet")] \
             if os.path.isdir(info.path) else []
@@ -272,14 +341,56 @@ class HStreamEngine:
             raise CompileError(
                 f"stream {info.name!r} has no declared schema and no data yet"
             )
-        info.schema = self.spark.read.parquet(info.path).schema
+        # pre-sidecar data: union footers so no evolved column is lost
+        info.schema = (
+            self.spark.read.option("mergeSchema", "true").parquet(info.path).schema
+        )
         return info.schema
+
+    _PAYLOAD_COL = "__payload"
+    _PAYLOAD_PHYSICAL = T.StructType(
+        [
+            T.StructField("__payload", T.StringType()),
+            T.StructField(EVENT_TIME_COL, T.TimestampType()),
+        ]
+    )
+
+    def _payload_project(self, df: DataFrame, logical: T.StructType) -> DataFrame:
+        """Project a payload-layout frame to its logical columns: ONE
+        from_json parse per row (JVM Jackson, map-only at any scale),
+        with StringType fields capturing heterogeneous/JSONB values as
+        token text and BinaryType fields decoding from base64."""
+        fields = [f for f in logical.fields if f.name != EVENT_TIME_COL]
+        wire = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.StringType()
+                    if isinstance(f.dataType, T.BinaryType)
+                    else f.dataType,
+                )
+                for f in fields
+            ]
+        )
+        s = F.from_json(F.col(self._PAYLOAD_COL), wire)
+        cols = []
+        for f in fields:
+            c = s[f.name]
+            if isinstance(f.dataType, T.BinaryType):
+                c = F.unbase64(c)
+            cols.append(c.alias(f.name))
+        cols.append(F.col(EVENT_TIME_COL))
+        return df.select(*cols)
 
     def _resolve_batch(self, name: str) -> DataFrame:
         if name in self.views:
             return self._view_state_read(self.views[name])
         info = self._require_stream(name)
-        return self.spark.read.schema(self._schema_of(info)).parquet(info.path)
+        logical = self._schema_of(info)
+        if info.payload:
+            df = self.spark.read.schema(self._PAYLOAD_PHYSICAL).parquet(info.path)
+            return self._payload_project(df, logical)
+        return self.spark.read.schema(logical).parquet(info.path)
 
     # -- view state (distributed keyed upsert) ------------------------------
     #
@@ -379,11 +490,16 @@ class HStreamEngine:
             # with the view as the table
             return self._view_state_read(self.views[name])
         info = self._require_stream(name)
+        logical = self._schema_of(info)
         df = (
-            self.spark.readStream.schema(self._schema_of(info))
+            self.spark.readStream.schema(
+                self._PAYLOAD_PHYSICAL if info.payload else logical
+            )
             .option("maxFilesPerTrigger", "64")
             .parquet(info.path)
         )
+        if info.payload:
+            df = self._payload_project(df, logical)
         if EVENT_TIME_COL in df.columns:
             df = df.withWatermark(EVENT_TIME_COL, self.grace)
         return df
@@ -523,22 +639,35 @@ class HStreamEngine:
         # unwindowed aggregates have no derivable event time: sink
         # records are stamped with append time (reference semantics)
         stamp_ts = EVENT_TIME_COL not in out.columns
-        if sink.schema is None:
-            # derived stream's schema is the query's output schema
-            sink.schema = (
-                T.StructType(
-                    out.schema.fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
-                )
-                if stamp_ts
-                else out.schema
+        try:
+            self._schema_of(sink)  # resolve persisted layout/schema first
+        except CompileError:
+            pass  # fresh sink: no schema, no data
+        out_schema = (
+            T.StructType(
+                out.schema.fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
             )
+            if stamp_ts
+            else out.schema
+        )
+        if sink.schema is None:
+            # a structured writer CLAIMS an unused schemaless stream as
+            # column-typed: the query defines the schema
+            sink.schema = out_schema
+            if sink.dynamic:
+                self._save_stream_schema(sink)
+        elif sink.payload:
+            # sinking into a value-typed stream: rows JSON-encode and
+            # the logical schema widens by field union
+            self._merge_payload_schema(sink, out_schema)
         aggregated = bool(select.group_by) or any(
             find_aggs(it.expr) for it in select.items
         )
         mode = stateful_mode or ("update" if aggregated else "append")
 
         sink_batch = self._idempotent_sink(
-            self._checkpoint(qname), sink.path, stamp_ts=stamp_ts
+            self._checkpoint(qname), sink.path, stamp_ts=stamp_ts,
+            payload=sink.payload,
         )
         q = (
             out.writeStream.outputMode(mode)
@@ -552,13 +681,15 @@ class HStreamEngine:
         return qi
 
     @staticmethod
-    def _idempotent_sink(checkpoint_dir: str, sink_path: str, stamp_ts: bool = False):
+    def _idempotent_sink(checkpoint_dir: str, sink_path: str, stamp_ts: bool = False,
+                         payload: bool = False):
         """foreachBatch writer with epoch-marker idempotence: Spark's
         foreachBatch is at-least-once (a crash between the sink write
         and the offset commit replays the epoch), so the sink records
         the last epoch it wrote and skips replays — the standard
         batchId-dedup pattern that upgrades the parquet sink to
-        exactly-once."""
+        exactly-once. With ``payload`` the sink stream is value-typed:
+        rows JSON-encode via to_json (map-only)."""
 
         marker = os.path.join(checkpoint_dir, "_sink_epoch")
 
@@ -575,6 +706,12 @@ class HStreamEngine:
                 )
             else:
                 out_df = batch_df
+            if payload:
+                cols = [c for c in out_df.columns if c != EVENT_TIME_COL]
+                out_df = out_df.select(
+                    F.to_json(F.struct(*cols)).alias(HStreamEngine._PAYLOAD_COL),
+                    F.col(EVENT_TIME_COL),
+                )
             out_df.write.mode("append").parquet(sink_path)
             os.makedirs(checkpoint_dir, exist_ok=True)
             tmp = marker + ".tmp"
@@ -737,22 +874,31 @@ class HStreamEngine:
             snap = C.jdbc_source(self.spark, opts).withColumn(
                 EVENT_TIME_COL, F.current_timestamp()
             )
-            if target.schema is None:
-                target.schema = snap.schema
+            snap = self._claim_or_encode(target, snap)
             snap.write.mode("append").parquet(target.path)
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
             rate = C.rate_source(
                 self.spark, int(info.options.get("ROWS_PER_SECOND", 10))
             )
+            try:
+                self._schema_of(target)
+            except CompileError:
+                pass
             if target.schema is None:
                 target.schema = rate.schema
+                if target.dynamic:
+                    self._save_stream_schema(target)
+
+            def _gen_write(batch_df: DataFrame, _eid: int) -> None:
+                self._claim_or_encode(target, batch_df).write.mode(
+                    "append"
+                ).parquet(target.path)
+
             info.handle = (
                 rate.writeStream.outputMode("append")
                 .option("checkpointLocation", self._checkpoint(f"conn_{info.name}"))
-                .foreachBatch(
-                    lambda batch_df, _eid: batch_df.write.mode("append").parquet(target.path)
-                )
+                .foreachBatch(_gen_write)
                 .start()
             )
         self.connectors.setdefault(stmt.name, info)
@@ -795,49 +941,151 @@ class HStreamEngine:
         # the INSERT (epoch seconds) overrides it — event-time ingestion
         # for replays and late-data testing
         now = float(record.pop(EVENT_TIME_COL, time.time()))
-        # nested documents (FlowSubObject) persist as JSONB text columns
+        if info.dynamic:
+            # resolve any persisted layout/schema before deciding
+            try:
+                self._schema_of(info)
+            except CompileError:
+                pass  # brand-new stream: no schema, no data
+            if info.schema is None:
+                info.payload = True  # first write is a record: value-typed
+        if info.payload:
+            self._evolve_payload_schema(info, record)
+            row_df = self.spark.createDataFrame(
+                [(json.dumps(record, default=_payload_default),)],
+                T.StructType([T.StructField(self._PAYLOAD_COL, T.StringType())]),
+            ).withColumn(EVENT_TIME_COL, F.timestamp_seconds(F.lit(now)))
+            row_df.write.mode("append").parquet(info.path)
+            self.vacuum(stmt.stream)
+            return 1
+        # column-typed path: nested documents persist as JSONB text
         record = {
             k: json.dumps(v) if isinstance(v, dict) else v for k, v in record.items()
         }
         schema = info.schema
-        if schema is None:
-            row_df = self.spark.createDataFrame([record]).withColumn(
+        known = {f.name for f in schema.fields}
+        extra = [(k, v) for k, v in record.items() if k not in known]
+        if extra and not info.dynamic:
+            raise CompileError(
+                f"unknown column(s) {sorted(k for k, _ in extra)!r} in INSERT "
+                f"into typed stream {info.name!r}"
+            )
+        if extra:
+            # schemaless evolution: widen the stream schema; existing
+            # parquet files surface NULL for the new columns
+            base_fields = [f for f in schema.fields if f.name != EVENT_TIME_COL]
+            base_fields += [
+                T.StructField(k, _infer_dynamic_type(v)) for k, v in extra
+            ]
+            info.schema = T.StructType(
+                base_fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
+            )
+            schema = info.schema
+            self._save_stream_schema(info)
+        values = [record.get(f.name) for f in schema.fields if f.name != EVENT_TIME_COL]
+        base = T.StructType([f for f in schema.fields if f.name != EVENT_TIME_COL])
+        try:
+            row_df = self.spark.createDataFrame([values], base).withColumn(
                 EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
             )
-            info.schema = row_df.schema
-        else:
-            known = {f.name for f in schema.fields}
-            extra = [(k, v) for k, v in record.items() if k not in known]
-            if extra and not info.dynamic:
-                raise CompileError(
-                    f"unknown column(s) {sorted(k for k, _ in extra)!r} in INSERT "
-                    f"into typed stream {info.name!r}"
-                )
-            if extra:
-                # schemaless evolution: widen the stream schema; existing
-                # parquet files surface NULL for the new columns
-                base_fields = [f for f in schema.fields if f.name != EVENT_TIME_COL]
-                base_fields += [
-                    T.StructField(k, _infer_dynamic_type(v)) for k, v in extra
-                ]
-                info.schema = T.StructType(
-                    base_fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
-                )
-                schema = info.schema
-            values = [record.get(f.name) for f in schema.fields if f.name != EVENT_TIME_COL]
-            base = T.StructType([f for f in schema.fields if f.name != EVENT_TIME_COL])
-            try:
-                row_df = self.spark.createDataFrame([values], base).withColumn(
-                    EVENT_TIME_COL, F.timestamp_seconds(F.lit(now))
-                )
-            except Exception as exc:  # noqa: BLE001 - type conflict
-                raise CompileError(
-                    f"INSERT value types conflict with stream {info.name!r} "
-                    f"schema ({exc})"
-                ) from exc
+        except Exception as exc:  # noqa: BLE001 - type conflict
+            raise CompileError(
+                f"INSERT value types conflict with stream {info.name!r} "
+                f"schema ({exc})"
+            ) from exc
         row_df.write.mode("append").parquet(info.path)
         self.vacuum(stmt.stream)
         return 1
+
+    def _evolve_payload_schema(self, info: StreamInfo, record: dict) -> None:
+        """Value-typed evolution for payload streams: unseen fields
+        append; an int field receiving a float widens to double; any
+        other per-field type conflict DEMOTES the field to JSONB text
+        (from_json token-text coercion) instead of rejecting the
+        INSERT — the reference's FlowObject behavior (Rts/Old.hs:44).
+        The evolved schema persists to the sidecar (restart-durable)."""
+        fields = (
+            [f for f in info.schema.fields if f.name != EVENT_TIME_COL]
+            if info.schema is not None
+            else []
+        )
+        by_name = {f.name: i for i, f in enumerate(fields)}
+        changed = info.schema is None
+        for k, v in record.items():
+            i = by_name.get(k)
+            if i is None:
+                fields.append(T.StructField(k, _infer_dynamic_type(v)))
+                by_name[k] = len(fields) - 1
+                changed = True
+            elif not _value_fits(v, fields[i].dataType):
+                if isinstance(fields[i].dataType, T.LongType) and isinstance(
+                    v, (int, float)
+                ) and not isinstance(v, bool):
+                    fields[i] = T.StructField(k, T.DoubleType())  # widen
+                else:
+                    fields[i] = T.StructField(
+                        k, T.StringType(), metadata={"jsonb": True}
+                    )
+                changed = True
+        if changed:
+            info.schema = T.StructType(
+                fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
+            )
+            self._save_stream_schema(info)
+
+    def _claim_or_encode(self, target: StreamInfo, df: DataFrame) -> DataFrame:
+        """Structured writer (connector snapshot/generator) into a
+        stream: claim an unused schemaless stream as column-typed, or
+        JSON-encode rows when the stream is value-typed (payload)."""
+        try:
+            self._schema_of(target)
+        except CompileError:
+            pass
+        if target.schema is None:
+            target.schema = df.schema
+            if target.dynamic:
+                self._save_stream_schema(target)
+            return df
+        if not target.payload:
+            return df
+        self._merge_payload_schema(target, df.schema)
+        cols = [c for c in df.columns if c != EVENT_TIME_COL]
+        return df.select(
+            F.to_json(F.struct(*cols)).alias(self._PAYLOAD_COL),
+            F.col(EVENT_TIME_COL),
+        )
+
+    def _merge_payload_schema(self, info: StreamInfo, incoming: T.StructType) -> None:
+        """Widen a payload stream's logical schema by a structured
+        writer's output schema (INSERT INTO <payload stream> SELECT):
+        field union; Long/Double unify to Double; any other per-field
+        type mismatch demotes to JSONB text (token-text read-back)."""
+        fields = [f for f in info.schema.fields if f.name != EVENT_TIME_COL]
+        by_name = {f.name: i for i, f in enumerate(fields)}
+        changed = False
+        for f in incoming.fields:
+            if f.name == EVENT_TIME_COL:
+                continue
+            i = by_name.get(f.name)
+            if i is None:
+                fields.append(T.StructField(f.name, f.dataType))
+                by_name[f.name] = len(fields) - 1
+                changed = True
+            elif fields[i].dataType != f.dataType:
+                cur, new = fields[i].dataType, f.dataType
+                numeric = (T.LongType, T.DoubleType)
+                if isinstance(cur, numeric) and isinstance(new, numeric):
+                    fields[i] = T.StructField(f.name, T.DoubleType())
+                else:
+                    fields[i] = T.StructField(
+                        f.name, T.StringType(), metadata={"jsonb": True}
+                    )
+                changed = True
+        if changed:
+            info.schema = T.StructType(
+                fields + [T.StructField(EVENT_TIME_COL, T.TimestampType())]
+            )
+            self._save_stream_schema(info)
 
     # -- queries ------------------------------------------------------------
 

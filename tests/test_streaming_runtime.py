@@ -190,6 +190,76 @@ class TestSchemalessMode:
                 "INSERT INTO typed_s VALUES CAST('{\"a\": 1, \"zz\": 2}' AS JSONB);"
             )
 
+    def test_heterogeneous_field_demotes_to_jsonb(self, engine):
+        """Value-typed records (the reference's FlowObject): a field
+        that is int in one record and string in the next must NOT
+        reject — the field demotes to JSONB text and both values read
+        back as token text."""
+        engine.execute("CREATE STREAM het;")
+        engine.execute("INSERT INTO het VALUES CAST('{\"x\": 1}' AS JSONB);")
+        engine.execute("INSERT INTO het VALUES CAST('{\"x\": \"abc\"}' AS JSONB);")
+        engine.execute(
+            "INSERT INTO het VALUES CAST('{\"x\": {\"a\": 7}}' AS JSONB);"
+        )
+        rows = sorted(
+            r["x"].replace(" ", "") for r in engine.execute("SELECT x FROM het;").collect()
+        )
+        assert rows == ["1", "abc", '{"a":7}']
+        # the demoted field stays queryable as JSONB
+        got = [r["a"] for r in engine.execute("SELECT x -> 'a' AS a FROM het;").collect()]
+        assert got.count(None) == 2
+        assert [v for v in got if v is not None] in ([7], ["7"])
+
+    def test_int_field_widens_to_double(self, engine):
+        engine.execute("CREATE STREAM wid;")
+        engine.execute("INSERT INTO wid VALUES CAST('{\"v\": 1}' AS JSONB);")
+        engine.execute("INSERT INTO wid VALUES CAST('{\"v\": 1.5}' AS JSONB);")
+        vals = sorted(r["v"] for r in engine.execute("SELECT v FROM wid;").collect())
+        assert vals == [1.0, 1.5]
+
+    def test_dynamic_schema_survives_restart(self, spark, tmp_path):
+        """Evolved dynamic schemas persist in the _schema.json sidecar:
+        plain INSERTs are not in the DDL log, so without it a restart
+        would re-infer from one arbitrary parquet footer and could lose
+        evolved columns (or the payload layout entirely)."""
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "dynsrv")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM dsr;")
+        a.execute("INSERT INTO dsr VALUES CAST('{\"a\": 1}' AS JSONB);")
+        a.execute(
+            "INSERT INTO dsr VALUES CAST('{\"a\": 2, \"b\": \"x\"}' AS JSONB);"
+        )
+        a.shutdown()
+        b = HStreamEngine(spark, root)
+        try:
+            rows = sorted(
+                (r["a"], r["b"])
+                for r in b.execute("SELECT a, b FROM dsr;").collect()
+            )
+            assert rows == [(1, None), (2, "x")]
+            # and the stream still accepts value-typed evolution
+            b.execute("INSERT INTO dsr VALUES CAST('{\"b\": 3}' AS JSONB);")
+            rows = b.execute("SELECT b FROM dsr;").collect()
+            assert sorted(str(r["b"]) for r in rows) == ["3", "None", "x"]
+        finally:
+            b.shutdown()
+
+    def test_insert_select_into_payload_stream(self, engine):
+        """INSERT INTO <value-typed stream> SELECT: rows JSON-encode
+        into the payload layout and the logical schema widens by field
+        union."""
+        engine.execute("CREATE STREAM ps_src (a INTEGER);")
+        engine.execute("INSERT INTO ps_src (a) VALUES (41);")
+        engine.execute("CREATE STREAM ps_dyn;")
+        engine.execute("INSERT INTO ps_dyn VALUES CAST('{\"note\": \"hi\"}' AS JSONB);")
+        qi = engine.execute("INSERT INTO ps_dyn SELECT a FROM ps_src;")
+        qi.handle.processAllAvailable()
+        rows = engine.execute("SELECT a, note FROM ps_dyn;").collect()
+        got = {(r["a"], r["note"]) for r in rows}
+        assert got == {(None, "hi"), (41, None)}
+
     def test_nested_document_stays_jsonb(self, engine):
         engine.execute("CREATE STREAM dynj;")
         engine.execute(
