@@ -388,7 +388,10 @@ def vocab_top(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     topk = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(k)
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    # constant partition key: the window only ever ranks the k
+    # survivors (bounded), and an explicit key silences Spark's
+    # "no partition defined" all-to-one-partition warning
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("tok").asc())
     return topk.withColumn("token_id", F.row_number().over(w)).select(
         "token_id", "tok", "n"
     )
@@ -405,11 +408,13 @@ def lm_cross_entropy(
     typical text, high scores = rare-token soup.
 
     Two shuffles at scale: the token-count aggregation (map-side
-    combine; the model IS the count table, stays distributed) and the
-    per-doc re-aggregation after a token-keyed equi-join of the doc
-    tokens against their probabilities. Per-doc sums run in decimal so
-    the mean is independent of token order and partitioning — exactly
-    reproducible cross-engine.
+    combine) and the per-doc re-aggregation. The probability table is
+    vocab-sized (sublinear in the corpus — Heaps' law), so it
+    BROADCASTS to the doc-token side: the scoring join is map-only and
+    immune to natural-language token skew (a hash join on the token
+    key would put "the" ≈ 5% of all rows in one partition). Per-doc
+    sums run in decimal so the mean is independent of token order and
+    partitioning — exactly reproducible cross-engine.
     """
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -422,7 +427,7 @@ def lm_cross_entropy(
             "nll"
         ),
     )
-    scored = tok.join(probs, "tok")
+    scored = tok.join(F.broadcast(probs), "tok")
     # the total emits as exact integer micro-nats: decimal→double casts
     # round differently across engines in the last ulp, integer ops
     # don't. cross_entropy = nll_micro / 1e6 / n_tokens.

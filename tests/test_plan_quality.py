@@ -52,6 +52,16 @@ def test_dim_joins_broadcast(plans):
         assert "BroadcastHashJoin" in plans(q), q
 
 
+def test_lm_scoring_join_broadcasts_the_model(plans):
+    """lm_cross_entropy joins doc tokens against the vocab-sized
+    probability table: must broadcast (a token-keyed hash shuffle of
+    the doc side is maximally skewed — Zipf: 'the' ≈ 5% of rows)."""
+    p = plans("lm_cross_entropy")
+    assert "BroadcastHashJoin" in p
+    # the doc-token scoring join must not shuffle both sides on tok
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
 def test_no_cartesian_or_nested_loop_in_hot_paths(plans):
     for q in (
         "cross_join_within",
