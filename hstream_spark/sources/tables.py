@@ -93,7 +93,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f"TIMESTAMP_NTZ column {field.name!r} epoch-preservingly; "
                     f"session has {tz!r} (use hstream_spark.get_spark)"
                 )
-            df = df.withColumn(field.name, df[field.name].cast("timestamp"))
+            # backticks: a literal dot in the column name must not
+            # resolve as struct-field access
+            df = df.withColumn(
+                field.name, F.col(f"`{field.name}`").cast("timestamp")
+            )
         elif _has_nested_ntz(field.dataType):
             # none of the testdata nests timestamps; if that changes the
             # rewrite must recurse (transform/withField) — fail loudly
