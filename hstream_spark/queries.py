@@ -1302,6 +1302,29 @@ def q_range_join_bands(spark, sf):
     )
 
 
+def _hypertable_paths(sf: str) -> tuple[str, str]:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    return (
+        os.path.join(tempfile.gettempdir(), f"hstream_ht_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"hstream_ru_{tag}"),
+    )
+
+
+def reset_hypertable_layout(sf: str) -> None:
+    """Remove the on-disk hypertable layout + rollup for ``sf`` so the
+    next q_hypertable_rollup run pays the COLD path (layout write +
+    first full rollup). bench.py uses this to pin cold-vs-warm
+    deterministically instead of depending on temp-dir history."""
+    import shutil
+
+    for p in _hypertable_paths(sf):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 @register(
     "hypertable_rollup",
     """
@@ -1320,15 +1343,9 @@ def q_hypertable_rollup(spark, sf):
     run, so steady-state cost tracks the delta, never the table. The
     oracle pins the materialized rollup against a direct aggregation
     of the source."""
-    import hashlib
-    import os
-    import tempfile
-
     from hstream_spark.sources import hypertable as H
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"hstream_ht_{tag}")
-    rollup = os.path.join(tempfile.gettempdir(), f"hstream_ru_{tag}")
+    base, rollup = _hypertable_paths(sf)
     if not H.chunks(base):
         ev = load_table(spark, sf, "events")
         H.write_time_partitioned(ev, base, "ts", "day", mode="overwrite")

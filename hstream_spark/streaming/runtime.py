@@ -687,9 +687,14 @@ class HStreamEngine:
         foreachBatch is at-least-once (a crash between the sink write
         and the offset commit replays the epoch), so the sink records
         the last epoch it wrote and skips replays — the standard
-        batchId-dedup pattern that upgrades the parquet sink to
-        exactly-once. With ``payload`` the sink stream is value-typed:
-        rows JSON-encode via to_json (map-only)."""
+        batchId-dedup pattern. Delivery is exactly-once across stop/
+        restart and Spark-side epoch replays; a hard crash INSIDE the
+        window between the parquet append and the marker os.replace
+        can still duplicate that one epoch on recovery (at-least-once
+        in that narrow window — a transactional sink table, e.g.
+        Delta/Iceberg MERGE keyed by epoch, closes it). With
+        ``payload`` the sink stream is value-typed: rows JSON-encode
+        via to_json (map-only)."""
 
         marker = os.path.join(checkpoint_dir, "_sink_epoch")
 

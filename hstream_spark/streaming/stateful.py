@@ -89,20 +89,24 @@ def _spark_type_of(df: DataFrame, col: str) -> str:
 _SESSION_KINDS = ("count_all", "count", "sum", "min", "max", "avg")
 
 
-def _fold_row(kind: str, v: float | None, n: int, x) -> tuple[float | None, int]:
-    """Fold one input value into a (value, count) partial."""
+def _fold_row(
+    kind: str, v, n: int, x, as_int: bool = False
+) -> tuple[float | int | None, int]:
+    """Fold one input value into a (value, count) partial. ``as_int``
+    keeps the partial in exact int64 arithmetic (bigint SUM/MIN/MAX —
+    float64 partials silently lose precision beyond 2^53)."""
     import math
 
     is_null = x is None or (isinstance(x, float) and math.isnan(x))
     if kind == "count_all":
-        return (v or 0.0) + 1.0, n + 1
+        return (v or 0) + 1, n + 1
     if is_null:
         return v, n
-    x = float(x)
+    x = int(x) if as_int else float(x)
     if kind == "count":
-        return (v or 0.0) + 1.0, n + 1
+        return (v or 0) + 1, n + 1
     if kind in ("sum", "avg"):
-        return (v or 0.0) + x, n + 1
+        return ((v or 0) + x), n + 1
     if kind == "min":
         return x if v is None else min(v, x), n + 1
     if kind == "max":
@@ -165,9 +169,14 @@ def session_aggregate(
     import pandas as pd
 
     n_agg = len(kinds)
+    # integer-output aggregates (bigint SUM/MIN/MAX/COUNT) keep their
+    # partials in a parallel long array — exact int64 arithmetic, no
+    # float64 precision loss beyond 2^53 (matches the batch plan)
+    int_slot = [tp in ("bigint", "int", "long") for tp in out_casts]
     state_type = (
         "starts array<long>, lasts array<long>, "
-        "vals array<array<double>>, cnts array<array<long>>"
+        "vals array<array<double>>, lvals array<array<long>>, "
+        "cnts array<array<long>>"
     )
     out_fields = ["window_start timestamp", "window_end timestamp"]
     if key_ddl:
@@ -175,12 +184,26 @@ def session_aggregate(
     out_fields += [f"`{nm}` {tp}" for nm, tp in zip(out_names, out_casts)]
     out_type = ", ".join(out_fields)
 
+    def _load_partial(vals, lvals, cnts, i, j):
+        n = int(cnts[i][j])
+        raw = lvals[i][j] if int_slot[j] else vals[i][j]
+        if kinds[j] in ("count_all", "count"):
+            return (int(raw or 0), n)
+        if n == 0:
+            return (None, 0)
+        return (int(raw) if int_slot[j] else float(raw), n)
+
     def step(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            starts, lasts, vals, cnts = state.get
+            starts, lasts, vals, lvals, cnts = state.get
             sessions = [
                 # [start, last, partials, changed]
-                [s, l, [(vals[i][j], cnts[i][j]) for j in range(n_agg)], False]
+                [
+                    s,
+                    l,
+                    [_load_partial(vals, lvals, cnts, i, j) for j in range(n_agg)],
+                    False,
+                ]
                 for i, (s, l) in enumerate(zip(starts, lasts))
             ]
         else:
@@ -195,7 +218,7 @@ def session_aggregate(
                 partial = []
                 for j, kind in enumerate(kinds):
                     x = in_series[j].iloc[r] if in_series[j] is not None else None
-                    partial.append(_fold_row(kind, None, 0, x))
+                    partial.append(_fold_row(kind, None, 0, x, as_int=int_slot[j]))
                 sessions.append([int(ts_arr[r]), int(ts_arr[r]), partial, True])
 
         # gap-merge sweep: sort by start, coalesce overlapping-within-gap
@@ -222,7 +245,20 @@ def session_aggregate(
                 (
                     [s[0] for s in keep],
                     [s[1] for s in keep],
-                    [[p[0] for p in s[2]] for s in keep],
+                    [
+                        [
+                            0.0 if int_slot[j] else float(s[2][j][0] or 0)
+                            for j in range(n_agg)
+                        ]
+                        for s in keep
+                    ],
+                    [
+                        [
+                            int(s[2][j][0] or 0) if int_slot[j] else 0
+                            for j in range(n_agg)
+                        ]
+                        for s in keep
+                    ],
                     [[p[1] for p in s[2]] for s in keep],
                 )
             )
@@ -305,7 +341,13 @@ def sliding_aggregate(
     import pandas as pd
 
     n_agg = len(kinds)
-    state_type = "ts array<long>, vals array<array<double>>"
+    # vals doubles as the null mask (nan = null input); lvals carries
+    # the exact int64 value for integer-output aggregates (bigint
+    # SUM/MIN/MAX fold in exact long arithmetic, no 2^53 loss)
+    int_slot = [tp in ("bigint", "int", "long") for tp in out_casts]
+    state_type = (
+        "ts array<long>, vals array<array<double>>, lvals array<array<long>>"
+    )
     out_fields = [f"`{ts_us_col}` long"]
     if key_ddl:
         out_fields.append(key_ddl)
@@ -314,9 +356,10 @@ def sliding_aggregate(
 
     def step(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            ts_list, vals = state.get
+            ts_list, vals, lvals = state.get
             events = [
-                (ts_list[i], list(vals[i])) for i in range(len(ts_list))
+                (ts_list[i], list(vals[i]), list(lvals[i]))
+                for i in range(len(ts_list))
             ]
         else:
             events = []
@@ -327,35 +370,41 @@ def sliding_aggregate(
             in_series = [pdf[c] if c is not None else None for c in input_cols]
             for r in range(len(pdf)):
                 row_vals = []
+                row_ints = []
                 for j in range(n_agg):
                     if in_series[j] is None:
                         row_vals.append(1.0)  # count_all marker
+                        row_ints.append(1)
                     else:
                         x = in_series[j].iloc[r]
-                        row_vals.append(
-                            float("nan")
-                            if x is None
-                            or (isinstance(x, float) and math.isnan(x))
-                            else float(x)
+                        null = x is None or (
+                            isinstance(x, float) and math.isnan(x)
                         )
-                new_rows.append((int(ts_arr[r]), row_vals))
+                        row_vals.append(float("nan") if null else float(x))
+                        row_ints.append(
+                            int(x) if (not null and int_slot[j]) else 0
+                        )
+                new_rows.append((int(ts_arr[r]), row_vals, row_ints))
 
         events.extend(new_rows)
         events.sort(key=lambda e: e[0])
 
         out_rows = []
-        for ts, _ in new_rows:
+        for ts, _, _ in new_rows:
             lo = ts - size_us
             partials = [(None, 0)] * n_agg
-            for ets, evals in events:
+            for ets, evals, eints in events:
                 if ets <= lo or ets > ts:
                     continue
                 for j, kind in enumerate(kinds):
-                    x = None if math.isnan(evals[j]) else evals[j]
+                    if math.isnan(evals[j]):
+                        x = None
+                    else:
+                        x = eints[j] if int_slot[j] else evals[j]
                     if kind == "count_all":
-                        x = 1.0
+                        x = 1
                     v, n = partials[j]
-                    partials[j] = _fold_row(kind, v, n, x)
+                    partials[j] = _fold_row(kind, v, n, x, as_int=int_slot[j])
             rec = [ts]
             for i in range(len(keys)):
                 rec.append(key[i])
@@ -379,7 +428,13 @@ def sliding_aggregate(
             wm_us = 0
         keep = [e for e in events if wm_us == 0 or e[0] + size_us >= wm_us]
         if keep:
-            state.update(([e[0] for e in keep], [e[1] for e in keep]))
+            state.update(
+                (
+                    [e[0] for e in keep],
+                    [e[1] for e in keep],
+                    [e[2] for e in keep],
+                )
+            )
         else:
             state.remove()
 

@@ -479,6 +479,37 @@ def test_sliding_view_aliased_group_key(engine):
     assert [(r["kk"], r["s"]) for r in rows] == [("a", 3)]
 
 
+def test_stateful_window_int64_exact_beyond_2_53(engine):
+    """SUM over bigint keeps exact int64 partials in stateful windows:
+    2^53+1 summed twice must not round to the nearest float64
+    (18014398509481984) — the batch plan is exact, streaming state must
+    match."""
+    import time as _time
+
+    big = 2**53 + 1
+    engine.execute("CREATE STREAM bi_ev (k STRING, v INTEGER);")
+    base = _time.time()
+    engine.execute(f"INSERT INTO bi_ev (k, v, _ts) VALUES ('a', {big}, {base});")
+    engine.execute(
+        f"INSERT INTO bi_ev (k, v, _ts) VALUES ('a', {big}, {base + 2.0});"
+    )
+    engine.execute(
+        "CREATE VIEW bi_sess AS SELECT k, SUM(v) AS s, MAX(v) AS mx "
+        "FROM SESSION(bi_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    engine.views["bi_sess"].handle.processAllAvailable()
+    rows = engine.execute("SELECT s, mx FROM bi_sess;").collect()
+    assert [(r["s"], r["mx"]) for r in rows] == [(2 * big, big)]
+
+    engine.execute(
+        "CREATE VIEW bi_slide AS SELECT k, SUM(v) AS s "
+        "FROM SLIDING(bi_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    engine.views["bi_slide"].handle.processAllAvailable()
+    rows = engine.execute("SELECT s FROM bi_slide;").collect()
+    assert [r["s"] for r in rows] == [2 * big]
+
+
 def test_complete_fallback_is_loud(engine):
     """A SESSION view shape the stateful update operator can't express
     (HAVING) falls back to complete mode — the fallback must warn and
