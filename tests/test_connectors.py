@@ -153,12 +153,90 @@ class TestJarGatedSinks:
         with pytest.raises(ConnectorError, match="mongodb sink failed"):
             mongodb_sink({"uri": "mongodb://localhost/nope"})(df, 0)
 
-    def test_elasticsearch_sink_fails_cleanly_without_jar(self, spark):
-        from hstream_spark.sources.connectors import ConnectorError, elasticsearch_sink
 
-        df = spark.createDataFrame([(1,)], "a long")
-        with pytest.raises(ConnectorError, match="elasticsearch sink failed"):
-            elasticsearch_sink({"es.nodes": "localhost"})(df, 0)
+class TestElasticsearchHTTP:
+    """Live integration of the elasticsearch sink: the sink speaks the
+    ES ``_bulk`` HTTP protocol directly, proved against a real HTTP
+    server capturing the requests (the same bulk-POST wire shape a
+    real ES node accepts)."""
+
+    @staticmethod
+    def _bulk_server(captured, errors=False):
+        import http.server
+        import json as _json
+        import threading
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 - http.server API
+                n = int(self.headers.get("Content-Length", "0"))
+                captured.append((self.path, self.rfile.read(n).decode("utf-8")))
+                body = _json.dumps({"errors": errors, "items": []}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # silence request logging
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    def test_bulk_round_trip_through_engine(self, engine):
+        import json as _json
+
+        captured: list = []
+        srv = self._bulk_server(captured)
+        try:
+            port = srv.server_address[1]
+            engine.execute("CREATE STREAM esrc (k INTEGER, s STRING);")
+            engine.execute("INSERT INTO esrc (k, s) VALUES (1, 'a');")
+            engine.execute("INSERT INTO esrc (k, s) VALUES (2, 'b');")
+            info = engine.execute(
+                "CREATE SINK CONNECTOR es TO esrc WITH "
+                "(\"type\" = 'elasticsearch', "
+                f"\"url\" = 'http://127.0.0.1:{port}', \"index\" = 'docs');"
+            )
+            assert info.handle is not None
+            info.handle.processAllAvailable()
+        finally:
+            srv.shutdown()
+        assert captured, "no bulk request reached the server"
+        docs = []
+        for path, body in captured:
+            assert path == "/_bulk"
+            lines = [ln for ln in body.strip().splitlines() if ln]
+            for action, doc in zip(lines[::2], lines[1::2]):
+                assert _json.loads(action) == {"index": {"_index": "docs"}}
+                docs.append(_json.loads(doc))
+        assert sorted((d["k"], d["s"]) for d in docs) == [(1, "a"), (2, "b")]
+
+    def test_item_errors_fail_the_batch(self, spark):
+        from hstream_spark.sources.connectors import elasticsearch_sink
+
+        captured: list = []
+        srv = self._bulk_server(captured, errors=True)
+        try:
+            port = srv.server_address[1]
+            sink = elasticsearch_sink(
+                {"url": f"http://127.0.0.1:{port}", "index": "docs"}
+            )
+            df = spark.createDataFrame([(1,)], "a long")
+            with pytest.raises(Exception, match="item errors"):
+                sink(df, 0)
+        finally:
+            srv.shutdown()
+
+    def test_missing_options_rejected_at_build(self):
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            elasticsearch_sink,
+        )
+
+        with pytest.raises(ConnectorError, match="url and index"):
+            elasticsearch_sink({"es.nodes": "localhost"})
 
 
 def test_jdbc_source_connector_snapshot_into_stream(engine, spark):
