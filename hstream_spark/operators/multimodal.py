@@ -10,12 +10,14 @@ Design for 100 TB of images/audio/video:
 - decode / resize / frame-sample are modality-specific functions
   plugged into the same batch loop.
 
-The actual media decoders (PIL/ffmpeg/soundfile) are NOT available in
-this environment, so ``decode_image``/``decode_audio`` are stubbed with
-``NotImplementedError`` behind an import-try, and the default feature
-extractor computes deterministic byte-level features (length, sha256,
-first-4-bytes int) — the Spark-side plumbing (schema, batching, UDF
-signature) is real and oracle-tested.
+The heavy media decoders (PIL/ffmpeg/soundfile) are optional extras:
+``decode_image`` runs a REAL decode when PIL is importable (and raises
+``NotImplementedError`` otherwise); ``decode_audio`` decodes PCM WAV
+with the stdlib ``wave`` module everywhere and uses soundfile for
+other codecs when importable. The default feature extractor computes
+deterministic byte-level features (length, sha256, first-4-bytes int)
+— the Spark-side plumbing (schema, batching, UDF signature) is real
+and oracle-tested regardless of which decoders are present.
 """
 
 from __future__ import annotations
@@ -30,22 +32,54 @@ from pyspark.sql import functions as F
 FEATURE_SCHEMA = "doc_id long, n_bytes long, sha256 string, head_int long"
 
 
-def decode_image(payload: bytes):  # pragma: no cover - env lacks codecs
-    """Decode an image payload to HxWxC array. STUB: PIL not installed."""
+def decode_image(payload: bytes):
+    """Decode an image payload to an HxWx3 uint8 numpy array (RGB).
+
+    Real decode via PIL when importable (optional extra — not in the
+    base environment); raises ``NotImplementedError`` otherwise so
+    callers can gate cleanly."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError("image decode requires PIL, not in this env") from exc
-    raise NotImplementedError
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env lacks PIL
+        raise NotImplementedError(
+            "image decode requires PIL (optional extra)"
+        ) from exc
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        return np.asarray(im.convert("RGB"))
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - env lacks codecs
-    """Decode an audio payload to a sample array. STUB: soundfile not installed."""
+def decode_audio(payload: bytes):
+    """Decode an audio payload to (samples ndarray, sample_rate).
+
+    PCM WAV decodes everywhere via the stdlib ``wave`` module; other
+    codecs (flac/ogg/...) use soundfile when importable and raise
+    ``NotImplementedError`` otherwise."""
+    import io
+
+    import numpy as np
+
+    raw = bytes(payload)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        import wave
+
+        with wave.open(io.BytesIO(raw)) as w:
+            width = w.getsampwidth()
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+            if dtype is not None:
+                frames = np.frombuffer(w.readframes(w.getnframes()), dtype=dtype)
+                return frames.reshape(-1, w.getnchannels()), w.getframerate()
     try:
-        import soundfile  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError("audio decode requires soundfile, not in this env") from exc
-    raise NotImplementedError
+        import soundfile
+    except ImportError as exc:  # pragma: no cover - env lacks soundfile
+        raise NotImplementedError(
+            "non-WAV audio decode requires soundfile (optional extra)"
+        ) from exc
+    data, rate = soundfile.read(io.BytesIO(raw))
+    return data, rate
 
 
 def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
