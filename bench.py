@@ -75,6 +75,10 @@ HEADLINE = [
     "tpch_q12ish",
     "tpch_q15ish",
     "tpch_q9ish",
+    "tpch_q2ish",
+    "tpch_q8ish",
+    "tpch_q11ish",
+    "tpch_q20ish",
     "boilerplate_signals",
     "embedding_quantize",
     "cap_per_group",

@@ -2864,6 +2864,244 @@ def q_tpch_q9ish(spark, sf):
 
 
 @register(
+    "tpch_q2ish",
+    """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(min_price) AS best_price FROM offer GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+           o.min_price AS best_price
+    FROM offer o
+    JOIN best b ON b.l_partkey = o.l_partkey AND o.min_price = b.best_price
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 10
+    """,
+    tags=("tpch", "join", "correlated"),
+)
+def q_tpch_q2ish(spark, sf):
+    """Q2 shape (min-cost supplier per part): the correlated MIN
+    subquery becomes one (part, supplier) pre-aggregation plus a
+    per-part min, joined back on equality — no arithmetic on the join
+    key (exact doubles), so cross-engine equality is stable. All
+    dimension sides broadcast; the two aggregations reuse the same
+    shuffle key prefix."""
+    l = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offer = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    # per-part best as a window min over the offer grain: one exchange
+    # on l_partkey instead of a second aggregation + self-join
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        offer.withColumn("best_price", F.min("min_price").over(w))
+        .filter(F.col("min_price") == F.col("best_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("min_price").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "tpch_q8ish",
+    """
+    SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_3'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = (SELECT c_nationkey FROM customer
+                                         WHERE c_custkey = o.o_custkey)
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "conditional"),
+)
+def q_tpch_q8ish(spark, sf):
+    """Q8 shape (national market share): one nation's share of revenue
+    into a region per year — both the numerator (CASE-gated) and the
+    denominator come out of the SAME aggregation pass, so the five-way
+    join runs once. Customer/nation/region sides broadcast; the only
+    wide shuffle is lineitem⋈orders."""
+    l = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_nationkey"), "n_name")
+    rev = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_nationkey"))
+    )
+    return (
+        j.withColumn("o_year", F.date_format("o_orderdate", "yyyy").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q11ish",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    """,
+    tags=("tpch", "agg", "scalar-subquery"),
+)
+def q_tpch_q11ish(spark, sf):
+    """Q11 shape (important stock): per-part value restricted to one
+    nation's suppliers, kept only above a fraction of the nation
+    total. The threshold is a 1-row aggregate broadcast back over the
+    per-part frame (decimal-exact comparison, cast to double only at
+    output); the value CTE computes once."""
+    l = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
+    val = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .alias("part_value")
+        )
+        .localCheckpoint(eager=False)
+    )
+    thresh = val.agg((F.sum("part_value") * F.lit(0.001)).alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("__t"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q20ish",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+          AND l.l_shipdate >= DATE '1996-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 50
+      )
+    """,
+    tags=("tpch", "semi", "nested"),
+)
+def q_tpch_q20ish(spark, sf):
+    """Q20 shape (suppliers with excess volume): NESTED semi-joins —
+    parts by name prefix feed a (supplier, part) shipment aggregation,
+    whose HAVING survivors semi-join the nation-filtered supplier
+    list. Both inner relations broadcast (part ids, then the surviving
+    supplier keys); lineitem shuffles once on the (suppkey, partkey)
+    grain."""
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")
+    )
+    heavy = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    return J.semi_join(
+        sn, heavy, sn["s_suppkey"] == heavy["l_suppkey"]
+    ).select("s_suppkey", "s_name")
+
+
+@register(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
