@@ -15,10 +15,10 @@ The JDBC path is integration-tested end to end against embedded Derby
 same code with their driver jar on the classpath. The elasticsearch
 sink speaks the ES HTTP ``_bulk`` protocol directly (stdlib HTTP from
 each partition, no jar needed) and is integration-tested against a
-live HTTP server. MongoDB's wire protocol is binary (no stdlib
-client), so that sink remains jar-gated (Spark mongo connector on the
-classpath) and raises a clear ConnectorError without it — the one
-connector path without a local round-trip proof.
+live HTTP server. The mongodb sink speaks the MongoDB wire protocol
+(OP_MSG + BSON, ``sources/bson_wire.py``) directly over a socket and
+is integration-tested against a live in-process wire-protocol server —
+every sink path now has a local round-trip proof.
 """
 
 from __future__ import annotations
@@ -175,19 +175,91 @@ def jdbc_sink(options: dict) -> SinkFn:
 
 
 def mongodb_sink(options: dict) -> SinkFn:
-    """MongoDB sink via the Spark mongo connector — jar-gated (the
-    wire protocol is binary; no stdlib client exists to prove a local
-    round trip, unlike the JDBC/Derby and elasticsearch/HTTP paths).
-    Raises ConnectorError at first batch without the jar."""
+    """MongoDB sink speaking the wire protocol (OP_MSG) directly —
+    no jar, no external client (``sources/bson_wire.py`` implements the
+    BSON/OP_MSG subset from the public specs; the reference's sink is
+    the hstream-io sink-mongodb container, conf/hstream.yaml:141).
+
+    Each partition opens one connection and issues batched ``insert``
+    commands ``{"insert": coll, "$db": db, "documents": [...]}``,
+    checking ``ok``/``writeErrors`` in each reply. Rows JSON-encode
+    JVM-side (``to_json``) so only encoded strings cross into Python;
+    partitions insert independently, so sink throughput scales with the
+    cluster like the official Spark connector's per-task writers.
+
+    Required options: ``uri`` (``mongodb://host:port``) or
+    ``host``+``port``, plus ``database`` and ``collection``.
+    """
+    opts = {str(k).lower(): v for k, v in options.items()}
+    uri = str(opts.get("uri") or opts.get("url") or "")
+    host, port = str(opts.get("host", "")), int(opts.get("port", 27017) or 27017)
+    if uri:
+        hp = uri.split("://", 1)[-1].split("/", 1)[0].rsplit("@", 1)[-1]
+        host = hp.split(":", 1)[0]
+        if ":" in hp:
+            port = int(hp.split(":", 1)[1])
+    database = str(opts.get("database") or opts.get("db") or "")
+    collection = str(opts.get("collection") or opts.get("table") or "")
+    if not host or not database or not collection:
+        raise ConnectorError(
+            "mongodb sink requires uri (or host/port), database and collection options"
+        )
+    insert_batch = int(opts.get("batchsize", 1000) or 1000)
+    timeout = float(opts.get("timeout", 30) or 30)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
-            writer = batch_df.write.format("mongodb").mode("append")
-            for k, v in options.items():
-                writer = writer.option(k, str(v))
-            writer.save()
-        except Exception as exc:  # noqa: BLE001
-            raise ConnectorError(f"mongodb sink failed (connector jar on classpath?): {exc}") from exc
+        docs = batch_df.select(
+            F.to_json(F.struct(*batch_df.columns)).alias("doc")
+        )
+
+        def insert_partition(rows) -> None:
+            import socket as _socket
+
+            from hstream_spark.sources import bson_wire
+
+            sock: Optional[_socket.socket] = None
+            req_id = 0
+            pending: list = []
+
+            def flush() -> None:
+                nonlocal sock, req_id
+                if not pending:
+                    return
+                if sock is None:
+                    sock = _socket.create_connection((host, port), timeout=timeout)
+                req_id += 1
+                reply = bson_wire.send_command(
+                    sock,
+                    {
+                        "insert": collection,
+                        "$db": database,
+                        "documents": list(pending),
+                    },
+                    request_id=req_id,
+                )
+                if reply.get("ok") != 1 and reply.get("ok") != 1.0:
+                    raise ConnectorError(f"mongodb insert rejected: {reply}")
+                if reply.get("writeErrors"):
+                    raise ConnectorError(
+                        f"mongodb insert reported writeErrors: {reply['writeErrors']}"
+                    )
+                pending.clear()
+
+            try:
+                for r in rows:
+                    pending.append(json.loads(r["doc"]))
+                    if len(pending) >= insert_batch:
+                        flush()
+                flush()
+            except (OSError, ConnectionError) as exc:
+                raise ConnectorError(
+                    f"mongodb sink connection to {host}:{port} failed: {exc}"
+                ) from exc
+            finally:
+                if sock is not None:
+                    sock.close()
+
+        docs.foreachPartition(insert_partition)
 
     return write
 

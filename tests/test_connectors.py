@@ -145,13 +145,137 @@ class TestJDBCRoundTrip:
             jdbc_source(spark, {"url": "jdbc:nosuch:x", "dbtable": "t"})
 
 
-class TestJarGatedSinks:
-    def test_mongodb_sink_fails_cleanly_without_jar(self, spark):
-        from hstream_spark.sources.connectors import ConnectorError, mongodb_sink
+class TestMongoWireProtocol:
+    """Live integration of the mongodb sink: the sink speaks the
+    MongoDB wire protocol (OP_MSG + BSON) directly, proved against a
+    real TCP server decoding the frames with the same public-spec
+    codec (``sources/bson_wire.py``) a real mongod parses."""
+
+    @staticmethod
+    def _mongod(inserted, reject=False):
+        import socket
+        import threading
+
+        from hstream_spark.sources import bson_wire
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        srv.settimeout(30)
+
+        def serve():
+            while True:
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    return
+                threading.Thread(
+                    target=handle, args=(conn,), daemon=True
+                ).start()
+
+        def handle(conn):
+            with conn:
+                while True:
+                    try:
+                        frame = bson_wire.read_message(conn)
+                    except (ConnectionError, OSError):
+                        return
+                    if frame is None:
+                        return
+                    cmd = bson_wire.decode_op_msg(frame)
+                    if "insert" in cmd:
+                        docs = cmd.get("documents", [])
+                        reply = {"n": len(docs), "ok": 1.0}
+                        if reject:
+                            reply["writeErrors"] = [
+                                {"index": 0, "code": 11000, "errmsg": "dup key"}
+                            ]
+                        else:
+                            inserted.append((cmd["$db"], cmd["insert"], docs))
+                    else:
+                        reply = {"ok": 1.0}
+                    conn.sendall(bson_wire.encode_op_msg(reply))
+
+        threading.Thread(target=serve, daemon=True).start()
+        return srv
+
+    def test_bson_codec_round_trip(self):
+        import datetime as dt
+
+        from hstream_spark.sources import bson_wire
+
+        doc = {
+            "s": "héllo",
+            "i32": 7,
+            "i64": 2**40,
+            "f": 1.5,
+            "b": True,
+            "none": None,
+            "bin": b"\x00\x01\xff",
+            "ts": dt.datetime(2026, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc),
+            "nested": {"a": [1, "two", {"three": 3.0}]},
+        }
+        out, end = bson_wire.decode_document(bson_wire.encode_document(doc))
+        assert out == doc
+        assert end == len(bson_wire.encode_document(doc))
+
+    def test_insert_round_trip_through_engine(self, engine):
+        inserted: list = []
+        srv = self._mongod(inserted)
+        try:
+            port = srv.getsockname()[1]
+            engine.execute("CREATE STREAM msrc (k INTEGER, s STRING);")
+            engine.execute("INSERT INTO msrc (k, s) VALUES (1, 'a');")
+            engine.execute("INSERT INTO msrc (k, s) VALUES (2, 'b');")
+            info = engine.execute(
+                "CREATE SINK CONNECTOR mg TO msrc WITH "
+                "(\"type\" = 'mongodb', "
+                f"\"uri\" = 'mongodb://127.0.0.1:{port}', "
+                "\"database\" = 'hstream', \"collection\" = 'docs');"
+            )
+            assert info.handle is not None
+            info.handle.processAllAvailable()
+        finally:
+            srv.close()
+        assert inserted, "no insert command reached the server"
+        docs = []
+        for db, coll, batch in inserted:
+            assert (db, coll) == ("hstream", "docs")
+            docs.extend(batch)
+        assert sorted((d["k"], d["s"]) for d in docs) == [(1, "a"), (2, "b")]
+
+    def test_write_errors_fail_the_batch(self, spark):
+        from hstream_spark.sources.connectors import mongodb_sink
+
+        inserted: list = []
+        srv = self._mongod(inserted, reject=True)
+        try:
+            port = srv.getsockname()[1]
+            sink = mongodb_sink(
+                {"host": "127.0.0.1", "port": port,
+                 "database": "d", "collection": "c"}
+            )
+            df = spark.createDataFrame([(1,)], "a long")
+            with pytest.raises(Exception, match="writeErrors"):
+                sink(df, 0)
+        finally:
+            srv.close()
+
+    def test_connection_refused_clear_error(self, spark):
+        from hstream_spark.sources.connectors import mongodb_sink
 
         df = spark.createDataFrame([(1,)], "a long")
-        with pytest.raises(ConnectorError, match="mongodb sink failed"):
-            mongodb_sink({"uri": "mongodb://localhost/nope"})(df, 0)
+        sink = mongodb_sink(
+            {"uri": "mongodb://127.0.0.1:9", "database": "d", "collection": "c"}
+        )
+        # executor-side ConnectorError surfaces wrapped by Spark; the
+        # clear message is what matters
+        with pytest.raises(Exception, match="connection to 127.0.0.1:9 failed"):
+            sink(df, 0)
+
+    def test_missing_options_rejected_at_build(self):
+        from hstream_spark.sources.connectors import ConnectorError, mongodb_sink
+
+        with pytest.raises(ConnectorError, match="database and collection"):
+            mongodb_sink({"uri": "mongodb://localhost"})
 
 
 class TestElasticsearchHTTP:
