@@ -87,6 +87,7 @@ HEADLINE = [
     "curation_pipeline",
     "vocab_top",
     "lm_cross_entropy",
+    "bm25_search",
 ]
 
 

@@ -1434,6 +1434,62 @@ def q_lm_cross_entropy(spark, sf):
     return TX.lm_cross_entropy(docs)
 
 
+_BM25_TERMS = ("dup", "vector", "scan")
+
+
+def _bm25_oracle() -> str:
+    k1, b, top_k = 1.2, 0.75, 50
+    tfs = ",\n         ".join(
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN
+              ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)
+                       / (CAST(df{i} AS DOUBLE) + 0.5))
+              * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}
+              / (CAST(tf{i} AS DOUBLE)
+                 + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE) / avgdl))
+            ELSE 0.0 END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"CAST(tf{i} > 0 AS INT)" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+         {tfs}
+  FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM base)
+SELECT doc_id, matched, score FROM (
+  SELECT b.doc_id, {matched} AS matched,
+         round({parts}, 4) AS score
+  FROM base b, stats)
+WHERE matched > 0
+ORDER BY score DESC, doc_id
+LIMIT {top_k}
+"""
+
+
+@register("bm25_search", _bm25_oracle(), tags=("text", "search"))
+def q_bm25_search(spark, sf):
+    """BM25 keyword search top-50 over documents for a mixed
+    rare/common term query — one map-only corpus scan + a 1-row
+    stats broadcast; no inverted-index shuffle (operators/text.py
+    bm25_search)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.bm25_search(docs, list(_BM25_TERMS), top_k=50)
+
+
 def _curation_oracle() -> str:
     return f"""
 WITH RECURSIVE

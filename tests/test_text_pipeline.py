@@ -138,3 +138,54 @@ def test_boilerplate_signals_flags_repeated_grams(spark):
     assert rows[1]["n_boiler"] == 1 and rows[2]["n_boiler"] == 1 and rows[3]["n_boiler"] == 1
     assert rows[4]["n_boiler"] == 0 and rows[4]["boiler_frac"] == 0.0
     assert rows[1]["boiler_frac"] > 0
+
+
+def test_bm25_search_ranking_and_formula(spark):
+    import math
+
+    from hstream_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),        # tf(apple)=2, dl=3
+            (2, "apple cherry cherry date"),  # tf(apple)=1, dl=4
+            (3, "banana cherry date fig"),    # no apple
+            (4, "grape melon kiwi"),          # matches nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["apple"], k1=1.2, b=0.75, top_k=10)
+    rows = out.collect()
+    # doc 4 matches no term and is excluded; doc 3 too
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert all(r["matched"] == 1 for r in rows)
+    # hand-computed BM25: N=4, df=2, avgdl=3.5
+    idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))
+    assert rows[0]["score"] == round(score(2, 3), 4)
+    assert rows[1]["score"] == round(score(1, 4), 4)
+
+
+def test_bm25_search_multi_term_and_tiebreak(spark):
+    from hstream_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "same words here") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["same", "words"], top_k=3).collect()
+    # identical docs -> identical scores; tie broken by doc_id ascending
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert all(r["matched"] == 2 for r in out)
+    assert len({r["score"] for r in out}) == 1
+
+
+def test_bm25_requires_terms(spark):
+    import pytest as _pytest
+
+    from hstream_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="at least one query term"):
+        bm25_search(docs, [])

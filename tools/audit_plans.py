@@ -33,6 +33,7 @@ ALLOW_NESTED = {
     "tpch_q22ish",            # 1-row avg-balance scalar broadcast
     "lm_cross_entropy",       # 1-row token-total scalar broadcast
     "curation_pipeline",      # 1-row stage-count summary cross joins
+    "bm25_search",            # 1-row corpus-stats (N/avgdl/df) broadcast
 }
 
 
