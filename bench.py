@@ -88,6 +88,7 @@ HEADLINE = [
     "vocab_top",
     "lm_cross_entropy",
     "bm25_search",
+    "dedup_exact_substring",
 ]
 
 

@@ -382,3 +382,77 @@ def prune_duplicates(
     return corpus.join(
         losers, corpus[id_col] == losers["__loser"], "left_anti"
     )
+
+
+def duplicate_passage_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr pass, re-expressed relationally): find, per document,
+    the maximal token spans of length >= ``min_tokens`` whose every
+    ``min_tokens``-gram occurs more than once in the corpus — i.e. the
+    repeated passages an exact-substring dedup would cut. Emits
+    ``(doc_id, span_start, span_end, span_tokens)`` with 1-based
+    inclusive token positions.
+
+    The reference paper builds a monolithic suffix array; the Spark
+    plan gets the same spans with bounded distributed state instead:
+
+    1. map-only: slide a ``min_tokens`` window over each doc's tokens,
+       hashing each gram to int64 (``xxhash64`` — 8-byte shuffle keys,
+       never gram strings);
+    2. one groupBy on the gram hash -> corpus occurrence counts; grams
+       with count > 1 join back to their positions (same shuffle key —
+       no extra exchange beyond the join);
+    3. per-doc gaps-and-islands (window partitioned BY doc — no global
+       sort): adjacent/overlapping duplicated gram starts merge into
+       maximal spans.
+
+    At 100 TB every stage is keyed by either the uniform gram hash or
+    the doc id; nothing is quadratic and no driver state exists. A
+    64-bit gram-hash collision (~n²/2⁶⁵) can at worst widen a span by
+    one false gram.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    L = int(min_tokens)
+    starts = F.when(
+        n >= F.lit(L), F.sequence(F.lit(1), n - F.lit(L) + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(toks, i, L))).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(id_col, "pos")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(by_doc) <= F.lit(L), F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = hits.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(by_doc)
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        (F.max("pos") + F.lit(L) - F.min("pos")).alias("span_tokens"),
+    ).drop("island")

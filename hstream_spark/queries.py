@@ -1434,6 +1434,39 @@ def q_lm_cross_entropy(spark, sf):
     return TX.lm_cross_entropy(docs)
 
 
+_SPAN_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 7)) s(i)),
+dup AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram) d
+        WHERE c > 1),
+hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM hits) x)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       max(pos) + 8 - min(pos) AS span_tokens
+FROM grp GROUP BY doc_id, island
+"""
+
+
+@register("dedup_exact_substring", _SPAN_ORACLE, tags=("dedup", "substring"))
+def q_dedup_exact_substring(spark, sf):
+    """Exact-substring duplicate passages (Lee et al. ExactSubstr as a
+    relational plan): maximal >=8-token spans whose every 8-gram
+    repeats in the corpus (operators/dedup.py
+    duplicate_passage_spans)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return D.duplicate_passage_spans(docs, min_tokens=8)
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

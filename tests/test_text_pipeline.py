@@ -189,3 +189,50 @@ def test_bm25_requires_terms(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="at least one query term"):
         bm25_search(docs, [])
+
+
+def test_duplicate_passage_spans_exact(spark):
+    from hstream_spark.operators.dedup import duplicate_passage_spans
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx {shared} yy zz qq"),
+            (3, "totally different words with no repeats at all here now"),
+            (4, "short text"),  # below min_tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicate_passage_spans(docs, min_tokens=8).collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc 1: shared passage occupies tokens 3..12 (1-based)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (3, 12)
+    assert rows[1]["span_tokens"] == 10
+    # doc 2: tokens 2..11
+    assert (rows[2]["span_start"], rows[2]["span_end"]) == (2, 11)
+
+
+def test_duplicate_passage_spans_merges_islands(spark):
+    from hstream_spark.operators.dedup import duplicate_passage_spans
+
+    # two separate duplicated passages in one doc -> two spans
+    p1 = "a b c d e f g h"            # 8 tokens
+    p2 = "r s t u v w x y"            # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} k1 k2 k3 k4 k5 k6 k7 k8 k9 {p2}"),
+            (2, f"{p1} other words entirely here"),
+            (3, f"lead in words {p2}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_passage_spans(docs, min_tokens=8).collect()
+    )
+    assert (1, 1, 8) in spans and (1, 18, 25) in spans
+    assert (2, 1, 8) in spans and (3, 4, 11) in spans
