@@ -89,6 +89,7 @@ HEADLINE = [
     "lm_cross_entropy",
     "bm25_search",
     "dedup_exact_substring",
+    "source_quality_stats",
 ]
 
 

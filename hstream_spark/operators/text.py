@@ -517,3 +517,84 @@ def bm25_search(
         F.round(score, round_digits).alias("score"),
     ).where(F.col("matched") > 0)
     return out.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
+
+
+def normalize_url(url: Column) -> Column:
+    """URL canonicalization for web-crawl curation — the
+    dedup-before-fetch / host-grouping normalizer: lowercase scheme and
+    host, strip fragments, default ports (:80 http / :443 https), a
+    leading ``www.``, tracking query parameters (``utm_*``, ``fbclid``,
+    ``gclid``), empty leftover query separators, and a trailing slash.
+
+    Pure Catalyst regexp pipeline (map-only, whole-stage codegen; the
+    same steps express verbatim in ANSI SQL for the oracle). Non-URL
+    strings pass through the component extraction as empty scheme and
+    are returned unchanged.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(host)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(rest, r"(utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Registrable-host key for per-host grouping (no public-suffix
+    list in-container; the full host minus ``www.`` is the grouping
+    key)."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def source_curation_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source (per-host) curation rollup — the
+    which-domains-are-worth-crawling table: document count, language
+    spread, total characters, and the exact-duplicate fraction
+    (documents whose full text appears more than once in the corpus).
+
+    Two shuffles at 100 TB: the md5-keyed duplicate count (uniform
+    128-bit keys — no skew) and the per-source aggregation (source
+    cardinality is tiny next to the corpus; partial aggregation
+    map-side-combines). The duplicate set joins back on the same md5
+    key partitioning.
+    """
+    h = docs.select(
+        F.col(group_col).alias("__grp"),
+        F.col("lang"),
+        F.length(F.col(text_col)).alias("__n"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    dup = (
+        h.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    joined = h.join(dup, "__h", "left")
+    return joined.groupBy(F.col("__grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("__n").alias("total_chars"),
+        F.coalesce(F.sum("__dup"), F.lit(0)).alias("dup_docs"),
+        F.round(
+            F.coalesce(F.sum("__dup"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -1467,6 +1467,92 @@ def q_dedup_exact_substring(spark, sf):
     return D.duplicate_passage_spans(docs, min_tokens=8)
 
 
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM:443/docs/' || doc_id
+         || '?utm_source=feed&id=' || doc_id
+         || '&utm_medium=em&gclid=abc#frag' AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '', 'g') AS u1
+  FROM u),
+comp AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+         regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+  FROM parts),
+fixed AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '', 'g')
+                WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '', 'g')
+                ELSE host0 END,
+           '^www\\.', '', 'g') AS host,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(rest0, '(utm_[A-Za-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                 '&&+', '&', 'g'),
+               '\\?&', '?', 'g'),
+             '[?&]$', '', 'g'),
+           '/$', '', 'g') AS rest
+  FROM comp)
+SELECT doc_id, host,
+       CASE WHEN scheme = '' THEN url
+            ELSE scheme || '://' || host || rest END AS url_norm
+FROM fixed
+"""
+
+
+@register("url_normalize", _URL_ORACLE, tags=("curation", "url"))
+def q_url_normalize(spark, sf):
+    """URL canonicalization (web-crawl curation normalizer) over URLs
+    derived from document fields: lowercase scheme/host, strip
+    fragment, default port, www., tracking params, dangling separators
+    and trailing slash — pure regexp pipeline (operators/text.py
+    normalize_url)."""
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/docs/"),
+        F.col("doc_id"), F.lit("?utm_source=feed&id="), F.col("doc_id"),
+        F.lit("&utm_medium=em&gclid=abc#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        TX.url_host(TX.normalize_url(url)).alias("host"),
+        TX.normalize_url(url).alias("url_norm"),
+    )
+
+
+_SRC_STATS_ORACLE = """
+WITH d AS (SELECT source, lang, length(text) AS n, md5(text) AS h FROM documents),
+dupset AS (SELECT h FROM (SELECT h, count(*) AS c FROM d GROUP BY h) x WHERE c > 1)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(n) AS total_chars,
+       sum(CASE WHEN h IN (SELECT h FROM dupset) THEN 1 ELSE 0 END) AS dup_docs,
+       round(sum(CASE WHEN h IN (SELECT h FROM dupset) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM d GROUP BY source
+"""
+
+
+@register("source_quality_stats", _SRC_STATS_ORACLE, tags=("curation", "stats"))
+def q_source_quality_stats(spark, sf):
+    """Per-source curation rollup: docs, language spread, characters,
+    exact-duplicate fraction (operators/text.py
+    source_curation_stats)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.source_curation_stats(docs)
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

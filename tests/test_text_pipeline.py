@@ -236,3 +236,50 @@ def test_duplicate_passage_spans_merges_islands(spark):
     )
     assert (1, 1, 8) in spans and (1, 18, 25) in spans
     assert (2, 1, 8) in spans and (3, 4, 11) in spans
+
+
+def test_normalize_url_cases(spark):
+    from hstream_spark.operators.text import normalize_url, url_host
+
+    cases = [
+        # scheme/host lowercase, fragment + default port + www stripped
+        ("HTTPS://WWW.Example.COM:443/Path/page?x=1#frag",
+         "https://example.com/Path/page?x=1"),
+        # http default port; tracking params stripped; separators cleaned
+        ("http://Example.com:80/a?utm_source=x&id=2&utm_medium=y&fbclid=z",
+         "http://example.com/a?id=2"),
+        # only tracking params -> query dropped entirely
+        ("https://example.com/a?utm_source=x&gclid=y", "https://example.com/a"),
+        # non-default port kept; path case preserved
+        ("https://example.com:8443/CaseKept/", "https://example.com:8443/CaseKept"),
+        # non-URL text passes through unchanged
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    host = df.select("i", url_host(F.col("url")).alias("h")).collect()
+    hosts = {r["i"]: r["h"] for r in host}
+    assert hosts[0] == "example.com" and hosts[3] == "example.com"
+
+
+def test_source_curation_stats_dup_fraction(spark):
+    from hstream_spark.operators.text import source_curation_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "a"),
+            (2, "same text", "en", "a"),   # exact dup within source a
+            (3, "unique one", "fr", "a"),
+            (4, "other text", "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["source"]: r for r in source_curation_stats(docs).collect()}
+    assert rows["a"]["n_docs"] == 3 and rows["a"]["dup_docs"] == 2
+    assert rows["a"]["n_langs"] == 2
+    assert abs(rows["a"]["dup_frac"] - round(2 / 3, 6)) < 1e-9
+    assert rows["b"]["dup_docs"] == 0 and rows["b"]["dup_frac"] == 0.0
