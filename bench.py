@@ -90,6 +90,7 @@ HEADLINE = [
     "bm25_search",
     "dedup_exact_substring",
     "source_quality_stats",
+    "temperature_sample",
 ]
 
 

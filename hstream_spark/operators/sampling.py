@@ -106,3 +106,63 @@ def cap_per_group(
         .filter(F.col("__rk") <= limit)
         .drop("__rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    temperature: float = 0.7,
+    buckets: int = BUCKETS,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual /
+    multi-source training-mix sampler (mT5/XLM-R style): group g with
+    corpus share p_g is kept at a rate proportional to
+    ``p_g^(temperature-1)`` — temperature 1 keeps the natural mix,
+    temperature 0 equalizes groups, in between upsamples the tail
+    relative to the head. Expressed as pure downsampling (no row
+    duplication, the result stays a subset): the smallest group
+    anchors at rate 1 and group g keeps ``(n_min/n_g)^(1-T)`` of
+    itself.
+
+    The plan at 100 TB: one small groupBy for the group counts (group
+    cardinality ~ sources/languages, map-side combined), rates derive
+    from the counts in one more 1-row reduction (min), broadcast back
+    as a tiny rate table on the group key, then the same map-only
+    deterministic hash-bucket filter as every sampler here — rows
+    never shuffle. Rates round to bucket granularity (1/buckets), so
+    the selected set is exactly reproducible cross-engine (the oracle
+    replays the identical arithmetic).
+    """
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError("temperature must be in [0, 1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # weight_g = n_g^T; keeping the smallest group whole, group g keeps
+    # rate_g = (n_g^T / n_g) / (n_min^T / n_min) = (n_min/n_g)^(1-T)
+    # of itself -- the pow-renormalized mix as pure downsampling rates.
+    mn = counts.agg(F.min("__n").alias("__nmin")).withColumn("__k", F.lit(1))
+    rates = (
+        counts.withColumn("__k", F.lit(1))
+        .join(F.broadcast(mn), "__k")
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("__n").cast("double"), F.lit(temperature))
+                / F.col("__n").cast("double")
+                * (
+                    F.col("__nmin").cast("double")
+                    / F.pow(F.col("__nmin").cast("double"), F.lit(temperature))
+                ),
+            ).alias("__rate"),
+        )
+    )
+    out = df.join(F.broadcast(rates), group_col)
+    keep = hash_bucket(F.col(key_col), buckets) < F.floor(
+        F.col("__rate") * F.lit(float(buckets))
+    ).cast("long")
+    out = out.where(keep)
+    if rate_col:
+        return out.withColumnRenamed("__rate", rate_col)
+    return out.drop("__rate")

@@ -3488,6 +3488,35 @@ def q_event_sessionize(spark, sf):
 _HB = "('0x' || substring(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT % 10000"
 
 
+_TEMP_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang,
+             least(1.0, pow(CAST(n AS DOUBLE), 0.7) / CAST(n AS DOUBLE)
+                        * (CAST(nmin AS DOUBLE)
+                           / pow(CAST(nmin AS DOUBLE), 0.7))) AS rate
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE {_HB.format(x='d.doc_id')}
+      < CAST(floor(rate * 10000.0) AS BIGINT)
+"""
+
+
+@register("temperature_sample", _TEMP_ORACLE, tags=("sampling", "mix"))
+def q_temperature_sample(spark, sf):
+    """Temperature-0.7 language rebalancing (mT5-style training mix):
+    per-language keep-rates from pow-renormalized corpus shares, applied
+    as the deterministic id-hash filter — tiny rate table broadcast,
+    rows never shuffle (operators/sampling.py temperature_sample)."""
+    from hstream_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return SMP.temperature_sample(docs, "doc_id", "lang", temperature=0.7).select(
+        "doc_id", "lang"
+    )
+
+
 @register(
     "deterministic_sample",
     f"""

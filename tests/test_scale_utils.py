@@ -92,3 +92,38 @@ def test_quantize_embeddings_error_bound(spark):
     for r in q:
         assert max(abs(x) for x in r["qvec"]) == 127
     assert by_id[1]["scale"] == 127.0  # max|x| = 1.0
+
+
+def test_temperature_sample_rebalances_head(spark):
+    import math
+
+    from hstream_spark.operators.sampling import temperature_sample
+
+    # 400 'en' docs vs 50 'fr' docs; T=0.5 keeps fr whole and en at
+    # (50/400)^0.5 ~ 0.3535
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, "fr") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "doc_id", "lang", temperature=0.5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["fr"] == 50  # smallest group anchored at rate 1
+    expected_rate = math.sqrt(50 / 400)
+    # hash buckets are uniform; 400 draws at rate .3535 ~ N(141, 9.5)
+    assert abs(counts["en"] - 400 * expected_rate) < 40
+    # temperature 1 keeps everything
+    assert temperature_sample(df, "doc_id", "lang", temperature=1.0).count() == 450
+    # determinism: same selection on rerun
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         temperature_sample(df, "doc_id", "lang", temperature=0.5).collect()}
+    assert a == b
+
+
+def test_temperature_sample_rejects_bad_temperature(spark):
+    import pytest as _pytest
+
+    from hstream_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_sample(df, "doc_id", "lang", temperature=1.5)

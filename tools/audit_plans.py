@@ -34,6 +34,7 @@ ALLOW_NESTED = {
     "lm_cross_entropy",       # 1-row token-total scalar broadcast
     "curation_pipeline",      # 1-row stage-count summary cross joins
     "bm25_search",            # 1-row corpus-stats (N/avgdl/df) broadcast
+    "temperature_sample",     # 1-row min-group-count scalar broadcast
 }
 
 
