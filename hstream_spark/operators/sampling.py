@@ -166,3 +166,30 @@ def temperature_sample(
     if rate_col:
         return out.withColumnRenamed("__rate", rate_col)
     return out.drop("__rate")
+
+
+def group_train_test_split(
+    df: DataFrame,
+    group_key: Column,
+    test_fraction: float = 0.1,
+    buckets: int = BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: the hash bucket is computed over a
+    GROUP key (content hash, near-dup cluster id, source domain…)
+    instead of the row id, so every member of a group lands in the same
+    split — the standard guard against test-set contamination by
+    duplicates or near-duplicates of training rows.
+
+    Same map-only shape as ``train_test_split``; the caller chooses how
+    strong the grouping is (``md5(text)`` for exact dups, a
+    ``connected_components`` cluster label for near-dups, ``url_host``
+    for domain-level isolation).
+    """
+    b = hash_bucket(group_key, buckets)
+    return df.withColumn(
+        split_col,
+        F.when(b < int(test_fraction * buckets), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -3517,6 +3517,27 @@ def q_temperature_sample(spark, sf):
     )
 
 
+_GROUP_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_HB.format(x="md5(text)")} < 1000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("group_train_test_split", _GROUP_SPLIT_ORACLE, tags=("sampling", "split"))
+def q_group_train_test_split(spark, sf):
+    """Leakage-safe 90/10 split keyed by the content hash: exact
+    duplicates always land in the same split (operators/sampling.py
+    group_train_test_split)."""
+    from hstream_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return SMP.group_train_test_split(
+        docs, F.md5(F.col("text")), test_fraction=0.10
+    ).select("doc_id", "split")
+
+
 @register(
     "deterministic_sample",
     f"""

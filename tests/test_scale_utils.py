@@ -127,3 +127,21 @@ def test_temperature_sample_rejects_bad_temperature(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with _pytest.raises(ValueError, match="temperature"):
         temperature_sample(df, "doc_id", "lang", temperature=1.5)
+
+
+def test_group_split_colocates_duplicates(spark):
+    from hstream_spark.operators.sampling import group_train_test_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(70)],  # 7 groups of 10 dups
+        "doc_id long, text string",
+    )
+    out = group_train_test_split(docs, F.md5(F.col("text")), test_fraction=0.3)
+    per_group = (
+        out.groupBy("text")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)  # a group never straddles splits
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "test"}
