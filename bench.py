@@ -91,6 +91,8 @@ HEADLINE = [
     "dedup_exact_substring",
     "source_quality_stats",
     "temperature_sample",
+    "pq_encode",
+    "ann_pq_topk",
 ]
 
 

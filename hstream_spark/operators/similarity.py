@@ -662,3 +662,219 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half: FAISS-style m×ks codes)
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(dim: int, m: int = 8, ks: int = 16) -> list[list[list[float]]]:
+    """Deterministic md5-derived PQ codebooks (``m`` subspaces ×
+    ``ks`` centroids × dim/m) — the reproducible seed for ``pq_train``
+    and the fixture the SQL oracle can embed verbatim."""
+    import hashlib
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        cents = []
+        for c in range(ks):
+            vals: list[float] = []
+            i = 0
+            while len(vals) < dsub:
+                digest = hashlib.md5(f"pq-{s}-{c}-{i}".encode()).digest()
+                for off in range(0, 16, 2):
+                    raw = int.from_bytes(digest[off : off + 2], "big")
+                    vals.append((raw / 32767.5) - 1.0)
+                    if len(vals) == dsub:
+                        break
+                i += 1
+            cents.append(vals)
+        books.append(cents)
+    return books
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² — sequential fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    nearest (L2) codebook centroid — dim floats become m small ints
+    (m=8, ks=16 ⇒ 64-dim float32 compresses 64×, the FAISS-style
+    storage format for billion-scale ANN).
+
+    Map-only: the whole m×ks×(dim/m) codebook ships as ONE nested
+    literal and each vector folds through it inside its scan task; ties
+    break toward the lowest code (struct array_min). No shuffle at any
+    scale.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb_lit = F.lit(codebooks)
+    vec = _to_double(F.col(vec_col))
+
+    def code_for(s: Column) -> Column:
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        cands = F.transform(
+            F.element_at(cb_lit, s + 1),
+            lambda c, i: F.struct(_l2sq(sub, c).alias("d"), i.alias("code")),
+        )
+        return F.array_min(cands)["code"]
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks with Lloyd iterations over ALL subspaces in
+    one distributed pass per iteration: explode each vector into its m
+    subvectors once (same data volume — m arrays of dim/m), assign
+    each to its nearest centroid map-side (nested codebook literal),
+    and update with a (sub, code, pos) hash-agg whose shuffle volume is
+    O(partitions × m × ks × dim/m) partial sums, independent of corpus
+    size. Only the model (m×ks×dim/m floats) returns to the driver per
+    iteration — the same driver-holds-model shape as ``kmeans_fit``.
+
+    Deterministic: data-seeded start (ks lowest-id vectors; md5 seed
+    when the corpus is smaller), decimal per-dimension sums, ties
+    toward the lowest code; empty cells keep their previous centroid.
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    dsub = dim // m
+    # data-seeded start (deterministic: the ks lowest-id vectors seed
+    # every subspace) -- random-cube seeds waste centroids on empty
+    # regions when the data lives on a manifold (e.g. unit sphere)
+    seed_rows = (
+        corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(ks)
+        .collect()
+    )
+    if len(seed_rows) >= ks:
+        books = [
+            [list(r["v"][s * dsub : (s + 1) * dsub]) for r in seed_rows]
+            for s in range(m)
+        ]
+    else:
+        books = pq_seed_codebooks(dim, m, ks)
+    vec = _to_double(F.col(vec_col))
+    subs = corpus.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"), F.slice(vec, s * dsub + 1, dsub).alias("sv")
+                ),
+            )
+        ).alias("x")
+    ).select(F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    for _ in range(iters):
+        cb_lit = F.lit(books)
+        cands = F.transform(
+            F.element_at(cb_lit, F.col("sub") + 1),
+            lambda c, i: F.struct(_l2sq(F.col("sv"), c).alias("d"), i.alias("code")),
+        )
+        assigned = subs.withColumn("code", F.array_min(cands)["code"])
+        per_dim = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+        )
+        rows = (
+            per_dim.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        updated = {(r["sub"], r["code"]): list(r["cvec"]) for r in rows}
+        books = [
+            [updated.get((s, c), books[s][c]) for c in range(ks)]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each corpus
+    vector's approximate distance to a query is the sum over subspaces
+    of ‖q_sub − codebook[sub][code]‖² — the query stays exact, the
+    corpus stays 64×-compressed.
+
+    The query side broadcasts; scoring reads only the m-byte code
+    array per corpus row (the point of PQ: the scan touches codes, not
+    vectors). The per-(query, sub, code) lookups are pure expression
+    folds, bit-identical to the SQL oracle; a production kernel would
+    precompute the m×ks distance table per query — same numbers,
+    fewer multiplies. Output: (q_id, c_id, adist, rank), ascending
+    distance, ties toward the lower corpus id.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb_lit = F.lit(codebooks)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), _to_double(F.col(vec_col)).alias("q_vec")
+        )
+    )
+    pair = q.crossJoin(codes.select(F.col(id_col).alias("c_id"), "codes")).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    contrib = F.zip_with(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.col("codes"),
+        lambda s, c: _l2sq(
+            F.slice(F.col("q_vec"), s * dsub + 1, dsub),
+            F.element_at(F.element_at(cb_lit, s + 1), c + 1),
+        ),
+    )
+    scored = pair.select(
+        "q_id",
+        "c_id",
+        F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).alias("adist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        # rank on full precision; emit rounded (cross-engine list_sum
+        # accumulation differs in the last ulp)
+        .select("q_id", "c_id", F.round("adist", 6).alias("adist"), "rank")
+    )

@@ -3481,6 +3481,106 @@ def q_event_sessionize(spark, sf):
     )
 
 
+def _pq_books_sql() -> str:
+    """The seeded PQ codebooks as one DuckDB DOUBLE[][][] literal —
+    the exact doubles Spark ships in its nested F.lit."""
+    from hstream_spark.operators.similarity import pq_seed_codebooks
+
+    books = pq_seed_codebooks(64, m=8, ks=16)
+    lit = (
+        "["
+        + ",".join(
+            "[" + ",".join("[" + ",".join(repr(x) for x in c) + "]" for c in sub) + "]"
+            for sub in books
+        )
+        + "]"
+    )
+    return f"CAST({lit} AS DOUBLE[][][])"
+
+
+def _pq_encode_oracle() -> str:
+    dsub, m = 8, 8
+    codes = ",\n       ".join(
+        f"list_position(d{s}, list_min(d{s})) - 1" for s in range(m)
+    )
+    dists = ",\n       ".join(
+        f"list_transform(b[{s + 1}], c -> list_sum(list_transform("
+        f"list_zip(v[{s * dsub + 1}:{s * dsub + dsub}], c), "
+        f"p -> (p[1]-p[2])*(p[1]-p[2])))) AS d{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH cb AS (SELECT {_pq_books_sql()} AS b),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+d AS (SELECT vec_id,
+       {dists}
+      FROM v, cb)
+SELECT vec_id,
+       [{codes}] AS codes
+FROM d
+"""
+
+
+@register("pq_encode", _pq_encode_oracle(), tags=("similarity", "pq"))
+def q_pq_encode(spark, sf):
+    """Product-quantization encoding (FAISS-style m=8 x ks=16 codes,
+    64x compression) with the deterministic seeded codebooks — the
+    map-only nearest-centroid fold per subspace
+    (operators/similarity.py pq_encode)."""
+    from hstream_spark.operators.similarity import pq_encode, pq_seed_codebooks
+
+    emb = load_table(spark, sf, "embeddings")
+    return pq_encode(emb, pq_seed_codebooks(64, m=8, ks=16))
+
+
+def _pq_adc_oracle() -> str:
+    dsub, m, k = 8, 8, 10
+    terms = "\n           + ".join(
+        f"list_sum(list_transform(list_zip("
+        f"qv[{s * dsub + 1}:{s * dsub + dsub}], b[{s + 1}][codes[{s + 1}] + 1]), "
+        f"p -> (p[1]-p[2])*(p[1]-p[2])))"
+        for s in range(m)
+    )
+    enc = _pq_encode_oracle().strip()
+    return f"""
+WITH cb AS (SELECT {_pq_books_sql()} AS b),
+codes AS ({enc}),
+q AS (SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         {terms} AS adist
+  FROM q, codes c, cb
+  WHERE q.q_id <> c.vec_id),
+ranked AS (
+  SELECT q_id, c_id, adist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, c_id ASC) AS rank
+  FROM scored)
+SELECT q_id, c_id, round(adist, 6) AS adist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ann_pq_topk", _pq_adc_oracle(), tags=("similarity", "pq", "ann"))
+def q_ann_pq_topk(spark, sf):
+    """ADC top-10 over PQ codes for 3 query vectors: approximate
+    distance reads only the 8-byte code arrays — the billion-scale ANN
+    scan shape (operators/similarity.py pq_adc_topk)."""
+    from hstream_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_seed_codebooks(64, m=8, ks=16)
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3)
+    return pq_adc_topk(codes, queries, books, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / dataset splitting (training-data pipeline)
 # ---------------------------------------------------------------------------

@@ -164,3 +164,86 @@ def test_ivf_index_persist_and_prune(spark, emb, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120]
     assert len(all_parts) == 8
+
+
+class TestProductQuantization:
+    def test_seed_codebooks_shape_and_determinism(self):
+        a = SIM.pq_seed_codebooks(64, m=8, ks=16)
+        b = SIM.pq_seed_codebooks(64, m=8, ks=16)
+        assert a == b
+        assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 8
+        assert all(-1.0 <= x < 1.0 for sub in a for c in sub for x in c)
+        with pytest.raises(ValueError, match="not divisible"):
+            SIM.pq_seed_codebooks(65, m=8)
+
+    def test_encode_shape_and_range(self, spark, emb):
+        books = SIM.pq_seed_codebooks(64, m=8, ks=16)
+        codes = SIM.pq_encode(emb, books).collect()
+        assert len(codes) == emb.count()
+        for r in codes:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
+
+    def test_train_reduces_quantization_error(self, spark, emb):
+        seed = SIM.pq_seed_codebooks(64, m=8, ks=16)
+        trained = SIM.pq_train(emb, m=8, ks=16, iters=2)
+
+        def distortion(books):
+            codes = SIM.pq_encode(emb, books)
+            joined = codes.join(emb, "vec_id")
+            cb = F.lit(books)
+            contrib = F.zip_with(
+                F.sequence(F.lit(0), F.lit(7)),
+                F.col("codes"),
+                lambda s, c: SIM._l2sq(
+                    F.slice(SIM._to_double(F.col("embedding")), s * 8 + 1, 8),
+                    F.element_at(F.element_at(cb, s + 1), c + 1),
+                ),
+            )
+            return joined.select(
+                F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).alias("d")
+            ).agg(F.avg("d")).first()[0]
+
+        d_seed, d_trained = distortion(seed), distortion(trained)
+        assert d_trained < d_seed * 0.8  # Lloyd must cut distortion
+
+    def test_adc_recall_vs_exact(self, spark, emb):
+        # trained PQ's top-10 should substantially overlap the exact
+        # top-10 (ADC is approximate; seeded books are the floor)
+        books = SIM.pq_train(emb, m=8, ks=16, iters=3)
+        codes = SIM.pq_encode(emb, books)
+        queries = emb.where(F.col("vec_id") < 5)
+        approx = SIM.pq_adc_topk(codes, queries, books, k=10)
+        # exact L2 == exact cosine ranking only for normalized vectors;
+        # compare against exact *L2* top-10 computed directly
+        q = queries.select(
+            F.col("vec_id").alias("q_id"),
+            SIM._to_double(F.col("embedding")).alias("qv"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("c_id"),
+            SIM._to_double(F.col("embedding")).alias("cv"),
+        )
+        from pyspark.sql import Window
+
+        exact = (
+            q.crossJoin(c)
+            .where(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", SIM._l2sq(F.col("qv"), F.col("cv")).alias("d"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("q_id").orderBy(
+                        F.col("d").asc(), F.col("c_id").asc()
+                    )
+                ),
+            )
+            .where(F.col("rank") <= 10)
+        )
+        got = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+        want = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+        recall = len(got & want) / len(want)
+        # this corpus is near-uniform on the unit sphere (hard for PQ:
+        # an ideal numpy PQ at these params lands ~0.3); random would
+        # be 10/(n-1) ~ 0.02
+        assert recall >= 0.2, recall

@@ -35,6 +35,8 @@ ALLOW_NESTED = {
     "curation_pipeline",      # 1-row stage-count summary cross joins
     "bm25_search",            # 1-row corpus-stats (N/avgdl/df) broadcast
     "temperature_sample",     # 1-row min-group-count scalar broadcast
+    "ann_pq_topk",            # tiny query side × code scan (ADC reads
+                              # m-byte codes, not vectors — the PQ point)
 }
 
 
