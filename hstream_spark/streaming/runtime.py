@@ -36,6 +36,7 @@ import shutil
 import time
 import uuid
 import warnings
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -242,10 +243,21 @@ class HStreamEngine:
     queries / views / connectors over a SparkSession."""
 
     def __init__(self, spark: SparkSession, data_root: str,
-                 grace: str = DEFAULT_GRACE, recover: bool = True):
+                 grace: str = DEFAULT_GRACE, recover: bool = True,
+                 streaming_shuffle_partitions: Optional[int] = None):
         self.spark = spark
         self.data_root = data_root
         self.grace = grace
+        # decouples streaming STATE partitioning from the session's
+        # batch shuffle parallelism: a stateful streaming query pays a
+        # per-trigger state-store open/commit per shuffle partition, so
+        # small-throughput deployments want far fewer state partitions
+        # than batch shuffle tasks (micro-batch latency halves at
+        # local[32] with 8 vs 32), while a 1000-executor cluster wants
+        # more. Captured per-query at .start() time (Spark clones the
+        # session conf into the stream thread), so batch queries on the
+        # same session are untouched.
+        self.streaming_shuffle_partitions = streaming_shuffle_partitions
         self.streams: dict[str, StreamInfo] = {}
         self.queries: dict[str, QueryInfo] = {}
         self.views: dict[str, ViewInfo] = {}
@@ -255,6 +267,22 @@ class HStreamEngine:
         os.makedirs(data_root, exist_ok=True)
         if recover:
             self._recover()
+
+    @contextmanager
+    def _stream_start_conf(self):
+        """Scope ``streaming_shuffle_partitions`` around a streaming
+        ``.start()``: the new query's cloned session captures the
+        override; the live session conf is restored immediately."""
+        if self.streaming_shuffle_partitions is None:
+            yield
+            return
+        key = "spark.sql.shuffle.partitions"
+        old = self.spark.conf.get(key)
+        self.spark.conf.set(key, str(self.streaming_shuffle_partitions))
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, old)
 
     # -- catalog durability --------------------------------------------------
     #
@@ -669,12 +697,13 @@ class HStreamEngine:
             self._checkpoint(qname), sink.path, stamp_ts=stamp_ts,
             payload=sink.payload,
         )
-        q = (
-            out.writeStream.outputMode(mode)
-            .option("checkpointLocation", self._checkpoint(qname))
-            .foreachBatch(sink_batch)
-            .start()
-        )
+        with self._stream_start_conf():
+            q = (
+                out.writeStream.outputMode(mode)
+                .option("checkpointLocation", self._checkpoint(qname))
+                .foreachBatch(sink_batch)
+                .start()
+            )
         qi = QueryInfo(qname, sql, sink_stream, self._checkpoint(qname), q,
                        mode=mode)
         self.queries[qname] = qi
@@ -814,24 +843,28 @@ class HStreamEngine:
         else:
             mode = "update"
         try:
-            q = (
-                out.writeStream.outputMode(mode)
-                .option("checkpointLocation", self._checkpoint(f"view_{stmt.name}"))
-                .foreachBatch(upsert)
-                .start()
-            )
+            with self._stream_start_conf():
+                q = (
+                    out.writeStream.outputMode(mode)
+                    .option("checkpointLocation",
+                            self._checkpoint(f"view_{stmt.name}"))
+                    .foreachBatch(upsert)
+                    .start()
+                )
         except Exception:
             # last-resort fallback for plans that reject update mode
             # (full-result refresh — reference-equivalent, not incremental)
             vi.replace_all = True
             mode_label = "complete(fallback)"
             _warn_complete_fallback(stmt.name, "plan rejects update output mode")
-            q = (
-                out.writeStream.outputMode("complete")
-                .option("checkpointLocation", self._checkpoint(f"view_{stmt.name}"))
-                .foreachBatch(upsert)
-                .start()
-            )
+            with self._stream_start_conf():
+                q = (
+                    out.writeStream.outputMode("complete")
+                    .option("checkpointLocation",
+                            self._checkpoint(f"view_{stmt.name}"))
+                    .foreachBatch(upsert)
+                    .start()
+                )
         vi.handle = q
         self.views[stmt.name] = vi
         # deterministic name (matches the checkpoint key) so logged
@@ -852,12 +885,14 @@ class HStreamEngine:
         if stmt.kind == "SINK" and ctype in C.SINK_BUILDERS:
             sink_fn = C.build_sink(ctype, info.options)
             src = self._resolve_stream(info.target)
-            info.handle = (
-                src.writeStream.outputMode("append")
-                .option("checkpointLocation", self._checkpoint(f"conn_{info.name}"))
-                .foreachBatch(sink_fn)
-                .start()
-            )
+            with self._stream_start_conf():
+                info.handle = (
+                    src.writeStream.outputMode("append")
+                    .option("checkpointLocation",
+                            self._checkpoint(f"conn_{info.name}"))
+                    .foreachBatch(sink_fn)
+                    .start()
+                )
         elif stmt.kind == "SOURCE" and ctype in (
             "jdbc", "mysql", "postgresql", "sqlserver",
         ):
@@ -900,12 +935,14 @@ class HStreamEngine:
                     "append"
                 ).parquet(target.path)
 
-            info.handle = (
-                rate.writeStream.outputMode("append")
-                .option("checkpointLocation", self._checkpoint(f"conn_{info.name}"))
-                .foreachBatch(_gen_write)
-                .start()
-            )
+            with self._stream_start_conf():
+                info.handle = (
+                    rate.writeStream.outputMode("append")
+                    .option("checkpointLocation",
+                            self._checkpoint(f"conn_{info.name}"))
+                    .foreachBatch(_gen_write)
+                    .start()
+                )
         self.connectors.setdefault(stmt.name, info)
         return info
 
@@ -1132,24 +1169,26 @@ class HStreamEngine:
         mode = "update" if aggregated else "append"
         mode_label = "append" if sliding_append else mode
         try:
-            q = (
-                out.writeStream.outputMode(mode)
-                .format("memory")
-                .queryName(table)
-                .start()
-            )
+            with self._stream_start_conf():
+                q = (
+                    out.writeStream.outputMode(mode)
+                    .format("memory")
+                    .queryName(table)
+                    .start()
+                )
         except Exception:
             if not aggregated:
                 raise
             mode_label = "complete(fallback)"
             _warn_complete_fallback(table, "push-query plan rejects update "
                                     "output mode")
-            q = (
-                out.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(table)
-                .start()
-            )
+            with self._stream_start_conf():
+                q = (
+                    out.writeStream.outputMode("complete")
+                    .format("memory")
+                    .queryName(table)
+                    .start()
+                )
         qi = QueryInfo(table, sql, None, "", q, mode=mode_label)
         self.queries[table] = qi
         return PushQueryHandle(self, q, table)
@@ -1294,12 +1333,13 @@ class HStreamEngine:
         aggregated = bool(select.group_by) or any(
             find_aggs(it.expr) for it in select.items
         )
-        q.handle = (
-            out.writeStream.outputMode("update" if aggregated else "append")
-            .option("checkpointLocation", q.checkpoint)
-            .foreachBatch(self._idempotent_sink(q.checkpoint, sink.path))
-            .start()
-        )
+        with self._stream_start_conf():
+            q.handle = (
+                out.writeStream.outputMode("update" if aggregated else "append")
+                .option("checkpointLocation", q.checkpoint)
+                .foreachBatch(self._idempotent_sink(q.checkpoint, sink.path))
+                .start()
+            )
         q.status = "RUNNING"
         return q
 

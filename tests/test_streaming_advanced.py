@@ -611,3 +611,31 @@ def test_csas_over_session_and_sliding(engine):
     q2.handle.processAllAvailable()
     slide = sorted((r["k"], r["s"]) for r in engine.execute("SELECT k, s FROM cs_slide;").collect())
     assert slide == [("a", 1), ("a", 3)]  # per-record trailing sums
+
+
+def test_streaming_shuffle_partitions_scoped_per_query(spark, tmp_path):
+    """The engine's streaming_shuffle_partitions override is captured
+    by the started query's cloned session (state operators run with it)
+    while the live session conf is untouched for batch work."""
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    eng = HStreamEngine(spark, str(tmp_path / "e"), grace="3650 days",
+                        streaming_shuffle_partitions=4)
+    eng.execute("CREATE STREAM sp (k INTEGER, v INTEGER);")
+    eng.execute("INSERT INTO sp (k, v) VALUES (1, 10);")
+    eng.execute("INSERT INTO sp (k, v) VALUES (1, 20);")
+    eng.execute(
+        "CREATE VIEW spv AS SELECT k, SUM(v) AS s "
+        "FROM TUMBLE(sp, INTERVAL 1 HOUR) GROUP BY k;"
+    )
+    vi = eng.views["spv"]
+    vi.handle.processAllAvailable()
+    progress = [p for p in vi.handle.recentProgress if p["numInputRows"]]
+    assert progress, "view never processed a batch"
+    ops = progress[-1]["stateOperators"]
+    assert ops and ops[0]["numShufflePartitions"] == 4
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    rows = {(r["k"], r["s"]) for r in eng.execute("SELECT k, s FROM spv;").collect()}
+    assert rows == {(1, 30)}
+    eng.shutdown() if hasattr(eng, "shutdown") else None
