@@ -93,6 +93,8 @@ HEADLINE = [
     "temperature_sample",
     "pq_encode",
     "ann_pq_topk",
+    "chunk_documents",
+    "pack_sequences",
 ]
 
 

@@ -598,3 +598,95 @@ def source_curation_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 32,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the
+    context-window chunking step before training/embedding (T5-style
+    span packing input, RAG chunkers): window w covers tokens
+    ``[w*stride+1, w*stride+max_tokens]`` (1-based), windows start
+    while any new token remains. ``stride < max_tokens`` gives
+    overlapping windows.
+
+    Map-only: one ``transform`` over per-doc window starts, exploded —
+    no shuffle at any scale; output rows ≈ corpus_tokens/stride.
+    """
+    stride = int(stride or max_tokens)
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # the empty-text filter below guarantees n >= 1, so the sequence
+    # end floor((n-1)/stride) is always >= 0 (never a descending range)
+    n_windows = F.floor((n - 1) / F.lit(stride)) + 1
+    win = F.explode(F.sequence(F.lit(0), n_windows - 1))
+    base = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__toks"), win.alias("chunk_idx")
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens)
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing — assemble documents into training
+    sequences of at most ``max_tokens`` tokens (the packing step that
+    turns a curated corpus into fixed-length batches without padding
+    waste). Greedy first-fit in id order: a document opens a new pack
+    when it no longer fits; a document longer than ``max_tokens``
+    gets a pack of its own (pre-chunk with ``chunk_documents`` to
+    avoid truncation).
+
+    Packing is inherently sequential, so the distributed shape SHARDS
+    it: documents hash-bucket by id into ``n_buckets`` independent
+    packers (one shuffle), each bucket packs its docs in id order
+    inside an Arrow ``applyInPandas`` task. Parallelism and per-task
+    memory are set by ``n_buckets`` (scale it with the corpus: ~1
+    bucket per few hundred MB of tokens); determinism comes from the
+    engine-agnostic id-hash bucketing + in-bucket id order, which the
+    recursive SQL oracle replays exactly. Output: one row per doc with
+    its (bucket, pack_seq) pack assignment.
+    """
+    from hstream_spark.operators.sampling import hash_bucket
+
+    if max_tokens <= 0 or n_buckets <= 0:
+        raise ValueError("max_tokens and n_buckets must be positive")
+    b = docs.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seqs = []
+        acc, seq = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if acc > 0 and acc + n > max_tokens:
+                seq += 1
+                acc = n
+            else:
+                acc += n
+            seqs.append(seq)
+        pdf["pack_seq"] = seqs
+        return pdf[[id_col, "n_tokens", "bucket", "pack_seq"]]
+
+    schema = f"{id_col} long, n_tokens long, bucket long, pack_seq long"
+    return b.groupBy("bucket").applyInPandas(pack, schema)

@@ -1553,6 +1553,73 @@ def q_source_quality_stats(spark, sf):
     return TX.source_curation_stats(docs)
 
 
+_CHUNK_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+w AS (SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(floor((len(toks) - 1) / 24.0) AS BIGINT))) AS chunk_idx
+      FROM t)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text,
+       len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS chunk_tokens
+FROM w
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE, tags=("text", "chunk"))
+def q_chunk_documents(spark, sf):
+    """Context-window chunking (32-token windows, stride 24 —
+    overlapping): the map-only explode before training/embedding
+    (operators/text.py chunk_documents)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.chunk_documents(docs, max_tokens=32, stride=24)
+
+
+_PACK_ORACLE = """
+WITH RECURSIVE
+base AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                  AS n_tokens,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                  AS bucket
+         FROM documents),
+d AS (SELECT doc_id, n_tokens, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+packed AS (
+  SELECT bucket, rn, doc_id, n_tokens, n_tokens AS acc,
+         CAST(0 AS BIGINT) AS pack_seq
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.acc + d.n_tokens > 128 THEN d.n_tokens
+              ELSE p.acc + d.n_tokens END,
+         CASE WHEN p.acc + d.n_tokens > 128 THEN p.pack_seq + 1
+              ELSE p.pack_seq END
+  FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+SELECT doc_id, n_tokens, bucket, pack_seq FROM packed
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE, tags=("text", "packing"))
+def q_pack_sequences(spark, sf):
+    """Greedy sequence packing into 128-token training sequences,
+    sharded over 8 deterministic id-hash buckets (operators/text.py
+    pack_sequences; the oracle replays the greedy fold as a recursive
+    CTE)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents")).select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return TX.pack_sequences(docs, max_tokens=128, n_buckets=8)
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

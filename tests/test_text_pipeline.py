@@ -283,3 +283,74 @@ def test_source_curation_stats_dup_fraction(spark):
     assert rows["a"]["n_langs"] == 2
     assert abs(rows["a"]["dup_frac"] - round(2 / 3, 6)) < 1e-9
     assert rows["b"]["dup_docs"] == 0 and rows["b"]["dup_frac"] == 0.0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hstream_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    # stride == max: disjoint windows
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(docs, max_tokens=4, stride=4).collect()
+    )
+    assert rows == [
+        (1, 0, "a b c d", 4), (1, 1, "e f g h", 4), (1, 2, "i j", 2),
+        (2, 0, "x y", 2),
+    ]  # blank doc 3 emits nothing
+    # overlapping stride
+    over = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(docs, max_tokens=4, stride=2).collect()
+        if r["doc_id"] == 1
+    )
+    assert over[0] == (1, 0, "a b c d")
+    assert over[1] == (1, 1, "c d e f")
+    assert over[-1] == (1, 4, "i j")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, max_tokens=0)
+
+
+def test_pack_sequences_greedy_and_oversize(spark):
+    from hstream_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 60), (3, 30), (4, 200), (5, 10)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(docs, max_tokens=128, n_buckets=1)
+    rows = {r["doc_id"]: (r["bucket"], r["pack_seq"]) for r in out.collect()}
+    # one bucket -> id order: 50+60 fits (110), +30 would exceed -> new
+    # pack; 200 > 128 gets its own pack; 10 opens the next
+    assert rows[1][1] == rows[2][1] == 0
+    assert rows[3][1] == 1
+    assert rows[4][1] == 2
+    assert rows[5][1] == 3
+    # pack totals never exceed max except single oversize docs
+    import collections
+    totals = collections.Counter()
+    sizes = {1: 50, 2: 60, 3: 30, 4: 200, 5: 10}
+    members = collections.defaultdict(list)
+    for d, (_, p) in rows.items():
+        totals[p] += sizes[d]
+        members[p].append(d)
+    for p, t in totals.items():
+        assert t <= 128 or len(members[p]) == 1
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    from hstream_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 20 + (i * 7) % 40) for i in range(100)],
+        "doc_id long, n_tokens long",
+    )
+    a = {(r["doc_id"], r["bucket"], r["pack_seq"])
+         for r in pack_sequences(docs, 128, n_buckets=4).collect()}
+    b = {(r["doc_id"], r["bucket"], r["pack_seq"])
+         for r in pack_sequences(docs.repartition(13), 128, n_buckets=4).collect()}
+    assert a == b
