@@ -44,13 +44,29 @@ _ALREADY_SAMPLED = frozenset(
 )
 
 
+# Entries added in round 3 (never in any driver sample yet). The 50-row
+# sample can't fit every unsampled entry, so rank: (1) pre-round-3
+# entries the driver has never sampled (VERDICT r2 item 2 — converge the
+# driver-proven set), (2) round-3 additions, (3) already-green rows.
+_ROUND3_NEW = frozenset(
+    {
+        "bm25_search", "dedup_exact_substring", "url_normalize",
+        "source_quality_stats", "temperature_sample", "group_train_test_split",
+        "pq_encode", "ann_pq_topk", "chunk_documents", "pack_sequences",
+    }
+)
+
+
 def _driver_order() -> list[str]:
     # embedding_quantize (the one red r2 row — oracle dtype, now cast) is
     # deliberately absent from _ALREADY_SAMPLED so the fix gets re-verified.
     names = list(REGISTRY)
-    fresh = [n for n in names if n not in _ALREADY_SAMPLED]
+    fresh_old = [
+        n for n in names if n not in _ALREADY_SAMPLED and n not in _ROUND3_NEW
+    ]
+    fresh_new = [n for n in names if n in _ROUND3_NEW]
     seen = [n for n in names if n in _ALREADY_SAMPLED]
-    return fresh + seen
+    return fresh_old + fresh_new + seen
 
 
 def entry(spark: SparkSession) -> DataFrame:
