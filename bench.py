@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_pq_topk",
     "chunk_documents",
     "pack_sequences",
+    "quality_classifier",
 ]
 
 

@@ -690,3 +690,63 @@ def pack_sequences(
 
     schema = f"{id_col} long, n_tokens long, bucket long, pack_seq long"
     return b.groupBy("bucket").applyInPandas(pack, schema)
+
+
+# Fixed logistic weights for the composite keep/drop classifier — a
+# deterministic stand-in for a trained fasttext/regression quality
+# model (the container has no training deps; the FEATURE PIPELINE and
+# scoring plan are the real artifact, the weights are a config blob a
+# deployment would swap).
+QUALITY_CLF_WEIGHTS = {
+    "bias": -1.0,
+    "length_credit": 2.0,      # min(tokens/50, 1)
+    "stopword_ratio": 1.5,     # in-band prose signal
+    "distinct_ratio": 2.0,     # vocabulary diversity
+    "dup_bigram_frac": -3.0,   # repetition penalty
+    "pii_density": -2.0,       # emails+phones per 100 tokens
+}
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Composite keep/drop quality classifier: the curation signals
+    (length credit, stopword ratio, vocabulary diversity, bigram
+    repetition, PII density) feed a fixed-weight logistic model and
+    emit a calibrated keep-probability plus the boolean decision —
+    the single-scan filter stage a corpus pipeline puts in front of
+    dedup.
+
+    Map-only Catalyst expressions end to end (every feature is already
+    shuffle-free); the logistic link is ``1/(1+exp(-z))`` with the
+    z-terms summed in fixed textual order, so probabilities reproduce
+    bit-for-bit cross-engine (emitted rounded to 6 decimals).
+    """
+    w = QUALITY_CLF_WEIGHTS
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    n_d = n.cast("double")
+    length_credit = F.least(n_d / F.lit(50.0), F.lit(1.0))
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n_d
+    ).otherwise(F.lit(0.0))
+    pii = (pii_email_count(text) + pii_phone_count(text)).cast("double")
+    pii_density = F.when(n > 0, pii * F.lit(100.0) / n_d).otherwise(F.lit(0.0))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["length_credit"]) * length_credit
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(text)
+        + F.lit(w["distinct_ratio"]) * distinct_ratio
+        + F.lit(w["dup_bigram_frac"]) * dup_ngram_fraction(text, 2)
+        + F.lit(w["pii_density"]) * pii_density
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        F.col(id_col),
+        F.round(p, 6).alias("keep_prob"),
+        (p >= F.lit(threshold)).alias("keep"),
+    )

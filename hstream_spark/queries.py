@@ -1620,6 +1620,60 @@ def q_pack_sequences(spark, sf):
     return TX.pack_sequences(docs, max_tokens=128, n_buckets=8)
 
 
+def _quality_clf_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    email = TX.EMAIL_PATTERN
+    phone = TX.PHONE_PATTERN
+    w = TX.QUALITY_CLF_WEIGHTS
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+         CAST(len(regexp_extract_all(text, '{email}'))
+              + len(regexp_extract_all(text, '{phone}')) AS DOUBLE) AS pii
+  FROM documents),
+g AS (
+  SELECT doc_id, pii, toks, ltoks, len(toks) AS n,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bg
+  FROM f),
+z AS (
+  SELECT doc_id,
+         {w["bias"]}
+         + {w["length_credit"]} * least(CAST(n AS DOUBLE) / 50.0, 1.0)
+         + {w["stopword_ratio"]} * (CASE WHEN n > 0 THEN
+             CAST(len(list_filter(ltoks, t -> list_contains([{stop}], t)))
+                  AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+         + {w["distinct_ratio"]} * (CASE WHEN n > 0 THEN
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE)
+             ELSE 0.0 END)
+         + {w["dup_bigram_frac"]} * (CASE WHEN len(bg) > 0 THEN
+             1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                   / CAST(len(bg) AS DOUBLE) ELSE 0.0 END)
+         + {w["pii_density"]} * (CASE WHEN n > 0 THEN
+             pii * 100.0 / CAST(n AS DOUBLE) ELSE 0.0 END) AS z
+  FROM g)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS keep_prob,
+       (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+FROM z
+"""
+
+
+@register("quality_classifier", _quality_clf_oracle(), tags=("text", "curation"))
+def q_quality_classifier(spark, sf):
+    """Composite logistic keep/drop classifier over the curation
+    signals — calibrated keep-probability, map-only
+    (operators/text.py quality_classifier)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.quality_classifier(docs)
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

@@ -354,3 +354,33 @@ def test_pack_sequences_deterministic_across_partitionings(spark):
     b = {(r["doc_id"], r["bucket"], r["pack_seq"])
          for r in pack_sequences(docs.repartition(13), 128, n_buckets=4).collect()}
     assert a == b
+
+
+def test_quality_classifier_orders_and_decides(spark):
+    import math
+
+    from hstream_spark.operators.text import quality_classifier
+
+    docs = spark.createDataFrame(
+        [
+            # prose-like: long, diverse, stopwords present
+            (1, "the quick brown fox jumps of the lazy dog and then it "
+                "runs far away to a distant hill where it rests a while"),
+            # degenerate repetition
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            # PII-laden
+            (3, "contact me at a@b.com or a2@b.com or a3@b.com now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert rows[1]["keep_prob"] > rows[2]["keep_prob"]
+    assert rows[1]["keep_prob"] > rows[3]["keep_prob"]
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False
+    for r in rows.values():
+        assert 0.0 <= r["keep_prob"] <= 1.0
+    # hand-check doc 2: dup bigram frac = 1 - 1/9, distinct 1/10,
+    # stopwords 0, length 10/50, pii 0
+    z = -1.0 + 2.0 * 0.2 + 1.5 * 0.0 + 2.0 * 0.1 + (-3.0) * (1 - 1 / 9) + 0.0
+    assert abs(rows[2]["keep_prob"] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
