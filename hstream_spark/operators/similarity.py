@@ -905,3 +905,145 @@ def pq_adc_topk(
         .select("q_id", "c_id", F.round("adist", 6).alias("adist"), "rank")
     )
 
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a FAISS-style IVF-PQ index: the coarse quantizer
+    partitions the corpus into inverted lists on disk (directory
+    pruning at query time, as ``build_ivf_index``) and each list row
+    stores the PQ CODES — m small ints — instead of the float vector.
+    The index is both pruned (read nprobe/n_clusters of the rows) and
+    ~64× smaller per row (read codes, not vectors): the layout that
+    serves billion-vector ANN from object storage.
+
+    PQ codebooks train on the RESIDUAL-free vectors (plain per-vector
+    PQ — residual encoding would couple the codebooks to the coarse
+    quantizer; kept orthogonal here) and persist in the JSON sidecar
+    next to the coarse centroids.
+    """
+    import json as _json
+    import os as _os
+
+    cents = train_ivf_quantizer(corpus, n_clusters, id_col, vec_col)
+    books = pq_train(corpus, m=m, ks=ks, iters=train_iters,
+                     vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    coded = pq_encode(corpus, books, id_col, vec_col)
+    rows = coded.join(assigned, id_col)
+    rows.write.mode("overwrite").partitionBy("cluster").parquet(
+        _os.path.join(path, "codes")
+    )
+    with open(_os.path.join(path, "quantizer.json"), "w") as f:
+        _json.dump([[cl, cv] for cl, cv in cents], f)
+    with open(_os.path.join(path, "codebooks.json"), "w") as f:
+        _json.dump(books, f)
+
+
+def ivf_pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: pick each query's ``nprobe``
+    nearest coarse centroids (map-only against the JSON quantizer),
+    scan ONLY those list partitions — and only their CODE columns —
+    then ADC-rank the candidates with per-query distance tables.
+    Per-query cost: nprobe/n_clusters of the rows × m byte-lookups."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "quantizer.json")) as f:
+        cents = [(int(cl), [float(x) for x in cv]) for cl, cv in _json.load(f)]
+    with open(_os.path.join(path, "codebooks.json")) as f:
+        books = [[[float(x) for x in c] for c in sub] for sub in _json.load(f)]
+
+    cent_lit = F.lit([cv for _, cv in cents])
+    ids_lit = F.lit([cl for cl, _ in cents])
+    qn = queries.select(
+        F.col(id_col), F.col(vec_col), normalized(F.col(vec_col)).alias("q_vec")
+    )
+    scored_cents = F.zip_with(
+        F.transform(cent_lit, lambda c: dot(F.col("q_vec"), c)),
+        ids_lit,
+        lambda c, i: F.struct(c.alias("c"), i.alias("cl")),
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored_cents)), 1, nprobe)
+    qp = qn.withColumn("probe", F.transform(probes, lambda s: s["cl"]))
+    probe_ids = sorted(
+        {cl for r in qp.select("probe").collect() for cl in r["probe"]}
+    )
+    codes = (
+        spark.read.parquet(_os.path.join(path, "codes"))
+        .filter(F.col("cluster").isin(probe_ids))
+        .select(F.col(id_col), "codes", "cluster")
+    )
+    # per-query candidate set = its probed clusters only; reuse the ADC
+    # kernel per probe-restricted pair via an explicit cluster join
+    q_clusters = qp.select(
+        F.col(id_col), F.col(vec_col), F.explode("probe").alias("cluster")
+    )
+    pairs = q_clusters.alias("q").join(
+        codes.alias("c"), "cluster"
+    ).filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+    m = len(books)
+    dsub = len(books[0][0])
+    # driver-side distance tables (queries are small by contract)
+    qrows = qn.select(id_col, vec_col).collect()
+
+    def dtable(vec):
+        out = []
+        for s in range(m):
+            sub = vec[s * dsub : (s + 1) * dsub]
+            row = []
+            for c in books[s]:
+                acc = 0.0
+                for x, y in zip(sub, c):
+                    d = float(x) - y
+                    acc += d * d
+                row.append(acc)
+            out.append(row)
+        return out
+
+    dt = F.broadcast(
+        spark.createDataFrame(
+            [(int(r[0]), dtable(list(r[1]))) for r in qrows],
+            f"{id_col} long, dtab array<array<double>>",
+        ).withColumnRenamed(id_col, "q_id")
+    )
+    cand = pairs.select(
+        F.col(f"q.{id_col}").alias("q_id"),
+        F.col(f"c.{id_col}").alias("c_id"),
+        F.col("c.codes").alias("codes"),
+    ).join(dt, "q_id")
+    contrib = F.zip_with(
+        F.col("dtab"), F.col("codes"), lambda row, c: F.element_at(row, c + 1)
+    )
+    scored = (
+        cand.select(
+            "q_id", "c_id",
+            F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).alias("adist"),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.min("adist").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("adist", 6).alias("adist"), "rank")
+    )

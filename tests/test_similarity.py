@@ -247,3 +247,76 @@ class TestProductQuantization:
         # an ideal numpy PQ at these params lands ~0.3); random would
         # be 10/(n-1) ~ 0.02
         assert recall >= 0.2, recall
+
+
+def test_ivf_pq_index_build_query_and_prune(spark, emb, tmp_path):
+    """IVF-PQ index: persisted layout stores codes (not vectors),
+    queries prune to probed cluster dirs, and results equal an
+    ADC-over-probed-candidates recomputation."""
+    import json
+    import os
+
+    path = str(tmp_path / "ivfpq")
+    SIM.build_ivf_pq_index(emb, path, n_clusters=8, m=8, ks=16, train_iters=1)
+    # layout: codes + two sidecars, no float vectors in rows
+    stored = spark.read.parquet(os.path.join(path, "codes"))
+    assert set(stored.columns) == {"vec_id", "codes", "cluster"}
+    with open(os.path.join(path, "codebooks.json")) as f:
+        books = json.load(f)
+    assert len(books) == 8 and len(books[0]) == 16
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    res = SIM.ivf_pq_index_topk(spark, path, qs, k=10, nprobe=2)
+    rows = res.collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 10 for r in rows)
+
+    # equivalence: recompute ADC over each query's probed clusters only
+    with open(os.path.join(path, "quantizer.json")) as f:
+        cents = [(int(cl), [float(x) for x in cv]) for cl, cv in json.load(f)]
+    qn = qs.select("vec_id", SIM.normalized(F.col("embedding")).alias("nv"))
+    cent_lit = F.lit([cv for _, cv in cents])
+    ids_lit = F.lit([cl for cl, _ in cents])
+    scored_cents = F.zip_with(
+        F.transform(cent_lit, lambda c: SIM.dot(F.col("nv"), c)),
+        ids_lit,
+        lambda c, i: F.struct(c.alias("c"), i.alias("cl")),
+    )
+    probes = {
+        r["vec_id"]: [s["cl"] for s in r["p"]]
+        for r in qn.select(
+            "vec_id",
+            F.slice(F.reverse(F.array_sort(scored_cents)), 1, 2).alias("p"),
+        ).collect()
+    }
+    codes = {r["vec_id"]: (r["codes"], r["cluster"]) for r in stored.collect()}
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in qs.collect()}
+    for q_id, qv in qvecs.items():
+        # distance table
+        dt = []
+        for s in range(8):
+            sub = qv[s * 8 : (s + 1) * 8]
+            dt.append(
+                [
+                    sum((float(x) - y) * (float(x) - y) for x, y in zip(sub, c))
+                    for c in books[s]
+                ]
+            )
+        cand = {
+            cid: round(sum(dt[s][code[s]] for s in range(8)), 6)
+            for cid, (code, cl) in codes.items()
+            if cl in probes[q_id] and cid != q_id
+        }
+        want = sorted(cand.items(), key=lambda t: (t[1], t[0]))[:10]
+        got = sorted(
+            ((r["c_id"], r["adist"]) for r in rows if r["q_id"] == q_id),
+            key=lambda t: (t[1], t[0]),
+        )
+        assert [c for c, _ in got] == [c for c, _ in want]
+
+    # pruning reaches the scan as PartitionFilters
+    probed = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cluster").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
