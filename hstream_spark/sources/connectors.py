@@ -15,10 +15,12 @@ The JDBC path is integration-tested end to end against embedded Derby
 same code with their driver jar on the classpath. The elasticsearch
 sink speaks the ES HTTP ``_bulk`` protocol directly (stdlib HTTP from
 each partition, no jar needed) and is integration-tested against a
-live HTTP server. The mongodb sink speaks the MongoDB wire protocol
-(OP_MSG + BSON, ``sources/bson_wire.py``) directly over a socket and
-is integration-tested against a live in-process wire-protocol server —
-every sink path now has a local round-trip proof.
+live HTTP server. The mongodb sink AND source speak the MongoDB wire
+protocol (OP_MSG + BSON, ``sources/bson_wire.py``) directly over a
+socket — insert commands per partition for the sink, a find/getMore
+cursor snapshot for the source — both integration-tested against a
+live in-process wire-protocol server; every connector path now has a
+local round-trip proof.
 """
 
 from __future__ import annotations
@@ -344,3 +346,93 @@ def build_sink(ctype: str, options: dict) -> SinkFn:
     if ctype not in SINK_BUILDERS:
         raise ConnectorError(f"unknown sink connector type {ctype!r}")
     return SINK_BUILDERS[ctype](options)
+
+
+def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000) -> DataFrame:
+    """CDC-style snapshot source over the MongoDB wire protocol
+    (OP_MSG ``find``/``getMore`` cursor loop, ``sources/bson_wire.py``)
+    — the initial-load phase of the reference's source-mongodb
+    connector, no jar and no external client.
+
+    The cursor is a single connection, so the snapshot reads through
+    the driver (capped at ``max_docs`` with a loud error — parallel
+    partitioned reads are the official connector's splitVector
+    territory); incremental tailing belongs to Kafka+Debezium, same as
+    the JDBC sources. Nested documents/arrays-of-documents arrive as
+    JSONB text, matching the engine's schemaless value-typed layout.
+    """
+    import datetime as _dt
+    import socket as _socket
+
+    from hstream_spark.sources import bson_wire
+
+    opts = {str(k).lower(): v for k, v in options.items()}
+    uri = str(opts.get("uri") or opts.get("url") or "")
+    host, port = str(opts.get("host", "")), int(opts.get("port", 27017) or 27017)
+    if uri:
+        hp = uri.split("://", 1)[-1].split("/", 1)[0].rsplit("@", 1)[-1]
+        host = hp.split(":", 1)[0]
+        if ":" in hp:
+            port = int(hp.split(":", 1)[1])
+    database = str(opts.get("database") or opts.get("db") or "")
+    collection = str(opts.get("collection") or opts.get("table") or "")
+    if not host or not database or not collection:
+        raise ConnectorError(
+            "mongodb source requires uri (or host/port), database and collection options"
+        )
+    batch_size = int(opts.get("batchsize", 1000) or 1000)
+    timeout = float(opts.get("timeout", 30) or 30)
+
+    docs: list[dict] = []
+    try:
+        with _socket.create_connection((host, port), timeout=timeout) as sock:
+            reply = bson_wire.send_command(
+                sock,
+                {"find": collection, "$db": database, "batchSize": batch_size},
+            )
+            cursor = reply.get("cursor") or {}
+            docs.extend(cursor.get("firstBatch", []))
+            cid = int(cursor.get("id", 0))
+            req = 1
+            while cid:
+                if len(docs) > max_docs:
+                    raise ConnectorError(
+                        f"mongodb source exceeded max_docs={max_docs}; the "
+                        "snapshot reads through one cursor connection — "
+                        "bound the collection or raise max_docs deliberately"
+                    )
+                req += 1
+                reply = bson_wire.send_command(
+                    sock,
+                    {"getMore": cid, "$db": database,
+                     "collection": collection, "batchSize": batch_size},
+                    request_id=req,
+                )
+                cursor = reply.get("cursor") or {}
+                docs.extend(cursor.get("nextBatch", []))
+                cid = int(cursor.get("id", 0))
+    except (OSError, ConnectionError) as exc:
+        raise ConnectorError(
+            f"mongodb source connection to {host}:{port} failed: {exc}"
+        ) from exc
+
+    def _cell(v):
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, default=str)  # JSONB text (schemaless layout)
+        if isinstance(v, _dt.datetime):
+            return v.replace(tzinfo=None)  # session is UTC-pinned
+        return v
+
+    keys: list[str] = []
+    for d in docs:
+        for k in d:
+            if k not in keys:
+                keys.append(k)
+    from pyspark.sql import Row
+
+    rows = [Row(**{k: _cell(d.get(k)) for k in keys}) for d in docs]
+    if not rows:
+        raise ConnectorError(
+            f"mongodb source found no documents in {database}.{collection}"
+        )
+    return spark.createDataFrame(rows)

@@ -894,7 +894,7 @@ class HStreamEngine:
                     .start()
                 )
         elif stmt.kind == "SOURCE" and ctype in (
-            "jdbc", "mysql", "postgresql", "sqlserver",
+            "jdbc", "mysql", "postgresql", "sqlserver", "mongodb",
         ):
             # per-database CDC source (conf/hstream.yaml:129-134) as a
             # JDBC snapshot into the stream: the initial-load phase of
@@ -911,9 +911,11 @@ class HStreamEngine:
                 for k, v in info.options.items()
                 if str(k).upper() != "TYPE"
             }
-            snap = C.jdbc_source(self.spark, opts).withColumn(
-                EVENT_TIME_COL, F.current_timestamp()
-            )
+            if ctype == "mongodb":
+                snap = C.mongodb_source(self.spark, opts)
+            else:
+                snap = C.jdbc_source(self.spark, opts)
+            snap = snap.withColumn(EVENT_TIME_COL, F.current_timestamp())
             snap = self._claim_or_encode(target, snap)
             snap.write.mode("append").parquet(target.path)
         elif stmt.kind == "SOURCE" and ctype == "generator":

@@ -152,7 +152,7 @@ class TestMongoWireProtocol:
     codec (``sources/bson_wire.py``) a real mongod parses."""
 
     @staticmethod
-    def _mongod(inserted, reject=False):
+    def _mongod(inserted, reject=False, serve_docs=None, find_batch=100):
         import socket
         import threading
 
@@ -160,6 +160,7 @@ class TestMongoWireProtocol:
 
         srv = socket.create_server(("127.0.0.1", 0))
         srv.settimeout(30)
+        cursors: dict = {}
 
         def serve():
             while True:
@@ -190,6 +191,32 @@ class TestMongoWireProtocol:
                             ]
                         else:
                             inserted.append((cmd["$db"], cmd["insert"], docs))
+                    elif "find" in cmd:
+                        n = min(int(cmd.get("batchSize", find_batch)), find_batch)
+                        pending = list(serve_docs or [])
+                        batch, rest = pending[:n], pending[n:]
+                        cid = 77 if rest else 0
+                        if rest:
+                            cursors[cid] = rest
+                        reply = {
+                            "cursor": {"id": cid, "ns": "t.c",
+                                       "firstBatch": batch},
+                            "ok": 1.0,
+                        }
+                    elif "getMore" in cmd:
+                        cid = int(cmd["getMore"])
+                        n = min(int(cmd.get("batchSize", find_batch)), find_batch)
+                        pending = cursors.get(cid, [])
+                        batch, rest = pending[:n], pending[n:]
+                        if rest:
+                            cursors[cid] = rest
+                        else:
+                            cursors.pop(cid, None)
+                        reply = {
+                            "cursor": {"id": cid if rest else 0, "ns": "t.c",
+                                       "nextBatch": batch},
+                            "ok": 1.0,
+                        }
                     else:
                         reply = {"ok": 1.0}
                     conn.sendall(bson_wire.encode_op_msg(reply))
@@ -276,6 +303,47 @@ class TestMongoWireProtocol:
 
         with pytest.raises(ConnectorError, match="database and collection"):
             mongodb_sink({"uri": "mongodb://localhost"})
+
+    def test_source_snapshot_through_engine(self, engine):
+        """find/getMore cursor snapshot through CREATE SOURCE CONNECTOR:
+        multiple cursor batches, nested doc as JSONB text."""
+        docs = [
+            {"k": i, "s": f"v{i}", "meta": {"tag": i % 2}} for i in range(5)
+        ]
+        srv = self._mongod([], serve_docs=docs, find_batch=2)  # 3 batches
+        try:
+            port = srv.getsockname()[1]
+            engine.execute("CREATE STREAM msnap;")
+            engine.execute(
+                "CREATE SOURCE CONNECTOR ms FROM msnap WITH "
+                "(\"type\" = 'mongodb', "
+                f"\"uri\" = 'mongodb://127.0.0.1:{port}', "
+                "\"database\" = 'hstream', \"collection\" = 'docs');"
+            )
+            out = engine.execute("SELECT * FROM msnap;")
+        finally:
+            srv.close()
+        import json as _json
+
+        rows = sorted(
+            (r["k"], r["s"], _json.loads(r["meta"])["tag"]) for r in out.collect()
+        )
+        assert rows == [(i, f"v{i}", i % 2) for i in range(5)]
+
+    def test_source_empty_collection_clear_error(self, spark):
+        from hstream_spark.sources.connectors import ConnectorError, mongodb_source
+
+        srv = self._mongod([], serve_docs=[])
+        try:
+            port = srv.getsockname()[1]
+            with pytest.raises(ConnectorError, match="no documents"):
+                mongodb_source(
+                    spark,
+                    {"host": "127.0.0.1", "port": port,
+                     "database": "d", "collection": "c"},
+                )
+        finally:
+            srv.close()
 
 
 class TestElasticsearchHTTP:
