@@ -331,6 +331,20 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     return write
 
 
+def las_sink(options: dict) -> SinkFn:
+    """The reference's ``las`` sink targets Volcengine LAS — an
+    external managed cloud service (conf/hstream.yaml:141). There is
+    nothing local to speak to and no public local emulator, so this
+    surface entry fails loudly at CREATE instead of pretending: route
+    the stream to a jdbc/elasticsearch/parquet sink, or run the
+    vendor's connector against a real LAS endpoint."""
+    raise ConnectorError(
+        "las sink targets the external Volcengine LAS cloud service; "
+        "no local integration exists — use jdbc/elasticsearch/parquet "
+        "sinks, or the vendor connector against a real LAS endpoint"
+    )
+
+
 SINK_BUILDERS: dict[str, Callable[[dict], SinkFn]] = {
     "blackhole": lambda opts: blackhole_sink(),
     "jdbc": jdbc_sink,  # generic: any JDBC URL + driver on the classpath
@@ -339,6 +353,7 @@ SINK_BUILDERS: dict[str, Callable[[dict], SinkFn]] = {
     "sqlserver": jdbc_sink,
     "mongodb": mongodb_sink,
     "elasticsearch": elasticsearch_sink,
+    "las": las_sink,  # external cloud service: clear error by design
 }
 
 

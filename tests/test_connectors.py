@@ -449,3 +449,11 @@ def test_jdbc_source_connector_snapshot_into_stream(engine, spark):
     cols = {c.lower(): c for c in out.columns}
     rows = sorted((r[cols["k"]], r[cols["s"]]) for r in out.collect())
     assert rows == [(10, "x"), (20, "y")]
+
+
+def test_las_sink_errors_clearly_at_create(engine):
+    engine.execute("CREATE STREAM lsrc (k INTEGER);")
+    with pytest.raises(Exception, match="external Volcengine LAS"):
+        engine.execute(
+            "CREATE SINK CONNECTOR l TO lsrc WITH (\"type\" = 'las');"
+        )
