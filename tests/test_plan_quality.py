@@ -107,3 +107,52 @@ def test_single_wide_shuffle_q21(plans):
     # once; a regression to the semi+anti self-join pair doubles scans
     p = plans("tpch_q21ish")
     assert p.count("Scan parquet") <= 3  # lineitem, orders, supplier
+
+
+def test_bm25_plan_is_shuffle_free_scoring(plans):
+    """BM25: corpus stats reduce to ONE row (single partial+final agg),
+    scoring is map-side, top-k is TakeOrdered — no gram explode, no
+    inverted-index shuffle, no per-doc Exchange beyond the stats agg
+    and the input spread."""
+    p = plans("bm25_search")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the only BroadcastNestedLoopJoin allowed is the 1-row stats join
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    # no grouping shuffle on doc or token keys: every HashAggregate is
+    # the global stats reduction (empty Keys)
+    import re
+    for m in re.finditer(r"HashAggregate\(keys=\[(.*?)\]", p):
+        assert m.group(1) == "", p
+
+
+def test_exact_substring_no_cartesian_and_int64_gram_keys(plans):
+    """ExactSubstr spans: the gram self-count shuffles 8-byte xxhash64
+    keys (never gram strings) and nothing is quadratic."""
+    p = plans("dedup_exact_substring")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p
+
+
+def test_temperature_sample_rate_table_broadcasts(plans):
+    """The per-group rate table joins by broadcast — corpus rows never
+    shuffle for the sampling decision."""
+    p = plans("temperature_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_pq_encode_is_map_only(plans):
+    """PQ encoding: nearest-centroid fold inside the scan task — zero
+    exchanges beyond the input spread repartition."""
+    p = plans("pq_encode")
+    assert "Join" not in p
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+def test_quality_classifier_single_scan(plans):
+    """Classifier: one scan, no joins, no aggregates — pure projection."""
+    p = plans("quality_classifier")
+    assert "Join" not in p and "HashAggregate" not in p

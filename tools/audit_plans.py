@@ -31,6 +31,7 @@ ALLOW_NESTED = {
     "ann_cosine_topk",        # exact-cosine baseline (vs ann_lsh/ivf)
     "dedup_embedding_cosine", # exact near-dup baseline (vs *_lsh)
     "tpch_q22ish",            # 1-row avg-balance scalar broadcast
+    "tpch_q11ish",            # 1-row value-threshold scalar broadcast
     "lm_cross_entropy",       # 1-row token-total scalar broadcast
     "curation_pipeline",      # 1-row stage-count summary cross joins
     "bm25_search",            # 1-row corpus-stats (N/avgdl/df) broadcast
