@@ -457,3 +457,31 @@ def test_las_sink_errors_clearly_at_create(engine):
         engine.execute(
             "CREATE SINK CONNECTOR l TO lsrc WITH (\"type\" = 'las');"
         )
+
+
+def test_source_snapshot_not_duplicated_on_restart(spark, tmp_path):
+    """DDL-log replay must NOT re-run a source-connector snapshot (the
+    rows already sit in the stream directory) — engine restart keeps
+    the row count stable."""
+    docs = [{"k": i} for i in range(3)]
+    srv = TestMongoWireProtocol._mongod([], serve_docs=docs)
+    try:
+        port = srv.getsockname()[1]
+        root = str(tmp_path / "data")
+        eng = HStreamEngine(spark, root)
+        eng.execute("CREATE STREAM rsnap;")
+        eng.execute(
+            "CREATE SOURCE CONNECTOR rs FROM rsnap WITH "
+            "(\"type\" = 'mongodb', "
+            f"\"uri\" = 'mongodb://127.0.0.1:{port}', "
+            "\"database\" = 'd', \"collection\" = 'c');"
+        )
+        assert eng.execute("SELECT * FROM rsnap;").count() == 3
+        eng.shutdown()
+        # restart over the same data_root: replay must not re-snapshot
+        eng2 = HStreamEngine(spark, root)
+        assert eng2.execute("SELECT * FROM rsnap;").count() == 3
+        assert "rs" in eng2.connectors
+        eng2.shutdown()
+    finally:
+        srv.close()
