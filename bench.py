@@ -96,6 +96,8 @@ HEADLINE = [
     "chunk_documents",
     "pack_sequences",
     "quality_classifier",
+    "dedup_passage_removal",
+    "containment_pairs",
 ]
 
 

@@ -31,7 +31,7 @@ from functools import reduce as _reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hstream_spark.operators.text import P31, token_hash, tokens
+from hstream_spark.operators.text import P31, ngrams, token_hash, tokens
 
 # Deterministic MinHash permutation parameters: perm i maps h to
 # (A_i * h + B_i) mod P31 with odd multipliers.
@@ -456,3 +456,99 @@ def duplicate_passage_spans(
         (F.max("pos") + F.lit(L - 1)).alias("span_end"),
         (F.max("pos") + F.lit(L) - F.min("pos")).alias("span_tokens"),
     ).drop("island")
+
+
+def remove_duplicate_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """The cut step of exact-substring dedup (Lee et al. remove every
+    duplicated passage): rebuild each document's text with its
+    ``duplicate_passage_spans`` excised. Emits
+    ``(doc_id, clean_text, n_tokens, n_removed)``; documents without
+    duplicated spans pass through whole.
+
+    Span detection reuses the relational plan; the cut itself is one
+    LEFT join of the corpus to its per-doc span list (collected to an
+    array with one groupBy — span counts per doc are tiny) followed by
+    a map-only token filter: keep token position p unless some span
+    covers it. No Python in the row path.
+    """
+    spans = duplicate_passage_spans(docs, text_col, id_col, min_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    toks = tokens(F.col(text_col))
+    keep = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast(
+                    "array<struct<span_start:bigint,span_end:bigint>>"
+                ),
+            ),
+            lambda sp: (s["p"] >= sp["span_start"]) & (s["p"] <= sp["span_end"]),
+        ),
+    )
+    cleaned = F.transform(keep, lambda s: s["t"])
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", cleaned).alias("clean_text"),
+        F.size(cleaned).alias("n_tokens"),
+        (F.size(toks) - F.size(cleaned)).alias("n_removed"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-containment detection: pairs where most of document A's
+    distinct n-gram set also appears in document B —
+    ``|A ∩ B| / |A| >= threshold`` (one-sided Jaccard). Catches quotes,
+    excerpts, and subset documents that symmetric Jaccard misses (a
+    short doc inside a long one scores low Jaccard but high
+    containment).
+
+    Same blocked shape as ``ngram_jaccard_pairs``: exact and quadratic
+    WITHIN a block (bound your blocks; MinHash-LSH is the corpus-scale
+    candidate generator), gram sets int64-hashed so the self-join
+    compares longs. Emits both directions when both exceed the
+    threshold. Ties to corpus-scale use: feed LSH candidate pairs in
+    as blocks of size 2.
+    """
+    sets = docs.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("__g"),
+    ).where(F.size("__g") > 0)
+    a = sets.alias("a")
+    b = sets.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    ]
+    inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g")))
+    containment = inter.cast("double") / F.size(F.col("a.__g")).cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(containment, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

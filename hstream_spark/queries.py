@@ -1434,6 +1434,81 @@ def q_lm_cross_entropy(spark, sf):
     return TX.lm_cross_entropy(docs)
 
 
+_REMOVE_SPANS_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 7)) s(i)),
+dup AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram) d
+        WHERE c > 1),
+hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM hits) x),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+          FROM grp GROUP BY doc_id, island),
+tok AS (SELECT doc_id, i AS p, toks[i] AS tk
+        FROM t, unnest(generate_series(1, len(toks))) u(i)),
+keep AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = k.doc_id
+                             AND k.p BETWEEN s.s AND s.e)),
+agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_tokens
+        FROM keep GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       len(t.toks) - coalesce(a.n_tokens, 0) AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_passage_removal", _REMOVE_SPANS_ORACLE, tags=("dedup", "substring"))
+def q_dedup_passage_removal(spark, sf):
+    """ExactSubstr cut step: documents rebuilt with every duplicated
+    >=8-token passage excised (operators/dedup.py
+    remove_duplicate_passages)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return D.remove_duplicate_passages(docs, min_tokens=8)
+
+
+_CONTAIN_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, lang, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) AS DOUBLE), 6) AS containment
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(len(a.grams) AS DOUBLE) >= 0.6
+"""
+
+
+@register("containment_pairs", _CONTAIN_ORACLE, tags=("dedup", "containment"))
+def q_containment_pairs(spark, sf):
+    """One-sided n-gram containment (|A∩B|/|A| >= 0.6) within
+    (lang, source) blocks — catches excerpt/subset documents symmetric
+    Jaccard misses (operators/dedup.py containment_pairs)."""
+    return D.containment_pairs(
+        load_table(spark, sf, "documents"), block_cols=["lang", "source"],
+        threshold=0.6, n=3,
+    )
+
+
 _SPAN_ORACLE = """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
            FROM documents),

@@ -384,3 +384,40 @@ def test_quality_classifier_orders_and_decides(spark):
     # stopwords 0, length 10/50, pii 0
     z = -1.0 + 2.0 * 0.2 + 1.5 * 0.0 + 2.0 * 0.1 + (-3.0) * (1 - 1 / 9) + 0.0
     assert abs(rows[2]["keep_prob"] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
+
+
+def test_remove_duplicate_passages_cuts_only_spans(spark):
+    from hstream_spark.operators.dedup import remove_duplicate_passages
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc"),
+            (2, f"{shared} xx yy zz"),
+            (3, "nothing duplicated in here at all friends"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            remove_duplicate_passages(docs, min_tokens=8).collect()}
+    assert rows[1]["clean_text"] == "aa bb cc" and rows[1]["n_removed"] == 8
+    assert rows[2]["clean_text"] == "xx yy zz"
+    assert rows[3]["clean_text"] == docs.collect()[2]["text"] or rows[3]["n_removed"] == 0
+    assert rows[3]["n_removed"] == 0
+
+
+def test_containment_asymmetric(spark):
+    from hstream_spark.operators.dedup import containment_pairs
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    excerpt = "gamma delta epsilon zeta"  # fully inside long_doc
+    docs = spark.createDataFrame(
+        [(1, long_doc, "en"), (2, excerpt, "en"), (3, "totally other words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs, ["lang"], threshold=0.8, n=3).collect()}
+    # excerpt ⊂ long: containment(excerpt -> long) = 1.0; reverse is low
+    assert out.get((2, 1)) == 1.0
+    assert (1, 2) not in out
+    assert not any(3 in k for k in out)
