@@ -485,3 +485,27 @@ def test_source_snapshot_not_duplicated_on_restart(spark, tmp_path):
         eng2.shutdown()
     finally:
         srv.close()
+
+
+def test_bson_wire_document_sequence_section():
+    """OP_MSG kind-1 (document sequence) sections — the shape official
+    drivers use for bulk inserts — decode alongside the kind-0 body."""
+    import struct
+
+    from hstream_spark.sources import bson_wire
+
+    body_doc = bson_wire.encode_document({"insert": "c", "$db": "d"})
+    seq_docs = [bson_wire.encode_document({"k": i}) for i in range(3)]
+    ident = b"documents\x00"
+    seq_payload = b"".join(seq_docs)
+    seq_section = (
+        b"\x01"
+        + struct.pack("<i", 4 + len(ident) + len(seq_payload))
+        + ident
+        + seq_payload
+    )
+    body = b"\x00\x00\x00\x00" + b"\x00" + body_doc + seq_section
+    frame = struct.pack("<iiii", 16 + len(body), 9, 0, bson_wire.OP_MSG) + body
+    out = bson_wire.decode_op_msg(frame)
+    assert out["insert"] == "c" and out["$db"] == "d"
+    assert out["documents"] == [{"k": 0}, {"k": 1}, {"k": 2}]
