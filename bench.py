@@ -98,6 +98,7 @@ HEADLINE = [
     "quality_classifier",
     "dedup_passage_removal",
     "containment_pairs",
+    "normalize_text",
 ]
 
 

@@ -1047,3 +1047,45 @@ def ivf_pq_index_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+def pq_encode_np(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized PQ encoding — the production kernel for the
+    expression-path ``pq_encode``: each Arrow batch encodes with one
+    BLAS matmul per subspace (``argmin ‖x−c‖² = argmin ‖c‖²−2x·cᵀ``),
+    ~10-100× the per-row throughput of interpreted expression folds.
+    Same argmin semantics (ties toward the lowest code via numpy's
+    first-minimum); distances computed in float64 so code assignments
+    match the expression path except on exact centroid-distance ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    C = [np.asarray(codebooks[s], dtype=np.float64) for s in range(m)]
+    Cn = [(c * c).sum(axis=1) for c in C]
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((X.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                # ||c||^2 - 2 x.c — ||x||^2 is constant per row for argmin
+                D = Cn[s][None, :] - 2.0 * (Xs @ C[s].T)
+                codes[:, s] = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        encode, f"{id_col} long, codes array<long>"
+    )

@@ -750,3 +750,23 @@ def quality_classifier(
         F.round(p, 6).alias("keep_prob"),
         (p >= F.lit(threshold)).alias("keep"),
     )
+
+
+def normalize_text(text: Column, lowercase: bool = False) -> Column:
+    """Curation text normalizer: strip control and zero-width
+    characters, collapse runs of whitespace to single spaces, trim —
+    the cleanup pass before tokenization/hashing so dedup keys don't
+    split on invisible bytes. Optional lowercasing for case-insensitive
+    pipelines.
+
+    Pure regexp pipeline (map-only, codegen); the same steps express
+    verbatim in SQL for the oracle.
+    """
+    out = F.regexp_replace(
+        text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F​‌‍﻿]", ""
+    )
+    out = F.regexp_replace(out, r"\s+", " ")
+    out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return out

@@ -1749,6 +1749,35 @@ def q_quality_classifier(spark, sf):
     return TX.quality_classifier(docs)
 
 
+_NORMTEXT_ORACLE = """
+WITH dirty AS (
+  SELECT doc_id,
+         '  ' || text || chr(9) || chr(11) || chr(8203) || '  tail' || chr(7)
+           AS raw
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(raw,
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
+           '', 'g'),
+         '\\s+', ' ', 'g')) AS clean
+FROM dirty
+"""
+
+
+@register("normalize_text", _NORMTEXT_ORACLE, tags=("text", "normalize"))
+def q_normalize_text(spark, sf):
+    """Curation text normalizer over deterministically-dirtied
+    documents: control/zero-width strip, whitespace collapse, trim
+    (operators/text.py normalize_text)."""
+    docs = load_table(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("  "), F.col("text"),
+        F.lit("\t\x0b\u200b  tail\x07"),
+    )
+    return docs.select("doc_id", TX.normalize_text(dirty).alias("clean"))
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

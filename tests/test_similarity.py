@@ -320,3 +320,12 @@ def test_ivf_pq_index_build_query_and_prune(spark, emb, tmp_path):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_pq_encode_np_matches_expression_path(spark, emb):
+    books = SIM.pq_seed_codebooks(64, m=8, ks=16)
+    expr = {r["vec_id"]: list(r["codes"])
+            for r in SIM.pq_encode(emb, books).collect()}
+    fast = {r["vec_id"]: list(r["codes"])
+            for r in SIM.pq_encode_np(emb, books).collect()}
+    assert expr == fast

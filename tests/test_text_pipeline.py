@@ -421,3 +421,25 @@ def test_containment_asymmetric(spark):
     assert out.get((2, 1)) == 1.0
     assert (1, 2) not in out
     assert not any(3 in k for k in out)
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from hstream_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  hello\t\tworld \u200b again  "),
+            (2, "UPPER Case"),
+            (3, " \ufeff\x07"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["c"] for r in
+           docs.select("doc_id", normalize_text(F.col("text")).alias("c")).collect()}
+    assert out[1] == "hello world again"
+    assert out[2] == "UPPER Case"
+    assert out[3] == ""
+    low = {r["doc_id"]: r["c"] for r in docs.select(
+        "doc_id", normalize_text(F.col("text"), lowercase=True).alias("c")
+    ).collect()}
+    assert low[2] == "upper case"
