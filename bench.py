@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_passage_removal",
     "containment_pairs",
     "normalize_text",
+    "pii_redact",
 ]
 
 

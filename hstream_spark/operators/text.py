@@ -770,3 +770,14 @@ def normalize_text(text: Column, lowercase: bool = False) -> Column:
     if lowercase:
         out = F.lower(out)
     return out
+
+
+def pii_redact(text: Column) -> Column:
+    """PII redaction — the removal counterpart of the detection
+    counts: emails and phone numbers replace with typed placeholders
+    (``<EMAIL>`` / ``<PHONE>``), the standard pre-training scrub.
+    Map-only regexp pipeline; phones first (an email regex can eat a
+    phone-adjacent token boundary but not vice versa — order is part
+    of the contract and the oracle replays it)."""
+    out = F.regexp_replace(text, PHONE_PATTERN, "<PHONE>")
+    return F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")

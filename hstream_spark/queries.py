@@ -1778,6 +1778,44 @@ def q_normalize_text(spark, sf):
     return docs.select("doc_id", TX.normalize_text(dirty).alias("clean"))
 
 
+def _pii_redact_oracle() -> str:
+    email = TX.EMAIL_PATTERN
+    phone = TX.PHONE_PATTERN
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1-555-0' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                   || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              ELSE text
+         END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{phone}', '<PHONE>', 'g'),
+                      '{email}', '<EMAIL>', 'g') AS clean
+FROM aug
+"""
+
+
+@register("pii_redact", _pii_redact_oracle(), tags=("text", "pii"))
+def q_pii_redact(spark, sf):
+    """PII scrub over the same deterministic augmentation pii_detect
+    uses: emails/phones replaced with typed placeholders
+    (operators/text.py pii_redact)."""
+    docs = load_table(spark, sf, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"), F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", TX.pii_redact(aug).alias("clean"))
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

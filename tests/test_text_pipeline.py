@@ -443,3 +443,16 @@ def test_normalize_text_strips_and_collapses(spark):
         "doc_id", normalize_text(F.col("text"), lowercase=True).alias("c")
     ).collect()}
     assert low[2] == "upper case"
+
+
+def test_pii_redact_placeholders(spark):
+    from hstream_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and call +1-555-012-3456 now"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["c"] for r in
+           docs.select("doc_id", pii_redact(F.col("text")).alias("c")).collect()}
+    assert out[1] == "mail <EMAIL> and call <PHONE> now"
+    assert out[2] == "clean text"
