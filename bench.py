@@ -100,6 +100,7 @@ HEADLINE = [
     "containment_pairs",
     "normalize_text",
     "pii_redact",
+    "url_dedup",
 ]
 
 

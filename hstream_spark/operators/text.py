@@ -781,3 +781,26 @@ def pii_redact(text: Column) -> Column:
     of the contract and the oracle replays it)."""
     out = F.regexp_replace(text, PHONE_PATTERN, "<PHONE>")
     return F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-keyed deduplication — the first dedup pass of every web
+    pipeline: canonicalize each document's URL (``normalize_url``) and
+    keep ONE document per canonical URL, deterministically the lowest
+    id (re-crawls and tracking-param variants collapse before any
+    content hashing runs).
+
+    One groupBy on the canonical URL (min id) + one broadcast-friendly
+    semi-join back; URL keys are near-uniform so the shuffle doesn't
+    skew. Emits the surviving documents with their canonical URL.
+    """
+    canon = docs.withColumn("__curl", normalize_url(F.col(url_col)))
+    keep = canon.groupBy("__curl").agg(F.min(id_col).alias(id_col))
+    return (
+        canon.join(keep, [id_col, "__curl"])
+        .withColumnRenamed("__curl", "canonical_url")
+    )

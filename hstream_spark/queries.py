@@ -1816,6 +1816,46 @@ def q_pii_redact(spark, sf):
     return docs.select("doc_id", TX.pii_redact(aug).alias("clean"))
 
 
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, text,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/page?utm_source=x&id=' || CAST(doc_id % 100 AS VARCHAR)
+           AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, text,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/page?id=' || CAST(doc_id % 100 AS VARCHAR)
+           AS canonical_url
+  FROM u),
+keep AS (SELECT canonical_url, min(doc_id) AS doc_id
+         FROM canon GROUP BY canonical_url)
+SELECT c.doc_id, c.text, c.canonical_url
+FROM canon c JOIN keep k
+  ON c.doc_id = k.doc_id AND c.canonical_url = k.canonical_url
+"""
+
+
+@register("url_dedup", _URL_DEDUP_ORACLE, tags=("curation", "dedup", "url"))
+def q_url_dedup(spark, sf):
+    """URL-keyed dedup over URLs derived from doc ids (100 canonical
+    URLs across 500 docs — re-crawl variants collapse to the lowest
+    id): normalize + keep-one-per-canonical-URL (operators/text.py
+    url_dedup). The oracle pre-computes the canonical form the
+    normalizer produces."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/page?utm_source=x&id="),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+    return TX.url_dedup(with_url).select("doc_id", "text", "canonical_url")
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

@@ -456,3 +456,25 @@ def test_pii_redact_placeholders(spark):
            docs.select("doc_id", pii_redact(F.col("text")).alias("c")).collect()}
     assert out[1] == "mail <EMAIL> and call <PHONE> now"
     assert out[2] == "clean text"
+
+
+def test_url_dedup_collapses_variants(spark):
+    from hstream_spark.operators.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.com/a?utm_source=x&id=1"),
+            (2, "https://example.com/a?id=1"),          # same canonical as 1
+            (3, "https://example.com/b"),
+            (4, "https://example.com/b#frag"),          # same canonical as 3
+            (5, "https://other.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = url_dedup(docs)
+    rows = sorted((r["doc_id"], r["canonical_url"]) for r in out.collect())
+    assert rows == [
+        (1, "https://example.com/a?id=1"),
+        (3, "https://example.com/b"),
+        (5, "https://other.com/b"),
+    ]
