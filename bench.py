@@ -101,6 +101,8 @@ HEADLINE = [
     "normalize_text",
     "pii_redact",
     "url_dedup",
+    "profile_table",
+    "event_funnel",
 ]
 
 

@@ -73,3 +73,108 @@ def union(left: DataFrame, right: DataFrame) -> DataFrame:
     """Union (Planner.hs:54; V1 throws, V2 implements). By-name to be
     robust to column order."""
     return left.unionByName(right)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Data profiling — the schema-quality report a pipeline runs before
+    committing 100 TB to training: per column, row count, null count and
+    rate, exact distinct count, and min/max (rendered as strings so one
+    tidy schema covers every column type).
+
+    One wide aggregate computes every column's counts/extremes in a
+    single pass (map-side partial, one 1-row reduction); the exact
+    distinct counts run as one groupBy per column over that column only
+    (column-pruned scans; swap in approx_count_distinct at corpus scale
+    for one-pass profiling). Output: one row per column, deterministic.
+    """
+    from functools import reduce
+
+    cols = columns or df.columns
+    base = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[F.min(F.col(c).cast("string")).alias(f"__min_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("string")).alias(f"__max_{i}") for i, c in enumerate(cols)],
+    )
+    distincts = [
+        df.select(F.col(c)).distinct().agg(
+            F.lit(c).alias("column"), F.count(F.lit(1)).alias("n_distinct")
+        )
+        for c in cols
+    ]
+    dist = reduce(lambda a, b: a.unionByName(b), distincts)
+    rows = [
+        base.select(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{i}").alias("n_null"),
+            F.round(
+                F.col(f"__null_{i}").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("null_rate"),
+            F.col(f"__min_{i}").alias("min_value"),
+            F.col(f"__max_{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    prof = reduce(lambda a, b: a.unionByName(b), rows)
+    return prof.join(F.broadcast(dist), "column")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis — per user, how far through a sequence
+    of event types they progressed, each step strictly AFTER the
+    previous one (first-touch semantics: each step binds to its
+    earliest qualifying occurrence). The conversion table behind
+    "view -> click -> purchase" product questions.
+
+    One user-keyed aggregation per step (min qualifying timestamp,
+    joined forward) — every shuffle is on the same user key, so at
+    scale the exchanges reuse one partitioning; step count is fixed
+    and small. Emits (user, stage reached, per-step first timestamps
+    as epoch micros).
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    uid = F.col(user_col)
+    prev = None
+    step_frames = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            uid.alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if prev is not None:
+            ev = ev.join(prev, "__u").where(
+                F.col("__ts") > F.col(f"__t{i - 1}")
+            ).select("__u", "__ts")
+        cur = ev.groupBy("__u").agg(F.min("__ts").alias(f"__t{i}"))
+        step_frames.append(cur)
+        prev = cur if prev is None else prev.join(cur, "__u").select(
+            "__u", *[f"__t{j}" for j in range(i + 1)]
+        )
+    users = events.select(uid.alias("__u")).distinct()
+    out = users
+    for i, cur in enumerate(step_frames):
+        out = out.join(cur.select("__u", f"__t{i}"), "__u", "left")
+    stage = F.lit(0)
+    for i in range(len(steps)):
+        stage = F.when(F.col(f"__t{i}").isNotNull(), F.lit(i + 1)).otherwise(stage)
+    return out.select(
+        F.col("__u").alias(user_col),
+        stage.alias("stage"),
+        *[
+            F.unix_micros(F.col(f"__t{i}")).alias(f"step{i + 1}_us")
+            for i in range(len(steps))
+        ],
+    )

@@ -1856,6 +1856,71 @@ def q_url_dedup(spark, sf):
     return TX.url_dedup(with_url).select("doc_id", "text", "canonical_url")
 
 
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+  SELECT '{c}' AS column,
+         count(*) AS n_rows,
+         sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+         round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS null_rate,
+         min(CAST({c} AS VARCHAR)) AS min_value,
+         max(CAST({c} AS VARCHAR)) AS max_value,
+         count(DISTINCT {c}) + CAST(max(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                                    AS BIGINT) AS n_distinct
+  FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_table", _profile_oracle(), tags=("profiling",))
+def q_profile_table(spark, sf):
+    """Per-column profiling report over orders (counts, null rate,
+    min/max, exact distincts) — one wide single-pass aggregate plus
+    column-pruned distinct counts (operators/relational.py
+    profile_table)."""
+    from hstream_spark.operators.relational import profile_table
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority",
+    )
+    return profile_table(orders)
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.u
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+users AS (SELECT DISTINCT user_id AS u FROM events)
+SELECT u AS user_id,
+       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       epoch_us(t1) AS step1_us,
+       epoch_us(t2) AS step2_us,
+       epoch_us(t3) AS step3_us
+FROM users
+LEFT JOIN s1 USING (u) LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
+"""
+
+
+@register("event_funnel", _FUNNEL_ORACLE, tags=("events", "funnel"))
+def q_event_funnel(spark, sf):
+    """Ordered view->click->purchase funnel per user, each step
+    strictly after the previous (first-touch timestamps as epoch
+    micros) — operators/relational.py funnel."""
+    from hstream_spark.operators.relational import funnel
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

@@ -85,3 +85,52 @@ def test_simhash_is_map_only(spark):
 def test_stream_table_join_broadcasts_dimension(spark):
     plan = plan_of(spark, "stream_table_join")
     assert "BroadcastHashJoin" in plan
+
+
+def test_profile_table_with_nulls(spark):
+    from hstream_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")],
+        "k long, s string",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_null"] == 0
+    assert rows["k"]["n_distinct"] == 4
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "4"
+    assert rows["s"]["n_null"] == 1 and rows["s"]["null_rate"] == 0.25
+    # distinct includes the null bucket: {a, b, NULL}
+    assert rows["s"]["n_distinct"] == 3
+
+
+def test_funnel_ordering_semantics(spark):
+    from hstream_spark.operators.relational import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: click BEFORE view -> click does not count; stage 1
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # u3: view+click only -> stage 2
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-01 08:01:00"),
+        # u4: purchase only (no view) -> stage 0
+        (4, "purchase", "2024-01-01 07:00:00"),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 1 and out[2]["step2_us"] is None
+    assert out[3]["stage"] == 2 and out[3]["step3_us"] is None
+    assert out[4]["stage"] == 0 and out[4]["step1_us"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one step"):
+        funnel(ev, [])
