@@ -53,7 +53,7 @@ _ROUND3_NEW = frozenset(
         "bm25_search", "dedup_exact_substring", "url_normalize",
         "source_quality_stats", "temperature_sample", "group_train_test_split",
         "pq_encode", "ann_pq_topk", "chunk_documents", "pack_sequences",
-        "quality_classifier", "dedup_passage_removal", "containment_pairs", "normalize_text", "pii_redact", "url_dedup", "profile_table", "event_funnel",
+        "quality_classifier", "dedup_passage_removal", "containment_pairs", "normalize_text", "pii_redact", "url_dedup", "profile_table", "event_funnel", "cohort_retention",
     }
 )
 

@@ -103,6 +103,7 @@ HEADLINE = [
     "url_dedup",
     "profile_table",
     "event_funnel",
+    "cohort_retention",
 ]
 
 

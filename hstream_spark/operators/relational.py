@@ -178,3 +178,51 @@ def funnel(
             for i in range(len(steps))
         ],
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 30,
+) -> DataFrame:
+    """Cohort retention — users grouped by first-active date, counted
+    on each later day they return: the (cohort_date, day_offset,
+    active_users, retention_rate) matrix behind every retention curve.
+
+    Two shuffles: first-active date per user (user-keyed min), then the
+    (cohort, offset) distinct-user count — per-day activity dedups
+    map-side via the distinct. Offsets beyond ``max_offset`` are
+    dropped (bound the matrix, not the scan).
+    """
+    uid = F.col(user_col)
+    day = F.to_date(F.col(ts_col))
+    first = (
+        events.select(uid.alias("__u"), day.alias("__d"))
+        .groupBy("__u")
+        .agg(F.min("__d").alias("cohort_date"))
+    )
+    active = events.select(uid.alias("__u"), day.alias("__d")).distinct()
+    joined = active.join(first, "__u").withColumn(
+        "day_offset", F.datediff(F.col("__d"), F.col("cohort_date"))
+    ).where(F.col("day_offset") <= max_offset)
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    ret = joined.groupBy("cohort_date", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return (
+        ret.join(sizes, "cohort_date")
+        .select(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            "day_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )

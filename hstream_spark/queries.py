@@ -1921,6 +1921,38 @@ def q_event_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+_RETENTION_ORACLE = """
+WITH d AS (SELECT user_id AS u, CAST(ts AS DATE) AS dt FROM events),
+first AS (SELECT u, min(dt) AS cohort_date FROM d GROUP BY u),
+active AS (SELECT DISTINCT u, dt FROM d),
+j AS (SELECT f.cohort_date, a.dt - f.cohort_date AS day_offset, a.u
+      FROM active a JOIN first f USING (u)
+      WHERE a.dt - f.cohort_date <= 30),
+sizes AS (SELECT cohort_date, count(*) AS cohort_users FROM first GROUP BY 1),
+ret AS (SELECT cohort_date, day_offset, count(*) AS active_users
+        FROM j GROUP BY 1, 2)
+SELECT strftime(r.cohort_date, '%Y-%m-%d') AS cohort_date,
+       CAST(r.day_offset AS BIGINT) AS day_offset,
+       r.active_users,
+       s.cohort_users,
+       round(r.active_users / CAST(s.cohort_users AS DOUBLE), 6)
+         AS retention_rate
+FROM ret r JOIN sizes s USING (cohort_date)
+"""
+
+
+@register("cohort_retention", _RETENTION_ORACLE, tags=("events", "retention"))
+def q_cohort_retention(spark, sf):
+    """Daily-cohort retention matrix over events (offsets 0..30):
+    first-active date per user, distinct active days, per-(cohort,
+    offset) return counts and rates (operators/relational.py
+    cohort_retention)."""
+    from hstream_spark.operators.relational import cohort_retention
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return cohort_retention(ev, max_offset=30)
+
+
 _BM25_TERMS = ("dup", "vector", "scan")
 
 

@@ -134,3 +134,28 @@ def test_funnel_ordering_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one step"):
         funnel(ev, [])
+
+
+def test_cohort_retention_matrix(spark):
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.relational import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 20:00:00"),  # same day twice -> one active day
+        (2, "2024-01-01 11:00:00"),
+        (3, "2024-01-02 08:00:00"), (3, "2024-01-04 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {(r["cohort_date"], r["day_offset"]): r
+           for r in cohort_retention(ev).collect()}
+    d1 = out[("2024-01-01", 0)]
+    assert d1["active_users"] == 2 and d1["cohort_users"] == 2
+    assert d1["retention_rate"] == 1.0
+    assert out[("2024-01-01", 1)]["active_users"] == 1  # only u1 returns
+    assert out[("2024-01-01", 1)]["retention_rate"] == 0.5
+    assert out[("2024-01-02", 2)]["active_users"] == 1  # u3 on day 4
+    assert ("2024-01-02", 1) not in out
