@@ -639,3 +639,38 @@ def test_streaming_shuffle_partitions_scoped_per_query(spark, tmp_path):
     rows = {(r["k"], r["s"]) for r in eng.execute("SELECT k, s FROM spv;").collect()}
     assert rows == {(1, 30)}
     eng.shutdown() if hasattr(eng, "shutdown") else None
+
+
+def test_streaming_full_outer_interval_join(spark, tmp_path):
+    """FULL outer stream-stream interval join in true streaming mode:
+    unmatched rows from BOTH sides emit with nulls after both
+    watermarks pass the window (the declared outer semantics the
+    reference drops — SEMANTICS.md)."""
+    import time as _time
+
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    eng = HStreamEngine(spark, str(tmp_path / "sfull"), grace="10 seconds")
+    try:
+        eng.execute("CREATE STREAM fl (k INTEGER, x INTEGER);")
+        eng.execute("CREATE STREAM fr (k2 INTEGER, y INTEGER);")
+        t0 = _time.time() - 3600
+        eng.execute(f"INSERT INTO fl (k, x, _ts) VALUES (1, 10, {t0});")
+        eng.execute(f"INSERT INTO fl (k, x, _ts) VALUES (2, 20, {t0});")
+        eng.execute(f"INSERT INTO fr (k2, y, _ts) VALUES (1, 99, {t0});")
+        eng.execute(f"INSERT INTO fr (k2, y, _ts) VALUES (3, 77, {t0});")
+        h = eng.execute(
+            "SELECT k, x, k2, y FROM fl FULL JOIN fr ON fl.k = fr.k2 "
+            "WITHIN (INTERVAL 1 MINUTE) EMIT CHANGES;"
+        )
+        assert sorted(
+            (r["k"], r["x"], r["k2"], r["y"]) for r in h.drain()
+        ) == [(1, 10, 1, 99)]
+        eng.execute(f"INSERT INTO fl (k, x, _ts) VALUES (9, 0, {t0 + 1800});")
+        eng.execute(f"INSERT INTO fr (k2, y, _ts) VALUES (9, 0, {t0 + 1800});")
+        got = {(r["k"], r["x"], r["k2"], r["y"]) for r in h.drain()}
+        assert (2, 20, None, None) in got      # left-unmatched
+        assert (None, None, 3, 77) in got      # right-unmatched
+        h.stop()
+    finally:
+        eng.shutdown()
