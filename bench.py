@@ -214,6 +214,7 @@ def main() -> None:
     # number that scales with data volume on a long-lived cluster.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
         if name == "hypertable_rollup":
@@ -236,16 +237,23 @@ def main() -> None:
             spark.catalog.clearCache()
             continue
         best = float("inf")
-        for _ in range(max(1, runs)):
-            start = time.perf_counter()
-            q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(max(1, runs)):
+                start = time.perf_counter()
+                q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # void the whole bench record; surface it in the JSON instead
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         # drop any operator-internal persists so queries don't inherit
         # block-manager pressure from earlier ones
         spark.catalog.clearCache()
 
-    streaming = bench_streaming(spark, sf_dir)
+    try:
+        streaming = bench_streaming(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — keep the batch record intact
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -256,6 +264,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "streaming": streaming,
                 "sf": float(sf),
             }
