@@ -31,8 +31,9 @@ def topk(value: Column, k: int) -> Column:
 
     collect_list is a partial aggregate: each map task emits its local
     list, merged on the reduce side; for bounded k the dominant cost is
-    the final sort. For very hot keys at scale prefer a two-stage
-    (per-partition topk, then merge) — see operators/topk.py.
+    the final sort. For very hot keys at scale prefer a windowed
+    row_number rank (see queries.py top_orders_per_customer) so each
+    partition only retains k rows.
     """
     return F.slice(F.sort_array(F.collect_list(value), asc=False), 1, int(k))
 

@@ -109,20 +109,32 @@ def profile_table(
         for c in cols
     ]
     dist = reduce(lambda a, b: a.unionByName(b), distincts)
-    rows = [
-        base.select(
+    # Expand the 1-row wide aggregate to per-column rows with ONE
+    # explode over the single result — `base` appears once in the plan,
+    # so the full-table aggregate executes once (a union of per-column
+    # selects over `base` would re-run it once per column).
+    entries = F.array(*[
+        F.struct(
             F.lit(c).alias("column"),
-            F.col("__n").alias("n_rows"),
             F.col(f"__null_{i}").alias("n_null"),
-            F.round(
-                F.col(f"__null_{i}").cast("double") / F.col("__n").cast("double"), 6
-            ).alias("null_rate"),
             F.col(f"__min_{i}").alias("min_value"),
             F.col(f"__max_{i}").alias("max_value"),
         )
         for i, c in enumerate(cols)
-    ]
-    prof = reduce(lambda a, b: a.unionByName(b), rows)
+    ])
+    prof = (
+        base.select(F.col("__n").alias("n_rows"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.column").alias("column"),
+            F.col("n_rows"),
+            F.col("e.n_null").alias("n_null"),
+            F.round(
+                F.col("e.n_null").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("null_rate"),
+            F.col("e.min_value").alias("min_value"),
+            F.col("e.max_value").alias("max_value"),
+        )
+    )
     return prof.join(F.broadcast(dist), "column")
 
 

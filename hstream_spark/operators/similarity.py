@@ -958,12 +958,17 @@ def ivf_pq_index_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: pick each query's ``nprobe``
     nearest coarse centroids (map-only against the JSON quantizer),
     scan ONLY those list partitions — and only their CODE columns —
     then ADC-rank the candidates with per-query distance tables.
-    Per-query cost: nprobe/n_clusters of the rows × m byte-lookups."""
+    Per-query cost: nprobe/n_clusters of the rows × m byte-lookups.
+
+    The query side is collected once to the driver (probe lists +
+    distance tables), capped at ``max_queries`` with a loud error —
+    same contract as pq_adc_topk."""
     import json as _json
     import os as _os
 
@@ -984,9 +989,22 @@ def ivf_pq_index_topk(
     )
     probes = F.slice(F.reverse(F.array_sort(scored_cents)), 1, nprobe)
     qp = qn.withColumn("probe", F.transform(probes, lambda s: s["cl"]))
-    probe_ids = sorted(
-        {cl for r in qp.select("probe").collect() for cl in r["probe"]}
+    # ONE capped collect feeds both the probe list and the per-query
+    # distance tables (an unguarded double collect OOMs the driver on an
+    # oversized query side instead of failing cleanly)
+    qrows = (
+        qp.select(F.col(id_col), F.col(vec_col), "probe")
+        .limit(max_queries + 1)
+        .collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_index_topk: query side exceeds max_queries={max_queries} "
+            "rows; probe lists and ADC distance tables are driver-built by "
+            "contract. Pass a smaller query set (or raise max_queries "
+            "deliberately)."
+        )
+    probe_ids = sorted({cl for r in qrows for cl in r["probe"]})
     codes = (
         spark.read.parquet(_os.path.join(path, "codes"))
         .filter(F.col("cluster").isin(probe_ids))
@@ -1002,8 +1020,6 @@ def ivf_pq_index_topk(
     ).filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
     m = len(books)
     dsub = len(books[0][0])
-    # driver-side distance tables (queries are small by contract)
-    qrows = qn.select(id_col, vec_col).collect()
 
     def dtable(vec):
         out = []

@@ -617,7 +617,7 @@ def chunk_documents(
     Map-only: one ``transform`` over per-doc window starts, exploded —
     no shuffle at any scale; output rows ≈ corpus_tokens/stride.
     """
-    stride = int(stride or max_tokens)
+    stride = int(stride) if stride is not None else int(max_tokens)
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
     toks = tokens(F.col(text_col))

@@ -1609,8 +1609,9 @@ dupset AS (SELECT h FROM (SELECT h, count(*) AS c FROM d GROUP BY h) x WHERE c >
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(n) AS total_chars,
-       sum(CASE WHEN h IN (SELECT h FROM dupset) THEN 1 ELSE 0 END) AS dup_docs,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN h IN (SELECT h FROM dupset) THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_docs,
        round(sum(CASE WHEN h IN (SELECT h FROM dupset) THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS dup_frac
 FROM d GROUP BY source
@@ -1863,7 +1864,7 @@ def _profile_oracle() -> str:
         parts.append(f"""
   SELECT '{c}' AS column,
          count(*) AS n_rows,
-         sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
                / CAST(count(*) AS DOUBLE), 6) AS null_rate,
          min(CAST({c} AS VARCHAR)) AS min_value,
@@ -2488,7 +2489,7 @@ def q_sql_frontend_agg(spark, sf):
            upper(c_name)                          AS u,
            length(c_name)                         AS n,
            substring(c_name, 1, 8)                AS t8,
-           regexp_extract_all(c_name, '.{1,5}')   AS ch,
+           array_to_string(regexp_extract_all(c_name, '.{1,5}'), '|') AS ch,
            coalesce(nullif(c_mktsegment, 'BUILDING'), 'x') AS seg
     FROM customer
     """,
@@ -2500,7 +2501,7 @@ def q_sql_frontend_scalar(spark, sf):
 
     stmt = parse(
         "SELECT c_custkey, TO_UPPER(c_name) AS u, STRLEN(c_name) AS n, "
-        "TAKE(8, c_name) AS t8, CHUNKSOF(5, c_name) AS ch, "
+        "TAKE(8, c_name) AS t8, ARRAY_JOIN(CHUNKSOF(5, c_name), '|') AS ch, "
         "IFNULL(NULLIF(c_mktsegment, 'BUILDING'), 'x') AS seg "
         "FROM customer;"
     )
@@ -3309,13 +3310,13 @@ def q_tpch_q22ish(spark, sf):
     "tpch_q12ish",
     """
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                    THEN 1 ELSE 0 END)                               AS late_lines,
-           SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
-                    THEN 1 ELSE 0 END)                               AS ontime_lines,
            CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
-                         ELSE 0 END) AS DOUBLE)                      AS late_revenue
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS late_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS ontime_lines,
+           CAST(ROUND(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                               ELSE 0 END), 2) AS DOUBLE)            AS late_revenue
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -3337,7 +3338,12 @@ def q_tpch_q12ish(spark, sf):
     return j.groupBy("o_orderpriority").agg(
         F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
         F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_lines"),
-        F.sum(F.when(late, _dec(F.col("l_extendedprice"))).otherwise(F.lit(0)))
+        # ROUND the exact DECIMAL sum to 2 dp BEFORE the double cast so both
+        # engines convert the identical decimal — byte-exact by construction
+        # (a raw decimal->double cast differed by 1 ulp between engines).
+        F.round(
+            F.sum(F.when(late, _dec(F.col("l_extendedprice"))).otherwise(F.lit(0))), 2
+        )
         .cast("double")
         .alias("late_revenue"),
     )
@@ -3838,13 +3844,13 @@ def q_sketch_quantiles(spark, sf):
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sess AS (
       SELECT user_id, tus, event_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
-           MIN(tus) // 1000000 AS session_start,
-           MAX(tus) // 1000000 AS session_end,
+           CAST(MIN(tus) // 1000000 AS BIGINT) AS session_start,
+           CAST(MAX(tus) // 1000000 AS BIGINT) AS session_end,
            COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, session_id
@@ -3922,16 +3928,32 @@ FROM d
 """
 
 
-@register("pq_encode", _pq_encode_oracle(), tags=("similarity", "pq"))
+def _pq_encode_oracle_flat() -> str:
+    """pq_encode's driver-gate oracle: the codes list serialized to a
+    '|'-joined string — list-typed output cells crash the driver's
+    canonicalizer (same hazard class as sql_frontend_scalar r3)."""
+    return (
+        f"WITH enc AS ({_pq_encode_oracle().strip()})\n"
+        "SELECT vec_id, array_to_string(codes, '|') AS codes FROM enc"
+    )
+
+
+@register("pq_encode", _pq_encode_oracle_flat(), tags=("similarity", "pq"))
 def q_pq_encode(spark, sf):
     """Product-quantization encoding (FAISS-style m=8 x ks=16 codes,
     64x compression) with the deterministic seeded codebooks — the
     map-only nearest-centroid fold per subspace
-    (operators/similarity.py pq_encode)."""
+    (operators/similarity.py pq_encode).  Codes serialize to a
+    '|'-joined string at the gate edge (list cells crash the driver's
+    canonicalizer); downstream consumers use pq_encode() directly."""
     from hstream_spark.operators.similarity import pq_encode, pq_seed_codebooks
 
     emb = load_table(spark, sf, "embeddings")
-    return pq_encode(emb, pq_seed_codebooks(64, m=8, ks=16))
+    enc = pq_encode(emb, pq_seed_codebooks(64, m=8, ks=16))
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), "|").alias("codes"),
+    )
 
 
 def _pq_adc_oracle() -> str:

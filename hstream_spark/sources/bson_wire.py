@@ -48,12 +48,26 @@ def _enc_string(s: str) -> bytes:
     return struct.pack("<i", len(b)) + b
 
 
+class Int64(int):
+    """Marker for values that MUST encode as BSON int64 (0x12) regardless
+    of magnitude.  MongoDB requires e.g. the getMore cursor id to be
+    int64; real servers reject an int32-encoded cursor id with
+    TypeMismatch whenever the server-assigned id happens to fit 32 bits,
+    so callers wrap such fields explicitly."""
+
+    __slots__ = ()
+
+
 def _enc_element(name: str, value: Any) -> bytes:
     key = _enc_cstring(name)
     if value is None:
         return b"\x0a" + key
     if isinstance(value, bool):  # before int: bool is an int subclass
         return b"\x08" + key + (b"\x01" if value else b"\x00")
+    if isinstance(value, Int64):
+        if -(2**63) <= value < 2**63:
+            return b"\x12" + key + struct.pack("<q", value)
+        raise ValueError(f"integer out of int64 range: {value}")
     if isinstance(value, int):
         if -(2**31) <= value < 2**31:
             return b"\x10" + key + struct.pack("<i", value)

@@ -26,10 +26,13 @@ local round-trip proof.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("hstream_spark.connectors")
 
 
 class ConnectorError(RuntimeError):
@@ -120,7 +123,8 @@ def rate_source(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
 
 def jdbc_source(spark: SparkSession, options: dict) -> DataFrame:
     """CDC-style snapshot source over JDBC (mysql/postgresql/sqlserver).
-    Batch snapshot read; incremental tailing belongs to Kafka+Debezium."""
+    Batch snapshot read; for continuous ingestion pair with
+    ``JdbcCdcTailer`` (WATERMARK_COLUMN option) or Kafka+Debezium."""
     try:
         reader = spark.read.format("jdbc")
         for k, v in options.items():
@@ -128,6 +132,92 @@ def jdbc_source(spark: SparkSession, options: dict) -> DataFrame:
         return reader.load()
     except Exception as exc:  # noqa: BLE001 - driver jar missing, bad opts
         raise ConnectorError(f"jdbc source failed (driver jar on classpath?): {exc}") from exc
+
+
+class JdbcCdcTailer:
+    """Incremental CDC tailing after the JDBC snapshot — the long-running
+    ingestion phase of the reference's source connectors
+    (hstream-io/HStream/IO/Worker.hs:252-257 keeps a Debezium worker
+    alive per connector; here the same loop is watermark-column polling,
+    no Debezium deployment needed).
+
+    Each ``poll()`` reads only rows with ``watermark_col`` strictly
+    greater than the last seen high-water mark — the predicate is a
+    Catalyst filter over the JDBC relation, so Spark pushes it down to
+    the source database (``PushedFilters: [GreaterThan(wm, ...)]``) and
+    the increment, not the table, crosses the wire.  Monotone-watermark
+    contract (append-only tables / updated-at columns), same as any
+    watermark-based CDC.  ``start()`` spawns a daemon polling thread;
+    ``stop()`` matches the StreamingQuery handle shape so engine
+    PAUSE/TERMINATE/shutdown manage it uniformly.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        options: dict,
+        emit: Callable[[DataFrame], None],
+        watermark_col: str,
+        last=None,
+        poll_interval: float = 5.0,
+    ):
+        import threading
+
+        self.spark = spark
+        self.options = dict(options)
+        self.emit = emit
+        self.watermark_col = watermark_col
+        self.last = last
+        self.poll_interval = float(poll_interval)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._threading = threading
+
+    def poll(self) -> int:
+        """One incremental read; returns rows appended."""
+        df = jdbc_source(self.spark, self.options)
+        if self.watermark_col not in df.columns:
+            raise ConnectorError(
+                f"watermark column {self.watermark_col!r} not in source table "
+                f"columns {df.columns}"
+            )
+        inc = df
+        if self.last is not None:
+            inc = df.filter(F.col(self.watermark_col) > F.lit(self.last))
+        inc = inc.persist()
+        try:
+            agg = inc.agg(
+                F.max(self.watermark_col).alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if not agg["n"]:
+                return 0
+            self.emit(inc)
+            self.last = agg["mx"]
+            return int(agg["n"])
+        finally:
+            inc.unpersist()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.poll_interval):
+            try:
+                self.poll()
+            except Exception:  # noqa: BLE001 — transient DB outage; retry
+                _LOG.exception("cdc tailer poll failed; retrying next interval")
+
+    def start(self) -> "JdbcCdcTailer":
+        if self._thread is None:
+            self._thread = self._threading.Thread(
+                target=self._loop, name="jdbc-cdc-tailer", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
 
 
 # ---------------------------------------------------------------------------
@@ -417,9 +507,12 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
                         "bound the collection or raise max_docs deliberately"
                     )
                 req += 1
+                # cursor id MUST be BSON int64 (0x12): real mongod rejects
+                # an int32-encoded getMore with TypeMismatch whenever the
+                # server-assigned id happens to fit 32 bits
                 reply = bson_wire.send_command(
                     sock,
-                    {"getMore": cid, "$db": database,
+                    {"getMore": bson_wire.Int64(cid), "$db": database,
                      "collection": collection, "batchSize": batch_size},
                     request_id=req,
                 )
@@ -438,16 +531,53 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
             return v.replace(tzinfo=None)  # session is UTC-pinned
         return v
 
+    if not docs:
+        raise ConnectorError(
+            f"mongodb source found no documents in {database}.{collection}"
+        )
     keys: list[str] = []
     for d in docs:
         for k in d:
             if k not in keys:
                 keys.append(k)
-    from pyspark.sql import Row
 
-    rows = [Row(**{k: _cell(d.get(k)) for k in keys}) for d in docs]
-    if not rows:
-        raise ConnectorError(
-            f"mongodb source found no documents in {database}.{collection}"
-        )
-    return spark.createDataFrame(rows)
+    # Explicit schema instead of Row-inference: a field that is null in
+    # every document infers NullType (createDataFrame error), and
+    # mixed-type fields break inference — both plausible for real
+    # schemaless collections.  Single-typed fields get a native Spark
+    # type; all-null or type-conflicting fields demote to JSON text,
+    # matching the engine's schemaless demote-to-JSONB rule.
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DoubleType, LongType, StringType,
+        StructField, StructType, TimestampNTZType,
+    )
+
+    _SPARK_T = {
+        bool: BooleanType(), int: LongType(), float: DoubleType(),
+        str: StringType(), bytes: BinaryType(),
+        _dt.datetime: TimestampNTZType(),
+    }
+    cells = [{k: _cell(d.get(k)) for k in keys} for d in docs]
+    fields, demoted, widened = [], set(), set()
+    for k in keys:
+        types = {type(c[k]) for c in cells if c[k] is not None}
+        if types == {int, float}:
+            types = {float}  # numeric widening, same as JSON readers
+            widened.add(k)
+        if len(types) == 1 and next(iter(types)) in _SPARK_T:
+            fields.append(StructField(k, _SPARK_T[next(iter(types))], True))
+        else:  # all-null or conflicting -> JSONB text
+            demoted.add(k)
+            fields.append(StructField(k, StringType(), True))
+
+    def _final(k, v):
+        if v is None:
+            return None
+        if k in demoted:
+            return v if isinstance(v, str) else json.dumps(v, default=str)
+        if k in widened and isinstance(v, int):
+            return float(v)
+        return v
+
+    rows = [tuple(_final(k, c[k]) for k in keys) for c in cells]
+    return spark.createDataFrame(rows, StructType(fields))

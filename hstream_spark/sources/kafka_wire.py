@@ -1,0 +1,535 @@
+"""Minimal Kafka wire-protocol client — pure stdlib, no jar, no broker
+library. The reference ships a full Kafka-compatible broker
+(/root/reference/hstream-kafka/, protocol definitions under
+hstream-kafka/protocol/); this module implements the CLIENT side of the
+same public protocol so the engine can ingest from and produce to Kafka
+topics locally, mirroring the mongodb OP_MSG approach
+(``sources/bson_wire.py``).
+
+Scope (all from the public Kafka protocol specification):
+- Request framing: 4-byte size + header v1 (api_key, api_version,
+  correlation_id, client_id).
+- ApiVersions v0, Metadata v1, ListOffsets v1, Produce v3, Fetch v4 —
+  the modern non-flexible protocol versions, all using **record batch
+  v2** (magic 2: CRC32C over attributes..end, zigzag-varint record
+  bodies) — the only on-disk/on-wire format current brokers accept for
+  writes (message-set v0/v1 write support was removed in Kafka 4.0).
+- No compression, no transactions, no SASL/TLS (attributes bits left
+  zero); single-leader topologies are resolved via Metadata.
+
+On a real Spark cluster the idiomatic path is the official
+``spark-sql-kafka-0-10`` connector (``readStream.format("kafka")``) —
+see ``kafka_readstream``; this wire client is the jar-free local path
+and the integration-test substrate (``kafka_stub.KafkaStubBroker``).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Optional
+
+
+class KafkaWireError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def enc_int8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def enc_int16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def enc_int32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def enc_int64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def enc_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def enc_nullable_string(s: Optional[str]) -> bytes:
+    return struct.pack(">h", -1) if s is None else enc_string(s)
+
+
+def enc_bytes(b: Optional[bytes]) -> bytes:
+    return struct.pack(">i", -1) if b is None else struct.pack(">i", len(b)) + b
+
+
+def enc_array(items: list[bytes]) -> bytes:
+    return struct.pack(">i", len(items)) + b"".join(items)
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise KafkaWireError("short read decoding response")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def int8(self) -> int:
+        return struct.unpack(">b", self.take(1))[0]
+
+    def int16(self) -> int:
+        return struct.unpack(">h", self.take(2))[0]
+
+    def int32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def int64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def uint32(self) -> int:
+        return struct.unpack(">I", self.take(4))[0]
+
+    def string(self) -> Optional[str]:
+        n = self.int16()
+        return None if n < 0 else self.take(n).decode("utf-8")
+
+    def bytes_(self) -> Optional[bytes]:
+        n = self.int32()
+        return None if n < 0 else self.take(n)
+
+    def varint(self) -> int:
+        """Zigzag-decoded signed varint."""
+        shift, acc = 0, 0
+        while True:
+            b = self.take(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise KafkaWireError("varint too long")
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def enc_varint(v: int) -> bytes:
+    """Zigzag-encoded signed varint (records use these for all lengths)."""
+    z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli) — record batch v2 integrity; stdlib zlib.crc32 is
+# plain CRC32, so build the reflected-0x82F63B78 table once
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# record batch v2 (magic 2)
+# ---------------------------------------------------------------------------
+
+
+def encode_record_batch(
+    records: list[tuple[Optional[bytes], Optional[bytes], int]],
+    base_offset: int = 0,
+) -> bytes:
+    """``records`` = [(key, value, timestamp_ms)]; one uncompressed
+    batch, producer fields set to the non-transactional sentinels."""
+    if not records:
+        raise KafkaWireError("cannot encode an empty record batch")
+    base_ts = records[0][2]
+    max_ts = max(r[2] for r in records)
+    body = bytearray()
+    for i, (key, value, ts) in enumerate(records):
+        rec = bytearray()
+        rec += enc_int8(0)  # record attributes
+        rec += enc_varint(ts - base_ts)
+        rec += enc_varint(i)  # offsetDelta
+        if key is None:
+            rec += enc_varint(-1)
+        else:
+            rec += enc_varint(len(key)) + key
+        if value is None:
+            rec += enc_varint(-1)
+        else:
+            rec += enc_varint(len(value)) + value
+        rec += enc_varint(0)  # headers
+        body += enc_varint(len(rec)) + rec
+    # attributes..end is the CRC range
+    crc_part = (
+        enc_int16(0)  # attributes: no compression, CreateTime
+        + enc_int32(len(records) - 1)  # lastOffsetDelta
+        + enc_int64(base_ts)
+        + enc_int64(max_ts)
+        + enc_int64(-1)  # producerId
+        + enc_int16(-1)  # producerEpoch
+        + enc_int32(-1)  # baseSequence
+        + enc_int32(len(records))
+        + bytes(body)
+    )
+    after_length = (
+        enc_int32(0)  # partitionLeaderEpoch
+        + enc_int8(2)  # magic
+        + struct.pack(">I", crc32c(crc_part))
+        + crc_part
+    )
+    return enc_int64(base_offset) + enc_int32(len(after_length)) + after_length
+
+
+def decode_record_batches(
+    buf: bytes,
+) -> list[tuple[int, Optional[bytes], Optional[bytes], int]]:
+    """Decode a concatenation of record batches →
+    [(offset, key, value, timestamp_ms)]. Tolerates a truncated final
+    batch (brokers may return partial batches at the fetch byte cap)."""
+    out: list[tuple[int, Optional[bytes], Optional[bytes], int]] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset = struct.unpack(">q", buf[pos : pos + 8])[0]
+        batch_len = struct.unpack(">i", buf[pos + 8 : pos + 12])[0]
+        end = pos + 12 + batch_len
+        if end > len(buf):
+            break  # truncated tail batch
+        r = _Reader(buf[pos + 12 : end])
+        r.int32()  # partitionLeaderEpoch
+        magic = r.int8()
+        if magic != 2:
+            raise KafkaWireError(f"unsupported record batch magic {magic}")
+        expect_crc = r.uint32()
+        crc_range = r.buf[r.pos :]
+        if crc32c(crc_range) != expect_crc:
+            raise KafkaWireError("record batch CRC32C mismatch")
+        attributes = r.int16()
+        if attributes & 0x07:
+            raise KafkaWireError("compressed batches not supported")
+        r.int32()  # lastOffsetDelta
+        base_ts = r.int64()
+        r.int64()  # maxTimestamp
+        r.int64()  # producerId
+        r.int16()  # producerEpoch
+        r.int32()  # baseSequence
+        n = r.int32()
+        is_control = bool(attributes & 0x20)
+        for _ in range(n):
+            rec_len = r.varint()
+            rec = _Reader(r.take(rec_len))
+            rec.int8()  # record attributes
+            ts_delta = rec.varint()
+            off_delta = rec.varint()
+            klen = rec.varint()
+            key = None if klen < 0 else rec.take(klen)
+            vlen = rec.varint()
+            value = None if vlen < 0 else rec.take(vlen)
+            for _h in range(rec.varint()):
+                hk = rec.varint()
+                rec.take(hk)
+                hv = rec.varint()
+                if hv > 0:
+                    rec.take(hv)
+            if not is_control:
+                out.append((base_offset + off_delta, key, value, base_ts + ts_delta))
+        pos = end
+    return out
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
+API_VERSIONS = 18
+
+EARLIEST, LATEST = -2, -1
+
+
+class KafkaClient:
+    """One protocol connection per broker; partition leaders resolved
+    via Metadata. Thread-safe per instance (one in-flight request)."""
+
+    def __init__(self, bootstrap: str, client_id: str = "hstream-spark",
+                 timeout: float = 30.0):
+        host, _, port = bootstrap.rpartition(":")
+        self.bootstrap = (host or "127.0.0.1", int(port or 9092))
+        self.client_id = client_id
+        self.timeout = timeout
+        self._conns: dict[tuple[str, int], socket.socket] = {}
+        self._corr = 0
+        self._lock = threading.Lock()
+
+    # -- transport ---------------------------------------------------------
+
+    def _conn(self, addr: tuple[str, int]) -> socket.socket:
+        sock = self._conns.get(addr)
+        if sock is None:
+            try:
+                sock = socket.create_connection(addr, timeout=self.timeout)
+            except OSError as exc:
+                raise KafkaWireError(
+                    f"kafka connection to {addr[0]}:{addr[1]} failed: {exc}"
+                ) from exc
+            self._conns[addr] = sock
+        return sock
+
+    def close(self) -> None:
+        for sock in self._conns.values():
+            try:
+                sock.close()
+            except OSError:
+                pass
+        self._conns.clear()
+
+    def _call(self, api_key: int, api_version: int, body: bytes,
+              addr: Optional[tuple[str, int]] = None) -> _Reader:
+        with self._lock:
+            self._corr += 1
+            corr = self._corr
+            header = (
+                enc_int16(api_key) + enc_int16(api_version)
+                + enc_int32(corr) + enc_nullable_string(self.client_id)
+            )
+            frame = header + body
+            sock = self._conn(addr or self.bootstrap)
+            try:
+                sock.sendall(enc_int32(len(frame)) + frame)
+                raw = self._recv_exact(sock, 4)
+                size = struct.unpack(">i", raw)[0]
+                payload = self._recv_exact(sock, size)
+            except OSError as exc:
+                self._conns.pop(addr or self.bootstrap, None)
+                raise KafkaWireError(f"kafka request failed: {exc}") from exc
+        r = _Reader(payload)
+        got = r.int32()
+        if got != corr:
+            raise KafkaWireError(f"correlation mismatch: sent {corr} got {got}")
+        return r
+
+    @staticmethod
+    def _recv_exact(sock: socket.socket, n: int) -> bytes:
+        chunks = []
+        while n:
+            chunk = sock.recv(n)
+            if not chunk:
+                raise KafkaWireError("kafka connection closed mid-response")
+            chunks.append(chunk)
+            n -= len(chunk)
+        return b"".join(chunks)
+
+    # -- APIs --------------------------------------------------------------
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._call(API_VERSIONS, 0, b"")
+        err = r.int16()
+        if err:
+            raise KafkaWireError(f"ApiVersions error {err}")
+        out = {}
+        for _ in range(r.int32()):
+            k, lo, hi = r.int16(), r.int16(), r.int16()
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: Optional[list[str]] = None) -> dict:
+        body = (
+            struct.pack(">i", -1)
+            if topics is None
+            else enc_array([enc_string(t) for t in topics])
+        )
+        r = self._call(API_METADATA, 1, body)
+        brokers = {}
+        for _ in range(r.int32()):
+            node, host, port = r.int32(), r.string(), r.int32()
+            r.string()  # rack
+            brokers[node] = (host, port)
+        r.int32()  # controller_id
+        topics_out = {}
+        for _ in range(r.int32()):
+            err, name = r.int16(), r.string()
+            r.int8()  # is_internal
+            parts = {}
+            for _p in range(r.int32()):
+                perr, pid, leader = r.int16(), r.int32(), r.int32()
+                for _x in range(r.int32()):
+                    r.int32()  # replicas
+                for _x in range(r.int32()):
+                    r.int32()  # isr
+                parts[pid] = {"error": perr, "leader": leader}
+            topics_out[name] = {"error": err, "partitions": parts}
+        return {"brokers": brokers, "topics": topics_out}
+
+    def _leader_addr(self, topic: str, partition: int) -> tuple[str, int]:
+        md = self.metadata([topic])
+        t = md["topics"].get(topic)
+        if not t or t["error"]:
+            raise KafkaWireError(
+                f"metadata error for topic {topic!r}: "
+                f"{t['error'] if t else 'missing'}"
+            )
+        p = t["partitions"].get(partition)
+        if p is None:
+            raise KafkaWireError(f"unknown partition {topic}[{partition}]")
+        addr = md["brokers"].get(p["leader"])
+        return addr if addr else self.bootstrap
+
+    def partitions(self, topic: str) -> list[int]:
+        md = self.metadata([topic])
+        t = md["topics"].get(topic)
+        if not t or t["error"]:
+            raise KafkaWireError(
+                f"metadata error for topic {topic!r}: "
+                f"{t['error'] if t else 'missing'}"
+            )
+        return sorted(t["partitions"])
+
+    def list_offsets(self, topic: str, partition: int,
+                     timestamp: int = EARLIEST) -> int:
+        body = enc_int32(-1) + enc_array([
+            enc_string(topic)
+            + enc_array([enc_int32(partition) + enc_int64(timestamp)])
+        ])
+        r = self._call(API_LIST_OFFSETS, 1, body,
+                       self._leader_addr(topic, partition))
+        for _ in range(r.int32()):
+            r.string()
+            for _p in range(r.int32()):
+                r.int32()  # partition
+                err = r.int16()
+                if err:
+                    raise KafkaWireError(f"ListOffsets error {err}")
+                r.int64()  # timestamp
+                return r.int64()
+        raise KafkaWireError("empty ListOffsets response")
+
+    def produce(
+        self,
+        topic: str,
+        records: list[tuple[Optional[bytes], Optional[bytes], int]],
+        partition: int = 0,
+        acks: int = -1,
+        timeout_ms: int = 30000,
+    ) -> int:
+        """Produce one batch; returns the assigned base offset."""
+        batch = encode_record_batch(records)
+        body = (
+            enc_nullable_string(None)  # transactional_id
+            + enc_int16(acks)
+            + enc_int32(timeout_ms)
+            + enc_array([
+                enc_string(topic)
+                + enc_array([enc_int32(partition) + enc_bytes(batch)])
+            ])
+        )
+        r = self._call(API_PRODUCE, 3, body, self._leader_addr(topic, partition))
+        base = -1
+        for _ in range(r.int32()):
+            r.string()
+            for _p in range(r.int32()):
+                r.int32()  # partition index
+                err = r.int16()
+                if err:
+                    raise KafkaWireError(f"Produce error code {err}")
+                base = r.int64()
+                r.int64()  # log_append_time
+        r.int32()  # throttle
+        return base
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 4 << 20,
+        max_wait_ms: int = 100,
+    ) -> tuple[list[tuple[int, Optional[bytes], Optional[bytes], int]], int]:
+        """Fetch from ``offset`` → (records, high_watermark); records =
+        [(offset, key, value, timestamp_ms)]."""
+        body = (
+            enc_int32(-1)  # replica_id
+            + enc_int32(max_wait_ms)
+            + enc_int32(1)  # min_bytes
+            + enc_int32(max_bytes)
+            + enc_int8(0)  # isolation_level: read_uncommitted
+            + enc_array([
+                enc_string(topic)
+                + enc_array([
+                    enc_int32(partition) + enc_int64(offset)
+                    + enc_int32(max_bytes)
+                ])
+            ])
+        )
+        r = self._call(API_FETCH, 4, body, self._leader_addr(topic, partition))
+        r.int32()  # throttle
+        records: list = []
+        hwm = 0
+        for _ in range(r.int32()):
+            r.string()
+            for _p in range(r.int32()):
+                r.int32()  # partition
+                err = r.int16()
+                if err:
+                    raise KafkaWireError(f"Fetch error code {err}")
+                hwm = r.int64()
+                r.int64()  # last_stable_offset
+                n_aborted = r.int32()
+                for _a in range(max(0, n_aborted)):
+                    r.int64()
+                    r.int64()
+                record_set = r.bytes_() or b""
+                records.extend(
+                    rec for rec in decode_record_batches(record_set)
+                    if rec[0] >= offset  # batches can start before offset
+                )
+        return records, hwm
+
+
+def kafka_readstream(spark, topic: str, bootstrap: str,
+                     starting_offsets: str = "earliest"):
+    """The cluster-idiomatic path: the official Spark Kafka connector
+    (requires the ``spark-sql-kafka-0-10`` jar on the classpath).
+    Raises KafkaWireError with guidance when the jar is absent — the
+    engine then falls back to the wire-client ingestion tailer."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as exc:  # noqa: BLE001 — jar missing
+        raise KafkaWireError(
+            "spark-sql-kafka connector unavailable "
+            f"(add the spark-sql-kafka-0-10 jar for the native path): {exc}"
+        ) from exc

@@ -410,6 +410,15 @@ class HStreamEngine:
         cols.append(F.col(EVENT_TIME_COL))
         return df.select(*cols)
 
+    @staticmethod
+    def _stream_has_data(info: StreamInfo) -> bool:
+        """Any parquet part already written into the stream directory
+        (snapshot-idempotence check for source connectors)."""
+        for root, _dirs, files in os.walk(info.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _resolve_batch(self, name: str) -> DataFrame:
         if name in self.views:
             return self._view_state_read(self.views[name])
@@ -896,28 +905,64 @@ class HStreamEngine:
         elif stmt.kind == "SOURCE" and ctype in (
             "jdbc", "mysql", "postgresql", "sqlserver", "mongodb",
         ):
-            # per-database CDC source (conf/hstream.yaml:129-134) as a
-            # JDBC snapshot into the stream: the initial-load phase of
-            # Debezium-style CDC; continuous tailing belongs to a
-            # Kafka+Debezium deployment of the same stream abstraction.
-            # On DDL-log replay the snapshot already sits in the stream
-            # directory — re-running it would duplicate every row.
-            if self._replaying:
-                self.connectors.setdefault(stmt.name, info)
-                return info
-            target = self._require_stream(info.target)
+            # per-database CDC source (conf/hstream.yaml:129-134): a JDBC
+            # snapshot into the stream (the initial-load phase of
+            # Debezium-style CDC), then — when a WATERMARK_COLUMN option
+            # is present — continuous incremental tailing via
+            # watermark-column polling (the long-running worker phase,
+            # hstream-io/HStream/IO/Worker.hs:252-257). On DDL-log
+            # replay the snapshot already sits in the stream directory —
+            # re-running it would duplicate every row — but a watermark
+            # tailer restarts from the stream's recorded high-water mark.
             opts = {
                 str(k).lower(): v
                 for k, v in info.options.items()
                 if str(k).upper() != "TYPE"
             }
-            if ctype == "mongodb":
-                snap = C.mongodb_source(self.spark, opts)
+            wm_col = opts.pop("watermark_column", None)
+            poll_ms = int(opts.pop("poll_interval_ms", 0) or 0)
+            if ctype == "mongodb" or wm_col is None:
+                if self._replaying:
+                    self.connectors.setdefault(stmt.name, info)
+                    return info
+                target = self._require_stream(info.target)
+                if ctype == "mongodb":
+                    snap = C.mongodb_source(self.spark, opts)
+                else:
+                    snap = C.jdbc_source(self.spark, opts)
+                snap = snap.withColumn(EVENT_TIME_COL, F.current_timestamp())
+                snap = self._claim_or_encode(target, snap)
+                snap.write.mode("append").parquet(target.path)
             else:
-                snap = C.jdbc_source(self.spark, opts)
-            snap = snap.withColumn(EVENT_TIME_COL, F.current_timestamp())
-            snap = self._claim_or_encode(target, snap)
-            snap.write.mode("append").parquet(target.path)
+                target = self._require_stream(info.target)
+
+                def _emit(df: DataFrame) -> None:
+                    out = df.withColumn(EVENT_TIME_COL, F.current_timestamp())
+                    self._claim_or_encode(target, out).write.mode(
+                        "append"
+                    ).parquet(target.path)
+
+                tailer = C.JdbcCdcTailer(
+                    self.spark, opts, _emit, str(wm_col),
+                    poll_interval=(poll_ms / 1000.0) if poll_ms else 5.0,
+                )
+                if self._replaying or self._stream_has_data(target):
+                    # snapshot already landed (replay, or RESUME of a
+                    # paused connector): resume tailing from the high-
+                    # water mark recorded in the stream itself
+                    try:
+                        rec = self._resolve_batch(target.name)
+                        if str(wm_col) in rec.columns:
+                            tailer.last = rec.agg(
+                                F.max(str(wm_col))
+                            ).collect()[0][0]
+                    except Exception:  # noqa: BLE001 — empty stream
+                        pass
+                else:
+                    tailer.poll()  # first poll with last=None IS the snapshot
+                if poll_ms:
+                    tailer.start()
+                info.handle = tailer
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
             rate = C.rate_source(

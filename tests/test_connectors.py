@@ -451,6 +451,50 @@ def test_jdbc_source_connector_snapshot_into_stream(engine, spark):
     assert rows == [(10, "x"), (20, "y")]
 
 
+def test_jdbc_source_connector_incremental_tailing(engine, spark):
+    """Continuous CDC: rows inserted into the database AFTER
+    CREATE SOURCE CONNECTOR appear in the stream on the next poll
+    (watermark-column incremental ingestion — the long-running worker
+    phase the reference runs via Debezium,
+    hstream-io/HStream/IO/Worker.hs:252-257)."""
+    url = "jdbc:derby:memory:cdcdb;create=true"
+
+    def _write(rows):
+        (spark.createDataFrame(rows, "k long, s string")
+            .write.format("jdbc").mode("append")
+            .option("url", url).option("dbtable", "cdc_tab")
+            .option("driver", DERBY_DRIVER).save())
+
+    _write([(1, "a"), (2, "b")])
+    engine.execute("CREATE STREAM cdcs;")
+    info = engine.execute(
+        "CREATE SOURCE CONNECTOR ct FROM cdcs WITH (\"type\" = 'jdbc', "
+        f"\"url\" = 'jdbc:derby:memory:cdcdb', \"dbtable\" = 'cdc_tab', "
+        f"\"driver\" = '{DERBY_DRIVER}', \"watermark_column\" = 'k');"
+    )
+    assert info.handle is not None  # the tailer, not a one-shot snapshot
+    snap = engine.execute("SELECT * FROM cdcs;")
+    kcol = {c.lower(): c for c in snap.columns}["k"]
+    assert sorted(r[kcol] for r in snap.collect()) == [1, 2]
+    # post-snapshot inserts land on the next poll, already-seen rows don't dup
+    _write([(3, "c"), (4, "d")])
+    assert info.handle.poll() == 2
+    assert info.handle.poll() == 0
+    got = engine.execute("SELECT * FROM cdcs;")
+    assert sorted(r[kcol] for r in got.collect()) == [1, 2, 3, 4]
+    # PAUSE/TERMINATE manage the tailer like any streaming handle
+    engine.execute("PAUSE CONNECTOR ct;")
+    assert engine.connectors["ct"].handle is None
+    # RESUME does NOT re-snapshot (rows already in the stream) and
+    # resumes tailing from the stream's recorded high-water mark
+    info2 = engine.execute("RESUME CONNECTOR ct;")
+    assert info2.handle is not None and info2.handle.last == 4
+    assert engine.execute("SELECT * FROM cdcs;").count() == 4
+    _write([(5, "e")])
+    assert info2.handle.poll() == 1
+    assert engine.execute("SELECT * FROM cdcs;").count() == 5
+
+
 def test_las_sink_errors_clearly_at_create(engine):
     engine.execute("CREATE STREAM lsrc (k INTEGER);")
     with pytest.raises(Exception, match="external Volcengine LAS"):

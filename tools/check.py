@@ -6,7 +6,16 @@ count, column names, and order-insensitive values (columns sorted by
 name, rows sorted by all columns). Strictly stronger than a hash
 compare — on mismatch it prints the first differing rows.
 
-Usage: python tools/check.py [query ...]   (no args = all queries)
+Usage: python tools/check.py [--strict] [query ...]   (no args = all queries)
+
+``--strict`` mirrors the driver's byte-exact hash gate instead of the
+tolerant local compare: floats must match to the last bit, any
+list/array-typed output cell is an error (the driver's canonicalizer
+crashes on unhashable cells), and the canonicalized dtypes of the two
+frames must agree (int64-vs-float64 representation differences change
+the driver's hash even when values are numerically equal). Run this
+catalog-wide before every round so representation artifacts can never
+cost a driver row.
 """
 
 from __future__ import annotations
@@ -27,6 +36,9 @@ TABLES = (
 ).split()
 
 
+STRICT = False
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -41,10 +53,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def strict_hazards(side: str, pdf: pd.DataFrame) -> list[str]:
+    """Driver-gate hazards: list-typed cells crash the driver's
+    canonicalizer (pandas sort_values -> unhashable type)."""
+    out = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            sample = pdf[c].dropna().head(50)
+            if any(isinstance(v, (list, np.ndarray, dict)) for v in sample):
+                out.append(
+                    f"{side} col {c}: list/dict-typed cells — the driver's "
+                    "canonicalizer crashes on these; serialize at the query edge"
+                )
+    return out
+
+
 def values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if STRICT:
+            return a == b
         # last-ulp tolerance: Spark and DuckDB convert the SAME exact
         # decimal to double with different roundings on some values
         # (e.g. DuckDB's decimal->double divides in double space); a
@@ -67,7 +96,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return issues
     if len(spark_pdf) != len(duck_pdf):
         issues.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    if STRICT:
+        issues += strict_hazards("spark", spark_pdf)
+        issues += strict_hazards("duck", duck_pdf)
+        if issues:
+            return issues
     s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if STRICT:
+        for c in s.columns:
+            if str(s[c].dtype) != str(d[c].dtype):
+                issues.append(
+                    f"dtype of {c}: spark={s[c].dtype} duck={d[c].dtype} — "
+                    "numerically-equal values in different representations "
+                    "hash differently at the driver gate"
+                )
+        if issues:
+            return issues
     n = min(len(s), len(d))
     mismatches = 0
     for i in range(n):
@@ -85,7 +129,12 @@ def main() -> int:
     import __spark_entry__ as entry
     from hstream_spark import get_spark
 
-    only = set(sys.argv[1:])
+    global STRICT
+    argv = sys.argv[1:]
+    if "--strict" in argv:
+        STRICT = True
+        argv = [a for a in argv if a != "--strict"]
+    only = set(argv)
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
