@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger("hstream_spark.connectors")
 
+from os.path import exists as _os_path_exists  # noqa: E402
+from os import replace as _os_replace  # noqa: E402
+
 
 class ConnectorError(RuntimeError):
     pass
@@ -421,6 +424,198 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     return write
 
 
+def kafka_sink(options: dict) -> SinkFn:
+    """Kafka sink over the wire-protocol client (``sources/kafka_wire``)
+    — no jar, no broker library.  Rows JSON-encode JVM-side
+    (``to_json``) so only encoded strings cross into Python; each Spark
+    partition opens ONE connection and produces record batches, spread
+    round-robin across the topic's partitions — sink throughput scales
+    with Spark partition count, the same shape as the mongodb/ES sinks.
+    The record timestamp carries the row's event time when present.
+
+    On a cluster with the official ``spark-sql-kafka-0-10`` jar prefer
+    ``df.write.format("kafka")`` — this is the jar-free path.
+    """
+    from hstream_spark.plans.compiler import EVENT_TIME_COL
+
+    opts = {str(k).lower(): v for k, v in options.items()}
+    topic = str(opts.get("topic") or opts.get("kafka_topic") or "")
+    bootstrap = str(
+        opts.get("bootstrap_servers") or opts.get("kafka_bootstrap_servers") or ""
+    )
+    if not topic or not bootstrap:
+        raise ConnectorError(
+            "kafka sink requires topic and bootstrap_servers options"
+        )
+    batch_records = int(opts.get("batch_records", 500) or 500)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = [c for c in batch_df.columns if c != EVENT_TIME_COL]
+        ts = (
+            F.unix_millis(F.col(EVENT_TIME_COL))
+            if EVENT_TIME_COL in batch_df.columns
+            else F.unix_millis(F.current_timestamp())
+        )
+        enc = batch_df.select(
+            F.to_json(F.struct(*cols)).alias("v"), ts.alias("t")
+        )
+
+        def send(rows) -> None:
+            from hstream_spark.sources.kafka_wire import KafkaClient
+
+            client = KafkaClient(bootstrap)
+            try:
+                parts = client.partitions(topic) or [0]
+                buf: list = []
+                pidx = 0
+                for row in rows:
+                    buf.append((None, row["v"].encode("utf-8"), int(row["t"])))
+                    if len(buf) >= batch_records:
+                        client.produce(topic, buf, partition=parts[pidx % len(parts)])
+                        pidx += 1
+                        buf = []
+                if buf:
+                    client.produce(topic, buf, partition=parts[pidx % len(parts)])
+            finally:
+                client.close()
+
+        enc.foreachPartition(send)
+
+    return write
+
+
+class KafkaIngestTailer:
+    """Continuous Kafka → stream ingestion over the wire-protocol client
+    — the engine half of the reference's Kafka-compatible surface
+    (/root/reference/hstream-kafka/): a stream declared ``WITH
+    (KAFKA_TOPIC = ...)`` tails the topic into its parquet directory.
+
+    ``poll()`` drains every partition from the last committed offset to
+    the high watermark and hands decoded records to ``emit`` as
+    ``[(record_dict, event_time_seconds)]`` (JSON-object values expand
+    to fields; other payloads land under ``"value"``).  Offsets persist
+    to a JSON sidecar AFTER each successful append — restart resumes
+    from the sidecar (at-least-once across a crash between append and
+    commit; within a run, exactly-once).  ``start()``/``stop()`` match
+    the StreamingQuery handle shape so PAUSE/TERMINATE/shutdown manage
+    it uniformly."""
+
+    def __init__(
+        self,
+        bootstrap: str,
+        topic: str,
+        emit: Callable[[list], int],
+        offsets_path: str,
+        poll_interval: float = 2.0,
+        max_batch_bytes: int = 4 << 20,
+    ):
+        import threading
+
+        self.bootstrap = bootstrap
+        self.topic = topic
+        self.emit = emit
+        self.offsets_path = offsets_path
+        self.poll_interval = float(poll_interval)
+        self.max_batch_bytes = int(max_batch_bytes)
+        self.offsets: dict[int, int] = {}
+        if offsets_path and _os_path_exists(offsets_path):
+            try:
+                with open(offsets_path) as fh:
+                    self.offsets = {int(k): int(v) for k, v in json.load(fh).items()}
+            except (OSError, ValueError):
+                self.offsets = {}
+        self._client = None
+        self._stop = threading.Event()
+        self._thread = None
+        self._threading = threading
+
+    def _get_client(self):
+        if self._client is None:
+            from hstream_spark.sources.kafka_wire import KafkaClient
+
+            self._client = KafkaClient(self.bootstrap)
+        return self._client
+
+    @staticmethod
+    def _decode(value: Optional[bytes]) -> dict:
+        if value is None:
+            return {"value": None}
+        try:
+            obj = json.loads(value.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            try:
+                return {"value": value.decode("utf-8")}
+            except UnicodeDecodeError:
+                import base64
+
+                return {"value": base64.b64encode(value).decode("ascii")}
+        return obj if isinstance(obj, dict) else {"value": obj}
+
+    def _commit(self) -> None:
+        if not self.offsets_path:
+            return
+        tmp = self.offsets_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): v for k, v in self.offsets.items()}, fh)
+        _os_replace(tmp, self.offsets_path)
+
+    def poll(self) -> int:
+        """Drain all partitions to their high watermarks; returns rows."""
+        from hstream_spark.sources.kafka_wire import EARLIEST
+
+        client = self._get_client()
+        total = 0
+        for p in client.partitions(self.topic):
+            next_off = self.offsets.get(p)
+            if next_off is None:
+                next_off = client.list_offsets(self.topic, p, EARLIEST)
+            while True:
+                recs, hwm = client.fetch(
+                    self.topic, p, next_off, max_bytes=self.max_batch_bytes
+                )
+                if not recs:
+                    break
+                batch = [
+                    (self._decode(value), ts_ms / 1000.0)
+                    for (_off, _key, value, ts_ms) in recs
+                ]
+                self.emit(batch)
+                total += len(batch)
+                next_off = recs[-1][0] + 1
+                self.offsets[p] = next_off
+                self._commit()
+                if next_off >= hwm:
+                    break
+        return total
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.poll_interval):
+            try:
+                self.poll()
+            except Exception:  # noqa: BLE001 — broker outage; retry
+                _LOG.exception("kafka tailer poll failed; retrying next interval")
+                if self._client is not None:
+                    self._client.close()
+                    self._client = None
+
+    def start(self) -> "KafkaIngestTailer":
+        if self._thread is None:
+            self._thread = self._threading.Thread(
+                target=self._loop, name="kafka-ingest-tailer", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+
+
 def las_sink(options: dict) -> SinkFn:
     """The reference's ``las`` sink targets Volcengine LAS — an
     external managed cloud service (conf/hstream.yaml:141). There is
@@ -443,6 +638,7 @@ SINK_BUILDERS: dict[str, Callable[[dict], SinkFn]] = {
     "sqlserver": jdbc_sink,
     "mongodb": mongodb_sink,
     "elasticsearch": elasticsearch_sink,
+    "kafka": kafka_sink,  # wire-protocol producer, no jar needed
     "las": las_sink,  # external cloud service: clear error by design
 }
 

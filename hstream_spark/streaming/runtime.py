@@ -644,7 +644,97 @@ class HStreamEngine:
             stmt.name, path, schema, dict(stmt.options), dynamic=not stmt.columns
         )
         self.streams[stmt.name] = info
+        kopts = {str(k).lower(): v for k, v in info.options.items()}
+        if kopts.get("kafka_topic"):
+            self._attach_kafka_backing(info, kopts)
         return info
+
+    def _attach_kafka_backing(self, info: StreamInfo, kopts: dict) -> None:
+        """A stream declared ``WITH (KAFKA_TOPIC=..,
+        KAFKA_BOOTSTRAP_SERVERS=..)`` tails that topic into its parquet
+        directory — the engine half of the reference's Kafka surface
+        (/root/reference/hstream-kafka/) over the jar-free wire client;
+        the tailer registers as an implicit SOURCE connector so
+        PAUSE/TERMINATE/shutdown manage its lifecycle uniformly.
+        Committed offsets live in a sidecar in the stream directory, so
+        DDL-log replay on restart resumes instead of re-reading.  On a
+        cluster with the spark-sql-kafka jar, map the stream straight to
+        ``kafka_wire.kafka_readstream`` instead."""
+        from hstream_spark.sources import connectors as C
+
+        topic = str(kopts["kafka_topic"])
+        bootstrap = str(
+            kopts.get("kafka_bootstrap_servers") or kopts.get("kafka_bootstrap") or ""
+        )
+        if not bootstrap:
+            raise CompileError(
+                "KAFKA_TOPIC streams require KAFKA_BOOTSTRAP_SERVERS"
+            )
+        raw_ms = kopts.get("kafka_poll_interval_ms")
+        poll_ms = 2000 if raw_ms is None else int(raw_ms)
+
+        def _emit(records: list) -> int:
+            return self._append_records(info, records)
+
+        tailer = C.KafkaIngestTailer(
+            bootstrap, topic, _emit,
+            os.path.join(info.path, "_kafka_offsets.json"),
+            poll_interval=max(poll_ms, 1) / 1000.0,
+        )
+        cname = f"__kafka_{info.name}"
+        conn = ConnectorInfo(
+            cname, "SOURCE", info.name,
+            {"TYPE": "kafka", "topic": topic, "bootstrap": bootstrap},
+            handle=tailer,
+        )
+        self.connectors[cname] = conn
+        if poll_ms > 0:
+            tailer.start()
+
+    def _append_records(self, info: StreamInfo, records: list) -> int:
+        """Batched record append — the INSERT VALUES semantics applied
+        to a list of ``(record_dict, event_time_seconds)`` (kafka
+        ingestion): payload streams evolve their value-typed schema per
+        record; typed streams coerce via ``from_json`` (missing fields
+        → NULL, same as the reference's FlowObject ingestion)."""
+        if not records:
+            return 0
+        if info.dynamic:
+            try:
+                self._schema_of(info)
+            except CompileError:
+                pass
+            if info.schema is None:
+                info.payload = True
+        rows = [
+            (json.dumps(rec, default=_payload_default), float(ts))
+            for rec, ts in records
+        ]
+        raw_schema = T.StructType([
+            T.StructField("__j", T.StringType()),
+            T.StructField("__ts_sec", T.DoubleType()),
+        ])
+        raw = self.spark.createDataFrame(rows, raw_schema)
+        ts_col = F.timestamp_seconds(F.col("__ts_sec")).alias(EVENT_TIME_COL)
+        if info.payload:
+            for rec, _ts in records:
+                self._evolve_payload_schema(info, rec)
+            out = raw.select(
+                F.col("__j").alias(self._PAYLOAD_COL), ts_col
+            )
+        else:
+            logical = self._schema_of(info)
+            data_schema = T.StructType(
+                [f for f in logical.fields if f.name != EVENT_TIME_COL]
+            )
+            out = raw.select(
+                F.from_json(F.col("__j"), data_schema).alias("__r"), ts_col
+            ).select(
+                *[F.col(f"__r.{f.name}").alias(f.name) for f in data_schema.fields],
+                F.col(EVENT_TIME_COL),
+            )
+        out.write.mode("append").parquet(info.path)
+        return len(rows)
 
     def _start_continuous(self, select: A.Select, sink_stream: str, sql: str,
                           qname: Optional[str] = None) -> QueryInfo:
@@ -1320,6 +1410,10 @@ class HStreamEngine:
                         qi.handle.stop()
                     shutil.rmtree(qi.checkpoint, ignore_errors=True)
                     del self.queries[qn]
+            # cascade: stop + forget the implicit kafka ingestion tailer
+            kc = self.connectors.pop(f"__kafka_{stmt.name}", None)
+            if kc is not None and kc.handle is not None:
+                kc.handle.stop()
             shutil.rmtree(self.streams[stmt.name].path, ignore_errors=True)
         del registry[stmt.name]
         return True

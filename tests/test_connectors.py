@@ -495,6 +495,179 @@ def test_jdbc_source_connector_incremental_tailing(engine, spark):
     assert engine.execute("SELECT * FROM cdcs;").count() == 5
 
 
+class TestKafkaWireProtocol:
+    """Kafka interop over the pure-stdlib wire client
+    (``sources/kafka_wire.py``) against a live in-process stub broker —
+    the reference's Kafka-compatible surface
+    (/root/reference/hstream-kafka/) proven end to end, the same way
+    the mongodb OP_MSG connector is proven."""
+
+    def test_crc32c_and_record_batch_round_trip(self):
+        from hstream_spark.sources.kafka_wire import (
+            crc32c, decode_record_batches, encode_record_batch,
+        )
+
+        assert crc32c(b"123456789") == 0xE3069283  # RFC 3720 test vector
+        batch = encode_record_batch(
+            [(b"k", b"v1", 1000), (None, b"v2", 1007)], base_offset=41
+        )
+        assert decode_record_batches(batch) == [
+            (41, b"k", b"v1", 1000), (42, None, b"v2", 1007),
+        ]
+        # corruption is detected, not silently decoded
+        import pytest as _pytest
+
+        from hstream_spark.sources.kafka_wire import KafkaWireError
+
+        bad = bytearray(batch)
+        bad[-1] ^= 0xFF
+        with _pytest.raises(KafkaWireError, match="CRC32C"):
+            decode_record_batches(bytes(bad))
+
+    def test_kafka_backed_stream_ingests_topic(self, spark, tmp_path):
+        """CREATE STREAM WITH (KAFKA_TOPIC=...) round-trips through a
+        broker: produced records appear in the stream, offsets persist,
+        and an engine restart resumes instead of re-reading."""
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("events_t", partitions=2)
+            producer = KafkaClient(broker.bootstrap)
+            producer.produce(
+                "events_t",
+                [(None, b'{"k": 1, "s": "a"}', 1000),
+                 (None, b'{"k": 2, "s": "b"}', 2000)],
+                partition=0,
+            )
+            producer.produce(
+                "events_t", [(None, b'{"k": 3, "s": "c"}', 3000)], partition=1
+            )
+            root = str(tmp_path / "data")
+            eng = HStreamEngine(spark, root)
+            try:
+                eng.execute(
+                    "CREATE STREAM kev WITH (\"kafka_topic\" = 'events_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"  # manual poll: deterministic
+                )
+                tailer = eng.connectors["__kafka_kev"].handle
+                assert tailer.poll() == 3
+                out = eng.execute("SELECT k, s FROM kev;").collect()
+                assert sorted((r["k"], r["s"]) for r in out) == [
+                    (1, "a"), (2, "b"), (3, "c"),
+                ]
+                # new records land on the next poll, old ones don't dup
+                producer.produce(
+                    "events_t", [(None, b'{"k": 4, "s": "d"}', 4000)], partition=0
+                )
+                assert tailer.poll() == 1
+                assert tailer.poll() == 0
+                assert eng.execute("SELECT * FROM kev;").count() == 4
+            finally:
+                eng.shutdown()
+            # restart over the same data_root: DDL replay re-attaches the
+            # tailer, committed offsets prevent re-ingestion
+            eng2 = HStreamEngine(spark, root)
+            try:
+                tailer2 = eng2.connectors["__kafka_kev"].handle
+                assert tailer2.poll() == 0
+                assert eng2.execute("SELECT * FROM kev;").count() == 4
+            finally:
+                eng2.shutdown()
+            producer.close()
+
+    def test_kafka_sink_produces_from_stream(self, engine):
+        """CREATE SINK CONNECTOR type=kafka drains a stream into a topic
+        (JSON values, event time as the record timestamp)."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("sink_t")
+            engine.execute("CREATE STREAM ksrc (a INTEGER, s STRING);")
+            engine.execute("INSERT INTO ksrc (a, s) VALUES (1, 'x');")
+            engine.execute("INSERT INTO ksrc (a, s) VALUES (2, 'y');")
+            info = engine.execute(
+                "CREATE SINK CONNECTOR kk TO ksrc WITH (\"type\" = 'kafka', "
+                f"\"topic\" = 'sink_t', "
+                f"\"bootstrap_servers\" = '{broker.bootstrap}');"
+            )
+            info.handle.processAllAvailable()
+            consumer = KafkaClient(broker.bootstrap)
+            recs, hwm = consumer.fetch("sink_t", 0, 0)
+            consumer.close()
+            assert hwm == 2
+            vals = sorted(
+                (d["a"], d["s"])
+                for d in (_json.loads(v.decode()) for (_o, _k, v, _ts) in recs)
+            )
+            assert vals == [(1, "x"), (2, "y")]
+
+    def test_kafka_topic_to_topic_pipeline(self, spark, tmp_path):
+        """Topic → stream → continuous query → sink connector → topic:
+        the full Kafka-in/Kafka-out pipeline through the engine."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("in_t")
+            broker.create_topic("out_t")
+            client = KafkaClient(broker.bootstrap)
+            client.produce(
+                "in_t",
+                [(None, _json.dumps({"v": i}).encode(), 1000 + i)
+                 for i in range(6)],
+            )
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM kin WITH (\"kafka_topic\" = 'in_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                eng.connectors["__kafka_kin"].handle.poll()
+                eng.execute(
+                    "CREATE STREAM kbig AS SELECT v, v * 10 AS v10 "
+                    "FROM kin WHERE v >= 3;"
+                )
+                qname = next(reversed(eng.queries))
+                eng.queries[qname].handle.processAllAvailable()
+                conn = eng.execute(
+                    "CREATE SINK CONNECTOR kout TO kbig WITH "
+                    "(\"type\" = 'kafka', \"topic\" = 'out_t', "
+                    f"\"bootstrap_servers\" = '{broker.bootstrap}');"
+                )
+                conn.handle.processAllAvailable()
+                recs, _hwm = client.fetch("out_t", 0, 0)
+                got = sorted(
+                    (d["v"], d["v10"])
+                    for d in (_json.loads(v.decode()) for (_o, _k, v, _t) in recs)
+                )
+                assert got == [(3, 30), (4, 40), (5, 50)]
+            finally:
+                eng.shutdown()
+                client.close()
+
+    def test_kafka_stream_requires_bootstrap(self, engine):
+        from hstream_spark.plans.compiler import CompileError
+
+        with pytest.raises(CompileError, match="KAFKA_BOOTSTRAP_SERVERS"):
+            engine.execute(
+                "CREATE STREAM knb WITH (\"kafka_topic\" = 't');"
+            )
+
+    def test_kafka_sink_requires_options(self):
+        from hstream_spark.sources.connectors import kafka_sink
+
+        with pytest.raises(ConnectorError, match="topic and bootstrap"):
+            kafka_sink({"topic": "t"})
+
+
 def test_las_sink_errors_clearly_at_create(engine):
     engine.execute("CREATE STREAM lsrc (k INTEGER);")
     with pytest.raises(Exception, match="external Volcengine LAS"):
