@@ -104,6 +104,10 @@ HEADLINE = [
     "profile_table",
     "event_funnel",
     "cohort_retention",
+    "semantic_dedup",
+    "dedup_against_index",
+    "corpus_shuffle",
+    "perplexity_bands",
 ]
 
 

@@ -5,6 +5,7 @@ corpus run would chain them at 100 TB:
   raw documents
     → normalize_text            (control/zero-width strip, ws collapse)
     → quality_classifier        (logistic keep/drop, calibrated prob)
+    → perplexity_bands          (CCNet: drop the per-language tail band)
     → exact dedup               (md5 content hash, keep lowest id;
                                  a web corpus runs url_dedup first)
     → minhash near-dup prune    (banded LSH candidates → components)
@@ -13,6 +14,7 @@ corpus run would chain them at 100 TB:
     → group_train_test_split    (leakage-safe: content-hash groups)
     → chunk_documents           (context windows, stride)
     → pack_sequences            (greedy ≤L-token training sequences)
+    → deterministic_shuffle     (seeded shard + epoch order)
     → profile_table             (the pre-commit schema/quality report)
 
 Run: python examples/curate_training_data.py [sf_dir]
@@ -51,6 +53,16 @@ def curate(spark, sf_dir: str, max_tokens: int = 64) -> dict[str, DataFrame]:
     keep = TX.quality_classifier(docs).where(F.col("keep")).select("doc_id")
     docs = docs.join(keep, "doc_id")
     out["quality"] = docs
+
+    # 2b. CCNet perplexity banding: drop each language's tail band
+    #     (rare-token soup the logistic features under-penalize)
+    lm_keep = (
+        TX.perplexity_bands(docs, bands=3, keep_bands=(1, 2))
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    docs = docs.join(lm_keep, "doc_id")
+    out["ppl_filtered"] = docs
 
     # 3. exact dedup: keep the lowest id per content hash
     firsts = (
@@ -102,6 +114,13 @@ def curate(spark, sf_dir: str, max_tokens: int = 64) -> dict[str, DataFrame]:
         n_buckets=4,
     )
     out["packed"] = packed
+
+    # 9b. deterministic epoch order: shard + in-shard position derive
+    #     from a seeded hash, so every engine/run reproduces the order
+    #     and "epoch2" is one cheap re-run with a new seed
+    out["sharded"] = SMP.deterministic_shuffle(
+        packed, key_col="doc_id", n_shards=4, seed="epoch1"
+    )
 
     # 10. profile the deliverable
     from hstream_spark.operators.relational import profile_table

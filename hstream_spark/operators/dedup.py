@@ -507,6 +507,78 @@ def remove_duplicate_passages(
     )
 
 
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup — score a NEW batch against an EXISTING corpus
+    without re-deduplicating the corpus (the shape every production
+    training pipeline needs when data arrives continuously; the
+    reference's streams are exactly this append model).  Per batch
+    document: ``exact_dup`` (its md5 text digest already exists in the
+    corpus) and ``near_dup`` (some corpus document reaches shingle
+    Jaccard >= ``threshold`` through the MinHash-LSH band index).
+    Emits ``(doc_id, exact_dup, near_dup)`` for every batch doc — the
+    keep decision is one filter on the flags.
+
+    Scale: the corpus side of the band join is precomputable — persist
+    ``minhash_bands_from_sets(corpus)`` partitioned by band once and
+    every arriving batch joins against it (the standing LSH index);
+    candidates are band-key equi-matches, never batch × corpus. The
+    exact check is a semi-join on uniform md5 keys. Both shuffles are
+    skew-free.
+    """
+    bsets = doc_shingle_sets(batch, text_col, id_col)
+    csets = doc_shingle_sets(corpus, text_col, id_col)
+    b_bands = minhash_bands_from_sets(bsets).select(
+        F.col("doc_id").alias("__ba"), "band", "band_sig"
+    )
+    c_bands = minhash_bands_from_sets(csets).select(
+        F.col("doc_id").alias("__cb"), "band", "band_sig"
+    )
+    cand = (
+        b_bands.join(c_bands, ["band", "band_sig"])
+        .select("__ba", "__cb")
+        .distinct()
+    )
+    pairs = (
+        cand.join(bsets.select(F.col("doc_id").alias("__ba"),
+                               F.col("hs").alias("__hsa")), "__ba")
+        .join(csets.select(F.col("doc_id").alias("__cb"),
+                           F.col("hs").alias("__hsb")), "__cb")
+    )
+    inter = F.size(F.array_intersect(F.col("__hsa"), F.col("__hsb")))
+    union = F.size(F.col("__hsa")) + F.size(F.col("__hsb")) - inter
+    near = (
+        pairs.where(
+            inter.cast("double") / union.cast("double") >= F.lit(float(threshold))
+        )
+        .select(F.col("__ba").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    c_digests = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    exact = (
+        batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        .join(c_digests, "__h", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(False)).alias("near_dup"),
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     block_cols: list[str],

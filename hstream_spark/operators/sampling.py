@@ -41,6 +41,45 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    data-ordering step before sequence packing: every row gets a
+    ``shard`` in [0, n_shards) and a dense ``pos`` within its shard,
+    both derived purely from ``md5(seed || key)``.  Same seed → same
+    order on every engine and every re-run (resumable training);
+    changing ``seed`` is a full reshuffle.  Epoch-wise reshuffling =
+    one cheap re-run with ``seed=f"epoch{k}"``.
+
+    Scale: md5 buckets are uniform, so shards balance and the single
+    exchange (on the shard key) has no skew; the in-shard rank is a
+    window per shard — state bounded by shard size (raise ``n_shards``
+    to bound it; writers then emit one file per shard in shard order).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    with_h = df.withColumn("__h", h)
+    w = Window.partitionBy(F.col("__h") % n_shards).orderBy("__h", key_col)
+    return (
+        with_h.withColumn(shard_col, F.col("__h") % n_shards)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__h")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

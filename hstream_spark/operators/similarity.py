@@ -510,6 +510,51 @@ def kmeans_fit(
     return cents
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    cluster-then-prune semantic duplicates over an embedding column.
+    Vectors assign to their nearest coarse centroid (cosine, map-only);
+    WITHIN each cluster, any vector with a lower-id neighbor at cosine
+    >= ``eps`` is dropped, so exactly the lowest-id member of every
+    semantic group survives (deterministic representative choice —
+    the paper keeps one random member).  Returns the surviving
+    ``(id, cluster)`` rows.
+
+    This is the training-data counterpart of near-dup text dedup for
+    paraphrases/translations that share no tokens. The SemDeDup trick
+    is the scale property: pairwise cosine runs ONLY inside clusters
+    (one cluster-keyed self-join) — O(Σ kᵢ²), not O(n²). At corpus
+    scale raise ``len(centroids)`` so expected cluster size stays
+    bounded; a skewed giant cluster is the signal to re-train with
+    more centroids (or recurse into it).
+    """
+    assigned = kmeans_assign(corpus, centroids, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    nv = corpus.select(F.col(id_col), normalized(F.col(vec_col)).alias("__nv"))
+    members = assigned.join(nv, id_col)
+    a = members.select(
+        F.col(id_col).alias("__ida"), F.col("cluster"), F.col("__nv").alias("__va")
+    )
+    b = members.select(
+        F.col(id_col).alias("__idb"), F.col("cluster"), F.col("__nv").alias("__vb")
+    )
+    drops = (
+        a.join(b, "cluster")
+        .where(F.col("__ida") > F.col("__idb"))
+        .where(dot(F.col("__va"), F.col("__vb")) >= F.lit(float(eps)))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti")
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -557,6 +557,49 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+def perplexity_bands(
+    docs: DataFrame,
+    bands: int = 3,
+    keep_bands: tuple[int, ...] = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity banding (Wenzek et al. 2020,
+    arXiv:1911.00359 — public): per language, rank documents by
+    unigram-LM cross-entropy (``lm_cross_entropy``) and NTILE them
+    into ``bands`` quality bands — band 1 = most-typical text ("head"),
+    the last band = rare-token soup ("tail"). Emits ``(doc_id, lang,
+    ppl_band, keep)`` with ``keep`` true for ``keep_bands`` (CCNet
+    trains on head+middle). Deterministic: total order is
+    (mean nll, doc_id).
+
+    Scale: inherits lm_cross_entropy's two skew-free shuffles (token
+    counts + per-doc sums, vocab table broadcast); the banding itself
+    is one window per language — per-partition state is a row counter,
+    and language cardinality bounds the partition count, so band
+    assignment is effectively free next to the scoring pass.
+    """
+    from pyspark.sql import Window
+
+    xent = lm_cross_entropy(docs, text_col, id_col)
+    langs = docs.select(F.col(id_col), F.col(lang_col))
+    scored = xent.join(langs, id_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        (F.col("nll_micro").cast("double") / F.col("n_tokens").cast("double")
+         ).alias("__mean_nll"),
+    )
+    w = Window.partitionBy(lang_col).orderBy("__mean_nll", id_col)
+    banded = scored.withColumn("ppl_band", F.ntile(int(bands)).over(w))
+    return banded.select(
+        id_col,
+        lang_col,
+        "ppl_band",
+        F.col("ppl_band").isin(*[int(b) for b in keep_bands]).alias("keep"),
+    )
+
+
 def source_curation_stats(
     docs: DataFrame,
     group_col: str = "source",
@@ -568,34 +611,32 @@ def source_curation_stats(
     spread, total characters, and the exact-duplicate fraction
     (documents whose full text appears more than once in the corpus).
 
-    Two shuffles at 100 TB: the md5-keyed duplicate count (uniform
-    128-bit keys — no skew) and the per-source aggregation (source
-    cardinality is tiny next to the corpus; partial aggregation
-    map-side-combines). The duplicate set joins back on the same md5
-    key partitioning.
+    Two shuffles at 100 TB, each paid ONCE: a count window over the md5
+    hash tags every row with its text's corpus multiplicity (uniform
+    128-bit keys — no skew; a groupBy + join-back would scan and
+    shuffle the hashed corpus twice), then the per-source aggregation
+    (source cardinality is tiny next to the corpus; partial
+    aggregation map-side-combines).
     """
+    from pyspark.sql import Window
+
     h = docs.select(
         F.col(group_col).alias("__grp"),
         F.col("lang"),
         F.length(F.col(text_col)).alias("__n"),
         F.md5(F.col(text_col)).alias("__h"),
     )
-    dup = (
-        h.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") > 1)
-        .select("__h", F.lit(1).alias("__dup"))
+    tagged = h.withColumn(
+        "__dup",
+        (F.count(F.lit(1)).over(Window.partitionBy("__h")) > 1).cast("int"),
     )
-    joined = h.join(dup, "__h", "left")
-    return joined.groupBy(F.col("__grp").alias(group_col)).agg(
+    return tagged.groupBy(F.col("__grp").alias(group_col)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("__n").alias("total_chars"),
-        F.coalesce(F.sum("__dup"), F.lit(0)).alias("dup_docs"),
+        F.sum("__dup").alias("dup_docs"),
         F.round(
-            F.coalesce(F.sum("__dup"), F.lit(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
+            F.sum("__dup").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("dup_frac"),
     )
 

@@ -4240,20 +4240,11 @@ SELECT vec_id, cluster, cos FROM ranked WHERE rn = 1
 """
 
 
-@register("kmeans_assign", _KMEANS_ASSIGN_ORACLE, tags=("similarity", "kmeans"))
-def q_kmeans_assign(spark, sf):
-    """The assignment stage of k-means in isolation, oracle-checked with
-    FIXED centroids (the normalized embeddings of four pinned vec_ids) —
-    a deterministic map-only projection both engines replicate exactly
-    (sequential-fold dot products on identical doubles). The trainer
-    (`embedding_kmeans`) stays convergence-pinned in unit tests; this
-    entry proves the assignment math it shares. Collecting the 4 seed
-    rows is model-sized driver traffic, not a data collect."""
+def _seed_centroids(emb) -> list:
+    """The four pinned seed vectors, L2-normalized, as fixed centroids
+    (model-sized driver traffic, not a data collect)."""
     import math
 
-    from hstream_spark.operators.similarity import kmeans_assign
-
-    emb = load_table(spark, sf, "embeddings")
     rows = (
         emb.filter(F.col("vec_id").isin(*_KMEANS_SEEDS))
         .select("vec_id", "embedding")
@@ -4267,8 +4258,158 @@ def q_kmeans_assign(spark, sf):
         n = math.sqrt(s) or 1.0
         return [v / n for v in vals]
 
-    cents = [
+    return [
         (i, _l2([float(x) for x in r["embedding"]]))
         for i, r in enumerate(sorted(rows, key=lambda r: r["vec_id"]))
     ]
-    return kmeans_assign(emb, cents)
+
+
+@register("kmeans_assign", _KMEANS_ASSIGN_ORACLE, tags=("similarity", "kmeans"))
+def q_kmeans_assign(spark, sf):
+    """The assignment stage of k-means in isolation, oracle-checked with
+    FIXED centroids (the normalized embeddings of four pinned vec_ids) —
+    a deterministic map-only projection both engines replicate exactly
+    (sequential-fold dot products on identical doubles). The trainer
+    (`embedding_kmeans`) stays convergence-pinned in unit tests; this
+    entry proves the assignment math it shares."""
+    from hstream_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_assign(emb, _seed_centroids(emb))
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_NORM_VEC} AS vn FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vn AS cvec
+      FROM e WHERE vec_id IN {_KMEANS_SEEDS}),
+scored AS (SELECT e.vec_id, c.cluster, list_dot_product(e.vn, c.cvec) AS cos
+           FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cluster ASC) AS rn
+          FROM scored) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster, e.vn FROM asg a JOIN e USING (vec_id)),
+drops AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b
+          ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+             AND list_dot_product(a.vn, b.vn) >= 0.4)
+SELECT vec_id, cluster FROM m
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+@register("semantic_dedup", _SEMANTIC_DEDUP_ORACLE, tags=("dedup", "embedding", "semantic"))
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (cluster-then-prune semantic dedup, Abbas et al. 2023):
+    with the fixed seeded centroids, drop every vector having a
+    lower-id same-cluster neighbor at cosine >= 0.4 — pairwise work
+    confined to clusters, the O(sum k_i^2)-not-O(n^2) shape
+    (operators/similarity.py semantic_dedup)."""
+    from hstream_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, _seed_centroids(emb), eps=0.4)
+
+
+_DEDUP_INDEX_ORACLE = f"""
+WITH docs AS ({_TOKS_CTE}),
+tha AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS th FROM docs),
+sh AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(th) - 2), i -> {_SHINGLE3})) AS h
+       FROM tha),
+shh AS (SELECT DISTINCT doc_id, h FROM sh),
+perms AS (SELECT * FROM (VALUES {{perms}}) p(i, a, b)),
+mh AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+       FROM shh, perms GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {{rpb}} AS band,
+                 string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_sig
+          FROM mh GROUP BY doc_id, i // {{rpb}}),
+cand AS (SELECT DISTINCT a.doc_id AS ba, b.doc_id AS cb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM shh GROUP BY doc_id),
+near AS (SELECT DISTINCT c.ba AS doc_id
+         FROM cand c JOIN sets sa ON sa.doc_id = c.ba
+                     JOIN sets sb ON sb.doc_id = c.cb
+         WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE
+               / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))::DOUBLE
+               >= 0.5),
+exact AS (SELECT DISTINCT d.doc_id FROM documents d
+          WHERE d.doc_id % 5 = 0
+            AND md5(d.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0))
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+       d.doc_id IN (SELECT doc_id FROM near) AS near_dup
+FROM documents d WHERE d.doc_id % 5 = 0
+"""
+
+
+@register(
+    "dedup_against_index",
+    _DEDUP_INDEX_ORACLE.replace("{perms}", _minhash_perm_values())
+    .replace("{rpb}", str(D.ROWS_PER_BAND)),
+    tags=("dedup", "incremental", "lsh"),
+)
+def q_dedup_against_index(spark, sf):
+    """Incremental dedup of a NEW batch (doc_id % 5 == 0) against the
+    EXISTING corpus (the rest): exact md5 semi-join + MinHash-LSH band
+    join -> Jaccard >= 0.5, per-doc flags — the continuous-ingestion
+    dedup shape (operators/dedup.py dedup_against_corpus; the corpus
+    band index is persistable for standing use)."""
+    docs = load_table(spark, sf, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return D.dedup_against_corpus(batch, corpus, threshold=0.5)
+
+
+_CORPUS_SHUFFLE_ORACLE = """
+WITH h AS (SELECT doc_id,
+                  ('0x' || substring(md5('r4' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+           FROM documents)
+SELECT doc_id, hh % 8 AS shard,
+       row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos
+FROM h
+"""
+
+
+@register("corpus_shuffle", _CORPUS_SHUFFLE_ORACLE, tags=("sampling", "shuffle"))
+def q_corpus_shuffle(spark, sf):
+    """Deterministic global corpus shuffle into 8 training shards
+    (seeded md5 order — same seed reproduces the epoch order on any
+    engine; one skew-free exchange on the shard key)
+    (operators/sampling.py deterministic_shuffle)."""
+    from hstream_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf, "documents")
+    out = deterministic_shuffle(docs, "doc_id", n_shards=8, seed="r4")
+    return out.select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )
+
+
+_PPL_BANDS_ORACLE = f"""
+WITH xent AS ({_LM_ORACLE}),
+scored AS (SELECT x.doc_id, d.lang,
+                  x.nll_micro::DOUBLE / x.n_tokens::DOUBLE AS m
+           FROM xent x JOIN documents d USING (doc_id)),
+b AS (SELECT doc_id, lang,
+             CAST(ntile(3) OVER (PARTITION BY lang ORDER BY m, doc_id) AS BIGINT)
+               AS ppl_band
+      FROM scored)
+SELECT doc_id, lang, ppl_band, ppl_band IN (1, 2) AS keep FROM b
+"""
+
+
+@register("perplexity_bands", _PPL_BANDS_ORACLE, tags=("text", "lm", "ccnet"))
+def q_perplexity_bands(spark, sf):
+    """CCNet-style perplexity banding: per language, NTILE(3) by
+    unigram-LM cross-entropy, keep head+middle — the classic LM-based
+    quality filter (operators/text.py perplexity_bands)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    out = TX.perplexity_bands(docs, bands=3, keep_bands=(1, 2))
+    return out.select(
+        "doc_id", "lang", F.col("ppl_band").cast("long").alias("ppl_band"), "keep"
+    )

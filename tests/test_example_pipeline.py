@@ -23,7 +23,8 @@ def test_curation_example_end_to_end(spark, sf_dir):
     # monotone filtering through the pruning stages
     assert counts["raw"] == counts["normalized"]
     assert counts["quality"] <= counts["normalized"]
-    assert counts["exact_dedup"] <= counts["quality"]
+    assert counts["ppl_filtered"] <= counts["quality"]
+    assert counts["exact_dedup"] <= counts["ppl_filtered"]
     assert counts["near_dedup"] <= counts["exact_dedup"]
     assert counts["decontaminated"] <= counts["near_dedup"]
     assert counts["rebalanced"] <= counts["decontaminated"]
@@ -50,6 +51,17 @@ def test_curation_example_end_to_end(spark, sf_dir):
     assert packs
     for r in packs:
         assert r["t"] <= 64 or r["m"] == 1
+
+    # sharding keeps every packed row, dense positions per shard
+    sh = stages["sharded"]
+    assert sh.count() == counts["packed"]
+    dense = (
+        sh.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"))
+        .where(F.col("n") != F.col("mx"))
+        .count()
+    )
+    assert dense == 0
 
     # profile reports one row per deliverable column
     prof = {r["column"]: r for r in stages["profile"].collect()}

@@ -1,0 +1,105 @@
+"""Property tests for the Kafka wire codec (no Spark, no broker):
+record-batch v2 encode/decode round-trips arbitrary keys/values/
+timestamps, offsets rebase correctly, and corruption never decodes."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hstream_spark.sources.kafka_wire import (
+    KafkaWireError,
+    crc32c,
+    decode_record_batches,
+    enc_varint,
+    encode_record_batch,
+)
+
+
+def test_crc32c_reference_vectors():
+    # RFC 3720 §B.4 / common known-answer vectors
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"a") == 0xC1D04330
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_varint_zigzag_round_trip(v):
+    from hstream_spark.sources.kafka_wire import _Reader
+
+    assert _Reader(enc_varint(v)).varint() == v
+
+
+_record = st.tuples(
+    st.one_of(st.none(), st.binary(max_size=64)),   # key
+    st.one_of(st.none(), st.binary(max_size=256)),  # value
+    st.integers(min_value=0, max_value=2**41),      # timestamp ms
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    records=st.lists(_record, min_size=1, max_size=20),
+    base=st.integers(min_value=0, max_value=2**31),
+)
+def test_record_batch_round_trip(records, base):
+    buf = encode_record_batch(records, base_offset=base)
+    out = decode_record_batches(buf)
+    assert out == [
+        (base + i, k, v, ts) for i, (k, v, ts) in enumerate(records)
+    ]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(_record, min_size=1, max_size=5), min_size=1, max_size=5
+    )
+)
+def test_concatenated_batches_decode_in_order(batches):
+    buf = b""
+    off = 0
+    expect = []
+    for recs in batches:
+        buf += encode_record_batch(recs, base_offset=off)
+        expect += [(off + i, k, v, ts) for i, (k, v, ts) in enumerate(recs)]
+        off += len(recs)
+    assert decode_record_batches(buf) == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    records=st.lists(_record, min_size=1, max_size=8),
+    flip=st.integers(min_value=0, max_value=10**9),
+)
+def test_corruption_detected_or_safely_truncated(records, flip):
+    """Flipping any payload byte must either raise (CRC/structure), or
+    land in one of the two fields the Kafka spec deliberately leaves
+    OUTSIDE the CRC because brokers rewrite them (batchLength framing →
+    reads as a truncated tail; partitionLeaderEpoch → ignored, records
+    decode unchanged). Record data itself can never silently corrupt."""
+    buf = bytearray(encode_record_batch(records))
+    # never flip inside baseOffset (first 8 bytes) — offset is outside
+    # the CRC range by design (brokers rewrite it on append)
+    idx = 8 + (flip % (len(buf) - 8))
+    buf[idx] ^= 0x01
+    try:
+        out = decode_record_batches(bytes(buf))
+    except KafkaWireError:
+        return  # detected — good
+    if 8 <= idx < 12:  # batchLength prefix: truncated-tail semantics
+        assert out == []
+    elif 12 <= idx < 16:  # partitionLeaderEpoch: not CRC'd, not used
+        assert out == [
+            (i, k, v, ts) for i, (k, v, ts) in enumerate(records)
+        ]
+    else:
+        raise AssertionError(
+            f"flip at {idx} decoded successfully outside the uncovered fields"
+        )
+
+
+def test_empty_batch_rejected():
+    with pytest.raises(KafkaWireError, match="empty"):
+        encode_record_batch([])

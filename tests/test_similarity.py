@@ -329,3 +329,24 @@ def test_pq_encode_np_matches_expression_path(spark, emb):
     fast = {r["vec_id"]: list(r["codes"])
             for r in SIM.pq_encode_np(emb, books).collect()}
     assert expr == fast
+
+
+def test_semantic_dedup_drops_lowest_id_keeps_rest(spark):
+    """Within a cluster, every vector with a lower-id neighbor at
+    cosine >= eps drops; the lowest-id group member survives."""
+    from hstream_spark.operators.similarity import semantic_dedup
+
+    # two tight groups along different axes + one isolated vector
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),   # dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),      # isolated
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+    out = sorted(r["vec_id"] for r in
+                 semantic_dedup(vecs, cents, eps=0.95).collect())
+    assert out == [1, 3, 5]

@@ -478,3 +478,76 @@ def test_url_dedup_collapses_variants(spark):
         (3, "https://example.com/b"),
         (5, "https://other.com/b"),
     ]
+
+
+def test_perplexity_bands_ccnet_split(spark):
+    """Per language, docs rank by unigram cross-entropy into 3 bands;
+    the rare-token doc lands in the tail band and is dropped."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.text import perplexity_bands
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the mat"),
+            (3, "en", "xqzt vprw glorp zzyx qq"),  # rare-token soup
+            (4, "fr", "le chat est la"),
+            (5, "fr", "le chien est la"),
+            (6, "fr", "wxyz qrst uvwx"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: (r["ppl_band"], r["keep"])
+           for r in perplexity_bands(docs, bands=3).collect()}
+    assert len(out) == 6
+    # each language's rare-token doc is band 3 (highest mean nll), dropped
+    assert out[3] == (3, False)
+    assert out[6] == (3, False)
+    # common-vocab docs keep
+    assert out[1][1] and out[2][1] and out[4][1] and out[5][1]
+
+
+def test_deterministic_shuffle_stable_and_seed_sensitive(spark):
+    from hstream_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(df, "doc_id", n_shards=4, seed="s1")
+    b = deterministic_shuffle(df, "doc_id", n_shards=4, seed="s1")
+    c = deterministic_shuffle(df, "doc_id", n_shards=4, seed="s2")
+    ra = sorted((r["doc_id"], r["shard"], r["pos"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["shard"], r["pos"]) for r in b.collect())
+    rc = sorted((r["doc_id"], r["shard"], r["pos"]) for r in c.collect())
+    assert ra == rb                      # same seed -> identical order
+    assert ra != rc                      # new seed -> a real reshuffle
+    # positions are dense 1..k within every shard
+    by_shard = {}
+    for _id, sh, pos in ra:
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_dedup_against_corpus_flags(spark):
+    """Exact copies of corpus docs flag exact_dup; near-copies (shared
+    shingles above threshold) flag near_dup; fresh docs flag neither."""
+    from hstream_spark.operators.dedup import dedup_against_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact copy of 1
+            (11, base + " ok"),                           # near copy of 1
+            (12, "nothing in common with any corpus doc at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["exact_dup"], r["near_dup"])
+           for r in dedup_against_corpus(batch, corpus, threshold=0.5).collect()}
+    assert out[10] == (True, True)
+    assert out[11] == (False, True)
+    assert out[12] == (False, False)
