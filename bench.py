@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_against_index",
     "corpus_shuffle",
     "perplexity_bands",
+    "token_budget_sample",
 ]
 
 

@@ -80,6 +80,43 @@ def deterministic_shuffle(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    n_tokens: Column,
+    id_col: str = "doc_id",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Token-budget mixture sampling — cap each group's EXPECTED token
+    contribution at ``budget_tokens`` (the mixture-weighting step when
+    a training run fixes per-domain/per-language token budgets; swap
+    the uniform budget for per-group targets to express DoReMi-style
+    learned weights): keep-rate r_g = min(1, budget / group_total),
+    rows kept by deterministic id-hash — reproducible, and incremental
+    ingestion keeps or drops a given document consistently.
+
+    One small aggregation (group cardinality rows) broadcasts back; the
+    keep decision is a map-only hash filter. Under-budget groups pass
+    through whole; the cap is in expectation (hash buckets are uniform),
+    which is the correct semantics for corpus-scale budgets.
+    """
+    base = df.withColumn("__nt", n_tokens.cast("long"))
+    totals = base.groupBy(group_col).agg(F.sum("__nt").alias("__total"))
+    rates = totals.select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__total").cast("double")
+        ).alias("__rate"),
+    )
+    joined = base.join(F.broadcast(rates), group_col)
+    kept = joined.where(
+        hash_bucket(F.col(id_col), buckets)
+        < F.floor(F.col("__rate") * buckets).cast("long")
+    )
+    return kept.drop("__rate").withColumnRenamed("__nt", "n_tokens")
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

@@ -4388,6 +4388,34 @@ def q_corpus_shuffle(spark, sf):
     )
 
 
+_TOKEN_BUDGET_ORACLE = """
+WITH d AS (SELECT doc_id, lang,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n
+           FROM documents),
+t AS (SELECT lang, sum(n) AS total FROM d GROUP BY lang),
+r AS (SELECT lang, least(1.0, 3000.0 / total::DOUBLE) AS rate FROM t)
+SELECT d.doc_id, d.lang, CAST(d.n AS BIGINT) AS n_tokens
+FROM d JOIN r USING (lang)
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CAST(floor(rate * 10000) AS BIGINT)
+"""
+
+
+@register("token_budget_sample", _TOKEN_BUDGET_ORACLE, tags=("sampling", "mixture"))
+def q_token_budget_sample(spark, sf):
+    """Token-budget mixture sampling: cap each language's expected
+    token contribution at 3000 tokens via per-group keep-rates +
+    deterministic id-hash filter — the fixed-budget mixture step
+    (operators/sampling.py token_budget_sample)."""
+    from hstream_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf, "documents")
+    out = token_budget_sample(
+        docs, "lang", 3000, n_tokens=F.size(TX.tokens(F.col("text")))
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 _PPL_BANDS_ORACLE = f"""
 WITH xent AS ({_LM_ORACLE}),
 scored AS (SELECT x.doc_id, d.lang,

@@ -482,6 +482,15 @@ def test_jdbc_source_connector_incremental_tailing(engine, spark):
     assert info.handle.poll() == 0
     got = engine.execute("SELECT * FROM cdcs;")
     assert sorted(r[kcol] for r in got.collect()) == [1, 2, 3, 4]
+    # the watermark predicate reaches the DATABASE, not a post-scan
+    # filter: the JDBC scan advertises the pushed GreaterThan
+    from pyspark.sql import functions as F
+
+    from hstream_spark.sources.connectors import jdbc_source
+
+    inc = jdbc_source(spark, info.handle.options).filter(F.col("k") > 4)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan
     # PAUSE/TERMINATE manage the tailer like any streaming handle
     engine.execute("PAUSE CONNECTOR ct;")
     assert engine.connectors["ct"].handle is None

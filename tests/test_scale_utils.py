@@ -145,3 +145,27 @@ def test_group_split_colocates_duplicates(spark):
     assert all(r["k"] == 1 for r in per_group)  # a group never straddles splits
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "test"}
+
+
+def test_token_budget_sample_caps_expected_tokens(spark):
+    """Over-budget groups thin toward the budget; under-budget groups
+    pass through whole; the keep set is deterministic."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "big", 100) for i in range(200)]      # 20k tokens
+    rows += [(1000 + i, "small", 10) for i in range(5)]  # 50 tokens
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = token_budget_sample(df, "lang", 2000, n_tokens=F.col("n"))
+    got = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+    ).collect()
+    by = {r["lang"]: (r["docs"], r["toks"]) for r in got}
+    assert by["small"] == (5, 50)            # under budget: untouched
+    # big: rate = 2000/20000 = 0.1 → expect ~20 docs / ~2000 tokens
+    assert 8 <= by["big"][0] <= 40
+    # deterministic: second run identical
+    out2 = token_budget_sample(df, "lang", 2000, n_tokens=F.col("n"))
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in out2.collect())
