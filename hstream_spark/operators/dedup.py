@@ -579,6 +579,101 @@ def dedup_against_corpus(
     )
 
 
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the standing dedup index for a corpus: its MinHash
+    band table (the LSH candidate side), distinct shingle-hash sets
+    (the Jaccard-verify side), and exact md5 digests.  Built ONCE per
+    corpus; every arriving batch then dedups against it via
+    ``dedup_with_index`` paying only its OWN shingle/minhash cost —
+    the corpus never recomputes (at 100 TB the corpus pass dominates,
+    so the index amortizes ~everything after the first batch).
+
+    Layout: ``bands/`` partitioned by band (the candidate join reads
+    band-matched partitions), ``sets/``, ``digests/`` — plain parquet,
+    appendable as accepted batches merge into the corpus.
+    """
+    import os as _os
+
+    sets = doc_shingle_sets(corpus, text_col, id_col)
+    bands = minhash_bands_from_sets(sets)
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        _os.path.join(path, "bands")
+    )
+    sets.write.mode("overwrite").parquet(_os.path.join(path, "sets"))
+    corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct().write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "digests"))
+
+
+def dedup_with_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``dedup_against_corpus`` against a persisted ``build_dedup_index``
+    — same flags, but the corpus side is read, not recomputed. Only the
+    batch pays tokenize/shingle/minhash; candidates are band-key
+    equi-matches against the stored band table."""
+    import os as _os
+
+    bsets = doc_shingle_sets(batch, text_col, id_col)
+    b_bands = minhash_bands_from_sets(bsets).select(
+        F.col("doc_id").alias("__ba"), "band", "band_sig"
+    )
+    c_bands = spark.read.parquet(_os.path.join(path, "bands")).select(
+        F.col("doc_id").alias("__cb"), "band", "band_sig"
+    )
+    cand = (
+        b_bands.join(c_bands, ["band", "band_sig"])
+        .select("__ba", "__cb")
+        .distinct()
+    )
+    csets = spark.read.parquet(_os.path.join(path, "sets"))
+    pairs = (
+        cand.join(bsets.select(F.col("doc_id").alias("__ba"),
+                               F.col("hs").alias("__hsa")), "__ba")
+        .join(csets.select(F.col("doc_id").alias("__cb"),
+                           F.col("hs").alias("__hsb")), "__cb")
+    )
+    inter = F.size(F.array_intersect(F.col("__hsa"), F.col("__hsb")))
+    union = F.size(F.col("__hsa")) + F.size(F.col("__hsb")) - inter
+    near = (
+        pairs.where(
+            inter.cast("double") / union.cast("double") >= F.lit(float(threshold))
+        )
+        .select(F.col("__ba").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    digests = spark.read.parquet(_os.path.join(path, "digests")).select(
+        F.col("digest").alias("__h")
+    )
+    exact = (
+        batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        .join(digests, "__h", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(False)).alias("near_dup"),
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     block_cols: list[str],

@@ -555,6 +555,51 @@ def semantic_dedup(
     return assigned.join(drops, id_col, "left_anti")
 
 
+def semantic_dedup_np(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized SemDeDup kernel — same decisions as ``semantic_dedup``
+    via one BLAS gram matrix per cluster instead of an interpreted
+    per-pair expression fold (the pq_encode/pq_encode_np relationship).
+    Each ``applyInPandas`` call receives ONE whole cluster (Spark's
+    group contract), normalizes it, computes X·Xᵀ, and keeps row i iff
+    no lower-id row j has cosine >= eps.  Cluster size bounds per-task
+    memory — identical to the expression plan's shuffle bound; raise
+    the centroid count to shrink both.  float64 matmul vs the
+    sequential fold differs only at ~1e-15, so decisions match except
+    on exact-threshold ties (equivalence pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_assign(corpus, centroids, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    members = assigned.join(
+        corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v")),
+        id_col,
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        X = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        # keep i iff no j < i with cos >= eps (ids ascend with row index)
+        dup = np.triu(S >= eps, k=1).any(axis=0)
+        keep = pdf.loc[~dup, [id_col, "cluster"]]
+        return keep
+
+    return members.groupBy("cluster").applyInPandas(
+        prune, f"{id_col} long, cluster long"
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -4303,12 +4303,14 @@ def q_semantic_dedup(spark, sf):
     """SemDeDup (cluster-then-prune semantic dedup, Abbas et al. 2023):
     with the fixed seeded centroids, drop every vector having a
     lower-id same-cluster neighbor at cosine >= 0.4 — pairwise work
-    confined to clusters, the O(sum k_i^2)-not-O(n^2) shape
-    (operators/similarity.py semantic_dedup)."""
-    from hstream_spark.operators.similarity import semantic_dedup
+    confined to clusters, the O(sum k_i^2)-not-O(n^2) shape. Runs the
+    vectorized per-cluster gram-matrix kernel
+    (operators/similarity.py semantic_dedup_np; the expression-path
+    semantic_dedup is decision-equivalent, pinned in tests)."""
+    from hstream_spark.operators.similarity import semantic_dedup_np
 
     emb = load_table(spark, sf, "embeddings")
-    return semantic_dedup(emb, _seed_centroids(emb), eps=0.4)
+    return semantic_dedup_np(emb, _seed_centroids(emb), eps=0.4)
 
 
 _DEDUP_INDEX_ORACLE = f"""

@@ -350,3 +350,25 @@ def test_semantic_dedup_drops_lowest_id_keeps_rest(spark):
     out = sorted(r["vec_id"] for r in
                  semantic_dedup(vecs, cents, eps=0.95).collect())
     assert out == [1, 3, 5]
+
+
+def test_semantic_dedup_np_matches_expression_path(spark, emb):
+    from hstream_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_np,
+    )
+
+    rows = emb.filter(F.col("vec_id").isin(1, 7, 19, 42)).collect()
+    import math
+
+    def _l2(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [float(x) / n for x in v]
+
+    cents = [(i, _l2([float(x) for x in r["embedding"]]))
+             for i, r in enumerate(sorted(rows, key=lambda r: r["vec_id"]))]
+    a = sorted((r["vec_id"], r["cluster"])
+               for r in semantic_dedup(emb, cents, eps=0.4).collect())
+    b = sorted((r["vec_id"], r["cluster"])
+               for r in semantic_dedup_np(emb, cents, eps=0.4).collect())
+    assert a == b

@@ -551,3 +551,31 @@ def test_dedup_against_corpus_flags(spark):
     assert out[10] == (True, True)
     assert out[11] == (False, True)
     assert out[12] == (False, False)
+
+
+def test_dedup_index_persisted_matches_inline(spark, sf_dir, tmp_path):
+    """The persisted corpus index gives EXACTLY the flags of the inline
+    two-sided computation; the batch pays only its own hashing."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_corpus,
+        dedup_with_index,
+    )
+    from hstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    idx = str(tmp_path / "dedup_idx")
+    build_dedup_index(corpus, idx)
+    inline = sorted(
+        (r["doc_id"], r["exact_dup"], r["near_dup"])
+        for r in dedup_against_corpus(batch, corpus, threshold=0.5).collect()
+    )
+    indexed = sorted(
+        (r["doc_id"], r["exact_dup"], r["near_dup"])
+        for r in dedup_with_index(spark, batch, idx, threshold=0.5).collect()
+    )
+    assert inline == indexed and len(indexed) > 0
