@@ -716,11 +716,11 @@ def q_join_outer_full(spark, sf):
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)       AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)  AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)      AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)      AS sum_charge,
            count(*)                                                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -739,8 +739,13 @@ def q_tpch_q1(spark, sf):
         .agg(
             F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            # ROUND the exact DECIMAL sums to 2 dp BEFORE the double cast
+            # so both engines convert the identical low-scale decimal —
+            # raw high-scale decimal->double casts diverge by 1 ulp
+            F.round(F.sum(price * (1 - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             A.count_all().alias("count_order"),
         )
     )
@@ -2855,12 +2860,12 @@ def q_tpch_q10ish(spark, sf):
 @register(
     "tpch_q14ish",
     """
-    SELECT CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+    SELECT 100.0 * CAST(ROUND(sum(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                         * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
-                   ELSE 0 END)
-           / sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   ELSE 0 END), 2) AS DOUBLE)
+           / CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
            AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
@@ -2879,11 +2884,15 @@ def q_tpch_q14ish(spark, sf):
     p = load_table(spark, sf, "part").select("p_partkey", "p_type")
     rev = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
     j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    # ROUND both decimal sums to 2 dp before the double casts so the
+    # division runs on bit-identical doubles in both engines
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))), 2
     ).cast("double")
     return j.agg(
-        (F.lit(100.0) * promo / F.sum(rev).cast("double")).alias("promo_revenue_pct")
+        (F.lit(100.0) * promo / F.round(F.sum(rev), 2).cast("double")).alias(
+            "promo_revenue_pct"
+        )
     )
 
 

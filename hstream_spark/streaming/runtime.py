@@ -649,19 +649,33 @@ class HStreamEngine:
             self._attach_kafka_backing(info, kopts)
         return info
 
+    def _build_kafka_tailer(self, target: StreamInfo, topic: str,
+                            bootstrap: str, poll_ms: int):
+        from hstream_spark.sources import connectors as C
+
+        def _emit(records: list) -> int:
+            return self._append_records(target, records)
+
+        tailer = C.KafkaIngestTailer(
+            bootstrap, topic, _emit,
+            os.path.join(target.path, "_kafka_offsets.json"),
+            poll_interval=max(poll_ms, 1) / 1000.0,
+        )
+        if poll_ms > 0:
+            tailer.start()
+        return tailer
+
     def _attach_kafka_backing(self, info: StreamInfo, kopts: dict) -> None:
         """A stream declared ``WITH (KAFKA_TOPIC=..,
         KAFKA_BOOTSTRAP_SERVERS=..)`` tails that topic into its parquet
         directory — the engine half of the reference's Kafka surface
         (/root/reference/hstream-kafka/) over the jar-free wire client;
         the tailer registers as an implicit SOURCE connector so
-        PAUSE/TERMINATE/shutdown manage its lifecycle uniformly.
+        PAUSE/RESUME/TERMINATE/shutdown manage its lifecycle uniformly.
         Committed offsets live in a sidecar in the stream directory, so
         DDL-log replay on restart resumes instead of re-reading.  On a
         cluster with the spark-sql-kafka jar, map the stream straight to
         ``kafka_wire.kafka_readstream`` instead."""
-        from hstream_spark.sources import connectors as C
-
         topic = str(kopts["kafka_topic"])
         bootstrap = str(
             kopts.get("kafka_bootstrap_servers") or kopts.get("kafka_bootstrap") or ""
@@ -672,24 +686,14 @@ class HStreamEngine:
             )
         raw_ms = kopts.get("kafka_poll_interval_ms")
         poll_ms = 2000 if raw_ms is None else int(raw_ms)
-
-        def _emit(records: list) -> int:
-            return self._append_records(info, records)
-
-        tailer = C.KafkaIngestTailer(
-            bootstrap, topic, _emit,
-            os.path.join(info.path, "_kafka_offsets.json"),
-            poll_interval=max(poll_ms, 1) / 1000.0,
-        )
         cname = f"__kafka_{info.name}"
         conn = ConnectorInfo(
             cname, "SOURCE", info.name,
-            {"TYPE": "kafka", "topic": topic, "bootstrap": bootstrap},
-            handle=tailer,
+            {"TYPE": "kafka", "topic": topic, "bootstrap_servers": bootstrap,
+             "poll_interval_ms": poll_ms},
+            handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms),
         )
         self.connectors[cname] = conn
-        if poll_ms > 0:
-            tailer.start()
 
     def _append_records(self, info: StreamInfo, records: list) -> int:
         """Batched record append — the INSERT VALUES semantics applied
@@ -1053,6 +1057,26 @@ class HStreamEngine:
                 if poll_ms:
                     tailer.start()
                 info.handle = tailer
+        elif stmt.kind == "SOURCE" and ctype == "kafka":
+            # explicit kafka source connector (also the rebuild path for
+            # RESUME of a __kafka_<stream> implicit connector): tail the
+            # topic into the target stream; committed offsets in the
+            # stream's sidecar make re-creation resume, not re-read
+            target = self._require_stream(info.target)
+            kopts = {str(k).lower(): v for k, v in info.options.items()}
+            topic = str(kopts.get("topic") or kopts.get("kafka_topic") or "")
+            bootstrap = str(
+                kopts.get("bootstrap_servers")
+                or kopts.get("kafka_bootstrap_servers") or ""
+            )
+            if not topic or not bootstrap:
+                raise CompileError(
+                    "kafka source connector requires topic and "
+                    "bootstrap_servers options"
+                )
+            raw_ms = kopts.get("poll_interval_ms", kopts.get("kafka_poll_interval_ms"))
+            poll_ms = 2000 if raw_ms is None else int(raw_ms)
+            info.handle = self._build_kafka_tailer(target, topic, bootstrap, poll_ms)
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
             rate = C.rate_source(

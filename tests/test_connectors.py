@@ -586,6 +586,39 @@ class TestKafkaWireProtocol:
                 eng2.shutdown()
             producer.close()
 
+    def test_kafka_connector_pause_resume(self, spark, tmp_path):
+        """PAUSE stops the implicit topic tailer; RESUME rebuilds it
+        from the committed-offset sidecar — no re-read, no loss."""
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("pr_t")
+            prod = KafkaClient(broker.bootstrap)
+            prod.produce("pr_t", [(None, b'{"k": 1}', 1000)])
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM prk WITH (\"kafka_topic\" = 'pr_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                assert eng.connectors["__kafka_prk"].handle.poll() == 1
+                eng.execute("PAUSE CONNECTOR __kafka_prk;")
+                assert eng.connectors["__kafka_prk"].handle is None
+                prod.produce("pr_t", [(None, b'{"k": 2}', 2000)])
+                info = eng.execute("RESUME CONNECTOR __kafka_prk;")
+                assert info.handle is not None
+                # manual-poll mode (poll_interval_ms=0) survives resume
+                assert info.handle._thread is None
+                assert info.handle.poll() == 1  # only the NEW record
+                ks = sorted(r["k"] for r in
+                            eng.execute("SELECT k FROM prk;").collect())
+                assert ks == [1, 2]
+            finally:
+                eng.shutdown()
+                prod.close()
+
     def test_kafka_sink_produces_from_stream(self, engine):
         """CREATE SINK CONNECTOR type=kafka drains a stream into a topic
         (JSON values, event time as the record timestamp)."""
