@@ -619,6 +619,43 @@ class TestKafkaWireProtocol:
                 eng.shutdown()
                 prod.close()
 
+    def test_kafka_tailer_pages_through_large_topics(self, spark, tmp_path):
+        """The fetch loop drains a topic bigger than one fetch response:
+        with a small max_batch_bytes the tailer needs many round trips
+        and must still deliver every record exactly once, in order."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("big_t")
+            prod = KafkaClient(broker.bootstrap)
+            for b in range(20):  # 20 batches x 50 records
+                prod.produce(
+                    "big_t",
+                    [(None, _json.dumps({"i": b * 50 + j}).encode(), 1000)
+                     for j in range(50)],
+                )
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM bigk WITH (\"kafka_topic\" = 'big_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                tailer = eng.connectors["__kafka_bigk"].handle
+                tailer.max_batch_bytes = 2048  # force many fetch pages
+                assert tailer.poll() == 1000
+                assert tailer.poll() == 0
+                vals = sorted(
+                    r["i"] for r in eng.execute("SELECT i FROM bigk;").collect()
+                )
+                assert vals == list(range(1000))
+            finally:
+                eng.shutdown()
+                prod.close()
+
     def test_kafka_sink_produces_from_stream(self, engine):
         """CREATE SINK CONNECTOR type=kafka drains a stream into a topic
         (JSON values, event time as the record timestamp)."""
@@ -708,6 +745,43 @@ class TestKafkaWireProtocol:
 
         with pytest.raises(ConnectorError, match="topic and bootstrap"):
             kafka_sink({"topic": "t"})
+
+
+def test_cdc_tailer_survives_engine_restart(spark, tmp_path):
+    """DDL-log replay re-attaches a watermark connector WITHOUT
+    re-snapshotting, resuming from the high-water mark recorded in the
+    stream itself — then new database rows keep flowing."""
+    url = "jdbc:derby:memory:cdcrst;create=true"
+
+    def _write(rows):
+        (spark.createDataFrame(rows, "k long, s string")
+            .write.format("jdbc").mode("append")
+            .option("url", url).option("dbtable", "rst_tab")
+            .option("driver", DERBY_DRIVER).save())
+
+    _write([(1, "a"), (2, "b")])
+    root = str(tmp_path / "data")
+    eng = HStreamEngine(spark, root)
+    eng.execute("CREATE STREAM rstr;")
+    eng.execute(
+        "CREATE SOURCE CONNECTOR rc FROM rstr WITH (\"type\" = 'jdbc', "
+        f"\"url\" = 'jdbc:derby:memory:cdcrst', \"dbtable\" = 'rst_tab', "
+        f"\"driver\" = '{DERBY_DRIVER}', \"watermark_column\" = 'k');"
+    )
+    assert eng.execute("SELECT * FROM rstr;").count() == 2
+    eng.shutdown()
+    # restart: replay must not duplicate the snapshot, and the rebuilt
+    # tailer resumes from k=2
+    eng2 = HStreamEngine(spark, root)
+    try:
+        info = eng2.connectors["rc"]
+        assert info.handle is not None and info.handle.last == 2
+        assert eng2.execute("SELECT * FROM rstr;").count() == 2
+        _write([(3, "c")])
+        assert info.handle.poll() == 1
+        assert eng2.execute("SELECT * FROM rstr;").count() == 3
+    finally:
+        eng2.shutdown()
 
 
 def test_las_sink_errors_clearly_at_create(engine):
