@@ -32,7 +32,9 @@ def _proven_green() -> frozenset[str]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    # LATEST round's status wins: an entry green in r1 but red in r3
+    # must rank FRESH again (rounds sort lexicographically: r01..r99)
+    status: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -42,13 +44,13 @@ def _proven_green() -> frozenset[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match"):
-                green.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows"):
+            if row.get("err") == "no_oracle" and row.get("spark_rows"):
                 # rows-only entries (no SQL-expressible oracle) — the
                 # weak check is the strongest available; count as seen
-                green.add(name)
-    return frozenset(green)
+                status[name] = True
+            else:
+                status[name] = bool(row.get("hash_match"))
+    return frozenset(n for n, ok in status.items() if ok)
 
 
 def _driver_order() -> list[str]:

@@ -148,11 +148,22 @@ class JdbcCdcTailer:
     greater than the last seen high-water mark — the predicate is a
     Catalyst filter over the JDBC relation, so Spark pushes it down to
     the source database (``PushedFilters: [GreaterThan(wm, ...)]``) and
-    the increment, not the table, crosses the wire.  Monotone-watermark
-    contract (append-only tables / updated-at columns), same as any
-    watermark-based CDC.  ``start()`` spawns a daemon polling thread;
-    ``stop()`` matches the StreamingQuery handle shape so engine
-    PAUSE/TERMINATE/shutdown manage it uniformly.
+    the increment, not the table, crosses the wire.
+
+    Watermark contract: the column must be STRICTLY increasing across
+    commits for losslessness — an auto-increment id or a database log
+    sequence. A coarse-granularity ``updated_at`` can lose a row that
+    commits with a timestamp EQUAL to an already-polled maximum (the
+    strictly-greater filter skips it); use an id column, a
+    (timestamp, id) compound encoded into one comparable column, or
+    sub-microsecond timestamps. Rows whose watermark is NULL ingest
+    with the initial snapshot only; an all-NULL watermark column is a
+    configuration error and fails loudly (silently re-snapshotting
+    every poll is the alternative).
+
+    ``start()`` spawns a daemon polling thread; ``stop()`` matches the
+    StreamingQuery handle shape so engine PAUSE/TERMINATE/shutdown
+    manage it uniformly.
     """
 
     def __init__(
@@ -195,6 +206,14 @@ class JdbcCdcTailer:
             ).collect()[0]
             if not agg["n"]:
                 return 0
+            if agg["mx"] is None:
+                # all-NULL watermark: `last` could never advance and every
+                # poll would re-emit the whole table — fail loudly instead
+                raise ConnectorError(
+                    f"watermark column {self.watermark_col!r} is NULL in "
+                    "every fetched row; incremental tailing needs a "
+                    "monotone non-null watermark (use an id column)"
+                )
             self.emit(inc)
             self.last = agg["mx"]
             return int(agg["n"])
@@ -570,18 +589,28 @@ class KafkaIngestTailer:
             if next_off is None:
                 next_off = client.list_offsets(self.topic, p, EARLIEST)
             while True:
-                recs, hwm = client.fetch(
+                recs, hwm, end_off = client.fetch_records(
                     self.topic, p, next_off, max_bytes=self.max_batch_bytes
                 )
-                if not recs:
-                    break
-                batch = [
-                    (self._decode(value), ts_ms / 1000.0)
-                    for (_off, _key, value, ts_ms) in recs
-                ]
-                self.emit(batch)
-                total += len(batch)
-                next_off = recs[-1][0] + 1
+                if recs:
+                    batch = [
+                        (self._decode(value), ts_ms / 1000.0)
+                        for (_off, _key, value, ts_ms) in recs
+                    ]
+                    self.emit(batch)
+                    total += len(batch)
+                # commit the END of the last complete batch, not
+                # last-record+1: control/transaction-marker batches and
+                # compaction gaps carry no data records but still
+                # advance the log — without this the committed offset
+                # stalls behind a trailing marker and every poll
+                # refetches it
+                new_off = max(
+                    end_off or next_off, (recs[-1][0] + 1) if recs else next_off
+                )
+                if new_off <= next_off:
+                    break  # nothing complete arrived
+                next_off = new_off
                 self.offsets[p] = next_off
                 self._commit()
                 if next_off >= hwm:
@@ -721,8 +750,9 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
         ) from exc
 
     def _cell(v):
-        if isinstance(v, (dict, list)):
-            return json.dumps(v, default=str)  # JSONB text (schemaless layout)
+        # keep dicts/lists RAW through type inference (a uniform doc
+        # column encodes as JSON at the end; a mixed column must encode
+        # every member — including plain strings — as JSON uniformly)
         if isinstance(v, _dt.datetime):
             return v.replace(tzinfo=None)  # session is UTC-pinned
         return v
@@ -754,7 +784,7 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
         _dt.datetime: TimestampNTZType(),
     }
     cells = [{k: _cell(d.get(k)) for k in keys} for d in docs]
-    fields, demoted, widened = [], set(), set()
+    fields, jsonb, demoted, widened = [], set(), set(), set()
     for k in keys:
         types = {type(c[k]) for c in cells if c[k] is not None}
         if types == {int, float}:
@@ -762,15 +792,23 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
             widened.add(k)
         if len(types) == 1 and next(iter(types)) in _SPARK_T:
             fields.append(StructField(k, _SPARK_T[next(iter(types))], True))
-        else:  # all-null or conflicting -> JSONB text
+        elif types <= {dict, list}:
+            # uniform document/array column: JSONB text, values encode
+            # directly (a JSON parse of the column round-trips)
+            jsonb.add(k)
+            fields.append(StructField(k, StringType(), True))
+        else:  # all-null or cross-type conflict -> JSONB text, where
+            # EVERY member (plain strings included) encodes as JSON so
+            # the column parses uniformly — '"abc"' and '5', never a
+            # raw 'abc' next to JSON-encoded numbers
             demoted.add(k)
             fields.append(StructField(k, StringType(), True))
 
     def _final(k, v):
         if v is None:
             return None
-        if k in demoted:
-            return v if isinstance(v, str) else json.dumps(v, default=str)
+        if k in demoted or k in jsonb:
+            return json.dumps(v, default=str)
         if k in widened and isinstance(v, int):
             return float(v)
         return v

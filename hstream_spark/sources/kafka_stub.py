@@ -219,27 +219,30 @@ class KafkaStubBroker:
                 for _p in range(r.int32()):
                     pid = r.int32()
                     record_set = r.bytes_() or b""
+                    # append under the broker lock: concurrent Produce
+                    # connections (kafka_sink sends per Spark partition)
+                    # must serialize offset assignment
                     with self._lock:
                         log = self._topics.setdefault(
                             name, {0: _PartitionLog()}
                         ).get(pid)
-                    if log is None:
-                        parts_out.append(
-                            W.enc_int32(pid) + W.enc_int16(3)
-                            + W.enc_int64(-1) + W.enc_int64(-1)
-                        )
-                        continue
-                    try:
-                        base = log.append(record_set)
-                        parts_out.append(
-                            W.enc_int32(pid) + W.enc_int16(0)
-                            + W.enc_int64(base) + W.enc_int64(-1)
-                        )
-                    except W.KafkaWireError:
-                        parts_out.append(
-                            W.enc_int32(pid) + W.enc_int16(2)  # corrupt
-                            + W.enc_int64(-1) + W.enc_int64(-1)
-                        )
+                        if log is None:
+                            parts_out.append(
+                                W.enc_int32(pid) + W.enc_int16(3)
+                                + W.enc_int64(-1) + W.enc_int64(-1)
+                            )
+                            continue
+                        try:
+                            base = log.append(record_set)
+                            parts_out.append(
+                                W.enc_int32(pid) + W.enc_int16(0)
+                                + W.enc_int64(base) + W.enc_int64(-1)
+                            )
+                        except W.KafkaWireError:
+                            parts_out.append(
+                                W.enc_int32(pid) + W.enc_int16(2)  # corrupt
+                                + W.enc_int64(-1) + W.enc_int64(-1)
+                            )
                 out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
             return W.enc_array(out_topics) + W.enc_int32(0)
         if api_key == W.API_FETCH:

@@ -216,7 +216,20 @@ def decode_record_batches(
     """Decode a concatenation of record batches →
     [(offset, key, value, timestamp_ms)]. Tolerates a truncated final
     batch (brokers may return partial batches at the fetch byte cap)."""
+    return decode_record_batches_ex(buf)[0]
+
+
+def decode_record_batches_ex(
+    buf: bytes,
+) -> tuple[list[tuple[int, Optional[bytes], Optional[bytes], int]], Optional[int]]:
+    """Like ``decode_record_batches`` but also returns the end offset
+    (last offset + 1) of the last COMPLETE batch, or None if none
+    decoded. A consumer advances its position to this even when the
+    batches carried no data records (control/transaction markers,
+    compaction gaps) — otherwise its committed offset stalls behind a
+    trailing marker and every poll refetches it."""
     out: list[tuple[int, Optional[bytes], Optional[bytes], int]] = []
+    end_offset: Optional[int] = None
     pos = 0
     while pos + 12 <= len(buf):
         base_offset = struct.unpack(">q", buf[pos : pos + 8])[0]
@@ -236,7 +249,7 @@ def decode_record_batches(
         attributes = r.int16()
         if attributes & 0x07:
             raise KafkaWireError("compressed batches not supported")
-        r.int32()  # lastOffsetDelta
+        last_offset_delta = r.int32()
         base_ts = r.int64()
         r.int64()  # maxTimestamp
         r.int64()  # producerId
@@ -262,8 +275,9 @@ def decode_record_batches(
                     rec.take(hv)
             if not is_control:
                 out.append((base_offset + off_delta, key, value, base_ts + ts_delta))
+        end_offset = base_offset + last_offset_delta + 1
         pos = end
-    return out
+    return out, end_offset
 
 
 # ---------------------------------------------------------------------------
@@ -287,6 +301,7 @@ class KafkaClient:
         self.client_id = client_id
         self.timeout = timeout
         self._conns: dict[tuple[str, int], socket.socket] = {}
+        self._leaders: dict[tuple[str, int], tuple[str, int]] = {}
         self._corr = 0
         self._lock = threading.Lock()
 
@@ -348,6 +363,17 @@ class KafkaClient:
             n -= len(chunk)
         return b"".join(chunks)
 
+    def _leader_call(self, api_key: int, api_version: int, body: bytes,
+                     topic: str, partition: int) -> _Reader:
+        """Request against the partition leader; a failed request drops
+        the cached leader so the next call re-resolves (leader moved)."""
+        addr = self._leader_addr(topic, partition)
+        try:
+            return self._call(api_key, api_version, body, addr)
+        except KafkaWireError:
+            self._leaders.pop((topic, partition), None)
+            raise
+
     # -- APIs --------------------------------------------------------------
 
     def api_versions(self) -> dict[int, tuple[int, int]]:
@@ -390,6 +416,13 @@ class KafkaClient:
         return {"brokers": brokers, "topics": topics_out}
 
     def _leader_addr(self, topic: str, partition: int) -> tuple[str, int]:
+        """Partition leader, cached — one Metadata round trip per
+        (topic, partition) instead of one per produce/fetch (a paging
+        tailer would otherwise pay a Metadata RPC per fetch page).
+        Entries invalidate on request failure (leader moved)."""
+        cached = self._leaders.get((topic, partition))
+        if cached is not None:
+            return cached
         md = self.metadata([topic])
         t = md["topics"].get(topic)
         if not t or t["error"]:
@@ -400,8 +433,9 @@ class KafkaClient:
         p = t["partitions"].get(partition)
         if p is None:
             raise KafkaWireError(f"unknown partition {topic}[{partition}]")
-        addr = md["brokers"].get(p["leader"])
-        return addr if addr else self.bootstrap
+        addr = md["brokers"].get(p["leader"]) or self.bootstrap
+        self._leaders[(topic, partition)] = addr
+        return addr
 
     def partitions(self, topic: str) -> list[int]:
         md = self.metadata([topic])
@@ -419,8 +453,7 @@ class KafkaClient:
             enc_string(topic)
             + enc_array([enc_int32(partition) + enc_int64(timestamp)])
         ])
-        r = self._call(API_LIST_OFFSETS, 1, body,
-                       self._leader_addr(topic, partition))
+        r = self._leader_call(API_LIST_OFFSETS, 1, body, topic, partition)
         for _ in range(r.int32()):
             r.string()
             for _p in range(r.int32()):
@@ -451,7 +484,7 @@ class KafkaClient:
                 + enc_array([enc_int32(partition) + enc_bytes(batch)])
             ])
         )
-        r = self._call(API_PRODUCE, 3, body, self._leader_addr(topic, partition))
+        r = self._leader_call(API_PRODUCE, 3, body, topic, partition)
         base = -1
         for _ in range(r.int32()):
             r.string()
@@ -475,6 +508,24 @@ class KafkaClient:
     ) -> tuple[list[tuple[int, Optional[bytes], Optional[bytes], int]], int]:
         """Fetch from ``offset`` → (records, high_watermark); records =
         [(offset, key, value, timestamp_ms)]."""
+        records, hwm, _next = self.fetch_records(
+            topic, partition, offset, max_bytes, max_wait_ms
+        )
+        return records, hwm
+
+    def fetch_records(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 4 << 20,
+        max_wait_ms: int = 100,
+    ) -> tuple[list[tuple[int, Optional[bytes], Optional[bytes], int]], int, Optional[int]]:
+        """``fetch`` plus the position to resume from: (records,
+        high_watermark, next_offset). ``next_offset`` is the end of the
+        last COMPLETE batch in the response (None when nothing complete
+        arrived) — commit THIS, not last-record+1, so control batches
+        and compaction gaps don't stall the consumer."""
         body = (
             enc_int32(-1)  # replica_id
             + enc_int32(max_wait_ms)
@@ -489,10 +540,11 @@ class KafkaClient:
                 ])
             ])
         )
-        r = self._call(API_FETCH, 4, body, self._leader_addr(topic, partition))
+        r = self._leader_call(API_FETCH, 4, body, topic, partition)
         r.int32()  # throttle
         records: list = []
         hwm = 0
+        next_offset: Optional[int] = None
         for _ in range(r.int32()):
             r.string()
             for _p in range(r.int32()):
@@ -507,11 +559,16 @@ class KafkaClient:
                     r.int64()
                     r.int64()
                 record_set = r.bytes_() or b""
+                decoded, end_off = decode_record_batches_ex(record_set)
                 records.extend(
-                    rec for rec in decode_record_batches(record_set)
+                    rec for rec in decoded
                     if rec[0] >= offset  # batches can start before offset
                 )
-        return records, hwm
+                if end_off is not None:
+                    next_offset = end_off if next_offset is None else max(
+                        next_offset, end_off
+                    )
+        return records, hwm, next_offset
 
 
 def kafka_readstream(spark, topic: str, bootstrap: str,

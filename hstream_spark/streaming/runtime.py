@@ -633,6 +633,11 @@ class HStreamEngine:
     def _exec_create_stream(self, stmt: A.CreateStream) -> StreamInfo:
         if stmt.name in self.streams:
             raise CompileError(f"stream {stmt.name!r} already exists")
+        # validate kafka options BEFORE registering anything: a failed
+        # CREATE must not leave an orphan stream that blocks the retry
+        kopts = {str(k).lower(): v for k, v in stmt.options.items()}
+        if kopts.get("kafka_topic"):
+            self._validate_kafka_opts(kopts)
         path = self._stream_path(stmt.name)
         os.makedirs(path, exist_ok=True)
         schema = None
@@ -644,10 +649,27 @@ class HStreamEngine:
             stmt.name, path, schema, dict(stmt.options), dynamic=not stmt.columns
         )
         self.streams[stmt.name] = info
-        kopts = {str(k).lower(): v for k, v in info.options.items()}
         if kopts.get("kafka_topic"):
             self._attach_kafka_backing(info, kopts)
         return info
+
+    @staticmethod
+    def _validate_kafka_opts(kopts: dict) -> tuple[str, str, int]:
+        bootstrap = str(
+            kopts.get("kafka_bootstrap_servers") or kopts.get("kafka_bootstrap") or ""
+        )
+        if not bootstrap:
+            raise CompileError(
+                "KAFKA_TOPIC streams require KAFKA_BOOTSTRAP_SERVERS"
+            )
+        raw_ms = kopts.get("kafka_poll_interval_ms")
+        try:
+            poll_ms = 2000 if raw_ms is None else int(raw_ms)
+        except (TypeError, ValueError) as exc:
+            raise CompileError(
+                f"KAFKA_POLL_INTERVAL_MS must be an integer, got {raw_ms!r}"
+            ) from exc
+        return str(kopts["kafka_topic"]), bootstrap, poll_ms
 
     def _build_kafka_tailer(self, target: StreamInfo, topic: str,
                             bootstrap: str, poll_ms: int):
@@ -676,16 +698,7 @@ class HStreamEngine:
         DDL-log replay on restart resumes instead of re-reading.  On a
         cluster with the spark-sql-kafka jar, map the stream straight to
         ``kafka_wire.kafka_readstream`` instead."""
-        topic = str(kopts["kafka_topic"])
-        bootstrap = str(
-            kopts.get("kafka_bootstrap_servers") or kopts.get("kafka_bootstrap") or ""
-        )
-        if not bootstrap:
-            raise CompileError(
-                "KAFKA_TOPIC streams require KAFKA_BOOTSTRAP_SERVERS"
-            )
-        raw_ms = kopts.get("kafka_poll_interval_ms")
-        poll_ms = 2000 if raw_ms is None else int(raw_ms)
+        topic, bootstrap, poll_ms = self._validate_kafka_opts(kopts)
         cname = f"__kafka_{info.name}"
         conn = ConnectorInfo(
             cname, "SOURCE", info.name,

@@ -747,6 +747,27 @@ class TestKafkaWireProtocol:
             kafka_sink({"topic": "t"})
 
 
+def test_cdc_tailer_all_null_watermark_fails_loudly(spark):
+    """An all-NULL watermark column can never advance the high-water
+    mark — the tailer must error instead of silently re-snapshotting
+    the whole table every poll."""
+    (spark.createDataFrame([(None, "a"), (None, "b")], "k long, s string")
+        .write.format("jdbc").mode("append")
+        .option("url", "jdbc:derby:memory:nulldb;create=true")
+        .option("dbtable", "null_tab").option("driver", DERBY_DRIVER).save())
+    from hstream_spark.sources.connectors import JdbcCdcTailer
+
+    t = JdbcCdcTailer(
+        spark,
+        {"url": "jdbc:derby:memory:nulldb", "dbtable": "null_tab",
+         "driver": DERBY_DRIVER},
+        emit=lambda df: None,
+        watermark_col="k",
+    )
+    with pytest.raises(ConnectorError, match="NULL in every fetched row"):
+        t.poll()
+
+
 def test_cdc_tailer_survives_engine_restart(spark, tmp_path):
     """DDL-log replay re-attaches a watermark connector WITHOUT
     re-snapshotting, resuming from the high-water mark recorded in the

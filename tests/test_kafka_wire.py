@@ -103,3 +103,66 @@ def test_corruption_detected_or_safely_truncated(records, flip):
 def test_empty_batch_rejected():
     with pytest.raises(KafkaWireError, match="empty"):
         encode_record_batch([])
+
+
+def _as_control_batch(batch: bytes) -> bytes:
+    """Flip the isControl attribute bit and re-sign the CRC — builds the
+    transaction-marker shape brokers interleave into fetched logs."""
+    import struct
+
+    buf = bytearray(batch)
+    # layout: baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4) attributes(2)
+    attr_at = 8 + 4 + 4 + 1 + 4
+    attrs = struct.unpack(">h", bytes(buf[attr_at:attr_at + 2]))[0] | 0x20
+    buf[attr_at:attr_at + 2] = struct.pack(">h", attrs)
+    crc_range = bytes(buf[attr_at:])
+    buf[8 + 4 + 4 + 1:attr_at] = struct.pack(">I", crc32c(crc_range))
+    return bytes(buf)
+
+
+def test_control_batches_advance_position_without_records():
+    """A trailing control (transaction-marker) batch yields no records
+    but still advances next_offset — a consumer committing it never
+    stalls refetching the marker."""
+    from hstream_spark.sources.kafka_wire import decode_record_batches_ex
+
+    data = encode_record_batch([(None, b"v", 1000), (None, b"w", 1001)],
+                               base_offset=0)
+    marker = _as_control_batch(encode_record_batch([(b"c", b"", 1002)],
+                                                   base_offset=2))
+    records, end = decode_record_batches_ex(data + marker)
+    assert [r[0] for r in records] == [0, 1]  # marker carries no records
+    assert end == 3                            # but the position passes it
+
+
+def test_tailer_commits_past_trailing_control_batch(tmp_path):
+    """KafkaIngestTailer against a stub log ending in a control batch:
+    one poll ingests the data AND commits past the marker; the next
+    poll is a no-op (no refetch stall)."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker, _PartitionLog
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("ctl_t")
+        log = broker._topics["ctl_t"][0]
+        data = encode_record_batch(
+            [(None, b'{"x": 1}', 1000), (None, b'{"x": 2}', 1001)],
+            base_offset=0,
+        )
+        marker = _as_control_batch(
+            encode_record_batch([(b"c", b"", 1002)], base_offset=2)
+        )
+        log.batches = [(0, 1, data), (2, 2, marker)]
+        log.next_offset = 3
+
+        got = []
+        t = KafkaIngestTailer(
+            broker.bootstrap, "ctl_t",
+            emit=lambda batch: got.extend(batch) or len(batch),
+            offsets_path=str(tmp_path / "off.json"),
+        )
+        assert t.poll() == 2
+        assert [r[0]["x"] for r in got] == [1, 2]
+        assert t.offsets[0] == 3      # committed PAST the marker
+        assert t.poll() == 0          # idle, no stall
+        t.stop()
