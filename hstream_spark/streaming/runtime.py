@@ -1157,6 +1157,29 @@ class HStreamEngine:
         # the INSERT (epoch seconds) overrides it — event-time ingestion
         # for replays and late-data testing
         now = float(record.pop(EVENT_TIME_COL, time.time()))
+        # kafka-backed stream: the TOPIC is the stream (the reference's
+        # storage model) — INSERT produces the record there and the
+        # ingestion tailer brings it back through the committed-offset
+        # path, so external consumers of the topic see engine INSERTs
+        # and the stream never diverges from its topic. A synchronous
+        # poll keeps INSERT -> SELECT read-your-writes.
+        kc = self.connectors.get(f"__kafka_{info.name}")
+        if kc is not None and kc.handle is not None:
+            from hstream_spark.sources.kafka_wire import KafkaClient
+
+            topic = str(kc.options.get("topic"))
+            client = KafkaClient(str(kc.options.get("bootstrap_servers")))
+            try:
+                client.produce(
+                    topic,
+                    [(None,
+                      json.dumps(record, default=_payload_default).encode("utf-8"),
+                      int(now * 1000))],
+                )
+            finally:
+                client.close()
+            kc.handle.poll()
+            return 1
         if info.dynamic:
             # resolve any persisted layout/schema before deciding
             try:

@@ -656,6 +656,38 @@ class TestKafkaWireProtocol:
                 eng.shutdown()
                 prod.close()
 
+    def test_insert_into_kafka_stream_goes_through_topic(self, spark, tmp_path):
+        """For a kafka-backed stream the TOPIC is the stream: INSERT
+        produces the record to Kafka, the tailer ingests it back
+        (read-your-writes via a synchronous poll), and an external
+        consumer of the topic sees the engine's INSERT."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("ins_t")
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM ik WITH (\"kafka_topic\" = 'ins_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                eng.execute("INSERT INTO ik (a, s) VALUES (7, 'x');")
+                # read-your-writes through the engine
+                rows = eng.execute("SELECT a, s FROM ik;").collect()
+                assert [(r["a"], r["s"]) for r in rows] == [(7, "x")]
+                # ... and visible to an external topic consumer
+                ext = KafkaClient(broker.bootstrap)
+                recs, hwm = ext.fetch("ins_t", 0, 0)
+                ext.close()
+                assert hwm == 1
+                assert _json.loads(recs[0][2].decode()) == {"a": 7, "s": "x"}
+            finally:
+                eng.shutdown()
+
     def test_kafka_sink_produces_from_stream(self, engine):
         """CREATE SINK CONNECTOR type=kafka drains a stream into a topic
         (JSON values, event time as the record timestamp)."""
