@@ -1164,7 +1164,7 @@ class HStreamEngine:
         # and the stream never diverges from its topic. A synchronous
         # poll keeps INSERT -> SELECT read-your-writes.
         kc = self.connectors.get(f"__kafka_{info.name}")
-        if kc is not None and kc.handle is not None:
+        if kc is not None:
             from hstream_spark.sources.kafka_wire import KafkaClient
 
             topic = str(kc.options.get("topic"))
@@ -1178,7 +1178,10 @@ class HStreamEngine:
                 )
             finally:
                 client.close()
-            kc.handle.poll()
+            if kc.handle is not None:
+                kc.handle.poll()  # read-your-writes while ingesting
+            # paused connector: the record waits in the topic and
+            # arrives on RESUME through the committed-offset path
             return 1
         if info.dynamic:
             # resolve any persisted layout/schema before deciding
