@@ -109,6 +109,7 @@ HEADLINE = [
     "corpus_shuffle",
     "perplexity_bands",
     "token_budget_sample",
+    "similar_docs_topk",
 ]
 
 

@@ -579,6 +579,61 @@ def dedup_against_corpus(
     )
 
 
+def similar_docs_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document similarity search: for each query document, the top-k
+    most-similar corpus documents by shingle Jaccard, with candidates
+    from the MinHash-LSH band index — the "find documents like this
+    one" lookup (near-dup forensics, retrieval QA on a curated corpus).
+
+    Candidates are band-key equi-matches (never query × corpus); the
+    exact Jaccard verify touches only candidate pairs, and the final
+    rank is a per-query row_number over a handful of rows. Shares the
+    shingle/band machinery (and any ``build_dedup_index`` output) with
+    the dedup operators. Emits (q_id, doc_id, jaccard, rank).
+    """
+    from pyspark.sql import Window
+
+    sets = doc_shingle_sets(docs, text_col, id_col)
+    bands = minhash_bands_from_sets(sets)
+    qb = bands.where(F.col("doc_id").isin(*[int(q) for q in query_ids])).select(
+        F.col("doc_id").alias("__q"), "band", "band_sig"
+    )
+    cand = (
+        qb.join(bands, ["band", "band_sig"])
+        .where(F.col("__q") != F.col("doc_id"))
+        .select("__q", F.col("doc_id").alias("__c"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sets.select(F.col("doc_id").alias("__q"),
+                              F.col("hs").alias("__hsq")), "__q")
+        .join(sets.select(F.col("doc_id").alias("__c"),
+                          F.col("hs").alias("__hsc")), "__c")
+    )
+    inter = F.size(F.array_intersect(F.col("__hsq"), F.col("__hsc")))
+    union = F.size(F.col("__hsq")) + F.size(F.col("__hsc")) - inter
+    # empty-shingle docs share the sentinel signature and would pair
+    # with 0/0 Jaccard — exclude them (undefined similarity)
+    scored = pairs.where(union > 0).select(
+        F.col("__q").alias("q_id"),
+        F.col("__c").alias(id_col),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("jaccard").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+    )
+
+
 def build_dedup_index(
     corpus: DataFrame,
     path: str,

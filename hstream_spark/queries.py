@@ -948,6 +948,56 @@ def q_dedup_minhash(spark, sf):
     return D.minhash_near_duplicates(load_table(spark, sf, "documents"), threshold=0.5)
 
 
+_SIMILAR_DOCS_ORACLE = f"""
+WITH docs AS ({_TOKS_CTE}),
+tha AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS th FROM docs),
+sh AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(th) - 2), i -> {_SHINGLE3})) AS h
+       FROM tha),
+shh AS (SELECT DISTINCT doc_id, h FROM sh),
+perms AS (SELECT * FROM (VALUES {{perms}}) p(i, a, b)),
+mh AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+       FROM shh, perms GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {{rpb}} AS band,
+                 string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_sig
+          FROM mh GROUP BY doc_id, i // {{rpb}}),
+cand AS (SELECT DISTINCT a.doc_id AS q_id, b.doc_id AS doc_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+         WHERE a.doc_id < 60 AND a.doc_id <> b.doc_id),
+sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM shh GROUP BY doc_id),
+jac AS (SELECT c.q_id, c.doc_id,
+               len(list_intersect(sq.hs, sc.hs))::DOUBLE
+                 / (len(sq.hs) + len(sc.hs)
+                    - len(list_intersect(sq.hs, sc.hs)))::DOUBLE AS jaccard
+        FROM cand c JOIN sets sq ON sq.doc_id = c.q_id
+                    JOIN sets sc ON sc.doc_id = c.doc_id
+        WHERE len(sq.hs) + len(sc.hs)
+              - len(list_intersect(sq.hs, sc.hs)) > 0),
+r AS (SELECT q_id, doc_id, jaccard,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY jaccard DESC, doc_id ASC) AS BIGINT)
+               AS rank
+      FROM jac)
+SELECT q_id, doc_id, jaccard, rank FROM r WHERE rank <= 5
+"""
+
+
+@register(
+    "similar_docs_topk",
+    _SIMILAR_DOCS_ORACLE.replace("{perms}", _minhash_perm_values())
+    .replace("{rpb}", str(D.ROWS_PER_BAND)),
+    tags=("similarity", "search", "lsh"),
+)
+def q_similar_docs_topk(spark, sf):
+    """Find-documents-like-this: top-5 corpus documents per query doc
+    (doc_id < 60) by shingle Jaccard, candidates from the MinHash-LSH
+    band index — never query x corpus
+    (operators/dedup.py similar_docs_topk)."""
+    docs = load_table(spark, sf, "documents")
+    return D.similar_docs_topk(docs, list(range(60)), k=5)
+
+
 def _simhash_sums_sql() -> str:
     return ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)

@@ -579,3 +579,25 @@ def test_dedup_index_persisted_matches_inline(spark, sf_dir, tmp_path):
         for r in dedup_with_index(spark, batch, idx, threshold=0.5).collect()
     )
     assert inline == indexed and len(indexed) > 0
+
+
+def test_similar_docs_topk_ranks_near_dups_first(spark):
+    from hstream_spark.operators.dedup import similar_docs_topk
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),                      # near-dup of 1
+            (3, base.replace("alpha", "lambda")),       # weaker overlap
+            (4, "totally different words entirely here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = similar_docs_topk(docs, [1], k=3).collect()
+    ranked = sorted(((r["rank"], r["doc_id"], r["jaccard"]) for r in out))
+    assert ranked[0][1] == 2                   # closest first
+    assert all(r["q_id"] == 1 for r in out)
+    assert all(0.0 < r["jaccard"] <= 1.0 for r in out)
+    # doc 4 shares no shingles: never a candidate
+    assert 4 not in {r["doc_id"] for r in out}
