@@ -527,15 +527,22 @@ class KafkaIngestTailer:
         offsets_path: str,
         poll_interval: float = 2.0,
         max_batch_bytes: int = 4 << 20,
+        starting: str = "earliest",
     ):
         import threading
 
+        if starting not in ("earliest", "latest"):
+            raise ConnectorError(
+                f"kafka starting position must be 'earliest' or 'latest', "
+                f"got {starting!r}"
+            )
         self.bootstrap = bootstrap
         self.topic = topic
         self.emit = emit
         self.offsets_path = offsets_path
         self.poll_interval = float(poll_interval)
         self.max_batch_bytes = int(max_batch_bytes)
+        self.starting = starting
         self.offsets: dict[int, int] = {}
         if offsets_path and _os_path_exists(offsets_path):
             try:
@@ -580,14 +587,26 @@ class KafkaIngestTailer:
 
     def poll(self) -> int:
         """Drain all partitions to their high watermarks; returns rows."""
-        from hstream_spark.sources.kafka_wire import EARLIEST
+        from hstream_spark.sources.kafka_wire import EARLIEST, LATEST
 
         client = self._get_client()
         total = 0
         for p in client.partitions(self.topic):
             next_off = self.offsets.get(p)
             if next_off is None:
-                next_off = client.list_offsets(self.topic, p, EARLIEST)
+                # first contact with this partition: 'earliest' replays
+                # the topic's history, 'latest' subscribes to new
+                # records only (the reference's scan-start semantics);
+                # committed offsets override either on restart
+                next_off = client.list_offsets(
+                    self.topic, p,
+                    LATEST if self.starting == "latest" else EARLIEST,
+                )
+                if self.starting == "latest":
+                    # commit the subscription point so a restart before
+                    # any data arrives doesn't re-resolve a NEWER latest
+                    self.offsets[p] = next_off
+                    self._commit()
             while True:
                 recs, hwm, end_off = client.fetch_records(
                     self.topic, p, next_off, max_bytes=self.max_batch_bytes

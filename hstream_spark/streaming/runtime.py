@@ -654,7 +654,7 @@ class HStreamEngine:
         return info
 
     @staticmethod
-    def _validate_kafka_opts(kopts: dict) -> tuple[str, str, int]:
+    def _validate_kafka_opts(kopts: dict) -> tuple[str, str, int, str]:
         bootstrap = str(
             kopts.get("kafka_bootstrap_servers") or kopts.get("kafka_bootstrap") or ""
         )
@@ -669,10 +669,17 @@ class HStreamEngine:
             raise CompileError(
                 f"KAFKA_POLL_INTERVAL_MS must be an integer, got {raw_ms!r}"
             ) from exc
-        return str(kopts["kafka_topic"]), bootstrap, poll_ms
+        starting = str(kopts.get("kafka_starting_offsets", "earliest")).lower()
+        if starting not in ("earliest", "latest"):
+            raise CompileError(
+                "KAFKA_STARTING_OFFSETS must be 'earliest' or 'latest', "
+                f"got {starting!r}"
+            )
+        return str(kopts["kafka_topic"]), bootstrap, poll_ms, starting
 
     def _build_kafka_tailer(self, target: StreamInfo, topic: str,
-                            bootstrap: str, poll_ms: int):
+                            bootstrap: str, poll_ms: int,
+                            starting: str = "earliest"):
         from hstream_spark.sources import connectors as C
 
         def _emit(records: list) -> int:
@@ -682,6 +689,7 @@ class HStreamEngine:
             bootstrap, topic, _emit,
             os.path.join(target.path, "_kafka_offsets.json"),
             poll_interval=max(poll_ms, 1) / 1000.0,
+            starting=starting,
         )
         if poll_ms > 0:
             tailer.start()
@@ -698,13 +706,14 @@ class HStreamEngine:
         DDL-log replay on restart resumes instead of re-reading.  On a
         cluster with the spark-sql-kafka jar, map the stream straight to
         ``kafka_wire.kafka_readstream`` instead."""
-        topic, bootstrap, poll_ms = self._validate_kafka_opts(kopts)
+        topic, bootstrap, poll_ms, starting = self._validate_kafka_opts(kopts)
         cname = f"__kafka_{info.name}"
         conn = ConnectorInfo(
             cname, "SOURCE", info.name,
             {"TYPE": "kafka", "topic": topic, "bootstrap_servers": bootstrap,
-             "poll_interval_ms": poll_ms},
-            handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms),
+             "poll_interval_ms": poll_ms, "starting_offsets": starting},
+            handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms,
+                                            starting),
         )
         self.connectors[cname] = conn
 
@@ -1089,7 +1098,13 @@ class HStreamEngine:
                 )
             raw_ms = kopts.get("poll_interval_ms", kopts.get("kafka_poll_interval_ms"))
             poll_ms = 2000 if raw_ms is None else int(raw_ms)
-            info.handle = self._build_kafka_tailer(target, topic, bootstrap, poll_ms)
+            starting = str(
+                kopts.get("starting_offsets")
+                or kopts.get("kafka_starting_offsets") or "earliest"
+            ).lower()
+            info.handle = self._build_kafka_tailer(
+                target, topic, bootstrap, poll_ms, starting
+            )
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
             rate = C.rate_source(

@@ -656,6 +656,45 @@ class TestKafkaWireProtocol:
                 eng.shutdown()
                 prod.close()
 
+    def test_kafka_stream_starting_offsets_latest(self, spark, tmp_path):
+        """KAFKA_STARTING_OFFSETS='latest' subscribes to NEW records
+        only (the reference's scan-start semantics) — pre-existing
+        topic history stays out, and the subscription point survives a
+        restart."""
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("lt_t")
+            prod = KafkaClient(broker.bootstrap)
+            prod.produce("lt_t", [(None, b'{"k": 1}', 1000)])  # history
+            root = str(tmp_path / "data")
+            eng = HStreamEngine(spark, root)
+            try:
+                eng.execute(
+                    "CREATE STREAM ltk WITH (\"kafka_topic\" = 'lt_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0, "
+                    "\"kafka_starting_offsets\" = 'latest');"
+                )
+                tailer = eng.connectors["__kafka_ltk"].handle
+                assert tailer.poll() == 0  # history excluded
+                prod.produce("lt_t", [(None, b'{"k": 2}', 2000)])
+                assert tailer.poll() == 1  # new record arrives
+                ks = [r["k"] for r in eng.execute("SELECT k FROM ltk;").collect()]
+                assert ks == [2]
+            finally:
+                eng.shutdown()
+            # restart: the committed subscription point holds (k=1 never
+            # appears, no re-resolution of a newer 'latest')
+            eng2 = HStreamEngine(spark, root)
+            try:
+                assert eng2.connectors["__kafka_ltk"].handle.poll() == 0
+                assert eng2.execute("SELECT * FROM ltk;").count() == 1
+            finally:
+                eng2.shutdown()
+                prod.close()
+
     def test_insert_into_kafka_stream_goes_through_topic(self, spark, tmp_path):
         """For a kafka-backed stream the TOPIC is the stream: INSERT
         produces the record to Kafka, the tailer ingests it back
