@@ -447,10 +447,13 @@ def kafka_sink(options: dict) -> SinkFn:
     """Kafka sink over the wire-protocol client (``sources/kafka_wire``)
     — no jar, no broker library.  Rows JSON-encode JVM-side
     (``to_json``) so only encoded strings cross into Python; each Spark
-    partition opens ONE connection and produces record batches, spread
-    round-robin across the topic's partitions — sink throughput scales
-    with Spark partition count, the same shape as the mongodb/ES sinks.
-    The record timestamp carries the row's event time when present.
+    partition opens ONE connection and produces record batches — sink
+    throughput scales with Spark partition count, the same shape as
+    the mongodb/ES sinks. The record timestamp carries the row's event
+    time when present.  Without a ``key_column`` batches spread
+    round-robin across topic partitions; with one, each record's Kafka
+    key is that column and its partition is a stable hash of the key —
+    per-key ordering for downstream consumers, the Kafka idiom.
 
     On a cluster with the official ``spark-sql-kafka-0-10`` jar prefer
     ``df.write.format("kafka")`` — this is the jar-free path.
@@ -467,34 +470,52 @@ def kafka_sink(options: dict) -> SinkFn:
             "kafka sink requires topic and bootstrap_servers options"
         )
     batch_records = int(opts.get("batch_records", 500) or 500)
+    key_column = str(opts.get("key_column") or "") or None
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if key_column is not None and key_column not in batch_df.columns:
+            raise ConnectorError(
+                f"kafka sink key_column {key_column!r} not in stream "
+                f"columns {batch_df.columns}"
+            )
         cols = [c for c in batch_df.columns if c != EVENT_TIME_COL]
         ts = (
             F.unix_millis(F.col(EVENT_TIME_COL))
             if EVENT_TIME_COL in batch_df.columns
             else F.unix_millis(F.current_timestamp())
         )
-        enc = batch_df.select(
-            F.to_json(F.struct(*cols)).alias("v"), ts.alias("t")
-        )
+        sel = [F.to_json(F.struct(*cols)).alias("v"), ts.alias("t")]
+        if key_column is not None:
+            sel.append(F.col(key_column).cast("string").alias("k"))
+        enc = batch_df.select(*sel)
 
         def send(rows) -> None:
+            import zlib
+
             from hstream_spark.sources.kafka_wire import KafkaClient
 
             client = KafkaClient(bootstrap)
             try:
-                parts = client.partitions(topic) or [0]
-                buf: list = []
+                parts = sorted(client.partitions(topic)) or [0]
+                bufs: dict[int, list] = {}
                 pidx = 0
                 for row in rows:
-                    buf.append((None, row["v"].encode("utf-8"), int(row["t"])))
-                    if len(buf) >= batch_records:
-                        client.produce(topic, buf, partition=parts[pidx % len(parts)])
+                    if key_column is not None and row["k"] is not None:
+                        key = row["k"].encode("utf-8")
+                        # stable key -> partition hash (per-key ordering)
+                        p = parts[zlib.crc32(key) % len(parts)]
+                    else:
+                        key = None
+                        p = parts[pidx % len(parts)]  # round-robin
                         pidx += 1
-                        buf = []
-                if buf:
-                    client.produce(topic, buf, partition=parts[pidx % len(parts)])
+                    buf = bufs.setdefault(p, [])
+                    buf.append((key, row["v"].encode("utf-8"), int(row["t"])))
+                    if len(buf) >= batch_records:
+                        client.produce(topic, buf, partition=p)
+                        bufs[p] = []
+                for p, buf in bufs.items():
+                    if buf:
+                        client.produce(topic, buf, partition=p)
             finally:
                 client.close()
 
@@ -635,6 +656,26 @@ class KafkaIngestTailer:
                 if next_off >= hwm:
                     break
         return total
+
+    def lag(self) -> dict[int, dict[str, int]]:
+        """Per-partition ingestion lag: {partition: {committed,
+        high_watermark, lag}} — the consumer-group lag view an operator
+        checks when a stream falls behind its topic."""
+        from hstream_spark.sources.kafka_wire import EARLIEST, LATEST
+
+        client = self._get_client()
+        out: dict[int, dict[str, int]] = {}
+        for p in client.partitions(self.topic):
+            committed = self.offsets.get(p)
+            if committed is None:
+                committed = client.list_offsets(self.topic, p, EARLIEST)
+            hwm = client.list_offsets(self.topic, p, LATEST)
+            out[p] = {
+                "committed": int(committed),
+                "high_watermark": int(hwm),
+                "lag": max(0, int(hwm) - int(committed)),
+            }
+        return out
 
     def _loop(self) -> None:
         while not self._stop.wait(self.poll_interval):

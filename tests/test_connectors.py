@@ -756,6 +756,67 @@ class TestKafkaWireProtocol:
             )
             assert vals == [(1, "x"), (2, "y")]
 
+    def test_kafka_tailer_lag_reporting(self, spark, tmp_path):
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("lag_t")
+            prod = KafkaClient(broker.bootstrap)
+            prod.produce("lag_t", [(None, b'{"k": %d}' % i, 1000) for i in range(3)])
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM lg WITH (\"kafka_topic\" = 'lag_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                t = eng.connectors["__kafka_lg"].handle
+                assert t.lag()[0] == {"committed": 0, "high_watermark": 3, "lag": 3}
+                t.poll()
+                assert t.lag()[0]["lag"] == 0
+            finally:
+                eng.shutdown()
+                prod.close()
+
+    def test_kafka_sink_keyed_partitioning(self, engine):
+        """key_column routes every record for a key to ONE topic
+        partition (per-key ordering) and carries the key bytes."""
+        import json as _json
+        import zlib as _zlib
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("keyed_t", partitions=3)
+            engine.execute("CREATE STREAM ksk (uid INTEGER, v INTEGER);")
+            for i in range(12):
+                engine.execute(
+                    f"INSERT INTO ksk (uid, v) VALUES ({i % 4}, {i});"
+                )
+            info = engine.execute(
+                "CREATE SINK CONNECTOR kp TO ksk WITH (\"type\" = 'kafka', "
+                f"\"topic\" = 'keyed_t', \"key_column\" = 'uid', "
+                f"\"bootstrap_servers\" = '{broker.bootstrap}');"
+            )
+            info.handle.processAllAvailable()
+            consumer = KafkaClient(broker.bootstrap)
+            seen: dict[str, set] = {}
+            total = 0
+            for p in range(3):
+                recs, _hwm = consumer.fetch("keyed_t", p, 0)
+                for (_o, key, value, _t) in recs:
+                    total += 1
+                    uid = key.decode()
+                    assert _zlib.crc32(key) % 3 == p  # stable routing
+                    seen.setdefault(uid, set()).add(p)
+                    assert _json.loads(value.decode())["uid"] == int(uid)
+            consumer.close()
+            assert total == 12
+            # every key maps to exactly one partition
+            assert all(len(ps) == 1 for ps in seen.values())
+
     def test_kafka_topic_to_topic_pipeline(self, spark, tmp_path):
         """Topic → stream → continuous query → sink connector → topic:
         the full Kafka-in/Kafka-out pipeline through the engine."""
