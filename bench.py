@@ -110,6 +110,7 @@ HEADLINE = [
     "perplexity_bands",
     "token_budget_sample",
     "similar_docs_topk",
+    "multimodal_curation",
 ]
 
 

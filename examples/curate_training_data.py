@@ -49,8 +49,12 @@ def curate(spark, sf_dir: str, max_tokens: int = 64) -> dict[str, DataFrame]:
     docs = docs.withColumn("text", TX.normalize_text(F.col("text")))
     out["normalized"] = docs
 
-    # 2. quality filter
-    keep = TX.quality_classifier(docs).where(F.col("keep")).select("doc_id")
+    # 2. quality filter — persist the scored frame before filtering so
+    #    the logistic feature tree evaluates once in a projection
+    #    (a filter over the computed boolean inlines the whole tree
+    #    into FilterExec, which lacks subexpression elimination)
+    scored = TX.quality_classifier(docs).persist()
+    keep = scored.where(F.col("keep")).select("doc_id")
     docs = docs.join(keep, "doc_id")
     out["quality"] = docs
 

@@ -4372,6 +4372,51 @@ def q_semantic_dedup(spark, sf):
     return semantic_dedup_np(emb, _seed_centroids(emb), eps=0.4)
 
 
+def _multimodal_curation_oracle() -> str:
+    return f"""
+WITH q AS ({_quality_clf_oracle().strip()}),
+s AS ({_SEMANTIC_DEDUP_ORACLE.strip()})
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id AND q.keep
+JOIN s ON s.vec_id = d.doc_id
+"""
+
+
+@register(
+    "multimodal_curation",
+    _multimodal_curation_oracle(),
+    tags=("curation", "multimodal", "composite"),
+)
+def q_multimodal_curation(spark, sf):
+    """Text x embedding joint curation: keep documents that pass the
+    logistic TEXT quality classifier AND survive EMBEDDING-space
+    SemDeDup (their vector has no lower-id same-cluster neighbor at
+    cosine >= 0.4) — the two modalities' filters compose as semi-joins
+    on the shared id, so the plan is the union of both operators' scale
+    stories plus two broadcast-sized joins."""
+    from hstream_spark.operators.similarity import semantic_dedup_np
+    from hstream_spark.sources.tables import spread
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    # persist the scored frame BEFORE filtering: a filter over the
+    # classifier's computed boolean inlines the whole feature tree into
+    # FilterExec (no subexpression elimination there — measured ~9x)
+    # and pushes it below the parallelizing exchange; materializing the
+    # tiny (id, keep) frame evaluates the features ONCE in a projection
+    scored = TX.quality_classifier(spread(docs)).persist()
+    q_keep = scored.where(F.col("keep")).select("doc_id")
+    sem_keep = semantic_dedup_np(emb, _seed_centroids(emb), eps=0.4).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(q_keep, "doc_id", "left_semi")
+        .join(sem_keep, "doc_id", "left_semi")
+    )
+
+
 _DEDUP_INDEX_ORACLE = f"""
 WITH docs AS ({_TOKS_CTE}),
 tha AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS th FROM docs),
