@@ -2118,7 +2118,12 @@ def q_curation_pipeline(spark, sf):
     from hstream_spark.sources.tables import spread
 
     docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
-    good = docs.filter(TX.quality_score(F.col("text")) >= 0.75)
+    # score in a PROJECTION and persist before filtering: the quality
+    # expression would otherwise inline into FilterExec (no
+    # subexpression elimination there) and re-evaluate for each of the
+    # three downstream uses of `good` (see SCALE.md)
+    scored = docs.withColumn("__q", TX.quality_score(F.col("text"))).persist()
+    good = scored.where(F.col("__q") >= 0.75).drop("__q")
     reps = good.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     s1 = good.join(reps.select("doc_id"), "doc_id", "left_semi").persist()
     pairs = D.simhash_near_duplicates(s1, max_hamming=3)
