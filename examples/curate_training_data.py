@@ -49,11 +49,13 @@ def curate(spark, sf_dir: str, max_tokens: int = 64) -> dict[str, DataFrame]:
     docs = docs.withColumn("text", TX.normalize_text(F.col("text")))
     out["normalized"] = docs
 
-    # 2. quality filter — persist the scored frame before filtering so
-    #    the logistic feature tree evaluates once in a projection
-    #    (a filter over the computed boolean inlines the whole tree
-    #    into FilterExec, which lacks subexpression elimination)
-    scored = TX.quality_classifier(docs).persist()
+    # 2. quality filter — materialize the scored frame before
+    #    filtering so the logistic feature tree evaluates once in a
+    #    projection (a filter over the computed boolean inlines the
+    #    whole tree into FilterExec, which lacks subexpression
+    #    elimination). localCheckpoint over persist: blocks free on GC,
+    #    so a session running the pipeline repeatedly stays bounded
+    scored = TX.quality_classifier(docs).select("doc_id", "keep").localCheckpoint()
     keep = scored.where(F.col("keep")).select("doc_id")
     docs = docs.join(keep, "doc_id")
     out["quality"] = docs

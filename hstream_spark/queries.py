@@ -2118,14 +2118,20 @@ def q_curation_pipeline(spark, sf):
     from hstream_spark.sources.tables import spread
 
     docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
-    # score in a PROJECTION and persist before filtering: the quality
-    # expression would otherwise inline into FilterExec (no
+    # score in a PROJECTION and materialize before filtering: the
+    # quality expression would otherwise inline into FilterExec (no
     # subexpression elimination there) and re-evaluate for each of the
-    # three downstream uses of `good` (see SCALE.md)
-    scored = docs.withColumn("__q", TX.quality_score(F.col("text"))).persist()
+    # three downstream uses of `good` (see SCALE.md). localCheckpoint
+    # (not persist): same ProjectExec-CSE materialization, but blocks
+    # are ContextCleaner-GC'd when the frame drops out of scope instead
+    # of pinned in the CacheManager until an explicit unpersist — a
+    # long-lived session invoking this entry repeatedly stays bounded
+    scored = docs.withColumn(
+        "__q", TX.quality_score(F.col("text"))
+    ).localCheckpoint()
     good = scored.where(F.col("__q") >= 0.75).drop("__q")
     reps = good.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    s1 = good.join(reps.select("doc_id"), "doc_id", "left_semi").persist()
+    s1 = good.join(reps.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
     pairs = D.simhash_near_duplicates(s1, max_hamming=3)
     final = D.prune_duplicates(
         s1, pairs, id_col="doc_id", left_col="doc_a", right_col="doc_b"
@@ -4405,12 +4411,16 @@ def q_multimodal_curation(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     emb = load_table(spark, sf, "embeddings")
-    # persist the scored frame BEFORE filtering: a filter over the
+    # materialize the scored frame BEFORE filtering: a filter over the
     # classifier's computed boolean inlines the whole feature tree into
     # FilterExec (no subexpression elimination there — measured ~9x)
-    # and pushes it below the parallelizing exchange; materializing the
-    # tiny (id, keep) frame evaluates the features ONCE in a projection
-    scored = TX.quality_classifier(spread(docs)).persist()
+    # and pushes it below the parallelizing exchange; localCheckpoint
+    # evaluates the features ONCE in a projection and — unlike
+    # persist() — its blocks free on GC, so repeated invocations in one
+    # session don't accumulate CacheManager entries
+    scored = TX.quality_classifier(spread(docs)).select(
+        "doc_id", "keep"
+    ).localCheckpoint()
     q_keep = scored.where(F.col("keep")).select("doc_id")
     sem_keep = semantic_dedup_np(emb, _seed_centroids(emb), eps=0.4).select(
         F.col("vec_id").alias("doc_id")

@@ -575,6 +575,13 @@ class KafkaIngestTailer:
         self._stop = threading.Event()
         self._thread = None
         self._threading = threading
+        # poll() runs on BOTH the background _loop thread and the
+        # engine's synchronous read-your-writes path (INSERT through
+        # the topic); without mutual exclusion both can fetch the same
+        # page from the same committed offset and double-append before
+        # either advances self.offsets. Serialize the whole
+        # fetch→emit→commit cycle.
+        self._poll_lock = threading.Lock()
 
     def _get_client(self):
         if self._client is None:
@@ -607,7 +614,16 @@ class KafkaIngestTailer:
         _os_replace(tmp, self.offsets_path)
 
     def poll(self) -> int:
-        """Drain all partitions to their high watermarks; returns rows."""
+        """Drain all partitions to their high watermarks; returns rows.
+
+        Thread-safe: the background loop and the engine's synchronous
+        INSERT-path poll serialize on one lock (exactly-once within a
+        run requires the fetch→emit→commit cycle to be atomic across
+        callers)."""
+        with self._poll_lock:
+            return self._poll_locked()
+
+    def _poll_locked(self) -> int:
         from hstream_spark.sources.kafka_wire import EARLIEST, LATEST
 
         client = self._get_client()
@@ -683,9 +699,10 @@ class KafkaIngestTailer:
                 self.poll()
             except Exception:  # noqa: BLE001 — broker outage; retry
                 _LOG.exception("kafka tailer poll failed; retrying next interval")
-                if self._client is not None:
-                    self._client.close()
-                    self._client = None
+                with self._poll_lock:
+                    if self._client is not None:
+                        self._client.close()
+                        self._client = None
 
     def start(self) -> "KafkaIngestTailer":
         if self._thread is None:

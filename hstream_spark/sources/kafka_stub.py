@@ -31,17 +31,31 @@ class _PartitionLog:
         self.next_offset = 0
 
     def append(self, record_set: bytes) -> int:
-        records = W.decode_record_batches(record_set)  # validates CRC
+        records = W.decode_record_batches(record_set)  # validates CRC (+codec)
         if not records:
             raise W.KafkaWireError("empty record set")
-        base = self.next_offset
-        rebased = W.encode_record_batch(
-            [(k, v, ts) for (_o, k, v, ts) in records], base_offset=base
-        )
-        last = base + len(records) - 1
-        self.batches.append((base, last, rebased))
-        self.next_offset = last + 1
-        return base
+        first_base = self.next_offset
+        # Rebase IN PLACE like a real broker: baseOffset sits OUTSIDE
+        # the CRC range precisely so brokers can rewrite it on append
+        # without re-signing — this preserves the producer's original
+        # bytes (compression included), so Fetch serves back exactly
+        # what was produced and consumers exercise their decode path.
+        buf = bytearray(record_set)
+        pos = 0
+        base = first_base
+        while pos + 12 <= len(buf):
+            batch_len = struct.unpack(">i", buf[pos + 8:pos + 12])[0]
+            # header layout: prefix(12) leaderEpoch(4) magic(1) crc(4)
+            # attributes(2) lastOffsetDelta(4)
+            lod = struct.unpack(">i", buf[pos + 23:pos + 27])[0]
+            buf[pos:pos + 8] = struct.pack(">q", base)
+            raw = bytes(buf[pos:pos + 12 + batch_len])
+            last = base + lod
+            self.batches.append((base, last, raw))
+            base = last + 1
+            pos += 12 + batch_len
+        self.next_offset = base
+        return first_base
 
     def read_from(self, offset: int, max_bytes: int) -> bytes:
         out = bytearray()

@@ -14,8 +14,13 @@ Scope (all from the public Kafka protocol specification):
   v2** (magic 2: CRC32C over attributes..end, zigzag-varint record
   bodies) — the only on-disk/on-wire format current brokers accept for
   writes (message-set v0/v1 write support was removed in Kafka 4.0).
-- No compression, no transactions, no SASL/TLS (attributes bits left
-  zero); single-leader topologies are resolved via Metadata.
+- Compression: gzip encode/decode via the stdlib; snappy/lz4/zstd
+  decode through optional libraries with a loud per-codec error when
+  absent (real-world topics are routinely producer-compressed —
+  reference codec table:
+  hstream-kafka/protocol/Kafka/Protocol/Encoding.hs:300-304).
+- No transactions, no SASL/TLS; single-leader topologies are resolved
+  via Metadata.
 
 On a real Spark cluster the idiomatic path is the official
 ``spark-sql-kafka-0-10`` connector (``readStream.format("kafka")``) —
@@ -163,14 +168,115 @@ def crc32c(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 
+# Record-batch v2 compression codecs (attributes bits 0-2). gzip is
+# stdlib; snappy/lz4/zstd decode through optional libraries with a
+# loud error naming the codec and the package when absent — mirrors
+# the reference's codec table
+# (/root/reference/hstream-kafka/protocol/Kafka/Protocol/Encoding.hs:300-304).
+_CODEC_NONE, _CODEC_GZIP, _CODEC_SNAPPY, _CODEC_LZ4, _CODEC_ZSTD = 0, 1, 2, 3, 4
+_CODEC_IDS = {"none": _CODEC_NONE, "gzip": _CODEC_GZIP, "snappy": _CODEC_SNAPPY,
+              "lz4": _CODEC_LZ4, "zstd": _CODEC_ZSTD}
+_CODEC_NAMES = {v: k for k, v in _CODEC_IDS.items()}
+
+
+def _decompress_records(codec: int, payload: bytes) -> bytes:
+    if codec == _CODEC_GZIP:
+        import gzip
+
+        try:
+            return gzip.decompress(payload)
+        except (OSError, EOFError) as exc:
+            raise KafkaWireError(f"bad gzip record payload: {exc}") from exc
+    if codec == _CODEC_SNAPPY:
+        try:
+            import snappy  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise KafkaWireError(
+                "snappy-compressed batch: install python-snappy to decode"
+            ) from exc
+        if payload.startswith(b"\x82SNAPPY\x00"):
+            # snappy-java (xerial) framing: 8-byte magic, two int32
+            # versions, then length-prefixed raw-snappy blocks
+            out = bytearray()
+            pos = 16
+            while pos + 4 <= len(payload):
+                blen = struct.unpack(">i", payload[pos:pos + 4])[0]
+                pos += 4
+                out += snappy.decompress(payload[pos:pos + blen])
+                pos += blen
+            return bytes(out)
+        return snappy.decompress(payload)
+    if codec == _CODEC_LZ4:
+        try:
+            import lz4.frame  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise KafkaWireError(
+                "lz4-compressed batch: install the lz4 package to decode"
+            ) from exc
+        return lz4.frame.decompress(payload)
+    if codec == _CODEC_ZSTD:
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise KafkaWireError(
+                "zstd-compressed batch: install zstandard to decode"
+            ) from exc
+        return zstandard.ZstdDecompressor().decompress(payload)
+    raise KafkaWireError(f"unknown compression codec id {codec}")
+
+
+def _compress_records(codec: int, payload: bytes) -> bytes:
+    if codec == _CODEC_GZIP:
+        import gzip
+
+        # mtime=0: deterministic bytes (property tests and CRC depend
+        # on encode being a pure function of the records)
+        return gzip.compress(payload, mtime=0)
+    if codec == _CODEC_SNAPPY:
+        try:
+            import snappy  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise KafkaWireError(
+                "snappy compression: install python-snappy to encode"
+            ) from exc
+        return snappy.compress(payload)
+    if codec == _CODEC_LZ4:
+        try:
+            import lz4.frame  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise KafkaWireError(
+                "lz4 compression: install the lz4 package to encode"
+            ) from exc
+        return lz4.frame.compress(payload)
+    if codec == _CODEC_ZSTD:
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise KafkaWireError(
+                "zstd compression: install zstandard to encode"
+            ) from exc
+        return zstandard.ZstdCompressor().compress(payload)
+    raise KafkaWireError(f"unknown compression codec id {codec}")
+
+
 def encode_record_batch(
     records: list[tuple[Optional[bytes], Optional[bytes], int]],
     base_offset: int = 0,
+    compression: str = "none",
 ) -> bytes:
-    """``records`` = [(key, value, timestamp_ms)]; one uncompressed
-    batch, producer fields set to the non-transactional sentinels."""
+    """``records`` = [(key, value, timestamp_ms)]; one batch, producer
+    fields set to the non-transactional sentinels. ``compression``:
+    none | gzip (stdlib) | snappy | lz4 | zstd (optional libraries) —
+    the records section compresses, the batch header stays plain per
+    the v2 wire format."""
     if not records:
         raise KafkaWireError("cannot encode an empty record batch")
+    codec = _CODEC_IDS.get(compression)
+    if codec is None:
+        raise KafkaWireError(
+            f"unknown compression {compression!r}; "
+            f"one of {sorted(_CODEC_IDS)}"
+        )
     base_ts = records[0][2]
     max_ts = max(r[2] for r in records)
     body = bytearray()
@@ -189,9 +295,12 @@ def encode_record_batch(
             rec += enc_varint(len(value)) + value
         rec += enc_varint(0)  # headers
         body += enc_varint(len(rec)) + rec
+    records_part = bytes(body)
+    if codec != _CODEC_NONE:
+        records_part = _compress_records(codec, records_part)
     # attributes..end is the CRC range
     crc_part = (
-        enc_int16(0)  # attributes: no compression, CreateTime
+        enc_int16(codec)  # attributes: codec bits 0-2, CreateTime
         + enc_int32(len(records) - 1)  # lastOffsetDelta
         + enc_int64(base_ts)
         + enc_int64(max_ts)
@@ -199,7 +308,7 @@ def encode_record_batch(
         + enc_int16(-1)  # producerEpoch
         + enc_int32(-1)  # baseSequence
         + enc_int32(len(records))
-        + bytes(body)
+        + records_part
     )
     after_length = (
         enc_int32(0)  # partitionLeaderEpoch
@@ -247,8 +356,7 @@ def decode_record_batches_ex(
         if crc32c(crc_range) != expect_crc:
             raise KafkaWireError("record batch CRC32C mismatch")
         attributes = r.int16()
-        if attributes & 0x07:
-            raise KafkaWireError("compressed batches not supported")
+        codec = attributes & 0x07
         last_offset_delta = r.int32()
         base_ts = r.int64()
         r.int64()  # maxTimestamp
@@ -257,6 +365,10 @@ def decode_record_batches_ex(
         r.int32()  # baseSequence
         n = r.int32()
         is_control = bool(attributes & 0x20)
+        if codec != _CODEC_NONE:
+            # the records section (everything after the count) is the
+            # compressed payload; the header above is always plain
+            r = _Reader(_decompress_records(codec, r.buf[r.pos:]))
         for _ in range(n):
             rec_len = r.varint()
             rec = _Reader(r.take(rec_len))
@@ -374,6 +486,19 @@ class KafkaClient:
             self._leaders.pop((topic, partition), None)
             raise
 
+    def _partition_error(self, err: int, topic: str, partition: int,
+                         what: str) -> KafkaWireError:
+        """Build the error for a partition-level error CODE (the
+        transport succeeded, so _leader_call did not invalidate).
+        Leader-moved surfaces as a code — NOT_LEADER_FOR_PARTITION=6,
+        LEADER_NOT_AVAILABLE=5, UNKNOWN_TOPIC_OR_PARTITION=3 after a
+        reassignment — so drop the cached leader here too; the next
+        call re-resolves instead of retrying the stale broker forever."""
+        self._leaders.pop((topic, partition), None)
+        return KafkaWireError(
+            f"{what} error code {err} for {topic}[{partition}]"
+        )
+
     # -- APIs --------------------------------------------------------------
 
     def api_versions(self) -> dict[int, tuple[int, int]]:
@@ -460,7 +585,9 @@ class KafkaClient:
                 r.int32()  # partition
                 err = r.int16()
                 if err:
-                    raise KafkaWireError(f"ListOffsets error {err}")
+                    raise self._partition_error(
+                        err, topic, partition, "ListOffsets"
+                    )
                 r.int64()  # timestamp
                 return r.int64()
         raise KafkaWireError("empty ListOffsets response")
@@ -472,9 +599,18 @@ class KafkaClient:
         partition: int = 0,
         acks: int = -1,
         timeout_ms: int = 30000,
+        compression: str = "none",
     ) -> int:
         """Produce one batch; returns the assigned base offset."""
-        batch = encode_record_batch(records)
+        if acks == 0:
+            # with acks=0 the broker sends NO Produce response; this
+            # client's request loop always reads one, so the call would
+            # block until socket timeout and then fail spuriously
+            raise KafkaWireError(
+                "acks=0 is unsupported (fire-and-forget sends no "
+                "response to read); use acks=1 or acks=-1"
+            )
+        batch = encode_record_batch(records, compression=compression)
         body = (
             enc_nullable_string(None)  # transactional_id
             + enc_int16(acks)
@@ -492,7 +628,9 @@ class KafkaClient:
                 r.int32()  # partition index
                 err = r.int16()
                 if err:
-                    raise KafkaWireError(f"Produce error code {err}")
+                    raise self._partition_error(
+                        err, topic, partition, "Produce"
+                    )
                 base = r.int64()
                 r.int64()  # log_append_time
         r.int32()  # throttle
@@ -551,7 +689,9 @@ class KafkaClient:
                 r.int32()  # partition
                 err = r.int16()
                 if err:
-                    raise KafkaWireError(f"Fetch error code {err}")
+                    raise self._partition_error(
+                        err, topic, partition, "Fetch"
+                    )
                 hwm = r.int64()
                 r.int64()  # last_stable_offset
                 n_aborted = r.int32()

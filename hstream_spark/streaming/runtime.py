@@ -1036,7 +1036,16 @@ class HStreamEngine:
                 if str(k).upper() != "TYPE"
             }
             wm_col = opts.pop("watermark_column", None)
-            poll_ms = int(opts.pop("poll_interval_ms", 0) or 0)
+            # WATERMARK_COLUMN alone enables continuous tailing (the
+            # documented contract): default the interval to the
+            # tailer's own 5 s rather than silently stopping after the
+            # snapshot. POLL_INTERVAL_MS=0 explicitly opts OUT
+            # (snapshot-only).
+            raw_poll = opts.pop("poll_interval_ms", None)
+            if raw_poll is None:
+                poll_ms = 5000 if wm_col is not None else 0
+            else:
+                poll_ms = int(raw_poll or 0)
             if ctype == "mongodb" or wm_col is None:
                 if self._replaying:
                     self.connectors.setdefault(stmt.name, info)

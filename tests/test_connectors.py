@@ -473,6 +473,10 @@ def test_jdbc_source_connector_incremental_tailing(engine, spark):
         f"\"driver\" = '{DERBY_DRIVER}', \"watermark_column\" = 'k');"
     )
     assert info.handle is not None  # the tailer, not a one-shot snapshot
+    # WATERMARK_COLUMN alone (no POLL_INTERVAL_MS) must START the
+    # polling thread — the documented continuous-tailing contract;
+    # POLL_INTERVAL_MS=0 is the explicit snapshot-only opt-out
+    assert info.handle._thread is not None
     snap = engine.execute("SELECT * FROM cdcs;")
     kcol = {c.lower(): c for c in snap.columns}["k"]
     assert sorted(r[kcol] for r in snap.collect()) == [1, 2]

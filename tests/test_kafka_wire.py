@@ -166,3 +166,240 @@ def test_tailer_commits_past_trailing_control_batch(tmp_path):
         assert t.offsets[0] == 3      # committed PAST the marker
         assert t.poll() == 0          # idle, no stall
         t.stop()
+
+
+# ---------------------------------------------------------------------------
+# compressed record batches (gzip stdlib; optional codecs error by name)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    records=st.lists(_record, min_size=1, max_size=20),
+    base=st.integers(min_value=0, max_value=2**31),
+)
+def test_gzip_record_batch_round_trip(records, base):
+    buf = encode_record_batch(records, base_offset=base, compression="gzip")
+    out = decode_record_batches(buf)
+    assert out == [
+        (base + i, k, v, ts) for i, (k, v, ts) in enumerate(records)
+    ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    plain=st.lists(_record, min_size=1, max_size=5),
+    gz=st.lists(_record, min_size=1, max_size=5),
+)
+def test_mixed_plain_and_gzip_batches_decode_in_order(plain, gz):
+    buf = encode_record_batch(plain, base_offset=0) + encode_record_batch(
+        gz, base_offset=len(plain), compression="gzip"
+    )
+    expect = [(i, k, v, ts) for i, (k, v, ts) in enumerate(plain)]
+    expect += [
+        (len(plain) + i, k, v, ts) for i, (k, v, ts) in enumerate(gz)
+    ]
+    assert decode_record_batches(buf) == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    records=st.lists(_record, min_size=1, max_size=8),
+    flip=st.integers(min_value=0, max_value=10**9),
+)
+def test_gzip_corruption_detected(records, flip):
+    """Any flipped byte in a gzip batch must raise or hit the two
+    deliberately-uncovered header fields (framing length / leader
+    epoch) — the CRC covers the COMPRESSED payload, so corruption is
+    caught before the decompressor sees garbage."""
+    buf = bytearray(encode_record_batch(records, compression="gzip"))
+    idx = 8 + (flip % (len(buf) - 8))
+    buf[idx] ^= 0x01
+    try:
+        out = decode_record_batches(bytes(buf))
+    except KafkaWireError:
+        return
+    if 8 <= idx < 12:
+        assert out == []
+    elif 12 <= idx < 16:
+        assert out == [(i, k, v, ts) for i, (k, v, ts) in enumerate(records)]
+    else:
+        raise AssertionError(f"flip at {idx} silently decoded")
+
+
+def test_missing_optional_codec_errors_name_the_codec():
+    """A snappy/lz4/zstd batch without the optional library must fail
+    with an error naming the codec and package (not a raw ImportError);
+    a gzip batch always decodes (stdlib)."""
+    import importlib.util
+
+    from hstream_spark.sources.kafka_wire import (
+        _CODEC_IDS,
+        crc32c,
+        decode_record_batches_ex,
+    )
+
+    base = bytearray(encode_record_batch([(None, b"v", 1000)]))
+    attr_at = 8 + 4 + 4 + 1 + 4
+    for codec, pkg in (("snappy", "snappy"), ("lz4", "lz4"),
+                       ("zstd", "zstandard")):
+        if importlib.util.find_spec(pkg) is not None:
+            continue  # library present: decode path exercised elsewhere
+        buf = bytearray(base)
+        import struct
+
+        attrs = struct.unpack(">h", bytes(buf[attr_at:attr_at + 2]))[0]
+        buf[attr_at:attr_at + 2] = struct.pack(
+            ">h", (attrs & ~0x07) | _CODEC_IDS[codec]
+        )
+        buf[8 + 4 + 4 + 1:attr_at] = struct.pack(
+            ">I", crc32c(bytes(buf[attr_at:]))
+        )
+        with pytest.raises(KafkaWireError, match=codec):
+            decode_record_batches_ex(bytes(buf))
+
+
+def test_unknown_compression_name_rejected():
+    with pytest.raises(KafkaWireError, match="unknown compression"):
+        encode_record_batch([(None, b"v", 0)], compression="brotli")
+
+
+def test_produce_acks_zero_rejected():
+    """acks=0 gets no broker response; the client must refuse instead
+    of blocking until socket timeout."""
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("a0")
+        client = KafkaClient(broker.bootstrap)
+        try:
+            with pytest.raises(KafkaWireError, match="acks=0"):
+                client.produce("a0", [(None, b"v", 0)], acks=0)
+        finally:
+            client.close()
+
+
+def test_gzip_topic_produce_fetch_round_trip():
+    """Producer-compressed topic end to end: gzip batches survive the
+    broker byte-for-byte (rebase happens OUTSIDE the CRC range) and the
+    consumer's fetch path decompresses them."""
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("gz")
+        client = KafkaClient(broker.bootstrap)
+        try:
+            recs = [(None, f'{{"i": {i}}}'.encode(), 1000 + i) for i in range(50)]
+            base = client.produce("gz", recs, compression="gzip")
+            assert base == 0
+            base2 = client.produce("gz", recs[:3], compression="gzip")
+            assert base2 == 50
+            # the stored batch is still compressed (attributes bit set)
+            log = broker._topics["gz"][0]
+            attrs = log.batches[0][2][8 + 4 + 4 + 1 + 4 + 1]  # low attr byte
+            assert attrs & 0x07 == 1
+            got, hwm = client.fetch("gz", 0, 0)
+            assert hwm == 53
+            assert [(o, v) for (o, _k, v, _t) in got][:3] == [
+                (0, b'{"i": 0}'), (1, b'{"i": 1}'), (2, b'{"i": 2}')
+            ]
+            assert len(got) == 53
+            assert got[50][0] == 50  # second batch rebased past the first
+        finally:
+            client.close()
+
+
+def test_tailer_ingests_gzip_compressed_topic(tmp_path):
+    """The engine-side tailer survives the most common real-world topic
+    configuration: producer-side gzip compression."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("gzt")
+        client = KafkaClient(broker.bootstrap)
+        client.produce(
+            "gzt",
+            [(None, f'{{"x": {i}}}'.encode(), 1000 + i) for i in range(10)],
+            compression="gzip",
+        )
+        client.close()
+        got = []
+        t = KafkaIngestTailer(
+            broker.bootstrap, "gzt",
+            emit=lambda batch: got.extend(batch) or len(batch),
+            offsets_path=str(tmp_path / "off.json"),
+        )
+        assert t.poll() == 10
+        assert [r[0]["x"] for r in got] == list(range(10))
+        assert t.poll() == 0
+        t.stop()
+
+
+def test_tailer_poll_is_serialized_across_threads(tmp_path):
+    """The background loop and the INSERT-path synchronous poll must
+    not double-ingest: two concurrent poll() calls over the same
+    committed offset may each fetch the same page. With the lock, the
+    total emitted equals the topic exactly once."""
+    import threading
+    import time as _time
+
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("conc")
+        client = KafkaClient(broker.bootstrap)
+        client.produce(
+            "conc", [(None, f'{{"i": {i}}}'.encode(), i) for i in range(20)]
+        )
+        client.close()
+        got = []
+        lock = threading.Lock()
+
+        def emit(batch):
+            # slow emit widens the fetch→commit window that an
+            # unsynchronized second poller would race into
+            with lock:
+                got.extend(batch)
+            _time.sleep(0.05)
+            return len(batch)
+
+        t = KafkaIngestTailer(
+            broker.bootstrap, "conc", emit=emit,
+            offsets_path=str(tmp_path / "off.json"),
+            max_batch_bytes=256,  # force several fetch pages
+        )
+        threads = [threading.Thread(target=t.poll) for _ in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert sorted(r[0]["i"] for r in got) == list(range(20))
+        t.stop()
+
+
+def test_partition_error_code_invalidates_leader_cache():
+    """A leader-moved failure surfaces as a partition ERROR CODE with a
+    healthy transport; the client must drop its cached leader so the
+    next call re-resolves instead of retrying the stale broker."""
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("lc", partitions=1)
+        client = KafkaClient(broker.bootstrap)
+        try:
+            client.list_offsets("lc", 0)  # warm the leader cache
+            assert ("lc", 0) in client._leaders
+            # fetch a partition the broker doesn't know → error code 3
+            client._leaders[("lc", 9)] = client._leaders[("lc", 0)]
+            with pytest.raises(KafkaWireError, match="error code 3"):
+                client.fetch("lc", 9, 0)
+            assert ("lc", 9) not in client._leaders
+        finally:
+            client.close()
