@@ -536,7 +536,13 @@ class KafkaIngestTailer:
     to fields; other payloads land under ``"value"``).  Offsets persist
     to a JSON sidecar AFTER each successful append — restart resumes
     from the sidecar (at-least-once across a crash between append and
-    commit; within a run, exactly-once).  ``start()``/``stop()`` match
+    commit; within a run, exactly-once).  With ``group_id`` set the
+    same offsets ALSO commit to the broker (OffsetCommit v2), so
+    progress is visible to standard Kafka tooling
+    (``kafka-consumer-groups --describe``) and a restart resumes from
+    broker-side committed offsets even without the sidecar
+    (cross-engine / cross-host resume); the sidecar stays as the
+    fallback when broker commits fail.  ``start()``/``stop()`` match
     the StreamingQuery handle shape so PAUSE/TERMINATE/shutdown manage
     it uniformly."""
 
@@ -549,6 +555,7 @@ class KafkaIngestTailer:
         poll_interval: float = 2.0,
         max_batch_bytes: int = 4 << 20,
         starting: str = "earliest",
+        group_id: Optional[str] = None,
     ):
         import threading
 
@@ -564,6 +571,9 @@ class KafkaIngestTailer:
         self.poll_interval = float(poll_interval)
         self.max_batch_bytes = int(max_batch_bytes)
         self.starting = starting
+        self.group_id = group_id
+        self._broker_offsets_merged = group_id is None
+        self._broker_commit_failed = False
         self.offsets: dict[int, int] = {}
         if offsets_path and _os_path_exists(offsets_path):
             try:
@@ -606,12 +616,25 @@ class KafkaIngestTailer:
         return obj if isinstance(obj, dict) else {"value": obj}
 
     def _commit(self) -> None:
-        if not self.offsets_path:
-            return
-        tmp = self.offsets_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({str(k): v for k, v in self.offsets.items()}, fh)
-        _os_replace(tmp, self.offsets_path)
+        if self.offsets_path:
+            tmp = self.offsets_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({str(k): v for k, v in self.offsets.items()}, fh)
+            _os_replace(tmp, self.offsets_path)
+        if self.group_id and not self._broker_commit_failed:
+            # broker-side commit: best-effort (the sidecar above is the
+            # durable fallback); one loud log on the first failure, not
+            # one per poll
+            try:
+                self._get_client().offset_commit(
+                    self.group_id, self.topic, self.offsets
+                )
+            except Exception:  # noqa: BLE001 — broker w/o offset storage
+                self._broker_commit_failed = True
+                _LOG.exception(
+                    "broker offset commit failed for group %r; continuing "
+                    "with sidecar-only offset tracking", self.group_id,
+                )
 
     def poll(self) -> int:
         """Drain all partitions to their high watermarks; returns rows.
@@ -628,7 +651,25 @@ class KafkaIngestTailer:
 
         client = self._get_client()
         total = 0
-        for p in client.partitions(self.topic):
+        parts = client.partitions(self.topic)
+        if not self._broker_offsets_merged:
+            # one-time resume merge: broker-committed offsets for this
+            # group cover any partition the sidecar doesn't know (fresh
+            # host / deleted sidecar); where both exist the FURTHER
+            # position wins — replaying past either commit point would
+            # duplicate rows already appended
+            try:
+                fetched = client.offset_fetch(self.group_id, self.topic, parts)
+            except Exception:  # noqa: BLE001 — broker w/o offset storage
+                _LOG.exception(
+                    "broker offset fetch failed for group %r; resuming "
+                    "from sidecar offsets only", self.group_id,
+                )
+                fetched = {}
+            for p, off in fetched.items():
+                self.offsets[p] = max(off, self.offsets.get(p, off))
+            self._broker_offsets_merged = True
+        for p in parts:
             next_off = self.offsets.get(p)
             if next_off is None:
                 # first contact with this partition: 'earliest' replays

@@ -79,6 +79,8 @@ class KafkaStubBroker:
         self.host, self.port = self._sock.getsockname()
         self.bootstrap = f"{self.host}:{self.port}"
         self._topics: dict[str, dict[int, _PartitionLog]] = {}
+        # broker-stored consumer offsets: (group, topic, partition) → next
+        self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
         self._stopping = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -164,6 +166,8 @@ class KafkaStubBroker:
             supported = [
                 (W.API_PRODUCE, 0, 3), (W.API_FETCH, 0, 4),
                 (W.API_LIST_OFFSETS, 0, 1), (W.API_METADATA, 0, 1),
+                (W.API_OFFSET_COMMIT, 0, 2), (W.API_OFFSET_FETCH, 0, 1),
+                (W.API_FIND_COORDINATOR, 0, 0),
                 (W.API_VERSIONS, 0, 0),
             ]
             return W.enc_int16(0) + W.enc_array([
@@ -290,4 +294,45 @@ class KafkaStubBroker:
                     )
                 out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
             return W.enc_int32(0) + W.enc_array(out_topics)
+        if api_key == W.API_FIND_COORDINATOR:
+            r.string()  # group_id — single-broker: we ARE the coordinator
+            return (
+                W.enc_int16(0) + W.enc_int32(0)
+                + W.enc_string(self.host) + W.enc_int32(self.port)
+            )
+        if api_key == W.API_OFFSET_COMMIT:
+            group = r.string() or ""
+            r.int32()  # generation_id
+            r.string()  # member_id
+            if api_version >= 2:
+                r.int64()  # retention_time
+            out_topics = []
+            for _ in range(r.int32()):
+                name = r.string()
+                parts_out = []
+                for _p in range(r.int32()):
+                    pid = r.int32()
+                    off = r.int64()
+                    r.string()  # metadata
+                    with self._lock:
+                        self._group_offsets[(group, name, pid)] = off
+                    parts_out.append(W.enc_int32(pid) + W.enc_int16(0))
+                out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
+            return W.enc_array(out_topics)
+        if api_key == W.API_OFFSET_FETCH:
+            group = r.string() or ""
+            out_topics = []
+            for _ in range(r.int32()):
+                name = r.string()
+                parts_out = []
+                for _p in range(r.int32()):
+                    pid = r.int32()
+                    with self._lock:
+                        off = self._group_offsets.get((group, name, pid), -1)
+                    parts_out.append(
+                        W.enc_int32(pid) + W.enc_int64(off)
+                        + W.enc_nullable_string(None) + W.enc_int16(0)
+                    )
+                out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
+            return W.enc_array(out_topics)
         raise W.KafkaWireError(f"stub broker: unsupported api_key {api_key}")

@@ -397,6 +397,7 @@ def decode_record_batches_ex(
 # ---------------------------------------------------------------------------
 
 API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
+API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
 API_VERSIONS = 18
 
 EARLIEST, LATEST = -2, -1
@@ -414,6 +415,7 @@ class KafkaClient:
         self.timeout = timeout
         self._conns: dict[tuple[str, int], socket.socket] = {}
         self._leaders: dict[tuple[str, int], tuple[str, int]] = {}
+        self._coordinators: dict[str, tuple[str, int]] = {}
         self._corr = 0
         self._lock = threading.Lock()
 
@@ -591,6 +593,97 @@ class KafkaClient:
                 r.int64()  # timestamp
                 return r.int64()
         raise KafkaWireError("empty ListOffsets response")
+
+    def _coordinator_addr(self, group: str) -> tuple[str, int]:
+        """Group coordinator via FindCoordinator v0, cached per group;
+        a failed commit/fetch drops the cache so the next call
+        re-resolves (coordinator moved)."""
+        cached = self._coordinators.get(group)
+        if cached is not None:
+            return cached
+        r = self._call(API_FIND_COORDINATOR, 0, enc_string(group))
+        err = r.int16()
+        if err:
+            raise KafkaWireError(
+                f"FindCoordinator error {err} for group {group!r}"
+            )
+        r.int32()  # node_id
+        host, port = r.string() or "", r.int32()
+        addr = (host, port) if host else self.bootstrap
+        self._coordinators[group] = addr
+        return addr
+
+    def _coordinator_call(self, api_key: int, api_version: int,
+                          body: bytes, group: str) -> _Reader:
+        addr = self._coordinator_addr(group)
+        try:
+            return self._call(api_key, api_version, body, addr)
+        except KafkaWireError:
+            self._coordinators.pop(group, None)
+            raise
+
+    def offset_commit(self, group: str, topic: str,
+                      offsets: dict[int, int]) -> None:
+        """OffsetCommit v2 as a standalone (non-group-managed)
+        consumer: generation -1, empty member, broker-default retention
+        — the shape standard tooling uses for simple consumers. The
+        committed offset is the NEXT offset to consume."""
+        if not offsets:
+            return
+        body = (
+            enc_string(group)
+            + enc_int32(-1)  # generation_id: not group-managed
+            + enc_string("")  # member_id
+            + enc_int64(-1)  # retention_time: broker default
+            + enc_array([
+                enc_string(topic)
+                + enc_array([
+                    enc_int32(p) + enc_int64(off)
+                    + enc_nullable_string(None)  # metadata
+                    for p, off in sorted(offsets.items())
+                ])
+            ])
+        )
+        r = self._coordinator_call(API_OFFSET_COMMIT, 2, body, group)
+        for _ in range(r.int32()):
+            r.string()
+            for _p in range(r.int32()):
+                pid = r.int32()
+                err = r.int16()
+                if err:
+                    self._coordinators.pop(group, None)
+                    raise KafkaWireError(
+                        f"OffsetCommit error code {err} for "
+                        f"{topic}[{pid}] group {group!r}"
+                    )
+
+    def offset_fetch(self, group: str, topic: str,
+                     partitions: list[int]) -> dict[int, int]:
+        """OffsetFetch v1 (broker-stored offsets): returns only the
+        partitions with a committed offset (brokers answer -1 for
+        never-committed ones)."""
+        body = enc_string(group) + enc_array([
+            enc_string(topic)
+            + enc_array([enc_int32(p) for p in partitions])
+        ])
+        r = self._coordinator_call(API_OFFSET_FETCH, 1, body, group)
+        out: dict[int, int] = {}
+        for _ in range(r.int32()):
+            r.string()
+            for _p in range(r.int32()):
+                pid = r.int32()
+                off = r.int64()
+                r.string()  # metadata
+                err = r.int16()
+                if err:
+                    self._coordinators.pop(group, None)
+                    raise KafkaWireError(
+                        f"OffsetFetch error code {err} for "
+                        f"{topic}[{pid}] group {group!r}"
+                    )
+                if off >= 0:
+                    out[pid] = off
+        return out
 
     def produce(
         self,

@@ -679,17 +679,25 @@ class HStreamEngine:
 
     def _build_kafka_tailer(self, target: StreamInfo, topic: str,
                             bootstrap: str, poll_ms: int,
-                            starting: str = "earliest"):
+                            starting: str = "earliest",
+                            group_id: Optional[str] = None):
         from hstream_spark.sources import connectors as C
 
         def _emit(records: list) -> int:
             return self._append_records(target, records)
 
+        # default consumer group `hstream-<stream>`: offsets commit to
+        # the BROKER as well as the sidecar, so ingestion progress is
+        # visible to standard Kafka tooling and a fresh host resumes
+        # from broker-side offsets; KAFKA_GROUP_ID='' opts out
+        if group_id is None:
+            group_id = f"hstream-{target.name}"
         tailer = C.KafkaIngestTailer(
             bootstrap, topic, _emit,
             os.path.join(target.path, "_kafka_offsets.json"),
             poll_interval=max(poll_ms, 1) / 1000.0,
             starting=starting,
+            group_id=group_id or None,
         )
         if poll_ms > 0:
             tailer.start()
@@ -707,13 +715,16 @@ class HStreamEngine:
         cluster with the spark-sql-kafka jar, map the stream straight to
         ``kafka_wire.kafka_readstream`` instead."""
         topic, bootstrap, poll_ms, starting = self._validate_kafka_opts(kopts)
+        group = kopts.get("kafka_group_id")
+        group = None if group is None else str(group)
         cname = f"__kafka_{info.name}"
         conn = ConnectorInfo(
             cname, "SOURCE", info.name,
             {"TYPE": "kafka", "topic": topic, "bootstrap_servers": bootstrap,
-             "poll_interval_ms": poll_ms, "starting_offsets": starting},
+             "poll_interval_ms": poll_ms, "starting_offsets": starting,
+             **({"group_id": group} if group is not None else {})},
             handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms,
-                                            starting),
+                                            starting, group),
         )
         self.connectors[cname] = conn
 
@@ -1111,8 +1122,10 @@ class HStreamEngine:
                 kopts.get("starting_offsets")
                 or kopts.get("kafka_starting_offsets") or "earliest"
             ).lower()
+            kgroup = kopts.get("group_id", kopts.get("kafka_group_id"))
+            kgroup = None if kgroup is None else str(kgroup)
             info.handle = self._build_kafka_tailer(
-                target, topic, bootstrap, poll_ms, starting
+                target, topic, bootstrap, poll_ms, starting, kgroup
             )
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)

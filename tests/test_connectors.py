@@ -566,6 +566,12 @@ class TestKafkaWireProtocol:
                 )
                 tailer = eng.connectors["__kafka_kev"].handle
                 assert tailer.poll() == 3
+                # progress is broker-visible under the default consumer
+                # group hstream-<stream> (OffsetCommit v2) — the view
+                # standard Kafka tooling reads
+                assert producer.offset_fetch(
+                    "hstream-kev", "events_t", [0, 1]
+                ) == {0: 2, 1: 1}
                 out = eng.execute("SELECT k, s FROM kev;").collect()
                 assert sorted((r["k"], r["s"]) for r in out) == [
                     (1, "a"), (2, "b"), (3, "c"),

@@ -403,3 +403,118 @@ def test_partition_error_code_invalidates_leader_cache():
             assert ("lc", 9) not in client._leaders
         finally:
             client.close()
+
+
+# ---------------------------------------------------------------------------
+# broker-committed offsets (OffsetCommit v2 / OffsetFetch v1 /
+# FindCoordinator v0)
+# ---------------------------------------------------------------------------
+
+
+def test_offset_commit_fetch_round_trip():
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("oc", partitions=2)
+        client = KafkaClient(broker.bootstrap)
+        try:
+            assert client.offset_fetch("g1", "oc", [0, 1]) == {}
+            client.offset_commit("g1", "oc", {0: 5, 1: 9})
+            assert client.offset_fetch("g1", "oc", [0, 1]) == {0: 5, 1: 9}
+            # groups are independent namespaces
+            assert client.offset_fetch("g2", "oc", [0, 1]) == {}
+            client.offset_commit("g1", "oc", {0: 7})
+            assert client.offset_fetch("g1", "oc", [0, 1]) == {0: 7, 1: 9}
+        finally:
+            client.close()
+
+
+def test_tailer_commits_offsets_to_broker(tmp_path):
+    """With a group_id the tailer's progress is broker-visible — the
+    view `kafka-consumer-groups --describe` would show."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("bc")
+        client = KafkaClient(broker.bootstrap)
+        client.produce("bc", [(None, b'{"i": %d}' % i, i) for i in range(7)])
+        t = KafkaIngestTailer(
+            broker.bootstrap, "bc", emit=lambda b: len(b),
+            offsets_path=str(tmp_path / "off.json"), group_id="hstream-bc",
+        )
+        assert t.poll() == 7
+        assert client.offset_fetch("hstream-bc", "bc", [0]) == {0: 7}
+        client.close()
+        t.stop()
+
+
+def test_tailer_resumes_from_broker_offsets_without_sidecar(tmp_path):
+    """Restart-resume driven PURELY from broker-side committed offsets:
+    a second tailer on a fresh host (no sidecar file) continues where
+    the group left off instead of replaying the topic."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("br")
+        client = KafkaClient(broker.bootstrap)
+        client.produce("br", [(None, b'{"i": %d}' % i, i) for i in range(5)])
+        t1 = KafkaIngestTailer(
+            broker.bootstrap, "br", emit=lambda b: len(b),
+            offsets_path=str(tmp_path / "host1.json"), group_id="g",
+        )
+        assert t1.poll() == 5
+        t1.stop()
+        # new records arrive; a different "host" (no sidecar) takes over
+        client.produce("br", [(None, b'{"i": %d}' % i, i) for i in (5, 6)])
+        client.close()
+        got = []
+        t2 = KafkaIngestTailer(
+            broker.bootstrap, "br",
+            emit=lambda b: got.extend(b) or len(b),
+            offsets_path=str(tmp_path / "host2.json"), group_id="g",
+        )
+        assert t2.poll() == 2  # only the new records — no replay
+        assert [r[0]["i"] for r in got] == [5, 6]
+        t2.stop()
+
+
+def test_tailer_broker_commit_failure_falls_back_to_sidecar(tmp_path):
+    """A broker that errors on OffsetCommit must not break ingestion:
+    the tailer logs once and keeps the sidecar as source of truth."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources import kafka_stub as KS
+    from hstream_spark.sources import kafka_wire as W
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("bf")
+        client = KafkaClient(broker.bootstrap)
+        client.produce("bf", [(None, b'{"i": 1}', 0)])
+        client.close()
+        orig = KafkaStubBroker._dispatch
+
+        def failing(self, api_key, api_version, r):
+            if api_key == W.API_FIND_COORDINATOR:
+                # COORDINATOR_NOT_AVAILABLE=15 — offsets storage down
+                return (W.enc_int16(15) + W.enc_int32(-1)
+                        + W.enc_string("") + W.enc_int32(-1))
+            return orig(self, api_key, api_version, r)
+
+        KS.KafkaStubBroker._dispatch = failing
+        try:
+            t = KafkaIngestTailer(
+                broker.bootstrap, "bf", emit=lambda b: len(b),
+                offsets_path=str(tmp_path / "off.json"), group_id="g",
+            )
+            assert t.poll() == 1
+            assert t.offsets[0] == 1
+            assert t._broker_commit_failed
+            t.stop()
+        finally:
+            KS.KafkaStubBroker._dispatch = orig
