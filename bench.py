@@ -69,6 +69,7 @@ HEADLINE = [
     "deterministic_sample",
     "stratified_sample",
     "embedding_kmeans",
+    "kmeans_fit_fixed",
     "extended_json_scan",
     "kmeans_assign",
     "dedup_prune",

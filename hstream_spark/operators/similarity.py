@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -441,6 +443,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: Optional[list[tuple[int, list[float]]]] = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd iterations, cosine metric)
     over an embedding column — the iterative trainer for the IVF coarse
@@ -457,9 +460,19 @@ def kmeans_fit(
     traffic is model-sized, never data-sized.
 
     Deterministic end to end: seed centroids are the id-hash group
-    means (`ivf_centroids`), per-dimension sums run in decimal (order-
-    independent), ties break toward the lowest cluster id. A cluster
-    that loses all members keeps its previous centroid.
+    means (`ivf_centroids`) — or the caller's ``init`` list of
+    ``(cluster_id, centroid)`` (already L2-normalized) — per-dimension
+    sums run in 2^-40 binary fixed point (exact int64 arithmetic, so
+    the mean is independent of shuffle/accumulation order), ties break
+    toward the lowest cluster id. A cluster that loses all members
+    keeps its previous centroid. Binary (not decimal) quantization is
+    deliberate: scaling by 2^40 is an EXACT double operation in every
+    engine, and round-half-away-from-zero of the identical exact value
+    agrees everywhere — whereas double→DECIMAL casts double-round
+    through `x*10^s` in some engines and disagree with exact-expansion
+    HALF_UP at grid-edge values (observed: DuckDB vs Spark, 1e-12
+    grid). That exactness is what lets `kmeans_fit_fixed` hash-match a
+    DuckDB replay of the full trainer.
     """
     import math
 
@@ -470,7 +483,9 @@ def kmeans_fit(
         n = math.sqrt(s) or 1.0
         return [v / n for v in vals]
 
-    cents = train_ivf_quantizer(corpus, k, id_col, vec_col)
+    cents = init if init is not None else train_ivf_quantizer(
+        corpus, k, id_col, vec_col
+    )
     base = corpus.select(normalized(F.col(vec_col)).alias("kvec"))
     for _ in range(iters):
         cent_lit = F.lit([cvec for _, cvec in cents])
@@ -483,12 +498,15 @@ def kmeans_fit(
             )
         )
         assigned = base.withColumn("cluster", -best["n"])
+        scale = float(1 << 40)
         per_dim = (
             assigned.select("cluster", F.posexplode("kvec").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(
                 (
-                    F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                    F.sum(F.round(F.col("v") * F.lit(scale)).cast("long"))
+                    .cast("double")
+                    / F.lit(scale)
                     / F.count(F.lit(1))
                 ).alias("cv")
             )

@@ -4334,6 +4334,78 @@ def _seed_centroids(emb) -> list:
     ]
 
 
+def _kmeans_fit_oracle(iters: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of the FULL Lloyd trainer with the pinned seed
+    centroids, the iteration count unrolled into chained CTEs (fixed
+    iters makes recursion unnecessary). Cross-engine exactness rests on
+    three constructions shared with the Spark side: (1) both engines
+    normalize with the same sequential fold (list_dot_product ≡
+    F.aggregate), (2) per-dimension centroid sums run in 2^-40 binary
+    fixed point — `x * 2^40` is an EXACT double op, half-away rounding
+    of the identical value agrees across engines, and the int64 sum is
+    order-independent (a DECIMAL cast is NOT safe here: DuckDB
+    double-rounds `x*10^s` while Spark HALF_UPs the exact expansion;
+    they disagree at grid-edge values), (3) assignment ties break
+    toward the lowest cluster id. Centroids are therefore
+    byte-identical each round, and so are the final assignments."""
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_NORM_VEC} AS vn FROM embeddings),",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f" vn AS cvec FROM e WHERE vec_id IN {_KMEANS_SEEDS}),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+a{i} AS (SELECT e.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.vn, c.cvec) DESC,
+                          c.cluster ASC) AS rn
+         FROM e CROSS JOIN c{p} c),
+asg{i} AS (SELECT vec_id, cluster FROM a{i} WHERE rn = 1),
+m{i} AS (SELECT a.cluster, d.pos,
+             CAST(SUM(CAST(round(e.vn[d.pos] * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 / COUNT(*) AS cv
+         FROM asg{i} a JOIN e ON e.vec_id = a.vec_id
+         CROSS JOIN generate_series(1, {dim}) d(pos)
+         GROUP BY a.cluster, d.pos),
+r{i} AS (SELECT cluster, list(cv ORDER BY pos) AS cvec
+         FROM m{i} GROUP BY cluster),
+c{i} AS (SELECT c{p}.cluster,
+             COALESCE(list_transform(r{i}.cvec,
+                 x -> x / sqrt(list_dot_product(r{i}.cvec, r{i}.cvec))),
+                 c{p}.cvec) AS cvec
+         FROM c{p} LEFT JOIN r{i} ON r{i}.cluster = c{p}.cluster),""")
+    parts.append(f"""
+fa AS (SELECT e.vec_id, c.cluster, list_dot_product(e.vn, c.cvec) AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.vn, c.cvec) DESC,
+                        c.cluster ASC) AS rn
+       FROM e CROSS JOIN c{iters} c)
+SELECT vec_id, cluster, cos FROM fa WHERE rn = 1""")
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_fit_fixed",
+    _kmeans_fit_oracle(),
+    tags=("similarity", "kmeans", "iterative"),
+)
+def q_kmeans_fit_fixed(spark, sf):
+    """The FULL k-means trainer, hash-gated: 3 Lloyd iterations from
+    the four pinned seed vectors, then the final map-only assignment —
+    the oracle replays every iteration in DuckDB (unrolled CTE chain).
+    This closes the gate on the trainer itself, not just its assignment
+    stage: decimal per-dim sums make the centroid update independent of
+    shuffle order, so the distributed Spark fit and the single-node SQL
+    replay agree byte-for-byte. `embedding_kmeans` keeps the production
+    seeding (id-hash group means) as the bench/throughput entry."""
+    from hstream_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=3, init=_seed_centroids(emb))
+    return kmeans_assign(emb, cents)
+
+
 @register("kmeans_assign", _KMEANS_ASSIGN_ORACLE, tags=("similarity", "kmeans"))
 def q_kmeans_assign(spark, sf):
     """The assignment stage of k-means in isolation, oracle-checked with

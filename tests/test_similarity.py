@@ -136,6 +136,23 @@ class TestKMeans:
         for _, c in trained:
             assert abs(sum(v * v for v in c) - 1.0) < 1e-9  # unit norm
 
+    def test_kmeans_fit_accepts_fixed_init(self, spark, sf_dir):
+        """`init=` pins the seeds (the hash-gated kmeans_fit_fixed
+        path): training starts from exactly those centroids, iterates,
+        and stays bit-deterministic. Partition count must not change
+        the result — the fixed-point int64 sums are order-independent."""
+        from hstream_spark.operators.similarity import kmeans_fit
+        from hstream_spark.queries import _seed_centroids
+        from hstream_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        init = _seed_centroids(emb)
+        t1 = kmeans_fit(emb, k=4, iters=3, init=init)
+        t2 = kmeans_fit(emb.repartition(13), k=4, iters=3, init=init)
+        assert t1 == t2
+        assert [cl for cl, _ in t1] == [0, 1, 2, 3]
+        assert t1 != sorted(init)  # it actually moved the centroids
+
 
 def test_bruteforce_np_rejects_oversized_query_side(spark, emb):
     with pytest.raises(ValueError, match="max_queries"):
