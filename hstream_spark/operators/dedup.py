@@ -27,6 +27,7 @@ operators/text.py. Everything is Catalyst expressions; no Python UDFs.
 from __future__ import annotations
 
 from functools import reduce as _reduce
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -327,13 +328,42 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def _guard_block_size(sets: DataFrame, block_cols: list[str],
+                      max_block: Optional[int], op_name: str) -> None:
+    """Enforce the 'blocks must be bounded' contract of the quadratic
+    within-block baselines: a skewed block key (one language, one
+    domain) silently turns O(Σ block²) into O(corpus²). One cheap
+    count-per-block aggregation (model-sized driver traffic — a single
+    max) fails loudly with the scale path instead. ``max_block=None``
+    opts out deliberately."""
+    if max_block is None:
+        return
+    top = (
+        sets.groupBy(*[F.col(c) for c in block_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("n"))
+        .collect()[0]
+    )
+    if (top["mx"] or 0) > max_block:
+        raise ValueError(
+            f"{op_name}: largest block has {top['mx']} rows "
+            f"(> max_block={max_block}); the within-block self-join is "
+            f"quadratic, so this block alone yields ~{top['mx']}^2 pairs. "
+            "Use finer block_cols, raise max_block deliberately, or use "
+            "minhash_near_duplicates / dedup_minhash_lsh (banded LSH) as "
+            "the corpus-scale candidate generator."
+        )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float = 0.3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 2, cache_sets: bool = True) -> DataFrame:
+                        n: int = 2, cache_sets: bool = True,
+                        max_block: Optional[int] = 20_000) -> DataFrame:
     """Exact word-n-gram Jaccard over all pairs within a block.
 
-    Brute-force baseline: O(block²) — callers must bound block size
-    (use minhash_near_duplicates for unblocked corpora).
+    Brute-force baseline: O(block²) — block sizes are ENFORCED bounded
+    (loud error past ``max_block``, the `max_queries` pattern; LSH is
+    the unblocked-corpus scale path).
     """
     from hstream_spark.sources.tables import spread
 
@@ -344,6 +374,7 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float
     )
     if cache_sets:
         sets = sets.persist()
+    _guard_block_size(sets, block_cols, max_block, "ngram_jaccard_pairs")
     a = sets.select(*block_cols, F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = sets.select(*block_cols, F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = a.join(b, block_cols).filter(F.col("doc_a") < F.col("doc_b"))
@@ -736,6 +767,7 @@ def containment_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block: Optional[int] = 20_000,
 ) -> DataFrame:
     """Near-containment detection: pairs where most of document A's
     distinct n-gram set also appears in document B —
@@ -764,6 +796,7 @@ def containment_pairs(
             F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
         ).alias("__g"),
     ).where(F.size("__g") > 0).persist()
+    _guard_block_size(sets, block_cols, max_block, "containment_pairs")
     a = sets.alias("a")
     b = sets.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [

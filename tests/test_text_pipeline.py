@@ -423,6 +423,31 @@ def test_containment_asymmetric(spark):
     assert not any(3 in k for k in out)
 
 
+def test_quadratic_block_guard_fails_loudly(spark):
+    """The brute-force within-block pair operators enforce their
+    'blocks must be bounded' contract: an oversized block raises with
+    the LSH scale path in the message instead of silently running
+    O(block²) — the `max_queries` pattern applied per block."""
+    import pytest
+
+    from hstream_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here number {i}", "en") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="minhash_near_duplicates"):
+        ngram_jaccard_pairs(docs, ["lang"], max_block=10)
+    with pytest.raises(ValueError, match="max_block=10"):
+        containment_pairs(docs, ["lang"], max_block=10)
+    # within bounds (or opted out) the operators run
+    assert ngram_jaccard_pairs(docs, ["lang"], max_block=None).count() >= 0
+    assert containment_pairs(docs, ["lang"], max_block=100).count() >= 0
+
+
 def test_normalize_text_strips_and_collapses(spark):
     from hstream_spark.operators.text import normalize_text
 
