@@ -107,12 +107,23 @@ HEADLINE = [
     "cohort_retention",
     "semantic_dedup",
     "dedup_against_index",
+    "dedup_against_index_warm",
     "corpus_shuffle",
     "perplexity_bands",
     "token_budget_sample",
     "similar_docs_topk",
+    "similar_docs_topk_warm",
     "multimodal_curation",
 ]
+
+# Drift yardsticks: three stable-plan queries timed at the START and END
+# of every bench run. The box this repo benches on drifts 1.3-5x between
+# sessions (BASELINE.md round 2-4 notes); the emitted `drift` factor —
+# measured yardstick wall / the calibration below — lets cross-round
+# ratios normalize mechanically instead of by hand. Calibration = min of
+# 4 runs at sf0.1 on the quiet round-5 box (2026-08-14).
+YARDSTICKS = ("tpch_q1", "tpch_q6", "agg_basic")
+YARDSTICK_CAL = {"tpch_q1": 1.136, "tpch_q6": 0.336, "agg_basic": 0.292}
 
 
 def bench_streaming(spark, sf_dir: str) -> dict:
@@ -223,6 +234,22 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def run_yardsticks() -> dict[str, float]:
+        out = {}
+        for yname in YARDSTICKS:
+            yq = REGISTRY[yname]
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                yq.builder(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.perf_counter() - start)
+            out[yname] = round(best, 3)
+        return out
+
+    yard_start = run_yardsticks()
     for name in HEADLINE:
         q = REGISTRY[name]
         if name == "hypertable_rollup":
@@ -258,6 +285,18 @@ def main() -> None:
         # block-manager pressure from earlier ones
         spark.catalog.clearCache()
 
+    yard_end = run_yardsticks()
+    ratios = sorted(
+        ((yard_start[n] + yard_end[n]) / 2) / YARDSTICK_CAL[n]
+        for n in YARDSTICKS
+    )
+    drift = {
+        "factor": round(ratios[len(ratios) // 2], 3),  # median
+        "start": yard_start,
+        "end": yard_end,
+        "calibration": dict(YARDSTICK_CAL),
+    }
+
     try:
         streaming = bench_streaming(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — keep the batch record intact
@@ -272,6 +311,7 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "streaming": streaming,
+        "drift": drift,
         "sf": float(sf),
     }
     # Full per-query record: printed FIRST and mirrored to a sidecar
@@ -292,6 +332,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "drift": drift["factor"],
         "streaming": {
             f"{k}_records_per_sec": v.get("records_per_sec")
             for k, v in streaming.items()

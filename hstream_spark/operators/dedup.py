@@ -611,11 +611,13 @@ def dedup_against_corpus(
 
 
 def similar_docs_topk(
-    docs: DataFrame,
+    docs: Optional[DataFrame],
     query_ids: list[int],
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_path: Optional[str] = None,
+    spark=None,
 ) -> DataFrame:
     """Document similarity search: for each query document, the top-k
     most-similar corpus documents by shingle Jaccard, with candidates
@@ -625,13 +627,28 @@ def similar_docs_topk(
     Candidates are band-key equi-matches (never query × corpus); the
     exact Jaccard verify touches only candidate pairs, and the final
     rank is a per-query row_number over a handful of rows. Shares the
-    shingle/band machinery (and any ``build_dedup_index`` output) with
-    the dedup operators. Emits (q_id, doc_id, jaccard, rank).
+    shingle/band machinery with the dedup operators. Emits
+    (q_id, doc_id, jaccard, rank).
+
+    WARM PATH: pass ``index_path`` (a ``build_dedup_index`` of the
+    corpus, plus ``spark``) and the whole shingle+minhash corpus pass
+    is READ, not recomputed — the query's band rows come from the
+    stored band table (partition-pruned by band) and the verify reads
+    the stored shingle sets. This is the production shape: the index
+    amortizes the corpus pass across every lookup.
     """
+    import os as _os
+
     from pyspark.sql import Window
 
-    sets = doc_shingle_sets(docs, text_col, id_col)
-    bands = minhash_bands_from_sets(sets)
+    if index_path is not None:
+        if spark is None:
+            raise ValueError("similar_docs_topk: index_path requires spark=")
+        sets = spark.read.parquet(_os.path.join(index_path, "sets"))
+        bands = spark.read.parquet(_os.path.join(index_path, "bands"))
+    else:
+        sets = doc_shingle_sets(docs, text_col, id_col)
+        bands = minhash_bands_from_sets(sets)
     qb = bands.where(F.col("doc_id").isin(*[int(q) for q in query_ids])).select(
         F.col("doc_id").alias("__q"), "band", "band_sig"
     )

@@ -998,6 +998,47 @@ def q_similar_docs_topk(spark, sf):
     return D.similar_docs_topk(docs, list(range(60)), k=5)
 
 
+_STANDING_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _standing_dedup_index(spark, sf: str, which: str) -> str:
+    """Build-once per (sf, scope) standing dedup index in a temp dir —
+    the warm-path substrate: first invocation pays the corpus
+    shingle+minhash pass, every later one only reads it (exactly the
+    production amortization `build_dedup_index` exists for)."""
+    import tempfile
+
+    key = (sf, which)
+    path = _STANDING_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"hstream_dedup_index_{which}_")
+        docs = load_table(spark, sf, "documents")
+        if which == "corpus45":
+            docs = docs.where(F.col("doc_id") % 5 != 0)
+        D.build_dedup_index(docs, path)
+        _STANDING_INDEX_CACHE[key] = path
+    return path
+
+
+@register(
+    "similar_docs_topk_warm",
+    _SIMILAR_DOCS_ORACLE.replace("{perms}", _minhash_perm_values())
+    .replace("{rpb}", str(D.ROWS_PER_BAND)),
+    tags=("similarity", "search", "lsh", "warm"),
+)
+def q_similar_docs_topk_warm(spark, sf):
+    """`similar_docs_topk` against the persisted standing index
+    (`build_dedup_index`): identical result to the cold entry — same
+    oracle — but the corpus shingle+minhash pass is READ, not
+    recomputed; only the candidate join + Jaccard verify run. The
+    cold/warm pair puts a number on the index's amortization claim
+    (mirrors the hypertable_rollup cold/warm split)."""
+    path = _standing_dedup_index(spark, sf, "full")
+    return D.similar_docs_topk(
+        None, list(range(60)), k=5, index_path=path, spark=spark
+    )
+
+
 def _simhash_sums_sql() -> str:
     return ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
@@ -4554,6 +4595,25 @@ def q_dedup_against_index(spark, sf):
     batch = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return D.dedup_against_corpus(batch, corpus, threshold=0.5)
+
+
+@register(
+    "dedup_against_index_warm",
+    _DEDUP_INDEX_ORACLE.replace("{perms}", _minhash_perm_values())
+    .replace("{rpb}", str(D.ROWS_PER_BAND)),
+    tags=("dedup", "incremental", "lsh", "warm"),
+)
+def q_dedup_against_index_warm(spark, sf):
+    """`dedup_against_index` with the corpus side as a persisted
+    standing index (`build_dedup_index` + `dedup_with_index`): the
+    arriving batch pays only its OWN hashing; the corpus bands/sets/
+    digests are read from parquet (band-partitioned candidate join).
+    Identical result to the cold entry — same oracle — so the
+    cold/warm delta IS the measured amortization."""
+    docs = load_table(spark, sf, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    path = _standing_dedup_index(spark, sf, "corpus45")
+    return D.dedup_with_index(spark, batch, path, threshold=0.5)
 
 
 _CORPUS_SHUFFLE_ORACLE = """

@@ -626,3 +626,29 @@ def test_similar_docs_topk_ranks_near_dups_first(spark):
     assert all(0.0 < r["jaccard"] <= 1.0 for r in out)
     # doc 4 shares no shingles: never a candidate
     assert 4 not in {r["doc_id"] for r in out}
+
+
+def test_similar_docs_topk_warm_index_parity(spark, tmp_path):
+    """The warm path (stored band/shingle index) returns exactly the
+    inline result — the amortization changes the plan, not the answer."""
+    from hstream_spark.operators.dedup import build_dedup_index, similar_docs_topk
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base.replace("alpha", "mu")),
+         (4, "totally different words entirely here today")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "sidx")
+    build_dedup_index(docs, idx)
+    inline = sorted(
+        (r["q_id"], r["doc_id"], r["jaccard"], r["rank"])
+        for r in similar_docs_topk(docs, [1, 2], k=3).collect()
+    )
+    warm = sorted(
+        (r["q_id"], r["doc_id"], r["jaccard"], r["rank"])
+        for r in similar_docs_topk(
+            None, [1, 2], k=3, index_path=idx, spark=spark
+        ).collect()
+    )
+    assert inline == warm and len(warm) > 0
