@@ -471,6 +471,12 @@ def kafka_sink(options: dict) -> SinkFn:
         )
     batch_records = int(opts.get("batch_records", 500) or 500)
     key_column = str(opts.get("key_column") or "") or None
+    compression = str(opts.get("compression") or "none").lower()
+    if compression not in ("none", "gzip", "snappy", "lz4", "zstd"):
+        raise ConnectorError(
+            f"kafka sink compression must be none/gzip/snappy/lz4/zstd, "
+            f"got {compression!r}"
+        )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if key_column is not None and key_column not in batch_df.columns:
@@ -511,11 +517,13 @@ def kafka_sink(options: dict) -> SinkFn:
                     buf = bufs.setdefault(p, [])
                     buf.append((key, row["v"].encode("utf-8"), int(row["t"])))
                     if len(buf) >= batch_records:
-                        client.produce(topic, buf, partition=p)
+                        client.produce(topic, buf, partition=p,
+                                       compression=compression)
                         bufs[p] = []
                 for p, buf in bufs.items():
                     if buf:
-                        client.produce(topic, buf, partition=p)
+                        client.produce(topic, buf, partition=p,
+                                       compression=compression)
             finally:
                 client.close()
 

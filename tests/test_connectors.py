@@ -766,6 +766,34 @@ class TestKafkaWireProtocol:
             )
             assert vals == [(1, "x"), (2, "y")]
 
+    def test_kafka_sink_gzip_compression(self, engine):
+        """compression='gzip' produces compressed record batches: the
+        stored batch carries the gzip attribute bit and a consumer
+        decodes the values transparently."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("gz_sink")
+            engine.execute("CREATE STREAM gzs (a INTEGER);")
+            engine.execute("INSERT INTO gzs (a) VALUES (7);")
+            info = engine.execute(
+                "CREATE SINK CONNECTOR gzk TO gzs WITH (\"type\" = 'kafka', "
+                f"\"topic\" = 'gz_sink', \"compression\" = 'gzip', "
+                f"\"bootstrap_servers\" = '{broker.bootstrap}');"
+            )
+            info.handle.processAllAvailable()
+            log = broker._topics["gz_sink"][0]
+            attrs = log.batches[0][2][8 + 4 + 4 + 1 + 4 + 1]  # low attr byte
+            assert attrs & 0x07 == 1  # gzip codec bit survived the broker
+            consumer = KafkaClient(broker.bootstrap)
+            recs, hwm = consumer.fetch("gz_sink", 0, 0)
+            consumer.close()
+            assert hwm == 1
+            assert _json.loads(recs[0][2].decode())["a"] == 7
+
     def test_kafka_tailer_lag_reporting(self, spark, tmp_path):
         from hstream_spark.sources.kafka_stub import KafkaStubBroker
         from hstream_spark.sources.kafka_wire import KafkaClient
