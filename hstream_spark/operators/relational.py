@@ -78,21 +78,37 @@ def union(left: DataFrame, right: DataFrame) -> DataFrame:
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Data profiling — the schema-quality report a pipeline runs before
     committing 100 TB to training: per column, row count, null count and
-    rate, exact distinct count, and min/max (rendered as strings so one
-    tidy schema covers every column type).
+    rate, distinct count, and min/max (rendered as strings so one tidy
+    schema covers every column type).
 
     One wide aggregate computes every column's counts/extremes in a
-    single pass (map-side partial, one 1-row reduction); the exact
-    distinct counts run as one groupBy per column over that column only
-    (column-pruned scans; swap in approx_count_distinct at corpus scale
-    for one-pass profiling). Output: one row per column, deterministic.
+    single pass (map-side partial, one 1-row reduction). Distinct
+    counts: EXACT mode (default, oracle-gated) runs one column-pruned
+    groupBy scan per column; ``approx_distinct=True`` folds
+    `approx_count_distinct` (HLL++, default 5% rsd) into the SAME wide
+    aggregate — the whole profile becomes ONE pass over the table,
+    which is the corpus-scale mode (a 100 TB table profiles in a single
+    scan instead of n_cols+1). Semantics note: exact mode counts the
+    NULL bucket as a distinct value (SQL DISTINCT over the column);
+    approx mode counts NON-NULL distincts (HLL sketches ignore null) —
+    pair it with the null counts the same row already carries. Output:
+    one row per column, deterministic in exact mode.
     """
     from functools import reduce
 
     cols = columns or df.columns
+    approx_aggs = (
+        [
+            F.approx_count_distinct(F.col(c)).alias(f"__dist_{i}")
+            for i, c in enumerate(cols)
+        ]
+        if approx_distinct
+        else []
+    )
     base = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -101,14 +117,16 @@ def profile_table(
         ],
         *[F.min(F.col(c).cast("string")).alias(f"__min_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("string")).alias(f"__max_{i}") for i, c in enumerate(cols)],
+        *approx_aggs,
     )
-    distincts = [
-        df.select(F.col(c)).distinct().agg(
-            F.lit(c).alias("column"), F.count(F.lit(1)).alias("n_distinct")
-        )
-        for c in cols
-    ]
-    dist = reduce(lambda a, b: a.unionByName(b), distincts)
+    if not approx_distinct:
+        distincts = [
+            df.select(F.col(c)).distinct().agg(
+                F.lit(c).alias("column"), F.count(F.lit(1)).alias("n_distinct")
+            )
+            for c in cols
+        ]
+        dist = reduce(lambda a, b: a.unionByName(b), distincts)
     # Expand the 1-row wide aggregate to per-column rows with ONE
     # explode over the single result — `base` appears once in the plan,
     # so the full-table aggregate executes once (a union of per-column
@@ -119,6 +137,11 @@ def profile_table(
             F.col(f"__null_{i}").alias("n_null"),
             F.col(f"__min_{i}").alias("min_value"),
             F.col(f"__max_{i}").alias("max_value"),
+            *(
+                [F.col(f"__dist_{i}").alias("n_distinct")]
+                if approx_distinct
+                else []
+            ),
         )
         for i, c in enumerate(cols)
     ])
@@ -133,8 +156,15 @@ def profile_table(
             ).alias("null_rate"),
             F.col("e.min_value").alias("min_value"),
             F.col("e.max_value").alias("max_value"),
+            *(
+                [F.col("e.n_distinct").alias("n_distinct")]
+                if approx_distinct
+                else []
+            ),
         )
     )
+    if approx_distinct:
+        return prof
     return prof.join(F.broadcast(dist), "column")
 
 

@@ -103,6 +103,28 @@ def test_profile_table_with_nulls(spark):
     assert rows["s"]["n_distinct"] == 3
 
 
+def test_profile_table_approx_one_pass(spark):
+    """approx_distinct=True folds HLL distinct counts into the single
+    wide aggregate: one scan total (no per-column distinct scans), and
+    at small cardinalities HLL++ is exact-by-construction (sparse
+    mode). Null bucket is NOT counted (HLL ignores nulls)."""
+    from hstream_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")],
+        "k long, s string",
+    )
+    prof = profile_table(df, approx_distinct=True)
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["k"]["n_distinct"] == 4
+    assert rows["s"]["n_distinct"] == 2  # {a, b}; null not counted
+    assert rows["s"]["n_null"] == 1 and rows["s"]["null_rate"] == 0.25
+    # ONE pass: no per-column distinct branches — the plan has no Union
+    # (exact mode unions n_cols distinct scans) and no join back
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan
+
+
 def test_funnel_ordering_semantics(spark):
     from hstream_spark.operators.relational import funnel
 
