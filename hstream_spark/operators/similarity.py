@@ -276,15 +276,23 @@ def ivf_centroids(
     A hash-partition seeding stands in for k-means iterations so the
     quantizer is reproducible (and expressible in the SQL oracle);
     swapping in ML-trained centroids changes nothing downstream.
-    Sums run in decimal so the mean is order-independent across
-    engines and partitionings.
+    Sums run in 2^-40 binary fixed point (exact int64) so the mean is
+    order-independent across engines and partitionings — binary, not
+    decimal, because double→DECIMAL casts double-round in some engines
+    and can disagree at grid-edge values (see `kmeans_fit`).
     """
+    scale = float(1 << 40)
     e = corpus.select(
         (F.col(id_col) % n_clusters).alias("cluster"),
         F.posexplode(_to_double(F.col(vec_col))).alias("pos", "v"),
     )
     per_dim = e.groupBy("cluster", "pos").agg(
-        (F.sum(F.col("v").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cv")
+        (
+            F.sum(F.round(F.col("v") * F.lit(scale)).cast("long"))
+            .cast("double")
+            / F.lit(scale)
+            / F.count(F.lit(1))
+        ).alias("cv")
     )
     return per_dim.groupBy("cluster").agg(
         F.transform(

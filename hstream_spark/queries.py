@@ -1167,7 +1167,9 @@ def q_ann_lsh_topk(spark, sf):
 _ANN_IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
 ex AS (SELECT vec_id % 8 AS cluster, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
-cm AS (SELECT cluster, pos, (sum(val::DECIMAL(27,12))::DOUBLE) / count(*) AS cv
+cm AS (SELECT cluster, pos,
+              CAST(sum(CAST(round(val * 1099511627776) AS BIGINT)) AS DOUBLE)
+                  / 1099511627776 / count(*) AS cv
        FROM ex GROUP BY cluster, pos),
 craw AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY cluster),
 cent AS (SELECT cluster,
