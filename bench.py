@@ -96,6 +96,8 @@ HEADLINE = [
     "ann_pq_topk",
     "chunk_documents",
     "pack_sequences",
+    "bpe_train",
+    "bpe_subword_tokenize",
     "quality_classifier",
     "dedup_passage_removal",
     "containment_pairs",

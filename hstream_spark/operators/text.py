@@ -875,3 +875,134 @@ def url_dedup(
         canon.join(keep, [id_col, "__curl"])
         .withColumnRenamed("__curl", "canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909 — public)
+# ---------------------------------------------------------------------------
+
+
+def _char_symbols(word: Column) -> Column:
+    """Word → space-joined character symbols ('hello' → 'h e l l o').
+
+    Guarded for the empty string: Spark's ``sequence(1, 0)`` DESCENDS
+    ([1, 0]) instead of returning an empty range, so empty tokens must
+    short-circuit."""
+    return F.when(
+        F.length(word) > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: F.substr(word, i, F.lit(1)),
+            ),
+            " ",
+        ),
+    ).otherwise(F.lit(""))
+
+
+def _apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply learned merges in rank order to a space-joined symbol
+    string. Each merge is one literal ``replace`` of ``' a b '`` with
+    ``' ab '`` over the space-padded string — leftmost non-overlapping
+    scan, the standard BPE simultaneous-merge semantics, and identical
+    in every engine (the SQL oracle replays the same replaces)."""
+    out = F.concat(F.lit(" "), sym, F.lit(" "))
+    for left, right in merges:
+        out = F.replace(
+            out,
+            F.lit(f" {left} {right} "),
+            F.lit(f" {left}{right} "),
+        )
+    return F.trim(out)
+
+
+def bpe_train(
+    docs: DataFrame,
+    merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str, int]]:
+    """Learn ``merges`` BPE merge rules from a corpus — the tokenizer-
+    training step of an LLM data pipeline, Spark-first: the ONLY
+    corpus-sized pass is the word count (one shuffle, map-side
+    combined); every Lloyd-style iteration after that runs on the
+    VOCABULARY frame (distinct words × counts — orders of magnitude
+    smaller than the corpus, exactly how production BPE trainers
+    operate on pre-counted words), and only the single winning pair
+    (one row) returns to the driver per round.
+
+    Deterministic: ties on pair count break lexicographically. Returns
+    ``[(left, right, pair_count)]`` in merge-rank order; feed to
+    `bpe_tokenize` / `_apply_merges`.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    try:
+        learned: list[tuple[str, str, int]] = []
+        for _ in range(int(merges)):
+            sym = _apply_merges(
+                _char_symbols(F.col("w")), [(l, r) for l, r, _ in learned]
+            )
+            syms = words.select(sym.alias("s"), "c")
+            lst = F.split(F.col("s"), " ")
+            pairs = syms.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(lst) - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(lst, i),
+                            F.element_at(lst, i + 1),
+                        ),
+                    )
+                ).alias("pr"),
+                "c",
+            ).where(F.size(lst) > 1)
+            top = (
+                pairs.groupBy("pr")
+                .agg(F.sum("c").alias("pc"))
+                .orderBy(F.col("pc").desc(), F.col("pr").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # vocabulary fully merged
+            left, right = top[0]["pr"].split(" ", 1)
+            learned.append((left, right, int(top[0]["pc"])))
+        return learned
+    finally:
+        words.unpersist()
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_n: int = 8,
+) -> DataFrame:
+    """Tokenize a corpus with learned BPE merges — MAP-ONLY: per row,
+    words split to character symbols, the merge rules apply as a chain
+    of literal replaces (codegen'd string ops, no Python, no shuffle),
+    and the subwords flatten back in document order. Emits
+    (id, n_subwords, first ``sample_n`` subwords joined by '|') — the
+    token-budget accounting shape, with a deterministic sample for
+    verification."""
+    pairs = [(m[0], m[1]) for m in merges]
+    toks = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    per_tok = F.transform(
+        toks, lambda w: F.split(_apply_merges(_char_symbols(w), pairs), " ")
+    )
+    flat = F.flatten(per_tok)
+    return docs.select(
+        F.col(id_col),
+        F.size(flat).cast("long").alias("n_subwords"),
+        F.array_join(F.slice(flat, 1, int(sample_n)), "|").alias(
+            "subwords_sample"
+        ),
+    )

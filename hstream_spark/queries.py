@@ -1780,6 +1780,124 @@ SELECT doc_id, n_tokens, bucket, pack_seq FROM packed
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — oracle-gated end to end
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle_ctes(k: int) -> str:
+    """Shared CTE chain: word counts → k unrolled merge rounds. Round r
+    exposes m{r} (the winning pair, count-desc / pair-asc tie-break)
+    and v{r} (the vocabulary with merges 1..r applied via the same
+    leftmost-non-overlapping literal replace the Spark side uses)."""
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+v0 AS MATERIALIZED (SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                                             i -> substr(w, i, 1)), ' ') AS s,
+              c FROM words)""",
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        parts.append(f"""
+p{r} AS MATERIALIZED (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                      i -> l[i] || ' ' || l[i + 1])) AS pr, c
+         FROM (SELECT string_split(s, ' ') AS l, c FROM v{p})
+         WHERE len(l) > 1),
+m{r} AS MATERIALIZED (SELECT pr, CAST(SUM(c) AS BIGINT) AS pc FROM p{r}
+         GROUP BY pr ORDER BY pc DESC, pr ASC LIMIT 1),
+v{r} AS MATERIALIZED (SELECT trim(replace(' ' || s || ' ',
+                             ' ' || (SELECT pr FROM m{r}) || ' ',
+                             ' ' || replace((SELECT pr FROM m{r}), ' ', '')
+                                 || ' ')) AS s, c
+         FROM v{p})""")
+    return ",".join(parts)
+
+
+def _bpe_train_oracle(k: int = 10) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, split_part(pr, ' ', 1) AS lft, "
+        f"split_part(pr, ' ', 2) AS rgt, pc AS pair_count FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return f"WITH {_bpe_oracle_ctes(k)}\nSELECT * FROM ({union})"
+
+
+def _bpe_tokenize_oracle(k: int = 10, sample_n: int = 8) -> str:
+    applied = "' ' || array_to_string(list_transform(generate_series(1, length(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
+    for r in range(1, k + 1):
+        applied = (
+            f"replace({applied}, ' ' || (SELECT pr FROM m{r}) || ' ', "
+            f"' ' || replace((SELECT pr FROM m{r}), ' ', '') || ' ')"
+        )
+    return f"""
+WITH {_bpe_oracle_ctes(k)},
+tok AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+              FROM documents)),
+dtok AS (SELECT doc_id, i, string_split(trim({applied}), ' ') AS sw
+         FROM tok WHERE tok <> ''),
+flatd AS (SELECT doc_id, CAST(SUM(len(sw)) AS BIGINT) AS n_subwords,
+                 flatten(list(sw ORDER BY i)) AS all_sw
+          FROM dtok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(f.n_subwords, 0) AS n_subwords,
+       COALESCE(array_to_string(f.all_sw[1:{sample_n}], '|'), '') AS subwords_sample
+FROM documents d LEFT JOIN flatd f ON f.doc_id = d.doc_id
+"""
+
+
+_BPE_MERGE_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _bpe_merges(spark, sf: str, k: int = 10) -> list:
+    key = (sf, k)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = TX.bpe_train(
+            load_table(spark, sf, "documents"), merges=k
+        )
+    return _BPE_MERGE_CACHE[key]
+
+
+@register("bpe_train", _bpe_train_oracle(), tags=("text", "tokenizer", "iterative"))
+def q_bpe_train(spark, sf):
+    """Learn 10 BPE merge rules from the documents corpus — the
+    tokenizer-training step of an LLM pipeline (Sennrich et al. 2016).
+    One corpus-sized word-count shuffle; the 10 merge rounds iterate on
+    the VOCABULARY frame with one 1-row collect per round
+    (operators/text.py bpe_train). The oracle replays every round as
+    an unrolled CTE chain — pair counts, count-desc/pair-asc
+    tie-breaks, and leftmost-non-overlapping merge application are all
+    engine-exact (integer counts, literal string replaces)."""
+    merges = _bpe_merges(spark, sf, 10)
+    return spark.createDataFrame(
+        [
+            (r + 1, left, right, count)
+            for r, (left, right, count) in enumerate(merges)
+        ],
+        "rank int, lft string, rgt string, pair_count long",
+    )
+
+
+@register(
+    "bpe_subword_tokenize",
+    _bpe_tokenize_oracle(),
+    tags=("text", "tokenizer"),
+)
+def q_bpe_subword_tokenize(spark, sf):
+    """Tokenize the corpus with the 10 learned BPE merges — MAP-ONLY
+    application (character split + a chain of 10 literal replaces per
+    word, codegen string ops, no shuffle, no Python): per document the
+    true subword count and the first 8 subwords as a deterministic
+    sample (operators/text.py bpe_tokenize)."""
+    merges = _bpe_merges(spark, sf, 10)
+    return TX.bpe_tokenize(load_table(spark, sf, "documents"), merges)
+
+
+
 @register("pack_sequences", _PACK_ORACLE, tags=("text", "packing"))
 def q_pack_sequences(spark, sf):
     """Greedy sequence packing into 128-token training sequences,

@@ -652,3 +652,33 @@ def test_similar_docs_topk_warm_index_parity(spark, tmp_path):
         ).collect()
     )
     assert inline == warm and len(warm) > 0
+
+
+def test_bpe_train_learns_classic_merges(spark):
+    """The Sennrich toy corpus: 'l o'→'lo'→'low' must be learned before
+    any single-occurrence pair; ties break lexicographically; training
+    is deterministic and bpe_tokenize applies merges leftmost
+    non-overlapping."""
+    from hstream_spark.operators.text import bpe_tokenize, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(docs, merges=5)
+    assert [(a, b) for a, b, _ in m[:2]] == [("l", "o"), ("lo", "w")]
+    assert m[0][2] == 5  # 'l o' occurs in all five 'low*' words
+    assert m == bpe_train(docs, merges=5)  # deterministic
+    out = {r["doc_id"]: r for r in bpe_tokenize(docs, m).collect()}
+    assert out[1]["subwords_sample"].startswith("low|low")
+    assert out[1]["n_subwords"] < 5 * 4  # merges shrank the char count
+
+
+def test_bpe_train_exhausts_small_vocab(spark):
+    """Requesting more merges than the vocabulary supports stops early
+    instead of looping or erroring."""
+    from hstream_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m = bpe_train(docs, merges=10)
+    assert [(a, b) for a, b, _ in m] == [("a", "b")]
