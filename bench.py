@@ -73,6 +73,7 @@ HEADLINE = [
     "extended_json_scan",
     "kmeans_assign",
     "dedup_prune",
+    "dedup_prune_priority",
     "tpch_q12ish",
     "tpch_q15ish",
     "tpch_q9ish",

@@ -415,6 +415,44 @@ def prune_duplicates(
     )
 
 
+def prune_duplicates_by(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    order_by: list[Column],
+    id_col: str = "doc_id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Priority-aware duplicate pruning: per near-duplicate cluster,
+    keep the member that ranks FIRST under ``order_by`` (id ascending
+    as the final tie-break) instead of the lowest id — the real-world
+    multi-source curation rule "when a page appears in both a curated
+    dump and a crawl, keep the curated copy".
+
+    Same distributed shape as `prune_duplicates`: pairs → min-label
+    components (O(log diameter) rounds), then ONE component-keyed
+    window picks each cluster's winner and ONE left-anti join drops
+    the losers — the corpus moves only through that anti join, the
+    window runs over |clustered docs| (duplicates only, a small
+    fraction of the corpus).
+    """
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, left_col=left_col, right_col=right_col)
+    members = corpus.join(
+        comps.withColumnRenamed("doc_id", id_col), id_col
+    )
+    w = Window.partitionBy("component").orderBy(*order_by, F.col(id_col))
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col(id_col).alias("__loser"))
+    )
+    return corpus.join(
+        losers, corpus[id_col] == losers["__loser"], "left_anti"
+    )
+
+
 def duplicate_passage_spans(
     docs: DataFrame,
     text_col: str = "text",

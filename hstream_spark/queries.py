@@ -2313,6 +2313,60 @@ def q_curation_pipeline(spark, sf):
     return counts
 
 
+def _dedup_prune_priority_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+h AS (SELECT doc_id, {_H31.format(x='tok')} AS h FROM t),
+s AS (SELECT doc_id, {_simhash_sums_sql()} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_simhash_assemble_sql()} AS simhash FROM s),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+ranked AS (SELECT c.doc_id,
+                  row_number() OVER (
+                      PARTITION BY c.component
+                      ORDER BY CAST(substr(d.source, 4) AS INT), c.doc_id
+                  ) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@register(
+    "dedup_prune_priority",
+    _dedup_prune_priority_oracle(),
+    tags=("dedup", "prune", "priority"),
+)
+def q_dedup_prune_priority(spark, sf):
+    """Multi-source priority dedup: simhash near-dup clusters (Hamming
+    <= 3) over the documents corpus, each cluster keeping its most
+    TRUSTED member — source rank (the numeric suffix: src0 most
+    curated) before id — instead of the lowest id. The "prefer the
+    curated dump over the crawl copy" rule of mixed-source training
+    corpora (operators/dedup.py prune_duplicates_by: components + one
+    component-keyed window + one anti join)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    pairs = D.simhash_near_duplicates(docs, max_hamming=3)
+    ranked = docs.withColumn(
+        "__prio", F.substring(F.col("source"), 4, 8).cast("int")
+    )
+    kept = D.prune_duplicates_by(
+        ranked, pairs, [F.col("__prio")], left_col="doc_a", right_col="doc_b"
+    )
+    return kept.select("doc_id", "source")
+
+
 def _dedup_prune_oracle(dim: int = 64, planes: int = 8) -> str:
     bucket_terms = " + ".join(
         f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"

@@ -682,3 +682,27 @@ def test_bpe_train_exhausts_small_vocab(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     m = bpe_train(docs, merges=10)
     assert [(a, b) for a, b, _ in m] == [("a", "b")]
+
+
+def test_prune_duplicates_by_priority(spark):
+    """Priority pruning keeps the highest-priority cluster member (id
+    as tie-break), not the lowest id; unclustered docs always survive."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.dedup import prune_duplicates_by
+
+    docs = spark.createDataFrame(
+        [(1, "crawl", 9), (2, "curated", 0), (3, "crawl", 9), (4, "other", 5)],
+        "doc_id long, source string, prio int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in prune_duplicates_by(
+            docs, pairs, [F.col("prio")], left_col="doc_a", right_col="doc_b"
+        ).collect()
+    )
+    # cluster {1,2,3}: doc 2 wins on priority despite doc 1's lower id
+    assert kept == [2, 4]
