@@ -103,8 +103,14 @@ def curate(spark, sf_dir: str, max_tokens: int = 64) -> dict[str, DataFrame]:
     docs = SMP.group_train_test_split(docs, F.md5(F.col("text")), 0.1)
     out["split"] = docs
 
-    # 8. chunk the train split into context windows
+    # 7b. train the tokenizer on the curated train split and account
+    #     subword tokens (one corpus word-count shuffle; merge rounds
+    #     run on the vocabulary frame — model-sized driver traffic)
     train = docs.where(F.col("split") == "train")
+    merges = TX.bpe_train(train, merges=10)
+    out["bpe_tokens"] = TX.bpe_tokenize(train, merges)
+
+    # 8. chunk the train split into context windows
     chunks = TX.chunk_documents(train, max_tokens=max_tokens)
     out["chunks"] = chunks
 

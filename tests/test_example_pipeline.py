@@ -30,6 +30,13 @@ def test_curation_example_end_to_end(spark, sf_dir):
     assert counts["rebalanced"] <= counts["decontaminated"]
     assert counts["split"] == counts["rebalanced"]
     assert counts["quality"] > 0 and counts["packed"] > 0
+    # BPE accounting covers exactly the train split, with subwords
+    # for every non-empty doc
+    n_train = stages["split"].where(F.col("split") == "train").count()
+    assert counts["bpe_tokens"] == n_train
+    assert (
+        stages["bpe_tokens"].where(F.col("n_subwords") <= 0).count() == 0
+    )
 
     # split never separates identical texts
     per_group = (
