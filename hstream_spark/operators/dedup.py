@@ -328,18 +328,21 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     )
 
 
-def _guard_block_size(sets: DataFrame, block_cols: list[str],
+def _guard_block_size(docs: DataFrame, block_cols: list[str],
                       max_block: Optional[int], op_name: str) -> None:
     """Enforce the 'blocks must be bounded' contract of the quadratic
     within-block baselines: a skewed block key (one language, one
     domain) silently turns O(Σ block²) into O(corpus²). One cheap
-    count-per-block aggregation (model-sized driver traffic — a single
+    count-per-block aggregation over the BLOCK COLUMNS ONLY (block
+    size doesn't depend on text, so the scan column-prunes to the keys
+    and no shingle work runs; model-sized driver traffic — a single
     max) fails loudly with the scale path instead. ``max_block=None``
     opts out deliberately."""
     if max_block is None:
         return
     top = (
-        sets.groupBy(*[F.col(c) for c in block_cols])
+        docs.select(*[F.col(c) for c in block_cols])
+        .groupBy(*block_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("mx"), F.sum("__n").alias("n"))
         .collect()[0]
@@ -374,7 +377,7 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float
     )
     if cache_sets:
         sets = sets.persist()
-    _guard_block_size(sets, block_cols, max_block, "ngram_jaccard_pairs")
+    _guard_block_size(docs, block_cols, max_block, "ngram_jaccard_pairs")
     a = sets.select(*block_cols, F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = sets.select(*block_cols, F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = a.join(b, block_cols).filter(F.col("doc_a") < F.col("doc_b"))
@@ -851,7 +854,7 @@ def containment_pairs(
             F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
         ).alias("__g"),
     ).where(F.size("__g") > 0).persist()
-    _guard_block_size(sets, block_cols, max_block, "containment_pairs")
+    _guard_block_size(docs, block_cols, max_block, "containment_pairs")
     a = sets.alias("a")
     b = sets.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
