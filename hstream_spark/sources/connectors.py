@@ -564,8 +564,14 @@ class KafkaIngestTailer:
         max_batch_bytes: int = 4 << 20,
         starting: str = "earliest",
         group_id: Optional[str] = None,
+        coordinated: bool = False,
     ):
         import threading
+
+        if coordinated and not group_id:
+            raise ConnectorError(
+                "coordinated tailing requires a consumer group_id"
+            )
 
         if starting not in ("earliest", "latest"):
             raise ConnectorError(
@@ -580,6 +586,8 @@ class KafkaIngestTailer:
         self.max_batch_bytes = int(max_batch_bytes)
         self.starting = starting
         self.group_id = group_id
+        self.coordinated = coordinated
+        self._membership: Optional[dict] = None
         self._broker_offsets_merged = group_id is None
         self._broker_commit_failed = False
         self.offsets: dict[int, int] = {}
@@ -654,12 +662,41 @@ class KafkaIngestTailer:
         with self._poll_lock:
             return self._poll_locked()
 
+    def _ensure_membership(self, client) -> list[int]:
+        """Coordinated mode: keep a live consumer-group membership and
+        return THIS member's assigned partitions. One heartbeat per
+        poll; a rebalance signal (another tailer joined/left) rejoins
+        with the existing member id — the standard consumer loop."""
+        mid = ""
+        m = self._membership
+        if m is not None:
+            code = client.heartbeat(
+                self.group_id, m["generation"], m["member_id"]
+            )
+            if code == 0:
+                return m["assignment"].get(self.topic, [])
+            # 27 rebalance / 22 stale generation: rejoin with our id;
+            # 25 unknown member: rejoin fresh
+            if code != 25:
+                mid = m["member_id"]
+        m = client.join_and_sync(self.group_id, [self.topic], member_id=mid)
+        self._membership = m
+        _LOG.info(
+            "kafka group %r generation %s: member %s assigned %s",
+            self.group_id, m["generation"], m["member_id"],
+            m["assignment"].get(self.topic, []),
+        )
+        return m["assignment"].get(self.topic, [])
+
     def _poll_locked(self) -> int:
         from hstream_spark.sources.kafka_wire import EARLIEST, LATEST
 
         client = self._get_client()
         total = 0
-        parts = client.partitions(self.topic)
+        if self.coordinated:
+            parts = self._ensure_membership(client)
+        else:
+            parts = client.partitions(self.topic)
         if not self._broker_offsets_merged:
             # one-time resume merge: broker-committed offsets for this
             # group cover any partition the sidecar doesn't know (fresh
@@ -766,9 +803,20 @@ class KafkaIngestTailer:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
-        if self._client is not None:
-            self._client.close()
-            self._client = None
+        with self._poll_lock:
+            if self._membership is not None and self._client is not None:
+                try:
+                    # leaving promptly hands our partitions to the rest
+                    # of the group instead of waiting out the session
+                    self._client.leave_group(
+                        self.group_id, self._membership["member_id"]
+                    )
+                except Exception:  # noqa: BLE001 — advisory only
+                    pass
+                self._membership = None
+            if self._client is not None:
+                self._client.close()
+                self._client = None
 
 
 def las_sink(options: dict) -> SinkFn:

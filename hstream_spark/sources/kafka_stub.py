@@ -68,6 +68,115 @@ class _PartitionLog:
         return bytes(out)
 
 
+class _GroupState:
+    """Consumer-group membership state machine (single-broker):
+    JoinGroup collects members behind a rebalance barrier (completes
+    when every member of the PREVIOUS generation has rejoined, or the
+    rebalance timeout passes), bumps the generation ONCE for the whole
+    cohort, elects the lowest member id leader; SyncGroup blocks
+    followers until the leader's assignments land; Heartbeat signals
+    REBALANCE_IN_PROGRESS so live members rejoin. The real broker's
+    GroupCoordinator semantics at the fidelity the client dance needs
+    — no persistence, no static membership, no incremental rebalance."""
+
+    def __init__(self, rebalance_timeout: float):
+        self.cond = threading.Condition()
+        self.rebalance_timeout = rebalance_timeout
+        self.generation = 0
+        self.members: dict[str, bytes] = {}   # stable membership
+        self.leader = ""
+        self.assignments: dict[str, bytes] = {}
+        self.assign_generation = -1
+        self.state = "Empty"  # Empty | PreparingRebalance | Stable
+        self.pending: dict[str, bytes] = {}
+        self.deadline = 0.0
+        self._counter = 0
+
+    def join(self, member_id: str, metadata: bytes) -> tuple[int, str, str, dict[str, bytes]]:
+        """Blocks until the rebalance completes; returns
+        (generation, member_id, leader, members-of-generation)."""
+        import time as _time
+
+        with self.cond:
+            if not member_id:
+                self._counter += 1
+                member_id = f"member-{self._counter}"
+            if self.state != "PreparingRebalance":
+                self.state = "PreparingRebalance"
+                self.pending = {}
+                self.deadline = _time.monotonic() + self.rebalance_timeout
+                self.cond.notify_all()
+            self.pending[member_id] = metadata
+            target_gen = self.generation + 1
+            # complete when every PREVIOUS member rejoined or timeout
+            while self.generation < target_gen:
+                if set(self.members) <= set(self.pending) or (
+                    _time.monotonic() >= self.deadline
+                ):
+                    # this caller completes the rebalance for everyone
+                    self.members = dict(self.pending)
+                    self.generation = target_gen
+                    self.leader = min(self.members)
+                    self.assignments = {}
+                    self.assign_generation = -1
+                    self.state = "Stable"
+                    self.cond.notify_all()
+                    break
+                self.cond.wait(timeout=0.05)
+            return self.generation, member_id, self.leader, dict(self.members)
+
+    def sync(self, generation: int, member_id: str,
+             assignments: dict[str, bytes]) -> tuple[int, bytes]:
+        import time as _time
+
+        with self.cond:
+            if member_id not in self.members:
+                return 25, b""  # UNKNOWN_MEMBER_ID
+            if generation != self.generation:
+                return 22, b""  # ILLEGAL_GENERATION
+            if member_id == self.leader and assignments:
+                self.assignments = dict(assignments)
+                self.assign_generation = generation
+                self.cond.notify_all()
+            deadline = _time.monotonic() + self.rebalance_timeout
+            while (
+                self.assign_generation != generation
+                and self.generation == generation
+                and _time.monotonic() < deadline
+            ):
+                self.cond.wait(timeout=0.05)
+            if self.generation != generation:
+                return 27, b""  # REBALANCE_IN_PROGRESS
+            if self.assign_generation != generation:
+                return 27, b""  # leader never synced in time
+            return 0, self.assignments.get(member_id, b"")
+
+    def beat(self, generation: int, member_id: str) -> int:
+        with self.cond:
+            if member_id not in self.members and member_id not in self.pending:
+                return 25
+            if self.state == "PreparingRebalance":
+                return 27
+            if generation != self.generation:
+                return 22
+            return 0
+
+    def leave(self, member_id: str) -> None:
+        import time as _time
+
+        with self.cond:
+            self.members.pop(member_id, None)
+            self.pending.pop(member_id, None)
+            if self.members:
+                # survivors rejoin via heartbeat signal
+                self.state = "PreparingRebalance"
+                self.pending = {}
+                self.deadline = _time.monotonic() + self.rebalance_timeout
+            else:
+                self.state = "Empty"
+            self.cond.notify_all()
+
+
 class KafkaStubBroker:
     """``with KafkaStubBroker() as b: client = KafkaClient(b.bootstrap)``"""
 
@@ -81,6 +190,9 @@ class KafkaStubBroker:
         self._topics: dict[str, dict[int, _PartitionLog]] = {}
         # broker-stored consumer offsets: (group, topic, partition) → next
         self._group_offsets: dict[tuple[str, str, int], int] = {}
+        # consumer-group membership state machines (_GroupState)
+        self._groups: dict[str, "_GroupState"] = {}
+        self.rebalance_timeout = 2.0
         self._lock = threading.Lock()
         self._stopping = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -168,6 +280,8 @@ class KafkaStubBroker:
                 (W.API_LIST_OFFSETS, 0, 1), (W.API_METADATA, 0, 1),
                 (W.API_OFFSET_COMMIT, 0, 2), (W.API_OFFSET_FETCH, 0, 1),
                 (W.API_FIND_COORDINATOR, 0, 0),
+                (W.API_JOIN_GROUP, 0, 0), (W.API_SYNC_GROUP, 0, 0),
+                (W.API_HEARTBEAT, 0, 0), (W.API_LEAVE_GROUP, 0, 0),
                 (W.API_VERSIONS, 0, 0),
             ]
             return W.enc_int16(0) + W.enc_array([
@@ -294,6 +408,61 @@ class KafkaStubBroker:
                     )
                 out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
             return W.enc_int32(0) + W.enc_array(out_topics)
+        if api_key == W.API_JOIN_GROUP:
+            group = r.string() or ""
+            r.int32()  # session_timeout
+            member_id = r.string() or ""
+            r.string()  # protocol_type
+            metadata = b""
+            for _ in range(r.int32()):
+                r.string()  # protocol name (we accept the first: range)
+                if not metadata:
+                    metadata = r.bytes_() or b""
+                else:
+                    r.bytes_()
+            with self._lock:
+                gs = self._groups.setdefault(
+                    group, _GroupState(self.rebalance_timeout)
+                )
+            gen, mid, leader, members = gs.join(member_id, metadata)
+            is_leader = mid == leader
+            return (
+                W.enc_int16(0) + W.enc_int32(gen) + W.enc_string("range")
+                + W.enc_string(leader) + W.enc_string(mid)
+                + W.enc_array([
+                    W.enc_string(m) + W.enc_bytes(meta)
+                    for m, meta in (sorted(members.items()) if is_leader else [])
+                ])
+            )
+        if api_key == W.API_SYNC_GROUP:
+            group = r.string() or ""
+            gen = r.int32()
+            member_id = r.string() or ""
+            assignments = {}
+            for _ in range(r.int32()):
+                m = r.string() or ""
+                assignments[m] = r.bytes_() or b""
+            with self._lock:
+                gs = self._groups.get(group)
+            if gs is None:
+                return W.enc_int16(25) + W.enc_bytes(None)
+            err, blob = gs.sync(gen, member_id, assignments)
+            return W.enc_int16(err) + W.enc_bytes(blob if not err else None)
+        if api_key == W.API_HEARTBEAT:
+            group = r.string() or ""
+            gen = r.int32()
+            member_id = r.string() or ""
+            with self._lock:
+                gs = self._groups.get(group)
+            return W.enc_int16(25 if gs is None else gs.beat(gen, member_id))
+        if api_key == W.API_LEAVE_GROUP:
+            group = r.string() or ""
+            member_id = r.string() or ""
+            with self._lock:
+                gs = self._groups.get(group)
+            if gs is not None:
+                gs.leave(member_id)
+            return W.enc_int16(0)
         if api_key == W.API_FIND_COORDINATOR:
             r.string()  # group_id — single-broker: we ARE the coordinator
             return (

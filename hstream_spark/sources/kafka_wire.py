@@ -398,7 +398,53 @@ def decode_record_batches_ex(
 
 API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
 API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
+API_JOIN_GROUP, API_HEARTBEAT, API_LEAVE_GROUP, API_SYNC_GROUP = 11, 12, 13, 14
 API_VERSIONS = 18
+
+# group-coordination error codes the client reacts to
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
+
+
+def encode_subscription(topics: list[str]) -> bytes:
+    """ConsumerProtocolSubscription v0 — the metadata blob a consumer
+    publishes in JoinGroup (what standard clients put on the wire)."""
+    return (
+        enc_int16(0)
+        + enc_array([enc_string(t) for t in topics])
+        + enc_bytes(None)  # userdata
+    )
+
+
+def decode_subscription(buf: bytes) -> list[str]:
+    r = _Reader(buf)
+    r.int16()  # version
+    return [r.string() or "" for _ in range(r.int32())]
+
+
+def encode_assignment(parts: dict[str, list[int]]) -> bytes:
+    """ConsumerProtocolAssignment v0: {topic: [partition, ...]}."""
+    return (
+        enc_int16(0)
+        + enc_array([
+            enc_string(t) + enc_array([enc_int32(p) for p in sorted(ps)])
+            for t, ps in sorted(parts.items())
+        ])
+        + enc_bytes(None)  # userdata
+    )
+
+
+def decode_assignment(buf: bytes) -> dict[str, list[int]]:
+    if not buf:
+        return {}
+    r = _Reader(buf)
+    r.int16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(r.int32()):
+        t = r.string() or ""
+        out[t] = [r.int32() for _ in range(r.int32())]
+    return out
 
 EARLIEST, LATEST = -2, -1
 
@@ -684,6 +730,120 @@ class KafkaClient:
                 if off >= 0:
                     out[pid] = off
         return out
+
+    def join_group(self, group: str, topics: list[str],
+                   member_id: str = "",
+                   session_timeout_ms: int = 30000) -> dict:
+        """JoinGroup v0 with the standard 'consumer'/'range' protocol.
+        Returns {generation, member_id, leader, members} — ``members``
+        (member_id → subscribed topics) is populated only for the
+        elected leader, which then computes the assignment."""
+        body = (
+            enc_string(group)
+            + enc_int32(session_timeout_ms)
+            + enc_string(member_id)
+            + enc_string("consumer")
+            + enc_array([
+                enc_string("range") + enc_bytes(encode_subscription(topics))
+            ])
+        )
+        r = self._coordinator_call(API_JOIN_GROUP, 0, body, group)
+        err = r.int16()
+        if err:
+            self._coordinators.pop(group, None)
+            raise KafkaWireError(
+                f"JoinGroup error code {err} for group {group!r}"
+            )
+        generation = r.int32()
+        r.string()  # group_protocol
+        leader = r.string() or ""
+        me = r.string() or ""
+        members: dict[str, list[str]] = {}
+        for _ in range(r.int32()):
+            mid = r.string() or ""
+            meta = r.bytes_() or b""
+            members[mid] = decode_subscription(meta)
+        return {
+            "generation": generation,
+            "member_id": me,
+            "leader": leader,
+            "members": members,
+        }
+
+    def sync_group(self, group: str, generation: int, member_id: str,
+                   assignments: Optional[dict[str, bytes]] = None) -> bytes:
+        """SyncGroup v0: the leader submits everyone's assignment blobs;
+        followers submit none. Returns THIS member's assignment."""
+        body = (
+            enc_string(group)
+            + enc_int32(generation)
+            + enc_string(member_id)
+            + enc_array([
+                enc_string(mid) + enc_bytes(blob)
+                for mid, blob in sorted((assignments or {}).items())
+            ])
+        )
+        r = self._coordinator_call(API_SYNC_GROUP, 0, body, group)
+        err = r.int16()
+        if err:
+            raise KafkaWireError(
+                f"SyncGroup error code {err} for group {group!r}"
+            )
+        return r.bytes_() or b""
+
+    def heartbeat(self, group: str, generation: int, member_id: str) -> int:
+        """Heartbeat v0 — returns the error CODE (0 = stable;
+        REBALANCE_IN_PROGRESS/ILLEGAL_GENERATION/UNKNOWN_MEMBER_ID mean
+        rejoin) so callers can react without exception control flow."""
+        body = enc_string(group) + enc_int32(generation) + enc_string(member_id)
+        r = self._coordinator_call(API_HEARTBEAT, 0, body, group)
+        return r.int16()
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        body = enc_string(group) + enc_string(member_id)
+        r = self._coordinator_call(API_LEAVE_GROUP, 0, body, group)
+        r.int16()  # best-effort: leaving is advisory
+
+    def join_and_sync(self, group: str, topics: list[str],
+                      member_id: str = "") -> dict:
+        """The full consumer-group dance: JoinGroup → (leader computes a
+        RANGE assignment over every member's subscription) → SyncGroup.
+        Returns {generation, member_id, assignment: {topic: [parts]}}.
+        """
+        j = self.join_group(group, topics, member_id)
+        assignments: Optional[dict[str, bytes]] = None
+        if j["member_id"] == j["leader"]:
+            # range assignment: per topic, contiguous partition chunks
+            # over members sorted by id — the standard default strategy
+            subs: dict[str, list[str]] = {}
+            for mid, mtopics in j["members"].items():
+                for t in mtopics:
+                    subs.setdefault(t, []).append(mid)
+            per_member: dict[str, dict[str, list[int]]] = {
+                mid: {} for mid in j["members"]
+            }
+            for t, mids in subs.items():
+                parts = self.partitions(t)
+                mids = sorted(mids)
+                n, k = len(parts), len(mids)
+                base, extra = divmod(n, k)
+                pos = 0
+                for i, mid in enumerate(mids):
+                    take = base + (1 if i < extra else 0)
+                    if take:
+                        per_member[mid][t] = parts[pos:pos + take]
+                    pos += take
+            assignments = {
+                mid: encode_assignment(a) for mid, a in per_member.items()
+            }
+        blob = self.sync_group(
+            group, j["generation"], j["member_id"], assignments
+        )
+        return {
+            "generation": j["generation"],
+            "member_id": j["member_id"],
+            "assignment": decode_assignment(blob),
+        }
 
     def produce(
         self,

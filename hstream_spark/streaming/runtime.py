@@ -680,7 +680,8 @@ class HStreamEngine:
     def _build_kafka_tailer(self, target: StreamInfo, topic: str,
                             bootstrap: str, poll_ms: int,
                             starting: str = "earliest",
-                            group_id: Optional[str] = None):
+                            group_id: Optional[str] = None,
+                            coordinated: bool = False):
         from hstream_spark.sources import connectors as C
 
         def _emit(records: list) -> int:
@@ -689,7 +690,10 @@ class HStreamEngine:
         # default consumer group `hstream-<stream>`: offsets commit to
         # the BROKER as well as the sidecar, so ingestion progress is
         # visible to standard Kafka tooling and a fresh host resumes
-        # from broker-side offsets; KAFKA_GROUP_ID='' opts out
+        # from broker-side offsets; KAFKA_GROUP_ID='' opts out.
+        # KAFKA_GROUP_COORDINATED=true additionally JOINS the group
+        # (JoinGroup/SyncGroup) so multiple engine instances tailing
+        # the same topic split its partitions.
         if group_id is None:
             group_id = f"hstream-{target.name}"
         tailer = C.KafkaIngestTailer(
@@ -698,6 +702,7 @@ class HStreamEngine:
             poll_interval=max(poll_ms, 1) / 1000.0,
             starting=starting,
             group_id=group_id or None,
+            coordinated=bool(coordinated) and bool(group_id),
         )
         if poll_ms > 0:
             tailer.start()
@@ -717,14 +722,18 @@ class HStreamEngine:
         topic, bootstrap, poll_ms, starting = self._validate_kafka_opts(kopts)
         group = kopts.get("kafka_group_id")
         group = None if group is None else str(group)
+        coord = str(kopts.get("kafka_group_coordinated", "")).lower() in (
+            "true", "1", "yes",
+        )
         cname = f"__kafka_{info.name}"
         conn = ConnectorInfo(
             cname, "SOURCE", info.name,
             {"TYPE": "kafka", "topic": topic, "bootstrap_servers": bootstrap,
              "poll_interval_ms": poll_ms, "starting_offsets": starting,
-             **({"group_id": group} if group is not None else {})},
+             **({"group_id": group} if group is not None else {}),
+             **({"group_coordinated": True} if coord else {})},
             handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms,
-                                            starting, group),
+                                            starting, group, coord),
         )
         self.connectors[cname] = conn
 
@@ -1124,8 +1133,12 @@ class HStreamEngine:
             ).lower()
             kgroup = kopts.get("group_id", kopts.get("kafka_group_id"))
             kgroup = None if kgroup is None else str(kgroup)
+            kcoord = str(
+                kopts.get("group_coordinated",
+                          kopts.get("kafka_group_coordinated", ""))
+            ).lower() in ("true", "1", "yes")
             info.handle = self._build_kafka_tailer(
-                target, topic, bootstrap, poll_ms, starting, kgroup
+                target, topic, bootstrap, poll_ms, starting, kgroup, kcoord
             )
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)

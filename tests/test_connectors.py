@@ -1033,3 +1033,38 @@ def test_bson_wire_document_sequence_section():
     out = bson_wire.decode_op_msg(frame)
     assert out["insert"] == "c" and out["$db"] == "d"
     assert out["documents"] == [{"k": 0}, {"k": 1}, {"k": 2}]
+
+
+def test_kafka_stream_coordinated_group(spark, tmp_path):
+    """KAFKA_GROUP_COORDINATED=true: the stream's tailer JOINS the
+    consumer group (JoinGroup/SyncGroup) — membership visible, all
+    partitions assigned while alone — and ingestion still works;
+    TERMINATE leaves the group cleanly."""
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("coord_t", partitions=2)
+        prod = KafkaClient(broker.bootstrap)
+        prod.produce("coord_t", [(None, b'{"k": 1}', 0)], partition=0)
+        prod.produce("coord_t", [(None, b'{"k": 2}', 0)], partition=1)
+        eng = HStreamEngine(spark, str(tmp_path / "data"))
+        try:
+            eng.execute(
+                "CREATE STREAM cst WITH (\"kafka_topic\" = 'coord_t', "
+                f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                "\"kafka_group_coordinated\" = 'true', "
+                "\"kafka_poll_interval_ms\" = 0);"
+            )
+            t = eng.connectors["__kafka_cst"].handle
+            assert t.coordinated and t.group_id == "hstream-cst"
+            assert t.poll() == 2
+            assert t._membership["assignment"]["coord_t"] == [0, 1]
+            gs = broker._groups["hstream-cst"]
+            assert t._membership["member_id"] in gs.members
+            assert eng.execute("SELECT * FROM cst;").count() == 2
+        finally:
+            eng.shutdown()
+        # shutdown stopped the tailer → LeaveGroup emptied the group
+        assert broker._groups["hstream-cst"].members == {}
+        prod.close()

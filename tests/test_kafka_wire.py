@@ -518,3 +518,146 @@ def test_tailer_broker_commit_failure_falls_back_to_sidecar(tmp_path):
             t.stop()
         finally:
             KS.KafkaStubBroker._dispatch = orig
+
+
+# ---------------------------------------------------------------------------
+# consumer-group membership (JoinGroup / SyncGroup / Heartbeat / LeaveGroup)
+# ---------------------------------------------------------------------------
+
+
+def test_single_member_group_gets_all_partitions():
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("grp_t", partitions=4)
+        c = KafkaClient(broker.bootstrap)
+        try:
+            m = c.join_and_sync("g1", ["grp_t"])
+            assert m["assignment"] == {"grp_t": [0, 1, 2, 3]}
+            assert m["generation"] == 1
+            assert c.heartbeat("g1", m["generation"], m["member_id"]) == 0
+            c.leave_group("g1", m["member_id"])
+            # after leaving, the member is unknown to the coordinator
+            assert c.heartbeat("g1", m["generation"], m["member_id"]) == 25
+        finally:
+            c.close()
+
+
+def test_two_members_split_partitions_range():
+    """The full rebalance: a second consumer joins, the first sees
+    REBALANCE_IN_PROGRESS on heartbeat, rejoins, and the leader's range
+    assignment splits the topic's partitions disjointly."""
+    import threading
+    import time as _time
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("grp2", partitions=4)
+        a = KafkaClient(broker.bootstrap)
+        b = KafkaClient(broker.bootstrap)
+        try:
+            ma = a.join_and_sync("g2", ["grp2"])
+            assert ma["assignment"] == {"grp2": [0, 1, 2, 3]}
+            result_b: dict = {}
+
+            def join_b():
+                result_b.update(b.join_and_sync("g2", ["grp2"]))
+
+            t = threading.Thread(target=join_b)
+            t.start()
+            # A discovers the rebalance through heartbeat and rejoins
+            for _ in range(100):
+                if a.heartbeat("g2", ma["generation"], ma["member_id"]) != 0:
+                    break
+                _time.sleep(0.02)
+            ma2 = a.join_and_sync("g2", ["grp2"], member_id=ma["member_id"])
+            t.join(timeout=10)
+            assert result_b, "B's join never completed"
+            pa = ma2["assignment"].get("grp2", [])
+            pb = result_b["assignment"].get("grp2", [])
+            assert sorted(pa + pb) == [0, 1, 2, 3]
+            assert not (set(pa) & set(pb))
+            assert len(pa) == 2 and len(pb) == 2
+            assert ma2["generation"] == result_b["generation"]
+        finally:
+            a.close()
+            b.close()
+
+
+def test_coordinated_tailers_split_partitions(tmp_path):
+    """Two coordinated tailers in one consumer group divide the topic:
+    after the rebalance each polls ONLY its assigned partitions, the
+    union covers every record exactly once, and when one leaves the
+    survivor takes the whole topic back."""
+    import threading
+    import time as _time
+
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("coord", partitions=4)
+        prod = KafkaClient(broker.bootstrap)
+        for p in range(4):
+            prod.produce(
+                "coord",
+                [(None, b'{"p": %d, "i": %d}' % (p, i), i) for i in range(5)],
+                partition=p,
+            )
+        got_a: list = []
+        got_b: list = []
+
+        def tailer(name, sink):
+            return KafkaIngestTailer(
+                broker.bootstrap, "coord",
+                emit=lambda batch: sink.extend(batch) or len(batch),
+                offsets_path=str(tmp_path / f"{name}.json"),
+                group_id="gc", coordinated=True,
+            )
+
+        ta = tailer("a", got_a)
+        assert ta.poll() == 20  # alone: all four partitions
+        assert ta._membership["assignment"]["coord"] == [0, 1, 2, 3]
+
+        tb = tailer("b", got_b)
+        done = threading.Event()
+
+        def b_first_poll():
+            tb.poll()  # blocks in the join barrier until A rejoins
+            done.set()
+
+        threading.Thread(target=b_first_poll, daemon=True).start()
+        for _ in range(200):  # A's poll heartbeats, sees the rebalance,
+            ta.poll()          # rejoins, and completes B's barrier
+            if done.wait(0.02):
+                break
+        assert done.is_set(), "B never obtained an assignment"
+        pa = set(ta._membership["assignment"]["coord"])
+        pb = set(tb._membership["assignment"]["coord"])
+        assert pa | pb == {0, 1, 2, 3} and not (pa & pb)
+        assert len(pa) == 2 and len(pb) == 2
+
+        # fresh records: each tailer ingests ONLY its own partitions
+        for p in range(4):
+            prod.produce("coord", [(None, b'{"p": %d, "i": 9}' % p, 9)],
+                         partition=p)
+        got_a.clear(), got_b.clear()
+        ta.poll(), tb.poll()
+        seen_a = {r[0]["p"] for r in got_a}
+        seen_b = {r[0]["p"] for r in got_b}
+        assert seen_a == pa and seen_b == pb
+
+        # B leaves; A's next polls rebalance back to the full topic
+        tb.stop()
+        for _ in range(200):
+            ta.poll()
+            if set(ta._membership["assignment"]["coord"]) == {0, 1, 2, 3}:
+                break
+            _time.sleep(0.02)
+        assert ta._membership["assignment"]["coord"] == [0, 1, 2, 3]
+        ta.stop()
+        prod.close()
