@@ -706,3 +706,39 @@ def test_prune_duplicates_by_priority(spark):
     )
     # cluster {1,2,3}: doc 2 wins on priority despite doc 1's lower id
     assert kept == [2, 4]
+
+
+def test_bpe_reconstruction_invariant_and_unicode(spark):
+    """Subwords always concatenate back to the original word (merges
+    only join, never alter), and multibyte text is safe — Spark substr
+    operates on codepoints, so CJK/accented words split and re-merge
+    without byte tearing."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.text import bpe_tokenize, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "héllo héllo wörld wörld wörld"),
+         (2, "日本語 日本語 テスト"),
+         (3, "mixed ascii héllo 日本語 punct!!! punct!!!")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(docs, merges=6)
+    assert len(m) == 6
+    # reconstruction: stripping the '|' sample separators of a 1-word
+    # doc yields the word itself
+    one = spark.createDataFrame([(9, "wörld")], "doc_id long, text string")
+    row = bpe_tokenize(one, m, sample_n=100).collect()[0]
+    assert row["subwords_sample"].replace("|", "") == "wörld"
+    # counts: subwords per word never exceed its codepoint count
+    out = bpe_tokenize(docs, m).collect()
+    toks = {r["doc_id"]: r["n_subwords"] for r in out}
+    chars = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.length(F.regexp_replace("text", r"\s+", "")).alias("n"),
+        ).collect()
+    }
+    for d in toks:
+        assert 0 < toks[d] <= chars[d]
