@@ -852,7 +852,9 @@ def build_sink(ctype: str, options: dict) -> SinkFn:
     return SINK_BUILDERS[ctype](options)
 
 
-def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000) -> DataFrame:
+def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000,
+                   filter: Optional[dict] = None,
+                   empty_ok: bool = False) -> Optional[DataFrame]:
     """CDC-style snapshot source over the MongoDB wire protocol
     (OP_MSG ``find``/``getMore`` cursor loop, ``sources/bson_wire.py``)
     — the initial-load phase of the reference's source-mongodb
@@ -861,9 +863,14 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
     The cursor is a single connection, so the snapshot reads through
     the driver (capped at ``max_docs`` with a loud error — parallel
     partitioned reads are the official connector's splitVector
-    territory); incremental tailing belongs to Kafka+Debezium, same as
-    the JDBC sources. Nested documents/arrays-of-documents arrive as
-    JSONB text, matching the engine's schemaless value-typed layout.
+    territory). ``filter`` is a MongoDB query document passed INSIDE
+    the ``find`` command, so the SERVER evaluates it and only matching
+    documents cross the wire — the pushdown `MongoCdcTailer` uses for
+    watermark increments (``{wm: {"$gt": last}}``). ``empty_ok=True``
+    returns ``None`` for an empty result instead of erroring (an idle
+    incremental poll is not a configuration mistake). Nested
+    documents/arrays-of-documents arrive as JSONB text, matching the
+    engine's schemaless value-typed layout.
     """
     import datetime as _dt
     import socket as _socket
@@ -890,10 +897,11 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
     docs: list[dict] = []
     try:
         with _socket.create_connection((host, port), timeout=timeout) as sock:
-            reply = bson_wire.send_command(
-                sock,
-                {"find": collection, "$db": database, "batchSize": batch_size},
-            )
+            find_cmd = {"find": collection, "$db": database,
+                        "batchSize": batch_size}
+            if filter is not None:
+                find_cmd["filter"] = filter
+            reply = bson_wire.send_command(sock, find_cmd)
             cursor = reply.get("cursor") or {}
             docs.extend(cursor.get("firstBatch", []))
             cid = int(cursor.get("id", 0))
@@ -932,6 +940,8 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
         return v
 
     if not docs:
+        if empty_ok:
+            return None
         raise ConnectorError(
             f"mongodb source found no documents in {database}.{collection}"
         )
@@ -989,3 +999,95 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
 
     rows = [tuple(_final(k, c[k]) for k in keys) for c in cells]
     return spark.createDataFrame(rows, StructType(fields))
+
+
+class MongoCdcTailer:
+    """Incremental tailing for the mongodb source — completes the
+    source-connector matrix: every source now has BOTH a snapshot and
+    a continuous phase. Same watermark contract as `JdbcCdcTailer`
+    (strictly-increasing column; NULL-watermark rows ingest with the
+    snapshot only), but the increment predicate pushes down as a
+    MongoDB query document INSIDE the ``find`` command
+    (``{wm: {"$gt": last}}``) — the SERVER filters, only new documents
+    cross the wire. The first ``poll()`` with ``last=None`` IS the
+    snapshot."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        options: dict,
+        emit: Callable[[DataFrame], None],
+        watermark_col: str,
+        last=None,
+        poll_interval: float = 5.0,
+    ):
+        import threading
+
+        self.spark = spark
+        self.options = dict(options)
+        self.emit = emit
+        self.watermark_col = watermark_col
+        self.last = last
+        self.poll_interval = float(poll_interval)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._threading = threading
+
+    def poll(self) -> int:
+        """One incremental read; returns rows appended."""
+        flt = (
+            None
+            if self.last is None
+            else {self.watermark_col: {"$gt": self.last}}
+        )
+        inc = mongodb_source(self.spark, self.options, filter=flt,
+                             empty_ok=True)
+        if inc is None:
+            return 0  # idle poll — nothing new server-side
+        if self.watermark_col not in inc.columns:
+            raise ConnectorError(
+                f"watermark column {self.watermark_col!r} not in source "
+                f"document fields {inc.columns}"
+            )
+        inc = inc.persist()
+        try:
+            agg = inc.agg(
+                F.max(self.watermark_col).alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if not agg["n"]:
+                return 0
+            if agg["mx"] is None:
+                raise ConnectorError(
+                    f"watermark column {self.watermark_col!r} is NULL in "
+                    "every fetched document; incremental tailing needs a "
+                    "monotone non-null watermark (use an id/sequence field)"
+                )
+            self.emit(inc)
+            self.last = agg["mx"]
+            return int(agg["n"])
+        finally:
+            inc.unpersist()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.poll_interval):
+            try:
+                self.poll()
+            except Exception:  # noqa: BLE001 — transient outage; retry
+                _LOG.exception(
+                    "mongo cdc tailer poll failed; retrying next interval"
+                )
+
+    def start(self) -> "MongoCdcTailer":
+        if self._thread is None:
+            self._thread = self._threading.Thread(
+                target=self._loop, name="mongo-cdc-tailer", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None

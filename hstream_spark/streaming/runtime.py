@@ -1066,7 +1066,7 @@ class HStreamEngine:
                 poll_ms = 5000 if wm_col is not None else 0
             else:
                 poll_ms = int(raw_poll or 0)
-            if ctype == "mongodb" or wm_col is None:
+            if wm_col is None:
                 if self._replaying:
                     self.connectors.setdefault(stmt.name, info)
                     return info
@@ -1087,7 +1087,10 @@ class HStreamEngine:
                         "append"
                     ).parquet(target.path)
 
-                tailer = C.JdbcCdcTailer(
+                tailer_cls = (
+                    C.MongoCdcTailer if ctype == "mongodb" else C.JdbcCdcTailer
+                )
+                tailer = tailer_cls(
                     self.spark, opts, _emit, str(wm_col),
                     poll_interval=(poll_ms / 1000.0) if poll_ms else 5.0,
                 )

@@ -152,7 +152,8 @@ class TestMongoWireProtocol:
     codec (``sources/bson_wire.py``) a real mongod parses."""
 
     @staticmethod
-    def _mongod(inserted, reject=False, serve_docs=None, find_batch=100):
+    def _mongod(inserted, reject=False, serve_docs=None, find_batch=100,
+                finds=None):
         import socket
         import threading
 
@@ -194,6 +195,17 @@ class TestMongoWireProtocol:
                     elif "find" in cmd:
                         n = min(int(cmd.get("batchSize", find_batch)), find_batch)
                         pending = list(serve_docs or [])
+                        # minimal server-side filter evaluation: the
+                        # {field: {"$gt": v}} shape MongoCdcTailer pushes
+                        flt = cmd.get("filter") or {}
+                        for fld, cond in flt.items():
+                            if isinstance(cond, dict) and "$gt" in cond:
+                                pending = [
+                                    d for d in pending
+                                    if d.get(fld) is not None
+                                    and d[fld] > cond["$gt"]
+                                ]
+                        finds.append(flt) if finds is not None else None
                         batch, rest = pending[:n], pending[n:]
                         cid = 77 if rest else 0
                         if rest:
@@ -329,6 +341,39 @@ class TestMongoWireProtocol:
             (r["k"], r["s"], _json.loads(r["meta"])["tag"]) for r in out.collect()
         )
         assert rows == [(i, f"v{i}", i % 2) for i in range(5)]
+
+    def test_mongodb_incremental_tailing(self, engine, spark):
+        """Continuous mongodb CDC: documents added AFTER the snapshot
+        land on the next poll, and the watermark increment is pushed as
+        a SERVER-SIDE find filter ({k: {$gt: last}}) — only new
+        documents cross the wire."""
+        docs = [{"k": 1, "s": "a"}, {"k": 2, "s": "b"}]
+        finds: list = []
+        srv = self._mongod([], serve_docs=docs, finds=finds)
+        try:
+            port = srv.getsockname()[1]
+            engine.execute("CREATE STREAM mtail;")
+            info = engine.execute(
+                "CREATE SOURCE CONNECTOR mt FROM mtail WITH "
+                "(\"type\" = 'mongodb', "
+                f"\"uri\" = 'mongodb://127.0.0.1:{port}', "
+                "\"database\" = 'hstream', \"collection\" = 'docs', "
+                "\"watermark_column\" = 'k', \"poll_interval_ms\" = 0);"
+            )
+            assert info.handle is not None and info.handle.last == 2
+            assert engine.execute("SELECT * FROM mtail;").count() == 2
+            # new documents appear server-side; next poll ingests ONLY them
+            docs.extend([{"k": 3, "s": "c"}, {"k": 4, "s": "d"}])
+            assert info.handle.poll() == 2
+            assert info.handle.poll() == 0  # idle: empty increment, no error
+            got = engine.execute("SELECT * FROM mtail;")
+            kcol = {c.lower(): c for c in got.columns}["k"]
+            assert sorted(r[kcol] for r in got.collect()) == [1, 2, 3, 4]
+            # the increment predicate reached the SERVER
+            assert {"k": {"$gt": 2}} in finds
+            assert info.handle.last == 4
+        finally:
+            srv.close()
 
     def test_source_empty_collection_clear_error(self, spark):
         from hstream_spark.sources.connectors import ConnectorError, mongodb_source
