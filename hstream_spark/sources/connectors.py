@@ -573,10 +573,13 @@ class KafkaIngestTailer:
                 "coordinated tailing requires a consumer group_id"
             )
 
-        if starting not in ("earliest", "latest"):
+        if starting not in ("earliest", "latest") and not (
+            starting.startswith("timestamp:")
+            and starting.split(":", 1)[1].isdigit()
+        ):
             raise ConnectorError(
-                f"kafka starting position must be 'earliest' or 'latest', "
-                f"got {starting!r}"
+                "kafka starting position must be 'earliest', 'latest', or "
+                f"'timestamp:<epoch_ms>', got {starting!r}"
             )
         self.bootstrap = bootstrap
         self.topic = topic
@@ -719,15 +722,20 @@ class KafkaIngestTailer:
             if next_off is None:
                 # first contact with this partition: 'earliest' replays
                 # the topic's history, 'latest' subscribes to new
-                # records only (the reference's scan-start semantics);
-                # committed offsets override either on restart
-                next_off = client.list_offsets(
-                    self.topic, p,
-                    LATEST if self.starting == "latest" else EARLIEST,
-                )
+                # records only (the reference's scan-start semantics),
+                # 'timestamp:<ms>' time-travels to the first record
+                # at/after that instant (ListOffsets by timestamp);
+                # committed offsets override any of them on restart
                 if self.starting == "latest":
+                    ts_point = LATEST
+                elif self.starting.startswith("timestamp:"):
+                    ts_point = int(self.starting.split(":", 1)[1])
+                else:
+                    ts_point = EARLIEST
+                next_off = client.list_offsets(self.topic, p, ts_point)
+                if ts_point != EARLIEST:
                     # commit the subscription point so a restart before
-                    # any data arrives doesn't re-resolve a NEWER latest
+                    # any data arrives doesn't re-resolve a NEWER one
                     self.offsets[p] = next_off
                     self._commit()
             while True:

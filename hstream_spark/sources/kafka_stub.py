@@ -57,6 +57,16 @@ class _PartitionLog:
         self.next_offset = base
         return first_base
 
+    def offset_for_timestamp(self, ts_ms: int) -> int:
+        """First offset whose record timestamp >= ts_ms (ListOffsets
+        with a real timestamp); log-end when nothing qualifies — the
+        same contract brokers implement for time-travel consumers."""
+        for base, _last, raw in self.batches:
+            for off, _k, _v, rts in W.decode_record_batches(raw):
+                if rts >= ts_ms:
+                    return off
+        return self.next_offset
+
     def read_from(self, offset: int, max_bytes: int) -> bytes:
         out = bytearray()
         for base, last, raw in self.batches:
@@ -333,7 +343,12 @@ class KafkaStubBroker:
                             + W.enc_int64(-1) + W.enc_int64(-1)
                         )
                         continue
-                    off = 0 if ts == W.EARLIEST else log.next_offset
+                    if ts == W.EARLIEST:
+                        off = 0
+                    elif ts == W.LATEST:
+                        off = log.next_offset
+                    else:  # real timestamp: first offset at/after it
+                        off = log.offset_for_timestamp(ts)
                     parts_out.append(
                         W.enc_int32(pid) + W.enc_int16(0)
                         + W.enc_int64(-1) + W.enc_int64(off)

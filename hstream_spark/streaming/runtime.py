@@ -670,10 +670,13 @@ class HStreamEngine:
                 f"KAFKA_POLL_INTERVAL_MS must be an integer, got {raw_ms!r}"
             ) from exc
         starting = str(kopts.get("kafka_starting_offsets", "earliest")).lower()
-        if starting not in ("earliest", "latest"):
+        if starting not in ("earliest", "latest") and not (
+            starting.startswith("timestamp:")
+            and starting.split(":", 1)[1].isdigit()
+        ):
             raise CompileError(
-                "KAFKA_STARTING_OFFSETS must be 'earliest' or 'latest', "
-                f"got {starting!r}"
+                "KAFKA_STARTING_OFFSETS must be 'earliest', 'latest', or "
+                f"'timestamp:<epoch_ms>', got {starting!r}"
             )
         return str(kopts["kafka_topic"]), bootstrap, poll_ms, starting
 

@@ -661,3 +661,42 @@ def test_coordinated_tailers_split_partitions(tmp_path):
         assert ta._membership["assignment"]["coord"] == [0, 1, 2, 3]
         ta.stop()
         prod.close()
+
+
+def test_timestamp_starting_offsets(tmp_path):
+    """starting='timestamp:<ms>' time-travels: the tailer begins at the
+    first record at/after the instant (ListOffsets by timestamp), skips
+    older history, and commits the resolved point so restarts hold it."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("tt")
+        c = KafkaClient(broker.bootstrap)
+        c.produce("tt", [(None, b'{"i": %d}' % i, 1000 * i) for i in range(10)])
+        # raw client: first offset at/after t=5000 is record 5
+        assert c.list_offsets("tt", 0, 5000) == 5
+        assert c.list_offsets("tt", 0, 99999) == 10  # past the end → log end
+        c.close()
+        got = []
+        t = KafkaIngestTailer(
+            broker.bootstrap, "tt",
+            emit=lambda b: got.extend(b) or len(b),
+            offsets_path=str(tmp_path / "off.json"),
+            starting="timestamp:4500",
+        )
+        assert t.poll() == 5  # records 5..9 only
+        assert [r[0]["i"] for r in got] == [5, 6, 7, 8, 9]
+        t.stop()
+
+
+def test_invalid_starting_position_rejected(tmp_path):
+    import pytest
+
+    from hstream_spark.sources.connectors import ConnectorError, KafkaIngestTailer
+
+    with pytest.raises(ConnectorError, match="timestamp:<epoch_ms>"):
+        KafkaIngestTailer("h:1", "t", emit=lambda b: 0,
+                          offsets_path=str(tmp_path / "o.json"),
+                          starting="timestamp:abc")

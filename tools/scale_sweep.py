@@ -33,6 +33,11 @@ SWEEP = [
     "tpch_q7ish",
     "event_funnel",
     "pack_sequences",
+    "bpe_train",
+    "bpe_subword_tokenize",
+    "dedup_prune_priority",
+    "similar_docs_topk_warm",
+    "dedup_against_index_warm",
 ]
 
 
