@@ -770,10 +770,9 @@ class KafkaClient:
             "members": members,
         }
 
-    def sync_group(self, group: str, generation: int, member_id: str,
-                   assignments: Optional[dict[str, bytes]] = None) -> bytes:
-        """SyncGroup v0: the leader submits everyone's assignment blobs;
-        followers submit none. Returns THIS member's assignment."""
+    def _sync_group_raw(self, group: str, generation: int, member_id: str,
+                        assignments: Optional[dict[str, bytes]] = None,
+                        ) -> tuple[int, bytes]:
         body = (
             enc_string(group)
             + enc_int32(generation)
@@ -785,11 +784,20 @@ class KafkaClient:
         )
         r = self._coordinator_call(API_SYNC_GROUP, 0, body, group)
         err = r.int16()
+        return err, (r.bytes_() or b"") if not err else b""
+
+    def sync_group(self, group: str, generation: int, member_id: str,
+                   assignments: Optional[dict[str, bytes]] = None) -> bytes:
+        """SyncGroup v0: the leader submits everyone's assignment blobs;
+        followers submit none. Returns THIS member's assignment."""
+        err, blob = self._sync_group_raw(
+            group, generation, member_id, assignments
+        )
         if err:
             raise KafkaWireError(
                 f"SyncGroup error code {err} for group {group!r}"
             )
-        return r.bytes_() or b""
+        return blob
 
     def heartbeat(self, group: str, generation: int, member_id: str) -> int:
         """Heartbeat v0 — returns the error CODE (0 = stable;
@@ -805,11 +813,28 @@ class KafkaClient:
         r.int16()  # best-effort: leaving is advisory
 
     def join_and_sync(self, group: str, topics: list[str],
-                      member_id: str = "") -> dict:
+                      member_id: str = "", max_rejoins: int = 10) -> dict:
         """The full consumer-group dance: JoinGroup → (leader computes a
         RANGE assignment over every member's subscription) → SyncGroup.
-        Returns {generation, member_id, assignment: {topic: [parts]}}.
-        """
+        A retriable SyncGroup error (another rebalance completed between
+        our join and sync — REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION /
+        UNKNOWN_MEMBER_ID) rejoins, exactly like the standard consumer
+        loop. Returns {generation, member_id, assignment: {topic:
+        [parts]}}."""
+        for _ in range(max_rejoins):
+            res, member_id = self._join_once(group, topics, member_id)
+            if res is not None:
+                return res
+        raise KafkaWireError(
+            f"consumer group {group!r} failed to stabilize after "
+            f"{max_rejoins} rejoin attempts"
+        )
+
+    def _join_once(self, group: str, topics: list[str],
+                   member_id: str) -> tuple[Optional[dict], str]:
+        """One join+sync attempt → (result-or-None, member id to use on
+        retry: ours for generation races, '' when the coordinator no
+        longer knows us)."""
         j = self.join_group(group, topics, member_id)
         assignments: Optional[dict[str, bytes]] = None
         if j["member_id"] == j["leader"]:
@@ -836,14 +861,22 @@ class KafkaClient:
             assignments = {
                 mid: encode_assignment(a) for mid, a in per_member.items()
             }
-        blob = self.sync_group(
+        err, blob = self._sync_group_raw(
             group, j["generation"], j["member_id"], assignments
         )
+        if err in (ERR_ILLEGAL_GENERATION, ERR_REBALANCE_IN_PROGRESS):
+            return None, j["member_id"]  # another rebalance won; rejoin
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            return None, ""  # coordinator dropped us; rejoin fresh
+        if err:
+            raise KafkaWireError(
+                f"SyncGroup error code {err} for group {group!r}"
+            )
         return {
             "generation": j["generation"],
             "member_id": j["member_id"],
             "assignment": decode_assignment(blob),
-        }
+        }, j["member_id"]
 
     def produce(
         self,

@@ -700,3 +700,98 @@ def test_invalid_starting_position_rejected(tmp_path):
         KafkaIngestTailer("h:1", "t", emit=lambda b: 0,
                           offsets_path=str(tmp_path / "o.json"),
                           starting="timestamp:abc")
+
+
+def test_group_membership_converges_under_churn():
+    """Membership chaos: three consumers join/leave concurrently for a
+    while; afterwards the survivors re-coordinate to ONE generation
+    with disjoint assignments covering every partition — the liveness
+    and safety property the rebalance barrier must guarantee."""
+    import random
+    import threading
+    import time as _time
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    rng = random.Random(42)
+    with KafkaStubBroker() as broker:
+        broker.rebalance_timeout = 0.4
+        broker.create_topic("chaos", partitions=6)
+
+        class Worker:
+            def __init__(self):
+                self.client = KafkaClient(broker.bootstrap)
+                self.m = None
+
+            def ensure(self):
+                mid = ""
+                if self.m is not None:
+                    code = self.client.heartbeat(
+                        "cg", self.m["generation"], self.m["member_id"]
+                    )
+                    if code == 0:
+                        return
+                    if code != 25:
+                        mid = self.m["member_id"]
+                self.m = self.client.join_and_sync("cg", ["chaos"], mid)
+
+            def leave(self):
+                if self.m is not None:
+                    self.client.leave_group("cg", self.m["member_id"])
+                    self.m = None
+
+        workers = [Worker() for _ in range(3)]
+        stop = _time.monotonic() + 3.0
+        errors: list = []
+
+        def churn(w, seed):
+            r = random.Random(seed)
+            while _time.monotonic() < stop:
+                try:
+                    if w.m is not None and r.random() < 0.15:
+                        w.leave()
+                        _time.sleep(r.uniform(0.05, 0.2))
+                    w.ensure()
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                _time.sleep(r.uniform(0.01, 0.06))
+
+        threads = [
+            threading.Thread(target=churn, args=(w, i)) for i, w in enumerate(workers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors[:3]
+
+        # convergence: everyone re-coordinates to one stable generation.
+        # ensure() concurrently — a real consumer group's members all
+        # run their own loops, and the rebalance barrier needs the
+        # cohort to arrive together (sequential one-at-a-time joins
+        # would each time out the others out of the group)
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            ths = [threading.Thread(target=w.ensure) for w in workers]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join(timeout=10)
+            gens = {w.m["generation"] for w in workers if w.m}
+            if len(gens) == 1 and all(
+                w.m is not None
+                and w.client.heartbeat(
+                    "cg", w.m["generation"], w.m["member_id"]
+                ) == 0
+                for w in workers
+            ):
+                break
+        assert len({w.m["generation"] for w in workers}) == 1
+        all_parts: list = []
+        for w in workers:
+            all_parts.extend(w.m["assignment"].get("chaos", []))
+        assert sorted(all_parts) == [0, 1, 2, 3, 4, 5]  # disjoint + covering
+        for w in workers:
+            w.leave()
+            w.client.close()
