@@ -9,11 +9,18 @@ topics locally, mirroring the mongodb OP_MSG approach
 Scope (all from the public Kafka protocol specification):
 - Request framing: 4-byte size + header v1 (api_key, api_version,
   correlation_id, client_id).
-- ApiVersions v0, Metadata v1, ListOffsets v1, Produce v3, Fetch v4 —
-  the modern non-flexible protocol versions, all using **record batch
-  v2** (magic 2: CRC32C over attributes..end, zigzag-varint record
-  bodies) — the only on-disk/on-wire format current brokers accept for
-  writes (message-set v0/v1 write support was removed in Kafka 4.0).
+- ApiVersions v0, Metadata v1, ListOffsets v1 (earliest/latest AND
+  real-timestamp time travel), Produce v3, Fetch v4 — the modern
+  non-flexible protocol versions, all using **record batch v2**
+  (magic 2: CRC32C over attributes..end, zigzag-varint record bodies)
+  — the only on-disk/on-wire format current brokers accept for writes
+  (message-set v0/v1 write support was removed in Kafka 4.0).
+- Offset management: FindCoordinator v0, OffsetCommit v2, OffsetFetch
+  v1 — broker-visible progress under a consumer group.
+- Full group membership: JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0
+  with the standard consumer/range protocol — `join_and_sync` runs the
+  whole dance (leader-side range assignment, rejoin on rebalance
+  races), so multiple consumers split a topic's partitions.
 - Compression: gzip encode/decode via the stdlib; snappy/lz4/zstd
   decode through optional libraries with a loud per-codec error when
   absent (real-world topics are routinely producer-compressed —
