@@ -89,6 +89,7 @@ HEADLINE = [
     "curation_pipeline",
     "vocab_top",
     "lm_cross_entropy",
+    "lm_bigram_cross_entropy",
     "bm25_search",
     "dedup_exact_substring",
     "source_quality_stats",

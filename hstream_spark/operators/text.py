@@ -1006,3 +1006,81 @@ def bpe_tokenize(
             "subwords_sample"
         ),
     )
+
+
+def lm_bigram_cross_entropy(
+    docs: DataFrame,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — one model
+    order up from `lm_cross_entropy` toward CCNet's 5-gram KenLM
+    filter: score(d) = mean over positions of -ln p, with
+    p(tok|prev) = lam·p_bigram + (1-lam)·p_unigram and the first token
+    scored unigram-only. Bigram "soup" documents whose individual
+    tokens are common but whose TRANSITIONS are improbable (shuffled
+    text, keyword stuffing) now score high even when the unigram model
+    passes them.
+
+    Shape: token/bigram count aggregations (map-side combined), then
+    scoring joins against the probability tables. The unigram table is
+    vocab-sized and broadcasts; the bigram table is larger (but far
+    sublinear in the corpus) — broadcast here, and at extreme corpus
+    scale the scoring join hash-partitions on (prev, tok), whose
+    two-token key spreads natural-language skew far better than a
+    single-token key. Bigram pairs come from each document's token
+    ARRAY (one projection), not a window — no per-doc ordering
+    shuffle. Per-doc totals emit as exact integer micro-nats (decimal
+    sums + floor quantization), reproducible cross-engine.
+    """
+    toks = tokens(F.col(text_col))
+    t = docs.select(F.col(id_col), toks.alias("__t"))
+    tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "pu"
+        ),
+    )
+    pairs = t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("prev"),
+                    F.element_at(F.col("__t"), i + 1).alias("tok"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cx = bc.groupBy("prev").agg(F.sum("c").alias("ctx"))
+    p_bi = bc.join(cx, "prev").select(
+        "prev", "tok",
+        (F.col("c").cast("double") / F.col("ctx").cast("double")).alias("pb"),
+    )
+    lam_l, inv_l = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    first = t.where(F.size("__t") >= 1).select(
+        id_col, F.element_at(F.col("__t"), 1).alias("tok")
+    )
+    fn = first.join(F.broadcast(p_uni), "tok").select(
+        id_col, (-F.log(F.col("pu"))).alias("nll")
+    )
+    bn = (
+        pairs.join(F.broadcast(p_bi), ["prev", "tok"])
+        .join(F.broadcast(p_uni), "tok")
+        .select(
+            id_col,
+            (-F.log(lam_l * F.col("pb") + inv_l * F.col("pu"))).alias("nll"),
+        )
+    )
+    allr = fn.unionByName(bn)
+    nll_sum = F.sum(F.col("nll").cast("decimal(27,18)"))
+    return allr.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(nll_sum * F.lit(1_000_000)).cast("long").alias("nll_micro"),
+    )

@@ -1532,6 +1532,52 @@ def q_lm_cross_entropy(spark, sf):
     return TX.lm_cross_entropy(docs)
 
 
+_LM_BIGRAM_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM uni),
+bi AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i])) AS prev,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i + 1])) AS tok
+       FROM t),
+bc AS (SELECT prev, tok, count(*) AS c FROM bi GROUP BY prev, tok),
+cx AS (SELECT prev, sum(c) AS ctx FROM bc GROUP BY prev),
+fst AS (SELECT doc_id, toks[1] AS tok FROM t WHERE len(toks) >= 1),
+fn AS (SELECT f.doc_id, -ln(u.n::DOUBLE / tot.total::DOUBLE) AS nll
+       FROM fst f JOIN uni u USING (tok), tot),
+bn AS (SELECT b.doc_id,
+              -ln(0.75 * (bc.c::DOUBLE / cx.ctx::DOUBLE)
+                  + 0.25 * (u.n::DOUBLE / tot.total::DOUBLE)) AS nll
+       FROM bi b JOIN bc ON bc.prev = b.prev AND bc.tok = b.tok
+                 JOIN cx ON cx.prev = b.prev
+                 JOIN uni u ON u.tok = b.tok, tot),
+allr AS (SELECT * FROM fn UNION ALL SELECT * FROM bn)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor(sum(CAST(nll AS DECIMAL(27,18))) * 1000000) AS BIGINT)
+           AS nll_micro
+FROM allr GROUP BY doc_id
+"""
+
+
+@register("lm_bigram_cross_entropy", _LM_BIGRAM_ORACLE, tags=("text", "lm"))
+def q_lm_bigram_cross_entropy(spark, sf):
+    """Interpolated bigram-LM cross-entropy per document (lam=0.75
+    bigram + 0.25 unigram; first token unigram-only) — the next model
+    order toward CCNet's KenLM filter: flags shuffled/keyword-stuffed
+    text whose tokens are common but whose transitions are not.
+    Bigram pairs come from the token array in one projection (no
+    ordering window); totals are exact integer micro-nats
+    (operators/text.py lm_bigram_cross_entropy)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.lm_bigram_cross_entropy(docs)
+
+
 _REMOVE_SPANS_ORACLE = """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
            FROM documents),

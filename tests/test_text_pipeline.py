@@ -742,3 +742,24 @@ def test_bpe_reconstruction_invariant_and_unicode(spark):
     }
     for d in toks:
         assert 0 < toks[d] <= chars[d]
+
+
+def test_bigram_lm_flags_shuffled_text(spark):
+    """The bigram model separates what the unigram model cannot: a
+    document built from COMMON tokens in improbable transitions scores
+    higher bigram cross-entropy than the coherent documents its tokens
+    came from."""
+    from hstream_spark.operators.text import lm_bigram_cross_entropy
+
+    coherent = "the cat sat on the mat " * 5
+    docs = spark.createDataFrame(
+        [(1, coherent.strip()),
+         (2, coherent.strip()),
+         (3, "mat the on sat the cat " * 5)],  # same tokens, shuffled
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_bigram_cross_entropy(docs).collect()}
+    def mean_nll(r):
+        return r["nll_micro"] / 1e6 / r["n_tokens"]
+    assert mean_nll(rows[3]) > mean_nll(rows[1])
+    assert rows[1]["n_tokens"] == 30
