@@ -902,17 +902,20 @@ def _char_symbols(word: Column) -> Column:
 
 def _apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
     """Apply learned merges in rank order to a space-joined symbol
-    string. Each merge is one literal ``replace`` of ``' a b '`` with
-    ``' ab '`` over the space-padded string — leftmost non-overlapping
-    scan, the standard BPE simultaneous-merge semantics, and identical
-    in every engine (the SQL oracle replays the same replaces)."""
+    string. Each merge is the literal ``replace`` of ``' a b '`` with
+    ``' ab '`` over the space-padded string, applied TWICE: a single
+    left-to-right scan misses every second occurrence of an ADJACENT
+    run (``' a b a b '`` — the first match consumes the shared
+    delimiter space), and those misses are provably isolated (two
+    consecutive misses would require the scanner to have skipped a
+    reachable match), so one more pass completes exactly the standard
+    BPE simultaneous non-overlapping merge set. Identical in every
+    engine — the SQL oracle replays the same doubled replaces."""
     out = F.concat(F.lit(" "), sym, F.lit(" "))
     for left, right in merges:
-        out = F.replace(
-            out,
-            F.lit(f" {left} {right} "),
-            F.lit(f" {left}{right} "),
-        )
+        pat = F.lit(f" {left} {right} ")
+        rep = F.lit(f" {left}{right} ")
+        out = F.replace(F.replace(out, pat, rep), pat, rep)
     return F.trim(out)
 
 
@@ -950,19 +953,25 @@ def bpe_train(
             )
             syms = words.select(sym.alias("s"), "c")
             lst = F.split(F.col("s"), " ")
+            # explicit empty-array guard (not a post-filter): Spark's
+            # sequence(1, 0) descends and element_at(_, 0) throws on
+            # single-symbol words
             pairs = syms.select(
                 F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(lst) - 1),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(lst, i),
-                            F.element_at(lst, i + 1),
+                    F.when(
+                        F.size(lst) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(lst) - 1),
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.element_at(lst, i),
+                                F.element_at(lst, i + 1),
+                            ),
                         ),
-                    )
+                    ).otherwise(F.array().cast("array<string>"))
                 ).alias("pr"),
                 "c",
-            ).where(F.size(lst) > 1)
+            )
             top = (
                 pairs.groupBy("pr")
                 .agg(F.sum("c").alias("pc"))
@@ -1045,16 +1054,22 @@ def lm_bigram_cross_entropy(
             "pu"
         ),
     )
+    # guard the <=1-token case: Spark's sequence(1, 0) DESCENDS to
+    # [1, 0] instead of an empty range, and element_at(arr, 0) throws —
+    # a one-token document must simply contribute no bigrams
     pairs = t.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__t") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("__t"), i).alias("prev"),
-                    F.element_at(F.col("__t"), i + 1).alias("tok"),
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("prev"),
+                        F.element_at(F.col("__t"), i + 1).alias("tok"),
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
         ).alias("bg"),
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
     bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))

@@ -1855,11 +1855,18 @@ p{r} AS MATERIALIZED (SELECT unnest(list_transform(generate_series(1, len(l) - 1
          WHERE len(l) > 1),
 m{r} AS MATERIALIZED (SELECT pr, CAST(SUM(c) AS BIGINT) AS pc FROM p{r}
          GROUP BY pr ORDER BY pc DESC, pr ASC LIMIT 1),
-v{r} AS MATERIALIZED (SELECT trim(replace(' ' || s || ' ',
-                             ' ' || (SELECT pr FROM m{r}) || ' ',
-                             ' ' || replace((SELECT pr FROM m{r}), ' ', '')
-                                 || ' ')) AS s, c
-         FROM v{p})""")
+v{r} AS MATERIALIZED (
+  -- doubled replace: one pass misses alternating members of adjacent
+  -- runs (shared delimiter space); the misses are isolated, so a
+  -- second pass completes the standard simultaneous merge set
+  SELECT trim(replace(replace(' ' || s || ' ',
+                              ' ' || (SELECT pr FROM m{r}) || ' ',
+                              ' ' || replace((SELECT pr FROM m{r}), ' ', '')
+                                  || ' '),
+                      ' ' || (SELECT pr FROM m{r}) || ' ',
+                      ' ' || replace((SELECT pr FROM m{r}), ' ', '')
+                          || ' ')) AS s, c
+  FROM v{p})""")
     return ",".join(parts)
 
 
@@ -1875,8 +1882,13 @@ def _bpe_train_oracle(k: int = 10) -> str:
 def _bpe_tokenize_oracle(k: int = 10, sample_n: int = 8) -> str:
     applied = "' ' || array_to_string(list_transform(generate_series(1, length(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
     for r in range(1, k + 1):
-        applied = (
+        one = (
             f"replace({applied}, ' ' || (SELECT pr FROM m{r}) || ' ', "
+            f"' ' || replace((SELECT pr FROM m{r}), ' ', '') || ' ')"
+        )
+        # doubled: see _apply_merges (adjacent-run completeness)
+        applied = (
+            f"replace({one}, ' ' || (SELECT pr FROM m{r}) || ' ', "
             f"' ' || replace((SELECT pr FROM m{r}), ' ', '') || ' ')"
         )
     return f"""

@@ -763,3 +763,36 @@ def test_bigram_lm_flags_shuffled_text(spark):
         return r["nll_micro"] / 1e6 / r["n_tokens"]
     assert mean_nll(rows[3]) > mean_nll(rows[1])
     assert rows[1]["n_tokens"] == 30
+
+
+def test_bpe_adjacent_runs_merge_simultaneously(spark):
+    """Adjacent occurrences of a pair must ALL merge in one rule
+    application (standard simultaneous BPE): 'a b a b' → 'ab ab', and
+    training never learns the same rule twice."""
+    from hstream_spark.operators.text import bpe_tokenize, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab")], "doc_id long, text string"
+    )
+    m = bpe_train(docs, merges=4)
+    rules = [(a, b) for a, b, _ in m]
+    assert len(rules) == len(set(rules))  # no duplicate rule
+    assert rules[:2] == [("a", "b"), ("ab", "ab")]
+    out = bpe_tokenize(
+        spark.createDataFrame([(1, "abab")], "doc_id long, text string"),
+        [("a", "b")],
+    ).collect()[0]
+    assert out["subwords_sample"] == "ab|ab" and out["n_subwords"] == 2
+
+
+def test_bigram_lm_single_token_and_empty_docs(spark):
+    """Documents with <= 1 token score unigram-only instead of
+    crashing (Spark's sequence(1,0) descends; guarded)."""
+    from hstream_spark.operators.text import lm_bigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_bigram_cross_entropy(docs).collect()}
+    assert rows[1]["n_tokens"] == 1 and rows[3]["n_tokens"] == 2
+    assert rows[2]["n_tokens"] == 1  # '' tokenizes to the empty token
