@@ -4668,9 +4668,10 @@ def q_kmeans_fit_fixed(spark, sf):
     the four pinned seed vectors, then the final map-only assignment —
     the oracle replays every iteration in DuckDB (unrolled CTE chain).
     This closes the gate on the trainer itself, not just its assignment
-    stage: decimal per-dim sums make the centroid update independent of
-    shuffle order, so the distributed Spark fit and the single-node SQL
-    replay agree byte-for-byte. `embedding_kmeans` keeps the production
+    stage: 2^-40 binary fixed-point per-dim sums (exact int64) make the
+    centroid update independent of shuffle order AND of cross-engine
+    decimal-cast rounding, so the distributed Spark fit and the
+    single-node SQL replay agree byte-for-byte. `embedding_kmeans` keeps the production
     seeding (id-hash group means) as the bench/throughput entry."""
     from hstream_spark.operators.similarity import kmeans_assign, kmeans_fit
 

@@ -471,11 +471,13 @@ def kafka_sink(options: dict) -> SinkFn:
         )
     batch_records = int(opts.get("batch_records", 500) or 500)
     key_column = str(opts.get("key_column") or "") or None
+    from hstream_spark.sources.kafka_wire import _CODEC_IDS
+
     compression = str(opts.get("compression") or "none").lower()
-    if compression not in ("none", "gzip", "snappy", "lz4", "zstd"):
+    if compression not in _CODEC_IDS:  # single source of truth
         raise ConnectorError(
-            f"kafka sink compression must be none/gzip/snappy/lz4/zstd, "
-            f"got {compression!r}"
+            f"kafka sink compression must be one of "
+            f"{'/'.join(sorted(_CODEC_IDS))}, got {compression!r}"
         )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
@@ -573,14 +575,12 @@ class KafkaIngestTailer:
                 "coordinated tailing requires a consumer group_id"
             )
 
-        if starting not in ("earliest", "latest") and not (
-            starting.startswith("timestamp:")
-            and starting.split(":", 1)[1].isdigit()
-        ):
-            raise ConnectorError(
-                "kafka starting position must be 'earliest', 'latest', or "
-                f"'timestamp:<epoch_ms>', got {starting!r}"
-            )
+        from hstream_spark.sources.kafka_wire import parse_starting_position
+
+        try:
+            self._start_point = parse_starting_position(starting)
+        except ValueError as exc:
+            raise ConnectorError(str(exc)) from exc
         self.bootstrap = bootstrap
         self.topic = topic
         self.emit = emit
@@ -591,8 +591,13 @@ class KafkaIngestTailer:
         self.group_id = group_id
         self.coordinated = coordinated
         self._membership: Optional[dict] = None
-        self._broker_offsets_merged = group_id is None
-        self._broker_commit_failed = False
+        # partitions whose broker-committed offset has been consulted;
+        # a rebalance can hand us NEW partitions later, and those must
+        # also resume from the group's committed position, not from
+        # `starting`
+        self._merged_parts: set[int] = set()
+        self._broker_commit_backoff = 0
+        self._broker_commit_logged = False
         self.offsets: dict[int, int] = {}
         if offsets_path and _os_path_exists(offsets_path):
             try:
@@ -634,25 +639,40 @@ class KafkaIngestTailer:
                 return {"value": base64.b64encode(value).decode("ascii")}
         return obj if isinstance(obj, dict) else {"value": obj}
 
-    def _commit(self) -> None:
+    def _commit(self, partition: Optional[int] = None) -> None:
         if self.offsets_path:
             tmp = self.offsets_path + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump({str(k): v for k, v in self.offsets.items()}, fh)
             _os_replace(tmp, self.offsets_path)
-        if self.group_id and not self._broker_commit_failed:
-            # broker-side commit: best-effort (the sidecar above is the
-            # durable fallback); one loud log on the first failure, not
-            # one per poll
-            try:
-                self._get_client().offset_commit(
-                    self.group_id, self.topic, self.offsets
-                )
-            except Exception:  # noqa: BLE001 — broker w/o offset storage
-                self._broker_commit_failed = True
+        if not self.group_id:
+            return
+        if self._broker_commit_backoff > 0:
+            # broker commits failing: retry sparsely instead of paying a
+            # socket timeout on every page (sidecar stays authoritative)
+            self._broker_commit_backoff -= 1
+            return
+        # commit ONLY the partition just advanced: committing the whole
+        # local dict would clobber a partition another group member now
+        # owns (after a rebalance) with our stale position
+        to_commit = (
+            {partition: self.offsets[partition]}
+            if partition is not None and partition in self.offsets
+            else dict(self.offsets)
+        )
+        try:
+            self._get_client().offset_commit(
+                self.group_id, self.topic, to_commit
+            )
+            self._broker_commit_logged = False
+        except Exception:  # noqa: BLE001 — broker w/o offset storage
+            self._broker_commit_backoff = 10
+            if not self._broker_commit_logged:
+                self._broker_commit_logged = True
                 _LOG.exception(
-                    "broker offset commit failed for group %r; continuing "
-                    "with sidecar-only offset tracking", self.group_id,
+                    "broker offset commit failed for group %r; will keep "
+                    "retrying sparsely (sidecar remains the durable "
+                    "fallback)", self.group_id,
                 )
 
     def poll(self) -> int:
@@ -684,12 +704,17 @@ class KafkaIngestTailer:
                 mid = m["member_id"]
         m = client.join_and_sync(self.group_id, [self.topic], member_id=mid)
         self._membership = m
+        assigned = m["assignment"].get(self.topic, [])
+        # partitions we do NOT own after this rebalance may advance
+        # under another member; if a later rebalance hands one back,
+        # its broker-committed offset must be consulted again (the
+        # max() in the merge keeps whichever position is further)
+        self._merged_parts &= set(assigned)
         _LOG.info(
             "kafka group %r generation %s: member %s assigned %s",
-            self.group_id, m["generation"], m["member_id"],
-            m["assignment"].get(self.topic, []),
+            self.group_id, m["generation"], m["member_id"], assigned,
         )
-        return m["assignment"].get(self.topic, [])
+        return assigned
 
     def _poll_locked(self) -> int:
         from hstream_spark.sources.kafka_wire import EARLIEST, LATEST
@@ -700,14 +725,19 @@ class KafkaIngestTailer:
             parts = self._ensure_membership(client)
         else:
             parts = client.partitions(self.topic)
-        if not self._broker_offsets_merged:
-            # one-time resume merge: broker-committed offsets for this
-            # group cover any partition the sidecar doesn't know (fresh
-            # host / deleted sidecar); where both exist the FURTHER
-            # position wins — replaying past either commit point would
-            # duplicate rows already appended
+        new_parts = [p for p in parts if p not in self._merged_parts]
+        if self.group_id and new_parts:
+            # resume merge per NEWLY-SEEN partition (first poll, AND any
+            # partition a later rebalance hands us): broker-committed
+            # offsets for this group cover what the sidecar doesn't
+            # know (fresh host / partitions a departed member owned);
+            # where both exist the FURTHER position wins — replaying
+            # past either commit point would duplicate rows already
+            # appended
             try:
-                fetched = client.offset_fetch(self.group_id, self.topic, parts)
+                fetched = client.offset_fetch(
+                    self.group_id, self.topic, new_parts
+                )
             except Exception:  # noqa: BLE001 — broker w/o offset storage
                 _LOG.exception(
                     "broker offset fetch failed for group %r; resuming "
@@ -716,7 +746,7 @@ class KafkaIngestTailer:
                 fetched = {}
             for p, off in fetched.items():
                 self.offsets[p] = max(off, self.offsets.get(p, off))
-            self._broker_offsets_merged = True
+            self._merged_parts.update(new_parts)
         for p in parts:
             next_off = self.offsets.get(p)
             if next_off is None:
@@ -726,19 +756,28 @@ class KafkaIngestTailer:
                 # 'timestamp:<ms>' time-travels to the first record
                 # at/after that instant (ListOffsets by timestamp);
                 # committed offsets override any of them on restart
-                if self.starting == "latest":
-                    ts_point = LATEST
-                elif self.starting.startswith("timestamp:"):
-                    ts_point = int(self.starting.split(":", 1)[1])
-                else:
-                    ts_point = EARLIEST
+                ts_point = self._start_point
                 next_off = client.list_offsets(self.topic, p, ts_point)
                 if ts_point != EARLIEST:
                     # commit the subscription point so a restart before
                     # any data arrives doesn't re-resolve a NEWER one
                     self.offsets[p] = next_off
-                    self._commit()
+                    self._commit(p)
             while True:
+                if self.coordinated and self._membership is not None:
+                    # heartbeat per fetch page: a long drain must not
+                    # outlive the session timeout — and once a
+                    # rebalance is signalled, STOP consuming (this
+                    # partition may belong to another member now);
+                    # everything emitted so far is already committed,
+                    # the next poll rejoins and resumes cleanly
+                    code = client.heartbeat(
+                        self.group_id,
+                        self._membership["generation"],
+                        self._membership["member_id"],
+                    )
+                    if code != 0:
+                        return total
                 recs, hwm, end_off = client.fetch_records(
                     self.topic, p, next_off, max_bytes=self.max_batch_bytes
                 )
@@ -762,7 +801,7 @@ class KafkaIngestTailer:
                     break  # nothing complete arrived
                 next_off = new_off
                 self.offsets[p] = next_off
-                self._commit()
+                self._commit(p)
                 if next_off >= hwm:
                     break
         return total

@@ -456,6 +456,26 @@ def decode_assignment(buf: bytes) -> dict[str, list[int]]:
 EARLIEST, LATEST = -2, -1
 
 
+def parse_starting_position(starting: str) -> int:
+    """One parser for the three scan-start modes — 'earliest',
+    'latest', 'timestamp:<epoch_ms>' — returning the ListOffsets
+    timestamp argument (the sentinel constants or the real ms value).
+    Single source of truth for the tailer and the engine's option
+    validation."""
+    if starting == "earliest":
+        return EARLIEST
+    if starting == "latest":
+        return LATEST
+    if starting.startswith("timestamp:"):
+        raw = starting.split(":", 1)[1]
+        if raw.isdigit():
+            return int(raw)
+    raise ValueError(
+        "kafka starting position must be 'earliest', 'latest', or "
+        f"'timestamp:<epoch_ms>', got {starting!r}"
+    )
+
+
 class KafkaClient:
     """One protocol connection per broker; partition leaders resolved
     via Metadata. Thread-safe per instance (one in-flight request)."""
@@ -740,11 +760,17 @@ class KafkaClient:
 
     def join_group(self, group: str, topics: list[str],
                    member_id: str = "",
-                   session_timeout_ms: int = 30000) -> dict:
+                   session_timeout_ms: int = 10000) -> dict:
         """JoinGroup v0 with the standard 'consumer'/'range' protocol.
         Returns {generation, member_id, leader, members} — ``members``
         (member_id → subscribed topics) is populated only for the
-        elected leader, which then computes the assignment."""
+        elected leader, which then computes the assignment.
+
+        ``session_timeout_ms`` defaults BELOW the client's 30 s socket
+        timeout: a real broker can hold the join barrier open until a
+        dead member's session expires, and the request must outlive
+        that wait (equal timeouts make the socket read lose the race
+        and the dance spin on transport errors)."""
         body = (
             enc_string(group)
             + enc_int32(session_timeout_ms)

@@ -670,14 +670,12 @@ class HStreamEngine:
                 f"KAFKA_POLL_INTERVAL_MS must be an integer, got {raw_ms!r}"
             ) from exc
         starting = str(kopts.get("kafka_starting_offsets", "earliest")).lower()
-        if starting not in ("earliest", "latest") and not (
-            starting.startswith("timestamp:")
-            and starting.split(":", 1)[1].isdigit()
-        ):
-            raise CompileError(
-                "KAFKA_STARTING_OFFSETS must be 'earliest', 'latest', or "
-                f"'timestamp:<epoch_ms>', got {starting!r}"
-            )
+        from hstream_spark.sources.kafka_wire import parse_starting_position
+
+        try:
+            parse_starting_position(starting)  # shared validation
+        except ValueError as exc:
+            raise CompileError(f"KAFKA_STARTING_OFFSETS: {exc}") from exc
         return str(kopts["kafka_topic"]), bootstrap, poll_ms, starting
 
     def _build_kafka_tailer(self, target: StreamInfo, topic: str,

@@ -514,7 +514,7 @@ def test_tailer_broker_commit_failure_falls_back_to_sidecar(tmp_path):
             )
             assert t.poll() == 1
             assert t.offsets[0] == 1
-            assert t._broker_commit_failed
+            assert t._broker_commit_backoff > 0  # sparse-retry mode
             t.stop()
         finally:
             KS.KafkaStubBroker._dispatch = orig
@@ -795,3 +795,76 @@ def test_group_membership_converges_under_churn():
         for w in workers:
             w.leave()
             w.client.close()
+
+
+def test_rebalance_handoff_respects_other_members_offsets(tmp_path):
+    """Offset safety across rebalances: (a) a member commits ONLY the
+    partitions it advanced — it must not clobber a partition another
+    member now owns with its stale position; (b) partitions GAINED in a
+    later rebalance resume from the group's broker-committed offsets,
+    not from `starting`."""
+    import threading
+    import time as _time
+
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("ho", partitions=2)
+        prod = KafkaClient(broker.bootstrap)
+        for p in (0, 1):
+            prod.produce("ho", [(None, b'{"p": %d, "i": 0}' % p, 0)],
+                         partition=p)
+        got_a: list = []
+        got_b: list = []
+
+        def tailer(name, sink):
+            return KafkaIngestTailer(
+                broker.bootstrap, "ho",
+                emit=lambda batch: sink.extend(batch) or len(batch),
+                offsets_path=str(tmp_path / f"{name}.json"),
+                group_id="gh", coordinated=True,
+            )
+
+        ta = tailer("a", got_a)
+        assert ta.poll() == 2  # alone: both partitions
+        tb = tailer("b", got_b)
+        done = threading.Event()
+        threading.Thread(
+            target=lambda: (tb.poll(), done.set()), daemon=True
+        ).start()
+        for _ in range(200):
+            ta.poll()
+            if done.wait(0.02):
+                break
+        assert done.is_set()
+        pa = ta._membership["assignment"]["ho"]
+        pb = tb._membership["assignment"]["ho"]
+        assert sorted(pa + pb) == [0, 1]
+        (p_b,) = pb  # B's partition
+        # B advances its partition and commits broker-side
+        prod.produce("ho", [(None, b'{"p": %d, "i": 1}' % p_b, 1)],
+                     partition=p_b)
+        got_b.clear()
+        assert tb.poll() == 1
+        committed = prod.offset_fetch("gh", "ho", [p_b])[p_b]
+        assert committed == 2
+        # (a) A's commits (its OWN partition) must not roll B's back
+        ta.poll()
+        assert prod.offset_fetch("gh", "ho", [p_b])[p_b] == 2
+        # (b) B leaves; A regains p_b and must resume from B's commit,
+        # ingesting only records B never saw
+        tb.stop()
+        prod.produce("ho", [(None, b'{"p": %d, "i": 2}' % p_b, 2)],
+                     partition=p_b)
+        got_a.clear()
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:
+            ta.poll()
+            if ta._membership["assignment"]["ho"] == [0, 1] and got_a:
+                break
+            _time.sleep(0.02)
+        assert [r[0]["i"] for r in got_a] == [2]  # no replay of B's record
+        ta.stop()
+        prod.close()
