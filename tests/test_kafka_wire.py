@@ -868,3 +868,51 @@ def test_rebalance_handoff_respects_other_members_offsets(tmp_path):
         assert [r[0]["i"] for r in got_a] == [2]  # no replay of B's record
         ta.stop()
         prod.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_parts=st.integers(min_value=1, max_value=32),
+    n_members=st.integers(min_value=1, max_value=8),
+)
+def test_range_assignment_properties(n_parts, n_members):
+    """Pure range-assignment invariants: every partition assigned
+    exactly once, member loads differ by at most one, lexicographically
+    earlier members never get fewer partitions."""
+    parts = list(range(n_parts))
+    mids = sorted(f"m{i}" for i in range(n_members))
+    base, extra = divmod(n_parts, n_members)
+    pos, got = 0, {}
+    for i, mid in enumerate(mids):
+        take = base + (1 if i < extra else 0)
+        got[mid] = parts[pos:pos + take]
+        pos += take
+    all_parts = [p for ps in got.values() for p in ps]
+    assert sorted(all_parts) == parts
+    sizes = [len(got[m]) for m in mids]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=30))
+def test_parse_starting_position_total(s):
+    """The shared parser either returns a valid ListOffsets argument or
+    raises ValueError — never crashes, never silently accepts junk."""
+    from hstream_spark.sources.kafka_wire import (
+        EARLIEST,
+        LATEST,
+        parse_starting_position,
+    )
+
+    try:
+        v = parse_starting_position(s)
+    except ValueError:
+        assert s not in ("earliest", "latest")
+        return
+    if s == "earliest":
+        assert v == EARLIEST
+    elif s == "latest":
+        assert v == LATEST
+    else:
+        assert s.startswith("timestamp:") and v >= 0
