@@ -1113,3 +1113,70 @@ def test_kafka_stream_coordinated_group(spark, tmp_path):
         # shutdown stopped the tailer → LeaveGroup emptied the group
         assert broker._groups["hstream-cst"].members == {}
         prod.close()
+
+
+def test_two_engines_share_topic_via_consumer_group(spark, tmp_path):
+    """The headline multi-instance story end to end: TWO engine
+    instances declare the same KAFKA_TOPIC stream under one consumer
+    group — after the rebalance each instance ingests only its assigned
+    partitions, and together they cover every record exactly once."""
+    import threading
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("shared_t", partitions=4)
+        prod = KafkaClient(broker.bootstrap)
+        for p in range(4):
+            prod.produce(
+                "shared_t",
+                [(None, b'{"p": %d, "i": %d}' % (p, i), i) for i in range(3)],
+                partition=p,
+            )
+        prod.close()
+        ddl = (
+            "CREATE STREAM sh WITH (\"kafka_topic\" = 'shared_t', "
+            f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+            "\"kafka_group_id\" = 'shared_g', "
+            "\"kafka_group_coordinated\" = 'true', "
+            "\"kafka_poll_interval_ms\" = 0);"
+        )
+        e1 = HStreamEngine(spark, str(tmp_path / "n1"))
+        e2 = HStreamEngine(spark, str(tmp_path / "n2"))
+        try:
+            e1.execute(ddl)
+            t1 = e1.connectors["__kafka_sh"].handle
+            assert t1.poll() == 12  # alone: everything
+            e2.execute(ddl)
+            t2 = e2.connectors["__kafka_sh"].handle
+            done = threading.Event()
+            threading.Thread(
+                target=lambda: (t2.poll(), done.set()), daemon=True
+            ).start()
+            for _ in range(300):
+                t1.poll()
+                if done.wait(0.02):
+                    break
+            assert done.is_set()
+            p1 = set(t1._membership["assignment"]["shared_t"])
+            p2 = set(t2._membership["assignment"]["shared_t"])
+            assert p1 | p2 == {0, 1, 2, 3} and not (p1 & p2)
+            # fresh records: each ENGINE's stream receives only its share
+            prod2 = KafkaClient(broker.bootstrap)
+            for p in range(4):
+                prod2.produce("shared_t", [(None, b'{"p": %d, "i": 9}' % p, 9)],
+                              partition=p)
+            prod2.close()
+            t1.poll(), t2.poll()
+            from pyspark.sql import functions as F
+
+            s1 = e1.execute("SELECT p FROM sh WHERE i = 9;")
+            s2 = e2.execute("SELECT p FROM sh WHERE i = 9;")
+            pc = {c.lower(): c for c in s1.columns}["p"]
+            got1 = {r[pc] for r in s1.collect()}
+            got2 = {r[pc] for r in s2.collect()}
+            assert got1 == p1 and got2 == p2
+        finally:
+            e1.shutdown()
+            e2.shutdown()
