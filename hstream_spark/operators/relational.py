@@ -188,10 +188,14 @@ def funnel(
     strictly-after chaining is a per-row array fold (array_min over a
     filtered array per step — arrays are that user's events of ONE
     type, naturally small). Shuffle volume is the step-type events,
-    paid once. Pathological per-user event counts are the sessionize
-    operators' skew territory; funnels over bounded user activity —
-    the product-analytics shape — fit comfortably. Emits (user, stage
-    reached, per-step first timestamps as epoch micros).
+    paid once. Known bound: step i's filter lambda re-evaluates the
+    earlier steps' folds per element (codegen doesn't hoist
+    subexpressions across higher-order-function lambdas), so per-row
+    work is O(s²·m) for s steps and m per-user step events — s is
+    fixed and small (3 here) and m is bounded for the
+    product-analytics funnels this models; pathological per-user event
+    counts are the sessionize operators' skew territory. Emits (user,
+    stage reached, per-step first timestamps as epoch micros).
     """
     if not steps:
         raise ValueError("funnel requires at least one step")

@@ -1930,7 +1930,12 @@ def q_bpe_train(spark, sf):
     an unrolled CTE chain — pair counts, count-desc/pair-asc
     tie-breaks, and leftmost-non-overlapping merge application are all
     engine-exact (integer counts, literal string replaces)."""
-    merges = _bpe_merges(spark, sf, 10)
+    # train FRESH every invocation — this entry's wall-clock IS the
+    # trainer (a cache hit would make the bench/scale-sweep number a
+    # createDataFrame measurement); refresh the cache so the tokenize
+    # entry reuses the merges without retraining
+    merges = TX.bpe_train(load_table(spark, sf, "documents"), merges=10)
+    _BPE_MERGE_CACHE[(sf, 10)] = merges
     return spark.createDataFrame(
         [
             (r + 1, left, right, count)

@@ -661,8 +661,15 @@ class KafkaIngestTailer:
             else dict(self.offsets)
         )
         try:
+            # group-managed members MUST commit with their generation +
+            # member id (real brokers reject generation -1 for a group
+            # with active members); standalone tailers use the simple-
+            # consumer shape
+            m = self._membership if self.coordinated else None
             self._get_client().offset_commit(
-                self.group_id, self.topic, to_commit
+                self.group_id, self.topic, to_commit,
+                generation=m["generation"] if m else -1,
+                member_id=m["member_id"] if m else "",
             )
             self._broker_commit_logged = False
         except Exception:  # noqa: BLE001 — broker w/o offset storage
@@ -738,15 +745,18 @@ class KafkaIngestTailer:
                 fetched = client.offset_fetch(
                     self.group_id, self.topic, new_parts
                 )
+                for p, off in fetched.items():
+                    self.offsets[p] = max(off, self.offsets.get(p, off))
+                # mark merged ONLY on success: a transient coordinator
+                # error must not permanently disable broker-side resume
+                # for these partitions (the next poll retries the fetch)
+                self._merged_parts.update(new_parts)
             except Exception:  # noqa: BLE001 — broker w/o offset storage
                 _LOG.exception(
                     "broker offset fetch failed for group %r; resuming "
-                    "from sidecar offsets only", self.group_id,
+                    "from sidecar offsets only for now (will retry the "
+                    "fetch next poll)", self.group_id,
                 )
-                fetched = {}
-            for p, off in fetched.items():
-                self.offsets[p] = max(off, self.offsets.get(p, off))
-            self._merged_parts.update(new_parts)
         for p in parts:
             next_off = self.offsets.get(p)
             if next_off is None:
@@ -758,6 +768,12 @@ class KafkaIngestTailer:
                 # committed offsets override any of them on restart
                 ts_point = self._start_point
                 next_off = client.list_offsets(self.topic, p, ts_point)
+                if next_off < 0:
+                    # real brokers answer a timestamp with NO qualifying
+                    # record as offset -1 ('not found'); subscribe at
+                    # log-end instead of poisoning the committed
+                    # position with a negative fetch offset
+                    next_off = client.list_offsets(self.topic, p, LATEST)
                 if ts_point != EARLIEST:
                     # commit the subscription point so a restart before
                     # any data arrives doesn't re-resolve a NEWER one

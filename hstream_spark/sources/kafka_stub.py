@@ -59,13 +59,14 @@ class _PartitionLog:
 
     def offset_for_timestamp(self, ts_ms: int) -> int:
         """First offset whose record timestamp >= ts_ms (ListOffsets
-        with a real timestamp); log-end when nothing qualifies — the
-        same contract brokers implement for time-travel consumers."""
+        with a real timestamp); -1 when nothing qualifies — the real
+        broker's 'not found' answer (offsetsForTimes), which consumers
+        must handle rather than fetch at a negative offset."""
         for base, _last, raw in self.batches:
             for off, _k, _v, rts in W.decode_record_batches(raw):
                 if rts >= ts_ms:
                     return off
-        return self.next_offset
+        return -1
 
     def read_from(self, offset: int, max_bytes: int) -> bytes:
         out = bytearray()
@@ -486,10 +487,25 @@ class KafkaStubBroker:
             )
         if api_key == W.API_OFFSET_COMMIT:
             group = r.string() or ""
-            r.int32()  # generation_id
-            r.string()  # member_id
+            generation = r.int32()
+            member_id = r.string() or ""
             if api_version >= 2:
                 r.int64()  # retention_time
+            # mirror the real GroupCoordinator's membership validation:
+            # generation -1 (simple consumer) is only legal while the
+            # group has NO active members; a managed member must present
+            # its current generation and member id
+            err = 0
+            with self._lock:
+                gs = self._groups.get(group)
+            if generation < 0:
+                if gs is not None and gs.members:
+                    err = 25  # UNKNOWN_MEMBER_ID
+            else:
+                if gs is None or member_id not in gs.members:
+                    err = 25
+                elif generation != gs.generation:
+                    err = 22  # ILLEGAL_GENERATION
             out_topics = []
             for _ in range(r.int32()):
                 name = r.string()
@@ -498,9 +514,10 @@ class KafkaStubBroker:
                     pid = r.int32()
                     off = r.int64()
                     r.string()  # metadata
-                    with self._lock:
-                        self._group_offsets[(group, name, pid)] = off
-                    parts_out.append(W.enc_int32(pid) + W.enc_int16(0))
+                    if not err:
+                        with self._lock:
+                            self._group_offsets[(group, name, pid)] = off
+                    parts_out.append(W.enc_int32(pid) + W.enc_int16(err))
                 out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
             return W.enc_array(out_topics)
         if api_key == W.API_OFFSET_FETCH:

@@ -201,18 +201,27 @@ def _decompress_records(codec: int, payload: bytes) -> bytes:
             raise KafkaWireError(
                 "snappy-compressed batch: install python-snappy to decode"
             ) from exc
-        if payload.startswith(b"\x82SNAPPY\x00"):
-            # snappy-java (xerial) framing: 8-byte magic, two int32
-            # versions, then length-prefixed raw-snappy blocks
-            out = bytearray()
-            pos = 16
-            while pos + 4 <= len(payload):
-                blen = struct.unpack(">i", payload[pos:pos + 4])[0]
-                pos += 4
-                out += snappy.decompress(payload[pos:pos + blen])
-                pos += blen
-            return bytes(out)
-        return snappy.decompress(payload)
+        try:
+            if payload.startswith(b"\x82SNAPPY\x00"):
+                # snappy-java (xerial) framing: 8-byte magic, two int32
+                # versions, then length-prefixed raw-snappy blocks
+                out = bytearray()
+                pos = 16
+                while pos + 4 <= len(payload):
+                    blen = struct.unpack(">i", payload[pos:pos + 4])[0]
+                    pos += 4
+                    if blen < 0 or pos + blen > len(payload):
+                        raise KafkaWireError(
+                            "corrupt xerial-snappy block length"
+                        )
+                    out += snappy.decompress(payload[pos:pos + blen])
+                    pos += blen
+                return bytes(out)
+            return snappy.decompress(payload)
+        except KafkaWireError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — library-specific types
+            raise KafkaWireError(f"bad snappy record payload: {exc}") from exc
     if codec == _CODEC_LZ4:
         try:
             import lz4.frame  # type: ignore[import-not-found]
@@ -220,7 +229,10 @@ def _decompress_records(codec: int, payload: bytes) -> bytes:
             raise KafkaWireError(
                 "lz4-compressed batch: install the lz4 package to decode"
             ) from exc
-        return lz4.frame.decompress(payload)
+        try:
+            return lz4.frame.decompress(payload)
+        except Exception as exc:  # noqa: BLE001 — library-specific types
+            raise KafkaWireError(f"bad lz4 record payload: {exc}") from exc
     if codec == _CODEC_ZSTD:
         try:
             import zstandard  # type: ignore[import-not-found]
@@ -228,7 +240,10 @@ def _decompress_records(codec: int, payload: bytes) -> bytes:
             raise KafkaWireError(
                 "zstd-compressed batch: install zstandard to decode"
             ) from exc
-        return zstandard.ZstdDecompressor().decompress(payload)
+        try:
+            return zstandard.ZstdDecompressor().decompress(payload)
+        except Exception as exc:  # noqa: BLE001 — library-specific types
+            raise KafkaWireError(f"bad zstd record payload: {exc}") from exc
     raise KafkaWireError(f"unknown compression codec id {codec}")
 
 
@@ -696,17 +711,20 @@ class KafkaClient:
             raise
 
     def offset_commit(self, group: str, topic: str,
-                      offsets: dict[int, int]) -> None:
-        """OffsetCommit v2 as a standalone (non-group-managed)
-        consumer: generation -1, empty member, broker-default retention
-        — the shape standard tooling uses for simple consumers. The
-        committed offset is the NEXT offset to consume."""
+                      offsets: dict[int, int],
+                      generation: int = -1, member_id: str = "") -> None:
+        """OffsetCommit v2. Default (generation -1, empty member) is the
+        standalone simple-consumer shape — brokers ONLY accept it while
+        the group has no active members. A group-MANAGED consumer must
+        pass its membership's generation and member id or real brokers
+        reject the commit with ILLEGAL_GENERATION/UNKNOWN_MEMBER_ID.
+        The committed offset is the NEXT offset to consume."""
         if not offsets:
             return
         body = (
             enc_string(group)
-            + enc_int32(-1)  # generation_id: not group-managed
-            + enc_string("")  # member_id
+            + enc_int32(generation)
+            + enc_string(member_id)
             + enc_int64(-1)  # retention_time: broker default
             + enc_array([
                 enc_string(topic)

@@ -688,22 +688,38 @@ class HStreamEngine:
         def _emit(records: list) -> int:
             return self._append_records(target, records)
 
-        # default consumer group `hstream-<stream>`: offsets commit to
-        # the BROKER as well as the sidecar, so ingestion progress is
-        # visible to standard Kafka tooling and a fresh host resumes
-        # from broker-side offsets; KAFKA_GROUP_ID='' opts out.
-        # KAFKA_GROUP_COORDINATED=true additionally JOINS the group
-        # (JoinGroup/SyncGroup) so multiple engine instances tailing
-        # the same topic split its partitions.
+        # default consumer group `hstream-<stream>-<data_root hash>`:
+        # offsets commit to the BROKER as well as the sidecar, so
+        # ingestion progress is visible to standard Kafka tooling and a
+        # REPLACEMENT host for the same engine (same data_root) resumes
+        # from broker-side offsets. The data_root suffix keeps
+        # INDEPENDENT engine instances isolated — a shared bare
+        # `hstream-<stream>` default would make a brand-new instance
+        # silently skip the history another instance already committed
+        # past, and concurrent instances would clobber each other's
+        # commits. To SHARE a group deliberately (split the topic
+        # across instances) set KAFKA_GROUP_ID explicitly together with
+        # KAFKA_GROUP_COORDINATED=true; KAFKA_GROUP_ID='' opts out of
+        # broker offsets entirely.
         if group_id is None:
-            group_id = f"hstream-{target.name}"
+            import hashlib
+
+            suffix = hashlib.md5(
+                os.path.abspath(self.data_root).encode()
+            ).hexdigest()[:8]
+            group_id = f"hstream-{target.name}-{suffix}"
+        if coordinated and not group_id:
+            raise CompileError(
+                "KAFKA_GROUP_COORDINATED=true requires a consumer group "
+                "(KAFKA_GROUP_ID='' opts out of groups entirely)"
+            )
         tailer = C.KafkaIngestTailer(
             bootstrap, topic, _emit,
             os.path.join(target.path, "_kafka_offsets.json"),
             poll_interval=max(poll_ms, 1) / 1000.0,
             starting=starting,
             group_id=group_id or None,
-            coordinated=bool(coordinated) and bool(group_id),
+            coordinated=bool(coordinated),
         )
         if poll_ms > 0:
             tailer.start()

@@ -612,10 +612,12 @@ class TestKafkaWireProtocol:
                 tailer = eng.connectors["__kafka_kev"].handle
                 assert tailer.poll() == 3
                 # progress is broker-visible under the default consumer
-                # group hstream-<stream> (OffsetCommit v2) — the view
-                # standard Kafka tooling reads
+                # group hstream-<stream>-<data_root hash> (OffsetCommit
+                # v2) — the view standard Kafka tooling reads; the
+                # data_root suffix isolates independent engine instances
+                assert tailer.group_id.startswith("hstream-kev-")
                 assert producer.offset_fetch(
-                    "hstream-kev", "events_t", [0, 1]
+                    tailer.group_id, "events_t", [0, 1]
                 ) == {0: 2, 1: 1}
                 out = eng.execute("SELECT k, s FROM kev;").collect()
                 assert sorted((r["k"], r["s"]) for r in out) == [
@@ -1102,16 +1104,16 @@ def test_kafka_stream_coordinated_group(spark, tmp_path):
                 "\"kafka_poll_interval_ms\" = 0);"
             )
             t = eng.connectors["__kafka_cst"].handle
-            assert t.coordinated and t.group_id == "hstream-cst"
+            assert t.coordinated and t.group_id.startswith("hstream-cst-")
             assert t.poll() == 2
             assert t._membership["assignment"]["coord_t"] == [0, 1]
-            gs = broker._groups["hstream-cst"]
+            gs = broker._groups[t.group_id]
             assert t._membership["member_id"] in gs.members
             assert eng.execute("SELECT * FROM cst;").count() == 2
         finally:
             eng.shutdown()
         # shutdown stopped the tailer → LeaveGroup emptied the group
-        assert broker._groups["hstream-cst"].members == {}
+        assert next(iter(broker._groups.values())).members == {}
         prod.close()
 
 

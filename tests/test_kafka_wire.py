@@ -677,7 +677,8 @@ def test_timestamp_starting_offsets(tmp_path):
         c.produce("tt", [(None, b'{"i": %d}' % i, 1000 * i) for i in range(10)])
         # raw client: first offset at/after t=5000 is record 5
         assert c.list_offsets("tt", 0, 5000) == 5
-        assert c.list_offsets("tt", 0, 99999) == 10  # past the end → log end
+        # past every record: real brokers answer -1 ('not found')
+        assert c.list_offsets("tt", 0, 99999) == -1
         c.close()
         got = []
         t = KafkaIngestTailer(
@@ -916,3 +917,64 @@ def test_parse_starting_position_total(s):
         assert v == LATEST
     else:
         assert s.startswith("timestamp:") and v >= 0
+
+
+def test_offset_commit_membership_validation():
+    """Real-broker OffsetCommit semantics mirrored by the stub: a
+    group-MANAGED member must commit with its current generation and
+    member id; a simple-consumer (-1) commit is rejected while the
+    group has active members; a stale generation is rejected."""
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("val_t")
+        c = KafkaClient(broker.bootstrap)
+        try:
+            # simple-consumer commit OK while the group is empty/absent
+            c.offset_commit("vg", "val_t", {0: 1})
+            m = c.join_and_sync("vg", ["val_t"])
+            # managed commit with current membership: accepted
+            c.offset_commit("vg", "val_t", {0: 5},
+                            generation=m["generation"],
+                            member_id=m["member_id"])
+            assert c.offset_fetch("vg", "val_t", [0]) == {0: 5}
+            # simple-consumer commit against the ACTIVE group: rejected
+            with pytest.raises(KafkaWireError, match="error code 25"):
+                c.offset_commit("vg", "val_t", {0: 9})
+            # stale generation: rejected
+            with pytest.raises(KafkaWireError, match="error code 22"):
+                c.offset_commit("vg", "val_t", {0: 9},
+                                generation=m["generation"] - 1,
+                                member_id=m["member_id"])
+            assert c.offset_fetch("vg", "val_t", [0]) == {0: 5}
+            c.leave_group("vg", m["member_id"])
+        finally:
+            c.close()
+
+
+def test_timestamp_start_past_log_end_subscribes_at_end(tmp_path):
+    """A timestamp later than every record (broker answers -1) must
+    subscribe at log-end, not poison the committed position."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("tp")
+        c = KafkaClient(broker.bootstrap)
+        c.produce("tp", [(None, b'{"i": %d}' % i, 1000 * i) for i in range(3)])
+        got = []
+        t = KafkaIngestTailer(
+            broker.bootstrap, "tp",
+            emit=lambda b: got.extend(b) or len(b),
+            offsets_path=str(tmp_path / "o.json"),
+            starting="timestamp:999999",
+        )
+        assert t.poll() == 0       # history skipped
+        assert t.offsets[0] == 3   # committed at log-end, not -1
+        c.produce("tp", [(None, b'{"i": 9}', 10**6)])
+        c.close()
+        assert t.poll() == 1       # only the new record
+        assert got[0][0]["i"] == 9
+        t.stop()
