@@ -276,10 +276,16 @@ def ivf_centroids(
     A hash-partition seeding stands in for k-means iterations so the
     quantizer is reproducible (and expressible in the SQL oracle);
     swapping in ML-trained centroids changes nothing downstream.
-    Sums run in 2^-40 binary fixed point (exact int64) so the mean is
+    Sums run in 2^-40 binary fixed point so the mean is
     order-independent across engines and partitionings — binary, not
     decimal, because double→DECIMAL casts double-round in some engines
-    and can disagree at grid-edge values (see `kmeans_fit`).
+    and can disagree at grid-edge values (see `kmeans_fit`).  The
+    rounded per-element longs accumulate as decimal(38,0) (128-bit
+    internal sum): int64 accumulation would silently wrap past ~2^23
+    rows per (cluster,pos) in non-ANSI Spark, while the decimal sum
+    has ~10^25-row headroom at this scale factor — and DuckDB's
+    SUM(BIGINT) is HUGEINT (128-bit) already, so cross-engine
+    byte-parity is unchanged.
     """
     scale = float(1 << 40)
     e = corpus.select(
@@ -288,7 +294,11 @@ def ivf_centroids(
     )
     per_dim = e.groupBy("cluster", "pos").agg(
         (
-            F.sum(F.round(F.col("v") * F.lit(scale)).cast("long"))
+            F.sum(
+                F.round(F.col("v") * F.lit(scale))
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
             .cast("double")
             / F.lit(scale)
             / F.count(F.lit(1))
@@ -470,8 +480,10 @@ def kmeans_fit(
     Deterministic end to end: seed centroids are the id-hash group
     means (`ivf_centroids`) — or the caller's ``init`` list of
     ``(cluster_id, centroid)`` (already L2-normalized) — per-dimension
-    sums run in 2^-40 binary fixed point (exact int64 arithmetic, so
-    the mean is independent of shuffle/accumulation order), ties break
+    sums run in 2^-40 binary fixed point (exact integer arithmetic:
+    rounded int64 quanta accumulated as decimal(38,0), so the mean is
+    independent of shuffle/accumulation order and cannot silently wrap
+    the way a raw int64 sum would past ~2^23 rows per cell), ties break
     toward the lowest cluster id. A cluster that loses all members
     keeps its previous centroid. Binary (not decimal) quantization is
     deliberate: scaling by 2^40 is an EXACT double operation in every
@@ -507,12 +519,21 @@ def kmeans_fit(
         )
         assigned = base.withColumn("cluster", -best["n"])
         scale = float(1 << 40)
+        # the rounded longs accumulate as decimal(38,0) (128-bit sum):
+        # an int64 accumulator would silently wrap past ~2^23 unit-norm
+        # rows per (cluster,pos) in non-ANSI Spark; decimal keeps
+        # ~10^25-row headroom, and DuckDB's SUM(BIGINT) is HUGEINT
+        # already, so the oracle replay stays byte-exact
         per_dim = (
             assigned.select("cluster", F.posexplode("kvec").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(
                 (
-                    F.sum(F.round(F.col("v") * F.lit(scale)).cast("long"))
+                    F.sum(
+                        F.round(F.col("v") * F.lit(scale))
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                    )
                     .cast("double")
                     / F.lit(scale)
                     / F.count(F.lit(1))

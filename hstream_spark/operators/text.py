@@ -1022,6 +1022,7 @@ def lm_bigram_cross_entropy(
     lam: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_bigrams: bool = True,
 ) -> DataFrame:
     """Interpolated bigram-LM cross-entropy per document — one model
     order up from `lm_cross_entropy` toward CCNet's 5-gram KenLM
@@ -1034,11 +1035,17 @@ def lm_bigram_cross_entropy(
 
     Shape: token/bigram count aggregations (map-side combined), then
     scoring joins against the probability tables. The unigram table is
-    vocab-sized and broadcasts; the bigram table is larger (but far
-    sublinear in the corpus) — broadcast here, and at extreme corpus
-    scale the scoring join hash-partitions on (prev, tok), whose
-    two-token key spreads natural-language skew far better than a
-    single-token key. Bigram pairs come from each document's token
+    vocab-sized and always broadcasts; the bigram table is larger (far
+    sublinear in the corpus, but billions of rows at 100 TB) — so its
+    scoring join is gated by ``broadcast_bigrams``: True (the small-
+    corpus default) ships it as one broadcast, False leaves the plain
+    equi-join to hash-partition on (prev, tok), whose two-token key
+    spreads natural-language skew far better than a single-token key.
+    At corpus scale pass False — a forced broadcast of a billion-row
+    table would OOM the driver on collect; the gate-off path pins a
+    SHUFFLE_HASH hint instead (partition-local hash build on the
+    (prev, tok) key — no driver collect, no per-partition sort).
+    Bigram pairs come from each document's token
     ARRAY (one projection), not a window — no per-doc ordering
     shuffle. Per-doc totals emit as exact integer micro-nats (decimal
     sums + floor quantization), reproducible cross-engine.
@@ -1085,8 +1092,9 @@ def lm_bigram_cross_entropy(
     fn = first.join(F.broadcast(p_uni), "tok").select(
         id_col, (-F.log(F.col("pu"))).alias("nll")
     )
+    bi_side = F.broadcast(p_bi) if broadcast_bigrams else p_bi.hint("shuffle_hash")
     bn = (
-        pairs.join(F.broadcast(p_bi), ["prev", "tok"])
+        pairs.join(bi_side, ["prev", "tok"])
         .join(F.broadcast(p_uni), "tok")
         .select(
             id_col,

@@ -156,3 +156,29 @@ def test_quality_classifier_single_scan(plans):
     """Classifier: one scan, no joins, no aggregates — pure projection."""
     p = plans("quality_classifier")
     assert "Join" not in p and "HashAggregate" not in p
+
+
+def test_bigram_lm_broadcast_gate(spark, sf_dir):
+    """lm_bigram_cross_entropy(broadcast_bigrams=False) must NOT
+    broadcast the bigram probability table (billions of rows at corpus
+    scale — a forced broadcast OOMs the driver): its scoring join pins
+    a SHUFFLE_HASH hint and hash-partitions on the (prev, tok) key.
+    The vocab-sized unigram table still broadcasts on both paths."""
+    from hstream_spark.operators.text import lm_bigram_cross_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    off = (
+        lm_bigram_cross_entropy(docs, broadcast_bigrams=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    on = (
+        lm_bigram_cross_entropy(docs, broadcast_bigrams=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin [prev" in off or "ShuffledHashJoin" in off
+    assert "BroadcastHashJoin" in off  # unigram model still broadcasts
+    assert "ShuffledHashJoin" not in on  # default path unchanged
