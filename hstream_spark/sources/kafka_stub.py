@@ -191,13 +191,28 @@ class _GroupState:
 class KafkaStubBroker:
     """``with KafkaStubBroker() as b: client = KafkaClient(b.bootstrap)``"""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 sasl_users: Optional[dict[str, str]] = None,
+                 sasl_mechanisms: tuple = (
+                     "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"
+                 ),
+                 tls_context=None):
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
         self._sock.listen(16)
         self.host, self.port = self._sock.getsockname()
         self.bootstrap = f"{self.host}:{self.port}"
+        # SASL listener: with users configured, every connection must
+        # complete SaslHandshake+SaslAuthenticate before any other API
+        # (real SASL listeners disconnect unauthenticated requests)
+        self._sasl_users = sasl_users
+        self._sasl_mechanisms = tuple(sasl_mechanisms)
+        self._tls_context = tls_context
+        # test instrumentation: partitions carried by each Fetch
+        # request, and the session timeout of the latest JoinGroup
+        self.fetch_request_partitions: list[int] = []
+        self.last_session_timeout_ms: Optional[int] = None
         self._topics: dict[str, dict[int, _PartitionLog]] = {}
         # broker-stored consumer offsets: (group, topic, partition) → next
         self._group_offsets: dict[tuple[str, str, int], int] = {}
@@ -247,6 +262,12 @@ class KafkaStubBroker:
 
     def _serve(self, conn: socket.socket) -> None:
         try:
+            if self._tls_context is not None:
+                conn = self._tls_context.wrap_socket(conn, server_side=True)
+            cstate = {
+                "authed": self._sasl_users is None,
+                "scram": None,
+            }
             while not self._stopping.is_set():
                 head = self._recv_exact(conn, 4)
                 if head is None:
@@ -259,10 +280,14 @@ class KafkaStubBroker:
                 api_key, api_version = r.int16(), r.int16()
                 corr = r.int32()
                 r.string()  # client_id
-                body = self._dispatch(api_key, api_version, r)
+                body = self._dispatch(api_key, api_version, r, cstate)
+                if body is None:
+                    return  # unauthenticated request on a SASL listener
                 resp = W.enc_int32(corr) + body
                 conn.sendall(W.enc_int32(len(resp)) + resp)
         except (OSError, W.KafkaWireError):
+            pass
+        except Exception:  # ssl.SSLError on a plaintext client, etc.
             pass
         finally:
             try:
@@ -284,7 +309,129 @@ class KafkaStubBroker:
             n -= len(chunk)
         return b"".join(chunks)
 
-    def _dispatch(self, api_key: int, api_version: int, r: "W._Reader") -> bytes:
+    # -- SASL server side --------------------------------------------------
+
+    def _sasl_handshake(self, r: "W._Reader", cstate: dict) -> bytes:
+        mech = (r.string() or "").upper()
+        mechs = W.enc_array([W.enc_string(m) for m in self._sasl_mechanisms])
+        if self._sasl_users is None or mech not in self._sasl_mechanisms:
+            # 33 = UNSUPPORTED_SASL_MECHANISM, with the enabled list
+            return W.enc_int16(33) + mechs
+        cstate["mechanism"] = mech
+        return W.enc_int16(0) + mechs
+
+    @staticmethod
+    def _sasl_fail(msg: str) -> bytes:
+        # SaslAuthenticate v0: error 58 + message + empty auth bytes
+        return (
+            W.enc_int16(58) + W.enc_nullable_string(msg) + W.enc_bytes(b"")
+        )
+
+    def _sasl_authenticate(self, r: "W._Reader", cstate: dict) -> bytes:
+        auth = r.bytes_() or b""
+        mech = cstate.get("mechanism")
+        if mech is None:
+            return self._sasl_fail("SaslHandshake must precede authenticate")
+        if mech == "PLAIN":
+            parts = auth.split(b"\x00")
+            if len(parts) != 3:
+                return self._sasl_fail("malformed PLAIN token")
+            user, pw = parts[1].decode("utf-8"), parts[2].decode("utf-8")
+            if self._sasl_users.get(user) != pw:
+                return self._sasl_fail(
+                    f"PLAIN authentication failed for user {user!r}"
+                )
+            cstate["authed"] = True
+            return W.enc_int16(0) + W.enc_nullable_string(None) + W.enc_bytes(b"")
+        return self._sasl_scram_round(auth, mech, cstate)
+
+    def _sasl_scram_round(self, auth: bytes, mech: str,
+                          cstate: dict) -> bytes:
+        """SCRAM server state machine (RFC 5802): client-first →
+        server-first, client-final → server-final."""
+        import base64
+        import hmac as _hmac_mod
+        import secrets
+
+        algo = W.SCRAM_HASHES[mech]
+        st = cstate.get("scram")
+        if st is None:  # client-first
+            try:
+                text = auth.decode("utf-8")
+                gs2, bare = text[:3], text[3:]
+                if gs2 != "n,,":
+                    return self._sasl_fail("channel binding unsupported")
+                attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+                user = attrs["n"].replace("=2C", ",").replace("=3D", "=")
+                cnonce = attrs["r"]
+            except (ValueError, KeyError, UnicodeDecodeError):
+                return self._sasl_fail("malformed SCRAM client-first")
+            pw = self._sasl_users.get(user)
+            if pw is None:
+                return self._sasl_fail(
+                    f"SCRAM authentication failed for user {user!r}"
+                )
+            salt, iters = secrets.token_bytes(16), 4096
+            snonce = cnonce + secrets.token_urlsafe(18)
+            server_first = (
+                f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+            )
+            salted = W.scram_salted_password(pw, salt, iters, algo)
+            cstate["scram"] = {
+                "bare": bare, "server_first": server_first,
+                "snonce": snonce, "salted": salted, "user": user,
+            }
+            return (
+                W.enc_int16(0) + W.enc_nullable_string(None)
+                + W.enc_bytes(server_first.encode("utf-8"))
+            )
+        # client-final
+        try:
+            text = auth.decode("utf-8")
+            attrs = dict(kv.split("=", 1) for kv in text.split(","))
+            nonce, proof_b64 = attrs["r"], attrs["p"]
+        except (ValueError, KeyError, UnicodeDecodeError):
+            return self._sasl_fail("malformed SCRAM client-final")
+        cstate["scram"] = None  # single-shot: a failure restarts
+        if nonce != st["snonce"]:
+            return self._sasl_fail("SCRAM nonce mismatch")
+        without_proof = text.rsplit(",p=", 1)[0]
+        auth_message = ",".join(
+            [st["bare"], st["server_first"], without_proof]
+        ).encode("utf-8")
+        client_key = W._scram_hmac(st["salted"], b"Client Key", algo)
+        stored_key = W._scram_h(client_key, algo)
+        sig = W._scram_hmac(stored_key, auth_message, algo)
+        expect = W._xor_bytes(client_key, sig)
+        try:
+            got = base64.b64decode(proof_b64)
+        except ValueError:
+            return self._sasl_fail("malformed SCRAM proof")
+        if not _hmac_mod.compare_digest(expect, got):
+            return self._sasl_fail(
+                f"SCRAM authentication failed for user {st['user']!r}"
+            )
+        server_key = W._scram_hmac(st["salted"], b"Server Key", algo)
+        v = base64.b64encode(
+            W._scram_hmac(server_key, auth_message, algo)
+        ).decode()
+        cstate["authed"] = True
+        return (
+            W.enc_int16(0) + W.enc_nullable_string(None)
+            + W.enc_bytes(f"v={v}".encode("utf-8"))
+        )
+
+    def _dispatch(self, api_key: int, api_version: int, r: "W._Reader",
+                  cstate: Optional[dict] = None) -> Optional[bytes]:
+        cstate = cstate if cstate is not None else {"authed": True}
+        if api_key == W.API_SASL_HANDSHAKE:
+            return self._sasl_handshake(r, cstate)
+        if api_key == W.API_SASL_AUTHENTICATE:
+            return self._sasl_authenticate(r, cstate)
+        if not cstate.get("authed") and api_key != W.API_VERSIONS:
+            # real SASL listeners close the connection on any
+            # unauthenticated request beyond the handshake APIs
+            return None
         if api_key == W.API_VERSIONS:
             supported = [
                 (W.API_PRODUCE, 0, 3), (W.API_FETCH, 0, 4),
@@ -293,7 +440,8 @@ class KafkaStubBroker:
                 (W.API_FIND_COORDINATOR, 0, 0),
                 (W.API_JOIN_GROUP, 0, 0), (W.API_SYNC_GROUP, 0, 0),
                 (W.API_HEARTBEAT, 0, 0), (W.API_LEAVE_GROUP, 0, 0),
-                (W.API_VERSIONS, 0, 0),
+                (W.API_SASL_HANDSHAKE, 0, 1), (W.API_VERSIONS, 0, 0),
+                (W.API_SASL_AUTHENTICATE, 0, 0),
             ]
             return W.enc_int16(0) + W.enc_array([
                 W.enc_int16(k) + W.enc_int16(lo) + W.enc_int16(hi)
@@ -400,10 +548,13 @@ class KafkaStubBroker:
             r.int32()  # max_bytes
             r.int8()  # isolation
             out_topics = []
+            n_parts_in_request = 0
             for _ in range(r.int32()):
                 name = r.string()
                 parts_out = []
-                for _p in range(r.int32()):
+                n_parts = r.int32()
+                n_parts_in_request += n_parts
+                for _p in range(n_parts):
                     pid, offset, pmax = r.int32(), r.int64(), r.int32()
                     with self._lock:
                         log = self._topics.get(name, {}).get(pid)
@@ -423,10 +574,11 @@ class KafkaStubBroker:
                         + W.enc_bytes(data)
                     )
                 out_topics.append(W.enc_string(name) + W.enc_array(parts_out))
+            self.fetch_request_partitions.append(n_parts_in_request)
             return W.enc_int32(0) + W.enc_array(out_topics)
         if api_key == W.API_JOIN_GROUP:
             group = r.string() or ""
-            r.int32()  # session_timeout
+            self.last_session_timeout_ms = r.int32()  # session_timeout
             member_id = r.string() or ""
             r.string()  # protocol_type
             metadata = b""

@@ -26,8 +26,16 @@ Scope (all from the public Kafka protocol specification):
   absent (real-world topics are routinely producer-compressed —
   reference codec table:
   hstream-kafka/protocol/Kafka/Protocol/Encoding.hs:300-304).
-- No transactions, no SASL/TLS; single-leader topologies are resolved
-  via Metadata.
+- Authentication: SaslHandshake v1 + SaslAuthenticate v0 with PLAIN
+  and SCRAM-SHA-256/512 (RFC 5802/7677, pure hashlib/hmac — mutual:
+  the server signature is verified), optional TLS via the stdlib
+  ``ssl`` wrap — the SASL_PLAINTEXT / SASL_SSL / SSL security
+  postures every managed Kafka defaults to (reference handler:
+  hstream-kafka/HStream/Kafka/Server/Handler/Security.hs:32,
+  mechanisms in HStream/Kafka/Server/Security/SASL.hs).
+- No transactions (the reference's own InitProducerId handler is a
+  warning stub — Handler/Produce.hs:143-155); single-leader
+  topologies are resolved via Metadata.
 
 On a real Spark cluster the idiomatic path is the official
 ``spark-sql-kafka-0-10`` connector (``readStream.format("kafka")``) —
@@ -421,12 +429,127 @@ def decode_record_batches_ex(
 API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
 API_OFFSET_COMMIT, API_OFFSET_FETCH, API_FIND_COORDINATOR = 8, 9, 10
 API_JOIN_GROUP, API_HEARTBEAT, API_LEAVE_GROUP, API_SYNC_GROUP = 11, 12, 13, 14
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
 
 # group-coordination error codes the client reacts to
+ERR_COORDINATOR_LOAD_IN_PROGRESS = 14
+ERR_COORDINATOR_NOT_AVAILABLE = 15
+ERR_NOT_COORDINATOR = 16
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+# leadership-movement partition error codes (the only ones that mean
+# the cached leader is stale): UNKNOWN_TOPIC_OR_PARTITION after a
+# reassignment, LEADER_NOT_AVAILABLE, NOT_LEADER_FOR_PARTITION
+ERR_LEADERSHIP_CODES = (3, 5, 6)
+# SASL error codes
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTHENTICATION_FAILED = 58
+
+
+# ---------------------------------------------------------------------------
+# SASL/SCRAM (RFC 5802 / RFC 7677 — public specs; reference server
+# surface: hstream-kafka/HStream/Kafka/Server/Security/SASL.hs and
+# Handler/Security.hs handleSaslHandshake/handleSaslAuthenticate)
+# ---------------------------------------------------------------------------
+
+SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int,
+                          algo: str) -> bytes:
+    import hashlib
+
+    return hashlib.pbkdf2_hmac(
+        algo, password.encode("utf-8"), salt, iterations
+    )
+
+
+def _scram_hmac(key: bytes, msg: bytes, algo: str) -> bytes:
+    import hashlib
+    import hmac as _hmac
+
+    return _hmac.new(key, msg, getattr(hashlib, algo)).digest()
+
+
+def _scram_h(data: bytes, algo: str) -> bytes:
+    import hashlib
+
+    return getattr(hashlib, algo)(data).digest()
+
+
+def _xor_bytes(a: bytes, b: bytes) -> bytes:
+    return bytes(x ^ y for x, y in zip(a, b))
+
+
+class ScramClient:
+    """Client half of the SCRAM exchange (RFC 5802, SHA-256/512 per
+    RFC 7677): client-first → server-first → client-final (proof) →
+    server-final (signature, verified — mutual authentication, so a
+    spoofed broker that doesn't know the password is detected)."""
+
+    def __init__(self, mechanism: str, username: str, password: str,
+                 nonce: Optional[str] = None):
+        import secrets
+
+        self.algo = SCRAM_HASHES[mechanism]
+        self.username = username
+        self.password = password
+        self.cnonce = nonce or secrets.token_urlsafe(18)
+        # '=' and ',' in usernames escape per RFC 5802 §5.1
+        user = username.replace("=", "=3D").replace(",", "=2C")
+        self.client_first_bare = f"n={user},r={self.cnonce}"
+
+    def first_message(self) -> bytes:
+        return ("n,," + self.client_first_bare).encode("utf-8")
+
+    def final_message(self, server_first: bytes) -> bytes:
+        import base64
+
+        sf = server_first.decode("utf-8")
+        attrs = dict(kv.split("=", 1) for kv in sf.split(","))
+        nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not nonce.startswith(self.cnonce):
+            raise KafkaWireError(
+                "SCRAM server nonce does not extend the client nonce "
+                "(possible replay/tamper)"
+            )
+        salted = scram_salted_password(
+            self.password, base64.b64decode(salt_b64), iters, self.algo
+        )
+        client_key = _scram_hmac(salted, b"Client Key", self.algo)
+        stored_key = _scram_h(client_key, self.algo)
+        without_proof = f"c=biws,r={nonce}"
+        self.auth_message = ",".join(
+            [self.client_first_bare, sf, without_proof]
+        ).encode("utf-8")
+        sig = _scram_hmac(stored_key, self.auth_message, self.algo)
+        proof = base64.b64encode(_xor_bytes(client_key, sig)).decode()
+        server_key = _scram_hmac(salted, b"Server Key", self.algo)
+        self._server_signature = base64.b64encode(
+            _scram_hmac(server_key, self.auth_message, self.algo)
+        ).decode()
+        return (without_proof + ",p=" + proof).encode("utf-8")
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        import hmac as _hmac_mod
+
+        attrs = dict(
+            kv.split("=", 1)
+            for kv in server_final.decode("utf-8").split(",")
+        )
+        if "e" in attrs:
+            raise KafkaWireError(f"SCRAM server error: {attrs['e']}")
+        if not _hmac_mod.compare_digest(
+            attrs.get("v", ""), self._server_signature
+        ):
+            raise KafkaWireError(
+                "SCRAM server signature mismatch — the broker does not "
+                "know this user's password (spoofed endpoint?)"
+            )
 
 
 def encode_subscription(topics: list[str]) -> bytes:
@@ -496,11 +619,40 @@ class KafkaClient:
     via Metadata. Thread-safe per instance (one in-flight request)."""
 
     def __init__(self, bootstrap: str, client_id: str = "hstream-spark",
-                 timeout: float = 30.0):
+                 timeout: float = 30.0,
+                 tls: bool = False,
+                 tls_cafile: Optional[str] = None,
+                 tls_verify: bool = True,
+                 tls_context=None,
+                 sasl_mechanism: Optional[str] = None,
+                 sasl_username: Optional[str] = None,
+                 sasl_password: Optional[str] = None):
         host, _, port = bootstrap.rpartition(":")
         self.bootstrap = (host or "127.0.0.1", int(port or 9092))
         self.client_id = client_id
         self.timeout = timeout
+        self.tls = bool(tls) or tls_context is not None or tls_cafile is not None
+        self._tls_context = tls_context
+        self._tls_cafile = tls_cafile
+        self._tls_verify = tls_verify
+        self.sasl_mechanism = sasl_mechanism.upper() if sasl_mechanism else None
+        if self.sasl_mechanism and self.sasl_mechanism not in (
+            ("PLAIN",) + tuple(SCRAM_HASHES)
+        ):
+            raise KafkaWireError(
+                f"unsupported SASL mechanism {self.sasl_mechanism!r}; "
+                f"this client speaks PLAIN, "
+                f"{', '.join(sorted(SCRAM_HASHES))}"
+            )
+        if self.sasl_mechanism and (
+            sasl_username is None or sasl_password is None
+        ):
+            raise KafkaWireError(
+                f"SASL mechanism {self.sasl_mechanism} requires "
+                "sasl_username and sasl_password"
+            )
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password
         self._conns: dict[tuple[str, int], socket.socket] = {}
         self._leaders: dict[tuple[str, int], tuple[str, int]] = {}
         self._coordinators: dict[str, tuple[str, int]] = {}
@@ -508,6 +660,27 @@ class KafkaClient:
         self._lock = threading.Lock()
 
     # -- transport ---------------------------------------------------------
+
+    def _wrap_tls(self, sock: socket.socket, host: str) -> socket.socket:
+        import ssl
+
+        ctx = self._tls_context
+        if ctx is None:
+            if self._tls_verify:
+                ctx = ssl.create_default_context(cafile=self._tls_cafile)
+            else:
+                ctx = ssl._create_unverified_context()  # explicit opt-out
+        try:
+            return ctx.wrap_socket(
+                sock,
+                server_hostname=host if self._tls_verify else None,
+            )
+        except (OSError, ssl.SSLError) as exc:
+            try:
+                sock.close()
+            except OSError:
+                pass
+            raise KafkaWireError(f"kafka TLS handshake failed: {exc}") from exc
 
     def _conn(self, addr: tuple[str, int]) -> socket.socket:
         sock = self._conns.get(addr)
@@ -518,6 +691,20 @@ class KafkaClient:
                 raise KafkaWireError(
                     f"kafka connection to {addr[0]}:{addr[1]} failed: {exc}"
                 ) from exc
+            if self.tls:
+                sock = self._wrap_tls(sock, addr[0])
+            if self.sasl_mechanism:
+                # authenticate BEFORE publishing to the pool: SASL state
+                # is per-connection, and every broker connection (leader,
+                # coordinator, bootstrap) authenticates independently
+                try:
+                    self._authenticate(sock)
+                except Exception:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    raise
             self._conns[addr] = sock
         return sock
 
@@ -554,6 +741,85 @@ class KafkaClient:
             raise KafkaWireError(f"correlation mismatch: sent {corr} got {got}")
         return r
 
+    def _raw_call(self, sock: socket.socket, api_key: int,
+                  api_version: int, body: bytes) -> _Reader:
+        """One request/response on a NOT-yet-pooled socket (the SASL
+        dance runs before the connection is published, while _call
+        already holds the client lock — so touching _corr here is
+        safe)."""
+        self._corr += 1
+        corr = self._corr
+        header = (
+            enc_int16(api_key) + enc_int16(api_version)
+            + enc_int32(corr) + enc_nullable_string(self.client_id)
+        )
+        frame = header + body
+        try:
+            sock.sendall(enc_int32(len(frame)) + frame)
+            size = struct.unpack(">i", self._recv_exact(sock, 4))[0]
+            payload = self._recv_exact(sock, size)
+        except OSError as exc:
+            raise KafkaWireError(f"kafka request failed: {exc}") from exc
+        r = _Reader(payload)
+        got = r.int32()
+        if got != corr:
+            raise KafkaWireError(f"correlation mismatch: sent {corr} got {got}")
+        return r
+
+    def _sasl_authenticate_round(self, sock: socket.socket,
+                                 auth_bytes: bytes) -> bytes:
+        """One SaslAuthenticate v0 round; raises with the broker's
+        message on SASL_AUTHENTICATION_FAILED."""
+        r = self._raw_call(
+            sock, API_SASL_AUTHENTICATE, 0, enc_bytes(auth_bytes)
+        )
+        err = r.int16()
+        msg = r.string()
+        data = r.bytes_() or b""
+        if err:
+            detail = f": {msg}" if msg else ""
+            raise KafkaWireError(
+                f"SASL {self.sasl_mechanism} authentication failed for "
+                f"user {self.sasl_username!r} (error {err}){detail}"
+            )
+        return data
+
+    def _authenticate(self, sock: socket.socket) -> None:
+        """SaslHandshake v1 + SaslAuthenticate v0 on a fresh broker
+        connection (the framed post-handshake flow every modern broker
+        speaks; reference handler:
+        hstream-kafka/HStream/Kafka/Server/Handler/Security.hs:32)."""
+        r = self._raw_call(
+            sock, API_SASL_HANDSHAKE, 1, enc_string(self.sasl_mechanism)
+        )
+        err = r.int16()
+        enabled = []
+        for _ in range(r.int32()):
+            enabled.append(r.string() or "")
+        if err:
+            raise KafkaWireError(
+                f"SASL handshake rejected mechanism "
+                f"{self.sasl_mechanism!r} (error {err}); broker enables: "
+                f"{sorted(enabled)}"
+            )
+        if self.sasl_mechanism == "PLAIN":
+            token = (
+                b"\x00" + self.sasl_username.encode("utf-8")
+                + b"\x00" + self.sasl_password.encode("utf-8")
+            )
+            self._sasl_authenticate_round(sock, token)
+            return
+        scram = ScramClient(
+            self.sasl_mechanism, self.sasl_username, self.sasl_password
+        )
+        server_first = self._sasl_authenticate_round(
+            sock, scram.first_message()
+        )
+        server_final = self._sasl_authenticate_round(
+            sock, scram.final_message(server_first)
+        )
+        scram.verify_server_final(server_final)
+
     @staticmethod
     def _recv_exact(sock: socket.socket, n: int) -> bytes:
         chunks = []
@@ -582,9 +848,12 @@ class KafkaClient:
         transport succeeded, so _leader_call did not invalidate).
         Leader-moved surfaces as a code — NOT_LEADER_FOR_PARTITION=6,
         LEADER_NOT_AVAILABLE=5, UNKNOWN_TOPIC_OR_PARTITION=3 after a
-        reassignment — so drop the cached leader here too; the next
-        call re-resolves instead of retrying the stale broker forever."""
-        self._leaders.pop((topic, partition), None)
+        reassignment — drop the cached leader for THOSE so the next
+        call re-resolves. Non-leadership codes (OFFSET_OUT_OF_RANGE=1,
+        MESSAGE_TOO_LARGE=10, ...) keep the cache: the leader is fine,
+        re-resolving metadata per failure would be a wasted round-trip."""
+        if err in ERR_LEADERSHIP_CODES:
+            self._leaders.pop((topic, partition), None)
         return KafkaWireError(
             f"{what} error code {err} for {topic}[{partition}]"
         )
@@ -789,6 +1058,23 @@ class KafkaClient:
         dead member's session expires, and the request must outlive
         that wait (equal timeouts make the socket read lose the race
         and the dance spin on transport errors)."""
+        err, res = self._join_group_raw(
+            group, topics, member_id, session_timeout_ms
+        )
+        if err:
+            self._coordinators.pop(group, None)
+            raise KafkaWireError(
+                f"JoinGroup error code {err} for group {group!r}"
+            )
+        return res
+
+    def _join_group_raw(self, group: str, topics: list[str],
+                        member_id: str,
+                        session_timeout_ms: int) -> tuple[int, dict]:
+        """JoinGroup returning (error_code, result) so the dance loop
+        can treat retriable codes (UNKNOWN_MEMBER_ID after session
+        expiry, coordinator-loading/moved) as rejoin signals instead of
+        exceptions."""
         body = (
             enc_string(group)
             + enc_int32(session_timeout_ms)
@@ -801,10 +1087,7 @@ class KafkaClient:
         r = self._coordinator_call(API_JOIN_GROUP, 0, body, group)
         err = r.int16()
         if err:
-            self._coordinators.pop(group, None)
-            raise KafkaWireError(
-                f"JoinGroup error code {err} for group {group!r}"
-            )
+            return err, {}
         generation = r.int32()
         r.string()  # group_protocol
         leader = r.string() or ""
@@ -814,7 +1097,7 @@ class KafkaClient:
             mid = r.string() or ""
             meta = r.bytes_() or b""
             members[mid] = decode_subscription(meta)
-        return {
+        return 0, {
             "generation": generation,
             "member_id": me,
             "leader": leader,
@@ -864,16 +1147,20 @@ class KafkaClient:
         r.int16()  # best-effort: leaving is advisory
 
     def join_and_sync(self, group: str, topics: list[str],
-                      member_id: str = "", max_rejoins: int = 10) -> dict:
+                      member_id: str = "", max_rejoins: int = 10,
+                      session_timeout_ms: int = 10000) -> dict:
         """The full consumer-group dance: JoinGroup → (leader computes a
         RANGE assignment over every member's subscription) → SyncGroup.
-        A retriable SyncGroup error (another rebalance completed between
-        our join and sync — REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION /
-        UNKNOWN_MEMBER_ID) rejoins, exactly like the standard consumer
-        loop. Returns {generation, member_id, assignment: {topic:
-        [parts]}}."""
+        Retriable errors rejoin, exactly like the standard consumer
+        loop: on EITHER phase, REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION
+        keep our member id, UNKNOWN_MEMBER_ID (session expired) clears
+        it, and coordinator-loading/moved codes re-resolve the
+        coordinator. Returns {generation, member_id, assignment:
+        {topic: [parts]}}."""
         for _ in range(max_rejoins):
-            res, member_id = self._join_once(group, topics, member_id)
+            res, member_id = self._join_once(
+                group, topics, member_id, session_timeout_ms
+            )
             if res is not None:
                 return res
         raise KafkaWireError(
@@ -881,12 +1168,33 @@ class KafkaClient:
             f"{max_rejoins} rejoin attempts"
         )
 
-    def _join_once(self, group: str, topics: list[str],
-                   member_id: str) -> tuple[Optional[dict], str]:
+    def _join_once(self, group: str, topics: list[str], member_id: str,
+                   session_timeout_ms: int = 10000,
+                   ) -> tuple[Optional[dict], str]:
         """One join+sync attempt → (result-or-None, member id to use on
         retry: ours for generation races, '' when the coordinator no
         longer knows us)."""
-        j = self.join_group(group, topics, member_id)
+        err, j = self._join_group_raw(
+            group, topics, member_id, session_timeout_ms
+        )
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            return None, ""  # session expired; rejoin fresh
+        if err in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
+            return None, member_id
+        if err in (ERR_COORDINATOR_LOAD_IN_PROGRESS,
+                   ERR_COORDINATOR_NOT_AVAILABLE, ERR_NOT_COORDINATOR):
+            # coordinator moved or still loading group state: drop the
+            # cache so the retry re-resolves, give it a beat
+            self._coordinators.pop(group, None)
+            import time as _time
+
+            _time.sleep(0.1)
+            return None, member_id
+        if err:
+            self._coordinators.pop(group, None)
+            raise KafkaWireError(
+                f"JoinGroup error code {err} for group {group!r}"
+            )
         assignments: Optional[dict[str, bytes]] = None
         if j["member_id"] == j["leader"]:
             # range assignment: per topic, contiguous partition chunks
@@ -1001,51 +1309,76 @@ class KafkaClient:
         last COMPLETE batch in the response (None when nothing complete
         arrived) — commit THIS, not last-record+1, so control batches
         and compaction gaps don't stall the consumer."""
-        body = (
-            enc_int32(-1)  # replica_id
-            + enc_int32(max_wait_ms)
-            + enc_int32(1)  # min_bytes
-            + enc_int32(max_bytes)
-            + enc_int8(0)  # isolation_level: read_uncommitted
-            + enc_array([
-                enc_string(topic)
-                + enc_array([
-                    enc_int32(partition) + enc_int64(offset)
-                    + enc_int32(max_bytes)
-                ])
-            ])
+        res = self.fetch_records_multi(
+            topic, {partition: offset}, max_bytes, max_wait_ms
         )
-        r = self._leader_call(API_FETCH, 4, body, topic, partition)
-        r.int32()  # throttle
-        records: list = []
-        hwm = 0
-        next_offset: Optional[int] = None
-        for _ in range(r.int32()):
-            r.string()
-            for _p in range(r.int32()):
-                r.int32()  # partition
-                err = r.int16()
-                if err:
-                    raise self._partition_error(
-                        err, topic, partition, "Fetch"
-                    )
-                hwm = r.int64()
-                r.int64()  # last_stable_offset
-                n_aborted = r.int32()
-                for _a in range(max(0, n_aborted)):
-                    r.int64()
-                    r.int64()
-                record_set = r.bytes_() or b""
-                decoded, end_off = decode_record_batches_ex(record_set)
-                records.extend(
-                    rec for rec in decoded
-                    if rec[0] >= offset  # batches can start before offset
-                )
-                if end_off is not None:
-                    next_offset = end_off if next_offset is None else max(
-                        next_offset, end_off
-                    )
-        return records, hwm, next_offset
+        return res.get(partition, ([], 0, None))
+
+    def fetch_records_multi(
+        self,
+        topic: str,
+        offsets: dict[int, int],
+        max_bytes: int = 4 << 20,
+        max_wait_ms: int = 100,
+    ) -> dict[int, tuple[list[tuple[int, Optional[bytes], Optional[bytes], int]], int, Optional[int]]]:
+        """Batched fetch: ONE Fetch request per broker covering ALL of
+        that broker's partitions among ``offsets`` ({partition:
+        fetch_offset}) — the protocol carries a partition array, so a
+        32-partition topic drains in one round-trip per leader instead
+        of 32. Returns {partition: (records, high_watermark,
+        next_offset)}. The request-level max_bytes (Fetch v3+) caps the
+        TOTAL response, so memory per poll is bounded regardless of
+        partition count; a partition past its per-response share just
+        continues from its committed position next page."""
+        by_addr: dict[tuple[str, int], list[int]] = {}
+        for p in sorted(offsets):
+            by_addr.setdefault(self._leader_addr(topic, p), []).append(p)
+        out: dict[int, tuple[list, int, Optional[int]]] = {}
+        for addr, parts in by_addr.items():
+            body = (
+                enc_int32(-1)  # replica_id
+                + enc_int32(max_wait_ms)
+                + enc_int32(1)  # min_bytes
+                + enc_int32(max_bytes)  # response-total cap
+                + enc_int8(0)  # isolation_level: read_uncommitted
+                + enc_array([
+                    enc_string(topic)
+                    + enc_array([
+                        enc_int32(p) + enc_int64(offsets[p])
+                        + enc_int32(max_bytes)
+                        for p in parts
+                    ])
+                ])
+            )
+            try:
+                r = self._call(API_FETCH, 4, body, addr)
+            except KafkaWireError:
+                for p in parts:
+                    self._leaders.pop((topic, p), None)
+                raise
+            r.int32()  # throttle
+            for _ in range(r.int32()):
+                r.string()
+                for _p in range(r.int32()):
+                    pid = r.int32()
+                    err = r.int16()
+                    if err:
+                        raise self._partition_error(err, topic, pid, "Fetch")
+                    hwm = r.int64()
+                    r.int64()  # last_stable_offset
+                    n_aborted = r.int32()
+                    for _a in range(max(0, n_aborted)):
+                        r.int64()
+                        r.int64()
+                    record_set = r.bytes_() or b""
+                    decoded, end_off = decode_record_batches_ex(record_set)
+                    want = offsets.get(pid, 0)
+                    recs = [
+                        rec for rec in decoded
+                        if rec[0] >= want  # batches can start before offset
+                    ]
+                    out[pid] = (recs, hwm, end_off)
+        return out
 
 
 def kafka_readstream(spark, topic: str, bootstrap: str,

@@ -676,13 +676,24 @@ class HStreamEngine:
             parse_starting_position(starting)  # shared validation
         except ValueError as exc:
             raise CompileError(f"KAFKA_STARTING_OFFSETS: {exc}") from exc
+        # SASL/TLS options (KAFKA_SASL_MECHANISM/USERNAME/PASSWORD,
+        # KAFKA_TLS, KAFKA_TLS_CAFILE, KAFKA_TLS_VERIFY) validate at
+        # CREATE time — a missing credential must fail the DDL, not the
+        # first poll
+        from hstream_spark.sources import connectors as C
+
+        try:
+            C.kafka_client_options(kopts)
+        except C.ConnectorError as exc:
+            raise CompileError(str(exc)) from exc
         return str(kopts["kafka_topic"]), bootstrap, poll_ms, starting
 
     def _build_kafka_tailer(self, target: StreamInfo, topic: str,
                             bootstrap: str, poll_ms: int,
                             starting: str = "earliest",
                             group_id: Optional[str] = None,
-                            coordinated: bool = False):
+                            coordinated: bool = False,
+                            client_options: Optional[dict] = None):
         from hstream_spark.sources import connectors as C
 
         def _emit(records: list) -> int:
@@ -720,6 +731,7 @@ class HStreamEngine:
             starting=starting,
             group_id=group_id or None,
             coordinated=bool(coordinated),
+            client_options=client_options,
         )
         if poll_ms > 0:
             tailer.start()
@@ -742,15 +754,24 @@ class HStreamEngine:
         coord = str(kopts.get("kafka_group_coordinated", "")).lower() in (
             "true", "1", "yes",
         )
+        from hstream_spark.sources import connectors as C
+
+        client_options = C.kafka_client_options(kopts)
         cname = f"__kafka_{info.name}"
         conn = ConnectorInfo(
             cname, "SOURCE", info.name,
             {"TYPE": "kafka", "topic": topic, "bootstrap_servers": bootstrap,
              "poll_interval_ms": poll_ms, "starting_offsets": starting,
              **({"group_id": group} if group is not None else {}),
-             **({"group_coordinated": True} if coord else {})},
+             **({"group_coordinated": True} if coord else {}),
+             # never surface the credential in SHOW CONNECTORS output
+             **({"sasl_mechanism": client_options["sasl_mechanism"],
+                 "sasl_username": client_options["sasl_username"]}
+                if "sasl_mechanism" in client_options else {}),
+             **({"tls": True} if client_options.get("tls") else {})},
             handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms,
-                                            starting, group, coord),
+                                            starting, group, coord,
+                                            client_options),
         )
         self.connectors[cname] = conn
 
@@ -1158,7 +1179,8 @@ class HStreamEngine:
                           kopts.get("kafka_group_coordinated", ""))
             ).lower() in ("true", "1", "yes")
             info.handle = self._build_kafka_tailer(
-                target, topic, bootstrap, poll_ms, starting, kgroup, kcoord
+                target, topic, bootstrap, poll_ms, starting, kgroup, kcoord,
+                C.kafka_client_options(kopts)
             )
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)

@@ -1182,3 +1182,56 @@ def test_two_engines_share_topic_via_consumer_group(spark, tmp_path):
         finally:
             e1.shutdown()
             e2.shutdown()
+
+
+class TestKafkaSASL:
+    def test_sasl_stream_ddl_e2e(self, spark, tmp_path):
+        """CREATE STREAM WITH (KAFKA_SASL_*) tails an authenticated
+        broker; credentials never surface in SHOW CONNECTORS."""
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker(sasl_users={"svc": "tok"}) as broker:
+            broker.create_topic("sec_events")
+            prod = KafkaClient(
+                broker.bootstrap, sasl_mechanism="PLAIN",
+                sasl_username="svc", sasl_password="tok",
+            )
+            prod.produce("sec_events", [(None, b'{"k": 1}', 1000)])
+            prod.close()
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM sev WITH (\"kafka_topic\" = 'sec_events', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_sasl_mechanism\" = 'PLAIN', "
+                    "\"kafka_sasl_username\" = 'svc', "
+                    "\"kafka_sasl_password\" = 'tok', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                tailer = eng.connectors["__kafka_sev"].handle
+                assert tailer.poll() == 1
+                assert eng.execute("SELECT k FROM sev;").collect()[0]["k"] == 1
+                shown = str(eng.connectors["__kafka_sev"].options)
+                assert "tok" not in shown and "sasl_password" not in shown
+            finally:
+                eng.shutdown()
+
+    def test_sasl_stream_ddl_missing_credentials_fails_at_create(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from hstream_spark.plans.compiler import CompileError
+
+        eng = HStreamEngine(spark, str(tmp_path / "data"))
+        try:
+            with _pytest.raises(CompileError, match="SASL_USERNAME"):
+                eng.execute(
+                    "CREATE STREAM bad WITH (\"kafka_topic\" = 't', "
+                    "\"kafka_bootstrap_servers\" = 'h:9', "
+                    "\"kafka_sasl_mechanism\" = 'PLAIN');"
+                )
+            assert "bad" not in eng.streams  # no orphan registration
+        finally:
+            eng.shutdown()

@@ -499,12 +499,12 @@ def test_tailer_broker_commit_failure_falls_back_to_sidecar(tmp_path):
         client.close()
         orig = KafkaStubBroker._dispatch
 
-        def failing(self, api_key, api_version, r):
+        def failing(self, api_key, api_version, r, cstate=None):
             if api_key == W.API_FIND_COORDINATOR:
                 # COORDINATOR_NOT_AVAILABLE=15 — offsets storage down
                 return (W.enc_int16(15) + W.enc_int32(-1)
                         + W.enc_string("") + W.enc_int32(-1))
-            return orig(self, api_key, api_version, r)
+            return orig(self, api_key, api_version, r, cstate)
 
         KS.KafkaStubBroker._dispatch = failing
         try:
@@ -978,3 +978,349 @@ def test_timestamp_start_past_log_end_subscribes_at_end(tmp_path):
         assert t.poll() == 1       # only the new record
         assert got[0][0]["i"] == 9
         t.stop()
+
+
+# ---------------------------------------------------------------------------
+# SASL authentication + TLS (SaslHandshake v1 / SaslAuthenticate v0)
+# ---------------------------------------------------------------------------
+
+
+def test_sasl_plain_accept_and_produce_fetch():
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker(sasl_users={"alice": "secret"}) as broker:
+        broker.create_topic("auth_t")
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="PLAIN",
+            sasl_username="alice", sasl_password="secret",
+        )
+        client.produce("auth_t", [(None, b"v1", 1000)])
+        recs, hwm = client.fetch("auth_t", 0, 0)
+        client.close()
+        assert [r[2] for r in recs] == [b"v1"] and hwm == 1
+
+
+def test_sasl_plain_wrong_password_rejected_with_clear_error():
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient, KafkaWireError
+
+    with KafkaStubBroker(sasl_users={"alice": "secret"}) as broker:
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="PLAIN",
+            sasl_username="alice", sasl_password="WRONG",
+        )
+        with _pytest.raises(KafkaWireError, match="PLAIN.*alice"):
+            client.partitions("auth_t")
+        client.close()
+
+
+def test_sasl_unsupported_mechanism_lists_enabled():
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient, KafkaWireError
+
+    with KafkaStubBroker(
+        sasl_users={"alice": "secret"}, sasl_mechanisms=("SCRAM-SHA-256",)
+    ) as broker:
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="PLAIN",
+            sasl_username="alice", sasl_password="secret",
+        )
+        with _pytest.raises(KafkaWireError, match="SCRAM-SHA-256"):
+            client.partitions("t")
+        client.close()
+
+
+def test_sasl_scram_sha256_accept_round_trip():
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker(sasl_users={"bob": "hunter2"}) as broker:
+        broker.create_topic("scram_t", partitions=2)
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="bob", sasl_password="hunter2",
+        )
+        client.produce("scram_t", [(None, b"x", 1)], partition=1)
+        recs, _hwm = client.fetch("scram_t", 1, 0)
+        client.close()
+        assert [r[2] for r in recs] == [b"x"]
+
+
+def test_sasl_scram_wrong_password_rejected():
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient, KafkaWireError
+
+    with KafkaStubBroker(sasl_users={"bob": "hunter2"}) as broker:
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="bob", sasl_password="nope",
+        )
+        with _pytest.raises(KafkaWireError, match="SCRAM.*bob"):
+            client.partitions("t")
+        client.close()
+
+
+def test_sasl_scram_sha512_and_mutual_verification():
+    """SCRAM-SHA-512 authenticates AND the client verifies the server
+    signature (mutual auth — a broker that doesn't know the password
+    cannot fake the final message)."""
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient, ScramClient
+
+    with KafkaStubBroker(sasl_users={"c": "pw"}) as broker:
+        broker.create_topic("s512")
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="SCRAM-SHA-512",
+            sasl_username="c", sasl_password="pw",
+        )
+        assert client.partitions("s512") == [0]
+        client.close()
+    # unit-level: a forged server-final fails verification
+    sc = ScramClient("SCRAM-SHA-256", "u", "p", nonce="cnonce0")
+    sc.final_message(b"r=cnonce0srv,s=c2FsdA==,i=4096")
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_wire import KafkaWireError
+
+    with _pytest.raises(KafkaWireError, match="signature"):
+        sc.verify_server_final(b"v=Zm9yZ2Vk")
+
+
+def test_unauthenticated_client_disconnected_by_sasl_listener():
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient, KafkaWireError
+
+    with KafkaStubBroker(sasl_users={"alice": "secret"}) as broker:
+        client = KafkaClient(broker.bootstrap)  # no SASL configured
+        with _pytest.raises(KafkaWireError, match="closed"):
+            client.partitions("t")
+        client.close()
+
+
+def _self_signed_tls():
+    """(server_ctx, cafile_path) via the cryptography lib, or None if
+    unavailable — TLS tests gate on it (import-try per environment
+    policy)."""
+    try:
+        import datetime
+        import ipaddress
+        import tempfile
+
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        from cryptography.x509.oid import NameOID
+    except ImportError:
+        return None
+    import ssl
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")]
+    )
+    now = datetime.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=3650))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    d = tempfile.mkdtemp(prefix="kafka_tls_")
+    certf, keyf = f"{d}/cert.pem", f"{d}/key.pem"
+    with open(certf, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyf, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certf, keyf)
+    return ctx, certf
+
+
+def test_tls_sasl_e2e_produce_fetch():
+    """SASL_SSL — the managed-Kafka default posture: TLS-wrapped
+    connection + SCRAM auth, produce/fetch round trip, verified
+    against the self-signed CA."""
+    import pytest as _pytest
+
+    tls = _self_signed_tls()
+    if tls is None:
+        _pytest.skip("cryptography lib unavailable for cert generation")
+    server_ctx, cafile = tls
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker(
+        sasl_users={"alice": "secret"}, tls_context=server_ctx
+    ) as broker:
+        broker.create_topic("tls_t")
+        client = KafkaClient(
+            broker.bootstrap, tls=True, tls_cafile=cafile,
+            sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="alice", sasl_password="secret",
+        )
+        client.produce("tls_t", [(b"k", b"enc", 7)])
+        recs, _ = client.fetch("tls_t", 0, 0)
+        client.close()
+        assert [(r[1], r[2]) for r in recs] == [(b"k", b"enc")]
+
+
+def test_tailer_e2e_over_sasl_tls(tmp_path):
+    """KafkaIngestTailer over an authenticated TLS connection — the
+    round-6 'authenticated e2e tailer run'."""
+    import json as _json
+
+    import pytest as _pytest
+
+    tls = _self_signed_tls()
+    if tls is None:
+        _pytest.skip("cryptography lib unavailable for cert generation")
+    server_ctx, cafile = tls
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker(
+        sasl_users={"svc": "token"}, tls_context=server_ctx
+    ) as broker:
+        broker.create_topic("sec_t", partitions=2)
+        opts = dict(
+            tls=True, tls_cafile=cafile, sasl_mechanism="PLAIN",
+            sasl_username="svc", sasl_password="token",
+        )
+        prod = KafkaClient(broker.bootstrap, **opts)
+        prod.produce(
+            "sec_t", [(None, _json.dumps({"i": i}).encode(), i) for i in range(3)],
+            partition=0,
+        )
+        prod.produce("sec_t", [(None, b'{"i": 9}', 9)], partition=1)
+        prod.close()
+        got = []
+        t = KafkaIngestTailer(
+            broker.bootstrap, "sec_t",
+            emit=lambda b: got.extend(b) or len(b),
+            offsets_path=str(tmp_path / "off.json"),
+            group_id="secg", coordinated=True,
+            client_options=opts,
+        )
+        assert t.poll() == 4
+        assert sorted(r[0]["i"] for r in got) == [0, 1, 2, 9]
+        t.stop()
+
+
+def test_kafka_sink_passes_sasl_options():
+    from hstream_spark.sources.connectors import kafka_client_options
+
+    opts = kafka_client_options({
+        "kafka_sasl_mechanism": "PLAIN",
+        "kafka_sasl_username": "u", "kafka_sasl_password": "p",
+        "kafka_tls": "true", "kafka_tls_verify": "false",
+    })
+    assert opts == {
+        "sasl_mechanism": "PLAIN", "sasl_username": "u",
+        "sasl_password": "p", "tls": True, "tls_verify": False,
+    }
+    import pytest as _pytest
+
+    from hstream_spark.sources.connectors import ConnectorError
+
+    with _pytest.raises(ConnectorError, match="SASL_USERNAME"):
+        kafka_client_options({"sasl_mechanism": "SCRAM-SHA-256"})
+
+
+# ---------------------------------------------------------------------------
+# multi-partition fetch batching + session-timeout derivation
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_records_multi_one_request_carries_all_partitions():
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("mp", partitions=3)
+        client = KafkaClient(broker.bootstrap)
+        for p in range(3):
+            client.produce(
+                "mp", [(None, f"v{p}{i}".encode(), i) for i in range(2)],
+                partition=p,
+            )
+        broker.fetch_request_partitions.clear()
+        res = client.fetch_records_multi("mp", {0: 0, 1: 0, 2: 1})
+        client.close()
+        # ONE Fetch request carried all three partitions
+        assert broker.fetch_request_partitions == [3]
+        assert sorted(res) == [0, 1, 2]
+        assert [r[2] for r in res[0][0]] == [b"v00", b"v01"]
+        assert [r[2] for r in res[2][0]] == [b"v21"]  # from offset 1
+        assert all(hwm == 2 for (_r, hwm, _n) in res.values())
+
+
+def test_tailer_poll_uses_batched_fetch(tmp_path):
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("bt", partitions=4)
+        client = KafkaClient(broker.bootstrap)
+        for p in range(4):
+            client.produce("bt", [(None, b'{"p": %d}' % p, p)], partition=p)
+        client.close()
+        broker.fetch_request_partitions.clear()
+        t = KafkaIngestTailer(
+            broker.bootstrap, "bt", emit=lambda b: len(b),
+            offsets_path=str(tmp_path / "off.json"),
+        )
+        assert t.poll() == 4
+        t.stop()
+        # the drain batched all 4 partitions per request, never 1-by-1
+        assert broker.fetch_request_partitions
+        assert max(broker.fetch_request_partitions) == 4
+
+
+def test_session_timeout_derives_from_poll_interval(tmp_path):
+    """A 15 s poll interval must not let the group session (10 s
+    default) expire between polls: the tailer derives 3× the interval
+    and the broker sees it in JoinGroup."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("st", partitions=1)
+        client = KafkaClient(broker.bootstrap)
+        client.produce("st", [(None, b'{"a": 1}', 1)])
+        client.close()
+        t = KafkaIngestTailer(
+            broker.bootstrap, "st", emit=lambda b: len(b),
+            offsets_path=str(tmp_path / "off.json"),
+            poll_interval=15.0, group_id="stg", coordinated=True,
+        )
+        assert t.session_timeout_ms == 45000
+        assert t.poll() == 1
+        t.stop()
+        assert broker.last_session_timeout_ms == 45000
