@@ -90,6 +90,7 @@ HEADLINE = [
     "vocab_top",
     "lm_cross_entropy",
     "lm_bigram_cross_entropy",
+    "lm_trigram_cross_entropy",
     "bm25_search",
     "dedup_exact_substring",
     "source_quality_stats",

@@ -1107,3 +1107,145 @@ def lm_bigram_cross_entropy(
         F.count(F.lit(1)).alias("n_tokens"),
         F.floor(nll_sum * F.lit(1_000_000)).cast("long").alias("nll_micro"),
     )
+
+
+def lm_trigram_cross_entropy(
+    docs: DataFrame,
+    l3: float = 0.6,
+    l2: float = 0.3,
+    l1: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_tables: bool = True,
+) -> DataFrame:
+    """Interpolated trigram-LM cross-entropy per document — the
+    CCNet-style n-gram perplexity quality filter (Wenzek et al. 2020
+    use a 5-gram KenLM; the interpolation ladder and count shapes are
+    identical, only the order differs): score(d) = mean -ln p over
+    positions, with
+
+      pos 1:   p = p_uni(tok)                       (no context yet)
+      pos 2:   p = (l3+l2)·p_bi(tok|prev) + l1·p_uni (trigram mass
+               backs off to the bigram when only one context token
+               exists — Jelinek-Mercer style)
+      pos ≥3:  p = l3·p_tri(tok|p2,p1) + l2·p_bi(tok|p1) + l1·p_uni
+
+    Repetitive/templated text scores LOW (its trigrams dominate the
+    corpus tables); shuffled or keyword-stuffed text scores HIGH even
+    when tokens and even bigrams are locally plausible.
+
+    Shape: the same count-aggregation pipeline as
+    `lm_bigram_cross_entropy` one order up — n-gram tuples come from
+    each document's token ARRAY in one projection (no ordering
+    window), counts are map-side combined, and the model tables join
+    back for scoring. The trigram table is the largest (still far
+    sublinear in corpus size) — ``broadcast_tables=False`` pins
+    SHUFFLE_HASH joins that hash-partition on the tuple keys
+    ((p2,p1,tok) spreads natural-language skew even better than
+    (prev,tok)) instead of collecting the tables to the driver.
+    Per-doc totals emit as exact integer micro-nats (decimal sums +
+    floor quantization), reproducible cross-engine.
+    """
+    toks = tokens(F.col(text_col))
+    t = docs.select(F.col(id_col), toks.alias("__t"))
+    tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("pu"),
+    )
+    # guard <=1-token docs: sequence(1, 0) DESCENDS in Spark
+    pairs = t.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("prev"),
+                        F.element_at(F.col("__t"), i + 1).alias("tok"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cx = bc.groupBy("prev").agg(F.sum("c").alias("ctx"))
+    p_bi = bc.join(cx, "prev").select(
+        "prev", "tok",
+        (F.col("c").cast("double") / F.col("ctx").cast("double")).alias("pb"),
+    )
+    triples = t.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__t") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("p2"),
+                        F.element_at(F.col("__t"), i + 1).alias("p1"),
+                        F.element_at(F.col("__t"), i + 2).alias("tok"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<p2:string,p1:string,tok:string>>")
+            )
+        ).alias("tg"),
+    ).select(
+        id_col, F.col("tg.p2").alias("p2"), F.col("tg.p1").alias("p1"),
+        F.col("tg.tok").alias("tok"),
+    )
+    tc = triples.groupBy("p2", "p1", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tcx = tc.groupBy("p2", "p1").agg(F.sum("c").alias("ctx"))
+    p_tri = tc.join(tcx, ["p2", "p1"]).select(
+        "p2", "p1", "tok",
+        (F.col("c").cast("double") / F.col("ctx").cast("double")).alias("pt"),
+    )
+
+    def _model(tbl: DataFrame) -> DataFrame:
+        return F.broadcast(tbl) if broadcast_tables else tbl.hint("shuffle_hash")
+
+    lit3, lit2, lit1 = F.lit(float(l3)), F.lit(float(l2)), F.lit(float(l1))
+    lit32 = F.lit(float(l3) + float(l2))
+    first = t.where(F.size("__t") >= 1).select(
+        id_col, F.element_at(F.col("__t"), 1).alias("tok")
+    )
+    fn = first.join(F.broadcast(p_uni), "tok").select(
+        id_col, (-F.log(F.col("pu"))).alias("nll")
+    )
+    second = t.where(F.size("__t") >= 2).select(
+        id_col,
+        F.element_at(F.col("__t"), 1).alias("prev"),
+        F.element_at(F.col("__t"), 2).alias("tok"),
+    )
+    sn = (
+        second.join(_model(p_bi), ["prev", "tok"])
+        .join(F.broadcast(p_uni), "tok")
+        .select(
+            id_col,
+            (-F.log(lit32 * F.col("pb") + lit1 * F.col("pu"))).alias("nll"),
+        )
+    )
+    tn = (
+        triples.join(_model(p_tri), ["p2", "p1", "tok"])
+        .join(_model(p_bi.withColumnRenamed("prev", "p1")), ["p1", "tok"])
+        .join(F.broadcast(p_uni), "tok")
+        .select(
+            id_col,
+            (
+                -F.log(
+                    lit3 * F.col("pt") + lit2 * F.col("pb")
+                    + lit1 * F.col("pu")
+                )
+            ).alias("nll"),
+        )
+    )
+    allr = fn.unionByName(sn).unionByName(tn)
+    nll_sum = F.sum(F.col("nll").cast("decimal(27,18)"))
+    return allr.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(nll_sum * F.lit(1_000_000)).cast("long").alias("nll_micro"),
+    )

@@ -1563,6 +1563,73 @@ FROM allr GROUP BY doc_id
 """
 
 
+_LM_TRIGRAM_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM uni),
+bi AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i])) AS prev,
+              unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i + 1])) AS tok
+       FROM t),
+bc AS (SELECT prev, tok, count(*) AS c FROM bi GROUP BY prev, tok),
+cx AS (SELECT prev, sum(c) AS ctx FROM bc GROUP BY prev),
+tri AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i])) AS p2,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i + 1])) AS p1,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i + 2])) AS tok
+        FROM t),
+tc AS (SELECT p2, p1, tok, count(*) AS c FROM tri GROUP BY p2, p1, tok),
+tcx AS (SELECT p2, p1, sum(c) AS ctx FROM tc GROUP BY p2, p1),
+fst AS (SELECT doc_id, toks[1] AS tok FROM t WHERE len(toks) >= 1),
+fn AS (SELECT f.doc_id, -ln(u.n::DOUBLE / tot.total::DOUBLE) AS nll
+       FROM fst f JOIN uni u USING (tok), tot),
+snd AS (SELECT doc_id, toks[1] AS prev, toks[2] AS tok FROM t
+        WHERE len(toks) >= 2),
+sn AS (SELECT s.doc_id,
+              -ln((0.6::DOUBLE + 0.3::DOUBLE)
+                      * (bc.c::DOUBLE / cx.ctx::DOUBLE)
+                  + 0.1 * (u.n::DOUBLE / tot.total::DOUBLE)) AS nll
+       FROM snd s JOIN bc ON bc.prev = s.prev AND bc.tok = s.tok
+                  JOIN cx ON cx.prev = s.prev
+                  JOIN uni u ON u.tok = s.tok, tot),
+tn AS (SELECT g.doc_id,
+              -ln(0.6 * (tc.c::DOUBLE / tcx.ctx::DOUBLE)
+                  + 0.3 * (bc.c::DOUBLE / cx.ctx::DOUBLE)
+                  + 0.1 * (u.n::DOUBLE / tot.total::DOUBLE)) AS nll
+       FROM tri g JOIN tc ON tc.p2 = g.p2 AND tc.p1 = g.p1 AND tc.tok = g.tok
+                  JOIN tcx ON tcx.p2 = g.p2 AND tcx.p1 = g.p1
+                  JOIN bc ON bc.prev = g.p1 AND bc.tok = g.tok
+                  JOIN cx ON cx.prev = g.p1
+                  JOIN uni u ON u.tok = g.tok, tot),
+allr AS (SELECT * FROM fn UNION ALL SELECT * FROM sn
+         UNION ALL SELECT * FROM tn)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor(sum(CAST(nll AS DECIMAL(27,18))) * 1000000) AS BIGINT)
+           AS nll_micro
+FROM allr GROUP BY doc_id
+"""
+
+
+@register("lm_trigram_cross_entropy", _LM_TRIGRAM_ORACLE, tags=("text", "lm"))
+def q_lm_trigram_cross_entropy(spark, sf):
+    """Interpolated trigram-LM cross-entropy per document (0.6 trigram
+    + 0.3 bigram + 0.1 unigram; first token unigram-only, second
+    bigram-backoff) — the CCNet-style n-gram perplexity filter one
+    order up from the bigram entry, same count-aggregation shape
+    (operators/text.py lm_trigram_cross_entropy)."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    return TX.lm_trigram_cross_entropy(docs)
+
+
 @register("lm_bigram_cross_entropy", _LM_BIGRAM_ORACLE, tags=("text", "lm"))
 def q_lm_bigram_cross_entropy(spark, sf):
     """Interpolated bigram-LM cross-entropy per document (lam=0.75

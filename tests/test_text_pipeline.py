@@ -796,3 +796,84 @@ def test_bigram_lm_single_token_and_empty_docs(spark):
     rows = {r["doc_id"]: r for r in lm_bigram_cross_entropy(docs).collect()}
     assert rows[1]["n_tokens"] == 1 and rows[3]["n_tokens"] == 2
     assert rows[2]["n_tokens"] == 1  # '' tokenizes to the empty token
+
+
+def test_trigram_lm_flags_what_bigram_cannot(spark):
+    """The trigram model separates text whose BIGRAMS are all corpus-
+    plausible but whose three-token windows never co-occur: doc 3
+    below alternates between two common sentences' transitions, so
+    every bigram exists in the corpus, yet the trigram contexts are
+    improbable."""
+    from hstream_spark.operators.text import (
+        lm_bigram_cross_entropy,
+        lm_trigram_cross_entropy,
+    )
+
+    # bigrams of the probe all corpus-frequent ("john likes" from a,
+    # "likes oranges" from b) but the TRIGRAM "john likes oranges"
+    # occurs only in the probe itself
+    rows_in = (
+        [(i, "john likes apples") for i in range(1, 11)]
+        + [(i, "mary likes oranges") for i in range(11, 21)]
+        + [(21, "john likes oranges")]
+    )
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+
+    def mean_nll(rows, d):
+        r = rows[d]
+        return r["nll_micro"] / 1e6 / r["n_tokens"]
+
+    tri = {r["doc_id"]: r for r in lm_trigram_cross_entropy(docs).collect()}
+    bi = {r["doc_id"]: r for r in lm_bigram_cross_entropy(docs).collect()}
+    # trigram model: the probe scores strictly worse than coherent docs
+    assert mean_nll(tri, 21) > mean_nll(tri, 1)
+    assert mean_nll(tri, 21) > mean_nll(tri, 11)
+    # and the trigram GAP (probe vs coherent) dwarfs the bigram gap —
+    # the extra order is what detects the splice
+    tri_gap = mean_nll(tri, 21) - mean_nll(tri, 1)
+    bi_gap = mean_nll(bi, 21) - mean_nll(bi, 1)
+    assert tri_gap > 2 * max(bi_gap, 0.0)
+    # every position scored exactly once
+    assert tri[1]["n_tokens"] == 3 and tri[21]["n_tokens"] == 3
+
+
+def test_trigram_lm_short_docs(spark):
+    """1-token docs score unigram-only, 2-token docs unigram+bigram —
+    no sequence(1,0)/(1,-1) descent crash, every position scored."""
+    from hstream_spark.operators.text import lm_trigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens"), (3, ""), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_trigram_cross_entropy(docs).collect()}
+    assert rows[1]["n_tokens"] == 1
+    assert rows[2]["n_tokens"] == 2
+    assert rows[3]["n_tokens"] == 1  # '' tokenizes to the empty token
+    assert rows[4]["n_tokens"] == 3
+
+
+def test_trigram_lm_broadcast_gate(spark):
+    """broadcast_tables=False pins SHUFFLE_HASH scoring joins on the
+    n-gram keys instead of collecting the model tables to the driver."""
+    from hstream_spark.operators.text import lm_trigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    off = (
+        lm_trigram_cross_entropy(docs, broadcast_tables=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    on = (
+        lm_trigram_cross_entropy(docs, broadcast_tables=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in off
+    assert "ShuffledHashJoin" not in on
+    # results identical either way
+    a = sorted(map(tuple, lm_trigram_cross_entropy(docs).collect()))
+    b = sorted(map(tuple, lm_trigram_cross_entropy(
+        docs, broadcast_tables=False).collect()))
+    assert a == b

@@ -34,6 +34,7 @@ ALLOW_NESTED = {
     "tpch_q11ish",            # 1-row value-threshold scalar broadcast
     "lm_cross_entropy",       # 1-row token-total scalar broadcast
     "lm_bigram_cross_entropy",  # same 1-row token-total scalar broadcast
+    "lm_trigram_cross_entropy",  # same 1-row token-total scalar broadcast
     "perplexity_bands",       # inherits lm_cross_entropy's 1-row total
     "curation_pipeline",      # 1-row stage-count summary cross joins
     "bm25_search",            # 1-row corpus-stats (N/avgdl/df) broadcast
