@@ -754,6 +754,119 @@ def build_dedup_index(
     ).parquet(_os.path.join(path, "digests"))
 
 
+def append_to_dedup_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Merge an ACCEPTED batch into the standing index: its band rows,
+    shingle sets and digests append to the existing parquet components
+    (parquet append = new files per write). Continuous ingestion
+    therefore accretes small files — run ``compact_dedup_index``
+    periodically (or on a file-count threshold) to re-coalesce."""
+    import os as _os
+
+    sets = doc_shingle_sets(batch, text_col, id_col)
+    bands = minhash_bands_from_sets(sets)
+    bands.write.mode("append").partitionBy("band").parquet(
+        _os.path.join(path, "bands")
+    )
+    sets.write.mode("append").parquet(_os.path.join(path, "sets"))
+    batch.select(F.md5(F.col(text_col)).alias("digest")).distinct().write.mode(
+        "append"
+    ).parquet(_os.path.join(path, "digests"))
+
+
+def index_file_counts(path: str) -> dict:
+    """Parquet data-file count per index component — the compaction
+    trigger signal (and the test's before/after evidence)."""
+    import os as _os
+
+    out = {}
+    for comp in ("bands", "sets", "digests"):
+        n = 0
+        for root, _dirs, files in _os.walk(_os.path.join(path, comp)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        out[comp] = n
+    return out
+
+
+def compact_dedup_index(
+    spark,
+    path: str,
+    retain_ids: Optional[DataFrame] = None,
+    id_col: str = "doc_id",
+    target_files: int = 4,
+) -> dict:
+    """Rewrite the standing dedup index into coalesced files — the
+    maintenance pass continuous ingestion needs: every
+    ``append_to_dedup_index`` call adds files, and a year of batches
+    degrades the band-partitioned layout into millions of tiny parquet
+    files (open/footer overhead starts to dominate the candidate
+    join's partition-pruned reads).
+
+    - ``bands/`` re-clusters on the band key (one shuffle task per
+      band → ~1 file per band partition, preserving the partition
+      pruning the warm path depends on);
+    - ``sets``/``digests`` coalesce to ``target_files`` (map-only);
+    - ``retain_ids`` (optional, one ``id_col`` column) drops band/set
+      rows for documents REMOVED from the corpus — retention without a
+      full rebuild. Digests are text-keyed, not id-keyed, so retention
+      leaves them; rebuild via ``build_dedup_index`` when exact-dup
+      retention matters.
+
+    Each component rewrites to ``<comp>__compact`` then swaps
+    directories (old moved aside and deleted) — readers racing the
+    swap should retry, exactly the discipline a production deployment
+    would get from a table format (Delta/Iceberg rewrite + atomic
+    commit; plain parquet is the jar-free stand-in here). Returns
+    {component: {files_before, files_after}}.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    before = index_file_counts(path)
+
+    def _swap(comp: str, write_fn) -> None:
+        live = _os.path.join(path, comp)
+        tmp = _os.path.join(path, comp + "__compact")
+        old = _os.path.join(path, comp + "__old")
+        if _os.path.exists(tmp):
+            _shutil.rmtree(tmp)
+        write_fn(tmp)
+        if _os.path.exists(old):
+            _shutil.rmtree(old)
+        _os.rename(live, old)
+        _os.rename(tmp, live)
+        _shutil.rmtree(old)
+
+    bands = spark.read.parquet(_os.path.join(path, "bands"))
+    sets = spark.read.parquet(_os.path.join(path, "sets"))
+    if retain_ids is not None:
+        keep = retain_ids.select(F.col(id_col)).distinct()
+        bands = bands.join(keep, id_col, "left_semi")
+        sets = sets.join(keep, id_col, "left_semi")
+    # one shuffle task per band value → one file per band partition
+    _swap(
+        "bands",
+        lambda tmp: bands.repartition("band")
+        .write.partitionBy("band")
+        .parquet(tmp),
+    )
+    _swap("sets", lambda tmp: sets.coalesce(int(target_files)).write.parquet(tmp))
+    digests = spark.read.parquet(_os.path.join(path, "digests")).distinct()
+    _swap(
+        "digests",
+        lambda tmp: digests.coalesce(int(target_files)).write.parquet(tmp),
+    )
+    after = index_file_counts(path)
+    return {
+        comp: {"files_before": before[comp], "files_after": after[comp]}
+        for comp in before
+    }
+
+
 def dedup_with_index(
     spark,
     batch: DataFrame,

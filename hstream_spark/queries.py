@@ -1006,12 +1006,18 @@ def _standing_dedup_index(spark, sf: str, which: str) -> str:
     the warm-path substrate: first invocation pays the corpus
     shingle+minhash pass, every later one only reads it (exactly the
     production amortization `build_dedup_index` exists for)."""
+    import atexit
+    import shutil
     import tempfile
 
     key = (sf, which)
     path = _STANDING_INDEX_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix=f"hstream_dedup_index_{which}_")
+        # temp indexes are session-scoped: without cleanup, repeated
+        # invocations across scale factors in long-lived sessions leak
+        # full corpus shingle/band parquet copies until process exit
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         docs = load_table(spark, sf, "documents")
         if which == "corpus45":
             docs = docs.where(F.col("doc_id") % 5 != 0)

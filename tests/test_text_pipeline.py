@@ -877,3 +877,74 @@ def test_trigram_lm_broadcast_gate(spark):
     b = sorted(map(tuple, lm_trigram_cross_entropy(
         docs, broadcast_tables=False).collect()))
     assert a == b
+
+
+def test_dedup_index_append_then_compact_parity(spark, sf_dir, tmp_path):
+    """Continuous-ingestion maintenance: batches APPEND to the standing
+    index (file count grows), compaction re-coalesces (file count
+    shrinks, ~1 file per band partition) and dedup decisions are
+    byte-identical before/after."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_with_index,
+        index_file_counts,
+    )
+    from hstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    # seed + two appended batches — three write rounds of small files
+    build_dedup_index(docs.where(F.col("doc_id") % 5 == 1), idx)
+    append_to_dedup_index(docs.where(F.col("doc_id") % 5 == 2), idx)
+    append_to_dedup_index(docs.where(F.col("doc_id") % 5 == 3), idx)
+    before_files = index_file_counts(idx)
+    before = sorted(
+        map(tuple, dedup_with_index(spark, probe, idx, threshold=0.5).collect())
+    )
+    stats = compact_dedup_index(spark, idx, target_files=2)
+    after = sorted(
+        map(tuple, dedup_with_index(spark, probe, idx, threshold=0.5).collect())
+    )
+    assert before == after and len(after) > 0
+    after_files = index_file_counts(idx)
+    for comp in ("bands", "sets", "digests"):
+        assert after_files[comp] < before_files[comp], (comp, stats)
+        assert stats[comp]["files_after"] == after_files[comp]
+    # band partition layout (the pruning substrate) survived
+    import os
+
+    assert any(
+        d.startswith("band=") for d in os.listdir(os.path.join(idx, "bands"))
+    )
+
+
+def test_dedup_index_compact_retention_drops_removed_ids(spark, tmp_path):
+    """retain_ids drops band/set rows of documents deleted from the
+    corpus: a probe that matched only a dropped doc stops flagging."""
+    from hstream_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_with_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely right here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx)
+    probe = spark.createDataFrame(
+        [(100, base + " extra")], "doc_id long, text string"
+    )
+    r0 = dedup_with_index(spark, probe, idx, threshold=0.5).collect()[0]
+    assert r0["near_dup"] is True
+    keep = spark.createDataFrame([(2,)], "doc_id long")
+    compact_dedup_index(spark, idx, retain_ids=keep)
+    r1 = dedup_with_index(spark, probe, idx, threshold=0.5).collect()[0]
+    assert r1["near_dup"] is False
