@@ -38,6 +38,8 @@ SWEEP = [
     "dedup_prune_priority",
     "similar_docs_topk_warm",
     "dedup_against_index_warm",
+    "lm_bigram_cross_entropy",
+    "lm_trigram_cross_entropy",
 ]
 
 
