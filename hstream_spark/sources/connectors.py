@@ -900,12 +900,19 @@ class KafkaIngestTailer:
         from hstream_spark.sources.kafka_wire import EARLIEST, LATEST
 
         client = self._get_client()
+        parts = client.partitions(self.topic)
+        # batched probes: one earliest-offset request for the
+        # never-committed partitions, one log-end request for all
+        unseen = [p for p in parts if p not in self.offsets]
+        earliest = (
+            client.list_offsets_multi(self.topic, {p: EARLIEST for p in unseen})
+            if unseen else {}
+        )
+        hwms = client.list_offsets_multi(self.topic, {p: LATEST for p in parts})
         out: dict[int, dict[str, int]] = {}
-        for p in client.partitions(self.topic):
-            committed = self.offsets.get(p)
-            if committed is None:
-                committed = client.list_offsets(self.topic, p, EARLIEST)
-            hwm = client.list_offsets(self.topic, p, LATEST)
+        for p in parts:
+            committed = self.offsets.get(p, earliest.get(p, 0))
+            hwm = hwms.get(p, 0)
             out[p] = {
                 "committed": int(committed),
                 "high_watermark": int(hwm),

@@ -933,23 +933,47 @@ class KafkaClient:
 
     def list_offsets(self, topic: str, partition: int,
                      timestamp: int = EARLIEST) -> int:
-        body = enc_int32(-1) + enc_array([
-            enc_string(topic)
-            + enc_array([enc_int32(partition) + enc_int64(timestamp)])
-        ])
-        r = self._leader_call(API_LIST_OFFSETS, 1, body, topic, partition)
-        for _ in range(r.int32()):
-            r.string()
-            for _p in range(r.int32()):
-                r.int32()  # partition
-                err = r.int16()
-                if err:
-                    raise self._partition_error(
-                        err, topic, partition, "ListOffsets"
-                    )
-                r.int64()  # timestamp
-                return r.int64()
-        raise KafkaWireError("empty ListOffsets response")
+        res = self.list_offsets_multi(topic, {partition: timestamp})
+        if partition not in res:
+            raise KafkaWireError("empty ListOffsets response")
+        return res[partition]
+
+    def list_offsets_multi(self, topic: str,
+                           timestamps: dict[int, int]) -> dict[int, int]:
+        """Batched ListOffsets v1: one request per broker covering all
+        of that broker's partitions among ``timestamps`` ({partition:
+        EARLIEST/LATEST/real-ms}) → {partition: offset}. Same
+        round-trip economics as ``fetch_records_multi`` — a lag probe
+        over a 32-partition topic costs one request, not 32."""
+        by_addr: dict[tuple[str, int], list[int]] = {}
+        for p in sorted(timestamps):
+            by_addr.setdefault(self._leader_addr(topic, p), []).append(p)
+        out: dict[int, int] = {}
+        for addr, parts in by_addr.items():
+            body = enc_int32(-1) + enc_array([
+                enc_string(topic)
+                + enc_array([
+                    enc_int32(p) + enc_int64(timestamps[p]) for p in parts
+                ])
+            ])
+            try:
+                r = self._call(API_LIST_OFFSETS, 1, body, addr)
+            except KafkaWireError:
+                for p in parts:
+                    self._leaders.pop((topic, p), None)
+                raise
+            for _ in range(r.int32()):
+                r.string()
+                for _p in range(r.int32()):
+                    pid = r.int32()
+                    err = r.int16()
+                    if err:
+                        raise self._partition_error(
+                            err, topic, pid, "ListOffsets"
+                        )
+                    r.int64()  # timestamp
+                    out[pid] = r.int64()
+        return out
 
     def _coordinator_addr(self, group: str) -> tuple[str, int]:
         """Group coordinator via FindCoordinator v0, cached per group;
@@ -1382,19 +1406,56 @@ class KafkaClient:
 
 
 def kafka_readstream(spark, topic: str, bootstrap: str,
-                     starting_offsets: str = "earliest"):
+                     starting_offsets: str = "earliest",
+                     client_options: Optional[dict] = None):
     """The cluster-idiomatic path: the official Spark Kafka connector
     (requires the ``spark-sql-kafka-0-10`` jar on the classpath).
     Raises KafkaWireError with guidance when the jar is absent — the
-    engine then falls back to the wire-client ingestion tailer."""
+    engine then falls back to the wire-client ingestion tailer.
+
+    ``client_options`` takes the same SASL/TLS dict as ``KafkaClient``
+    (``connectors.kafka_client_options`` output) and maps it onto the
+    connector's ``kafka.*`` options — security.protocol, sasl.mechanism
+    and a PLAIN/SCRAM JAAS config — so one WITH-clause drives both the
+    jar path and the wire-client fallback identically."""
+    opts = dict(client_options or {})
+    kafka_opts: dict[str, str] = {}
+    mech = opts.get("sasl_mechanism")
+    tls = bool(opts.get("tls"))
+    if mech:
+        kafka_opts["kafka.security.protocol"] = (
+            "SASL_SSL" if tls else "SASL_PLAINTEXT"
+        )
+        kafka_opts["kafka.sasl.mechanism"] = mech
+        module = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule"
+            if mech == "PLAIN"
+            else "org.apache.kafka.common.security.scram.ScramLoginModule"
+        )
+        user = str(opts.get("sasl_username", "")).replace('"', '\\"')
+        pw = str(opts.get("sasl_password", "")).replace('"', '\\"')
+        kafka_opts["kafka.sasl.jaas.config"] = (
+            f'{module} required username="{user}" password="{pw}";'
+        )
+    elif tls:
+        kafka_opts["kafka.security.protocol"] = "SSL"
+    if opts.get("tls_cafile"):
+        # the JVM client wants a truststore; a PEM CA file maps via
+        # ssl.truststore.type=PEM (Kafka 2.7+)
+        kafka_opts["kafka.ssl.truststore.type"] = "PEM"
+        kafka_opts["kafka.ssl.truststore.location"] = str(opts["tls_cafile"])
+    if opts.get("tls_verify") is False:
+        kafka_opts["kafka.ssl.endpoint.identification.algorithm"] = ""
     try:
-        return (
+        reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap)
             .option("subscribe", topic)
             .option("startingOffsets", starting_offsets)
-            .load()
         )
+        for k, v in kafka_opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
     except Exception as exc:  # noqa: BLE001 — jar missing
         raise KafkaWireError(
             "spark-sql-kafka connector unavailable "

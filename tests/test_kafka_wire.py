@@ -1324,3 +1324,76 @@ def test_session_timeout_derives_from_poll_interval(tmp_path):
         assert t.poll() == 1
         t.stop()
         assert broker.last_session_timeout_ms == 45000
+
+
+def test_list_offsets_multi_and_batched_lag(tmp_path):
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import EARLIEST, LATEST, KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("lo", partitions=3)
+        client = KafkaClient(broker.bootstrap)
+        for p in range(3):
+            client.produce(
+                "lo", [(None, b"x", i) for i in range(p + 1)], partition=p
+            )
+        lo = client.list_offsets_multi("lo", {p: EARLIEST for p in range(3)})
+        hi = client.list_offsets_multi("lo", {p: LATEST for p in range(3)})
+        assert lo == {0: 0, 1: 0, 2: 0}
+        assert hi == {0: 1, 1: 2, 2: 3}
+        client.close()
+        t = KafkaIngestTailer(
+            broker.bootstrap, "lo", emit=lambda b: len(b),
+            offsets_path=str(tmp_path / "off.json"),
+        )
+        lag0 = t.lag()
+        assert {p: v["lag"] for p, v in lag0.items()} == {0: 1, 1: 2, 2: 3}
+        assert t.poll() == 6
+        lag1 = t.lag()
+        assert all(v["lag"] == 0 for v in lag1.values())
+        t.stop()
+
+
+def test_kafka_readstream_maps_sasl_to_connector_options():
+    """The jar-path option mapping is pure dict logic — verify the
+    kafka.* options it would set without needing the jar."""
+    from hstream_spark.sources.kafka_wire import kafka_readstream
+
+    class _Opt:
+        def __init__(self):
+            self.opts = {}
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+        def load(self):
+            raise RuntimeError("no jar in test")
+
+    class _RS:
+        def __init__(self):
+            self.r = _Opt()
+        def format(self, f):
+            assert f == "kafka"
+            return self.r
+
+    class _Spark:
+        readStream = _RS()
+
+    sp = _Spark()
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_wire import KafkaWireError
+
+    with _pytest.raises(KafkaWireError, match="spark-sql-kafka"):
+        kafka_readstream(
+            sp, "t", "h:9092",
+            client_options={
+                "sasl_mechanism": "SCRAM-SHA-256", "sasl_username": "u",
+                "sasl_password": "p", "tls": True, "tls_cafile": "/ca.pem",
+            },
+        )
+    o = sp.readStream.r.opts
+    assert o["kafka.security.protocol"] == "SASL_SSL"
+    assert o["kafka.sasl.mechanism"] == "SCRAM-SHA-256"
+    assert "ScramLoginModule" in o["kafka.sasl.jaas.config"]
+    assert o["kafka.ssl.truststore.type"] == "PEM"
