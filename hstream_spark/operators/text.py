@@ -1017,6 +1017,54 @@ def bpe_tokenize(
     )
 
 
+def _lm_ngram_tables(docs: DataFrame, text_col: str, id_col: str):
+    """Shared substrate of the n-gram LM scorers: (t, p_uni, pairs,
+    p_bi) — the tokenized docs frame, the unigram probability table
+    (vocab-sized, with its 1-row total broadcast), the per-doc bigram
+    pairs, and the bigram probability table. One definition so the
+    tokenization, the <=1-token guard and the probability shapes can
+    never drift between model orders (both depend on byte-exact
+    oracle parity).
+
+    Guard note: a <=1-token doc must contribute no bigrams, and
+    Spark's sequence(1, 0) DESCENDS to [1, 0] instead of returning an
+    empty range (element_at(arr, 0) then throws) — hence the explicit
+    size>=2 gate."""
+    toks = tokens(F.col(text_col))
+    t = docs.select(F.col(id_col), toks.alias("__t"))
+    tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "pu"
+        ),
+    )
+    pairs = t.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("prev"),
+                        F.element_at(F.col("__t"), i + 1).alias("tok"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+    bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cx = bc.groupBy("prev").agg(F.sum("c").alias("ctx"))
+    p_bi = bc.join(cx, "prev").select(
+        "prev", "tok",
+        (F.col("c").cast("double") / F.col("ctx").cast("double")).alias("pb"),
+    )
+    return t, p_uni, pairs, p_bi
+
+
 def lm_bigram_cross_entropy(
     docs: DataFrame,
     lam: float = 0.75,
@@ -1050,41 +1098,7 @@ def lm_bigram_cross_entropy(
     shuffle. Per-doc totals emit as exact integer micro-nats (decimal
     sums + floor quantization), reproducible cross-engine.
     """
-    toks = tokens(F.col(text_col))
-    t = docs.select(F.col(id_col), toks.alias("__t"))
-    tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
-    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = uni.agg(F.sum("n").alias("total"))
-    p_uni = uni.crossJoin(F.broadcast(total)).select(
-        "tok",
-        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
-            "pu"
-        ),
-    )
-    # guard the <=1-token case: Spark's sequence(1, 0) DESCENDS to
-    # [1, 0] instead of an empty range, and element_at(arr, 0) throws —
-    # a one-token document must simply contribute no bigrams
-    pairs = t.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.size("__t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__t") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("__t"), i).alias("prev"),
-                        F.element_at(F.col("__t"), i + 1).alias("tok"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
-        ).alias("bg"),
-    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
-    bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
-    cx = bc.groupBy("prev").agg(F.sum("c").alias("ctx"))
-    p_bi = bc.join(cx, "prev").select(
-        "prev", "tok",
-        (F.col("c").cast("double") / F.col("ctx").cast("double")).alias("pb"),
-    )
+    t, p_uni, pairs, p_bi = _lm_ngram_tables(docs, text_col, id_col)
     lam_l, inv_l = F.lit(float(lam)), F.lit(1.0 - float(lam))
     first = t.where(F.size("__t") >= 1).select(
         id_col, F.element_at(F.col("__t"), 1).alias("tok")
@@ -1146,37 +1160,7 @@ def lm_trigram_cross_entropy(
     Per-doc totals emit as exact integer micro-nats (decimal sums +
     floor quantization), reproducible cross-engine.
     """
-    toks = tokens(F.col(text_col))
-    t = docs.select(F.col(id_col), toks.alias("__t"))
-    tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
-    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = uni.agg(F.sum("n").alias("total"))
-    p_uni = uni.crossJoin(F.broadcast(total)).select(
-        "tok",
-        (F.col("n").cast("double") / F.col("total").cast("double")).alias("pu"),
-    )
-    # guard <=1-token docs: sequence(1, 0) DESCENDS in Spark
-    pairs = t.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.size("__t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__t") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("__t"), i).alias("prev"),
-                        F.element_at(F.col("__t"), i + 1).alias("tok"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
-        ).alias("bg"),
-    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
-    bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
-    cx = bc.groupBy("prev").agg(F.sum("c").alias("ctx"))
-    p_bi = bc.join(cx, "prev").select(
-        "prev", "tok",
-        (F.col("c").cast("double") / F.col("ctx").cast("double")).alias("pb"),
-    )
+    t, p_uni, pairs, p_bi = _lm_ngram_tables(docs, text_col, id_col)
     triples = t.select(
         id_col,
         F.explode(

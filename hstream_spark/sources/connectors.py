@@ -679,7 +679,16 @@ class KafkaIngestTailer:
         if self._client is None:
             from hstream_spark.sources.kafka_wire import KafkaClient
 
-            self._client = KafkaClient(self.bootstrap, **self.client_options)
+            # the socket timeout must OUTLIVE the group session timeout:
+            # a real broker holds the JoinGroup barrier until a dead
+            # member's session expires, and if the socket read loses
+            # that race the dance spins on transport errors
+            # (join_group's documented hazard)
+            self._client = KafkaClient(
+                self.bootstrap,
+                timeout=max(30.0, self.session_timeout_ms / 1000.0 + 15.0),
+                **self.client_options,
+            )
         return self._client
 
     @staticmethod
@@ -864,6 +873,7 @@ class KafkaIngestTailer:
             results = client.fetch_records_multi(
                 self.topic, active, max_bytes=self.max_batch_bytes
             )
+            any_progress = False
             for p in sorted(active):
                 recs, hwm, end_off = results.get(p, ([], 0, None))
                 next_off = active[p]
@@ -884,13 +894,22 @@ class KafkaIngestTailer:
                     end_off or next_off, (recs[-1][0] + 1) if recs else next_off
                 )
                 if new_off <= next_off:
-                    del active[p]  # nothing complete arrived
+                    # nothing complete for THIS partition — but with the
+                    # request-level max_bytes cap (Fetch v3+) a real
+                    # broker returns empty sets for partitions squeezed
+                    # out of a full response, so only treat it as
+                    # caught-up once a whole page advances NOTHING
+                    # (otherwise retry it on the next page, when the
+                    # filled partitions have drained out of `active`)
                     continue
+                any_progress = True
                 active[p] = new_off
                 self.offsets[p] = new_off
                 self._commit(p)
                 if new_off >= hwm:
                     del active[p]
+            if not any_progress:
+                break  # every remaining partition is idle/caught up
         return total
 
     def lag(self) -> dict[int, dict[str, int]]:

@@ -286,8 +286,9 @@ class KafkaStubBroker:
                 resp = W.enc_int32(corr) + body
                 conn.sendall(W.enc_int32(len(resp)) + resp)
         except (OSError, W.KafkaWireError):
-            pass
-        except Exception:  # ssl.SSLError on a plaintext client, etc.
+            # OSError covers ssl.SSLError too (a plaintext client on a
+            # TLS listener); anything else is a stub bug and should
+            # propagate to the test run, not vanish into a silent close
             pass
         finally:
             try:

@@ -1432,8 +1432,14 @@ def kafka_readstream(spark, topic: str, bootstrap: str,
             if mech == "PLAIN"
             else "org.apache.kafka.common.security.scram.ScramLoginModule"
         )
-        user = str(opts.get("sasl_username", "")).replace('"', '\\"')
-        pw = str(opts.get("sasl_password", "")).replace('"', '\\"')
+        def _jaas_escape(v: str) -> str:
+            # backslashes FIRST, then quotes — else an escaped quote's
+            # backslash gets double-escaped / a trailing backslash eats
+            # the closing quote
+            return v.replace("\\", "\\\\").replace('"', '\\"')
+
+        user = _jaas_escape(str(opts.get("sasl_username", "")))
+        pw = _jaas_escape(str(opts.get("sasl_password", "")))
         kafka_opts["kafka.sasl.jaas.config"] = (
             f'{module} required username="{user}" password="{pw}";'
         )

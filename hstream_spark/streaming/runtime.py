@@ -200,6 +200,9 @@ class ConnectorInfo:
     options: dict = field(default_factory=dict)
     status: str = "RUNNING"
     handle: Optional[object] = None  # StreamingQuery when materialized
+    # credentials/client kwargs kept OUT of `options` (which SHOW
+    # CONNECTORS surfaces) but needed to rebuild the handle on RESUME
+    secrets: dict = field(default_factory=dict)
 
 
 class PushQueryHandle:
@@ -772,6 +775,7 @@ class HStreamEngine:
             handle=self._build_kafka_tailer(info, topic, bootstrap, poll_ms,
                                             starting, group, coord,
                                             client_options),
+            secrets=client_options,
         )
         self.connectors[cname] = conn
 
@@ -1058,10 +1062,12 @@ class HStreamEngine:
         self.queries[qi.name] = qi
         return vi
 
-    def _exec_create_connector(self, stmt: A.CreateConnector) -> ConnectorInfo:
+    def _exec_create_connector(self, stmt: A.CreateConnector,
+                               secrets: Optional[dict] = None) -> ConnectorInfo:
         if stmt.name in self.connectors and not stmt.if_not_exist:
             raise CompileError(f"connector {stmt.name!r} already exists")
-        info = ConnectorInfo(stmt.name, stmt.kind, stmt.target, dict(stmt.options))
+        info = ConnectorInfo(stmt.name, stmt.kind, stmt.target, dict(stmt.options),
+                             secrets=dict(secrets or {}))
         ctype = str(info.options.get("TYPE", info.options.get("type", ""))).lower()
         from hstream_spark.sources import connectors as C
 
@@ -1178,9 +1184,17 @@ class HStreamEngine:
                 kopts.get("group_coordinated",
                           kopts.get("kafka_group_coordinated", ""))
             ).lower() in ("true", "1", "yes")
+            # RESUME rebuilds pass the full client options via secrets
+            # (the stored options are sanitized — no password/CA file);
+            # a directly-declared connector derives them from its own
+            # options as usual
+            client_opts = (
+                dict(info.secrets) if info.secrets
+                else C.kafka_client_options(kopts)
+            )
             info.handle = self._build_kafka_tailer(
                 target, topic, bootstrap, poll_ms, starting, kgroup, kcoord,
-                C.kafka_client_options(kopts)
+                client_opts
             )
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
@@ -1615,7 +1629,8 @@ class HStreamEngine:
                 # rebuild from registry (checkpoint resumes offsets)
                 self.connectors.pop(c.name)
                 return self._exec_create_connector(
-                    A.CreateConnector(c.kind, c.name, c.target, True, c.options)
+                    A.CreateConnector(c.kind, c.name, c.target, True, c.options),
+                    secrets=c.secrets,
                 )
             c.status = "RUNNING"
             return c

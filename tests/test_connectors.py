@@ -1235,3 +1235,46 @@ class TestKafkaSASL:
             assert "bad" not in eng.streams  # no orphan registration
         finally:
             eng.shutdown()
+
+    def test_sasl_connector_pause_resume_rebuilds_with_credentials(
+        self, spark, tmp_path
+    ):
+        """PAUSE then RESUME of a SASL-backed kafka connector must
+        rebuild the tailer with the FULL credentials even though the
+        stored connector options are sanitized (no password)."""
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker(sasl_users={"svc": "tok"}) as broker:
+            broker.create_topic("pr_events")
+            prod = KafkaClient(
+                broker.bootstrap, sasl_mechanism="PLAIN",
+                sasl_username="svc", sasl_password="tok",
+            )
+            prod.produce("pr_events", [(None, b'{"k": 1}', 1000)])
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM prs WITH (\"kafka_topic\" = 'pr_events', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_sasl_mechanism\" = 'PLAIN', "
+                    "\"kafka_sasl_username\" = 'svc', "
+                    "\"kafka_sasl_password\" = 'tok', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                assert eng.connectors["__kafka_prs"].handle.poll() == 1
+                eng.execute("PAUSE CONNECTOR __kafka_prs;")
+                prod.produce("pr_events", [(None, b'{"k": 2}', 2000)])
+                eng.execute("RESUME CONNECTOR __kafka_prs;")
+                tailer = eng.connectors["__kafka_prs"].handle
+                assert tailer is not None
+                assert tailer.client_options.get("sasl_password") == "tok"
+                assert tailer.poll() == 1  # only the new record
+                out = eng.execute("SELECT k FROM prs;").collect()
+                assert sorted(r["k"] for r in out) == [1, 2]
+                # sanitized view still never leaks the credential
+                shown = str(eng.connectors["__kafka_prs"].options)
+                assert "tok" not in shown
+            finally:
+                eng.shutdown()
+            prod.close()
