@@ -159,6 +159,7 @@ HEADLINE = [
     "sql_frontend_interval_join",
     "sql_frontend_sliding",
     "pii_detect",
+    "time_type_ops",
     "sketch_quantiles",
     "train_test_split",
     "group_train_test_split",

@@ -87,7 +87,7 @@ def _lit(node: A.Lit) -> Column:
     if node.kind == "timestamp":
         return F.lit(node.value).cast("timestamp")
     if node.kind == "time":
-        return F.lit(node.value)  # no native TIME type: ISO string
+        return F.lit(node.value).cast("time")  # Spark 4.1 native TimeType
     return F.lit(node.value)
 
 
@@ -167,7 +167,22 @@ def _compile_cast(node: A.Cast, agg_subst) -> Column:
     if t == "TIMESTAMP":
         return v.cast("timestamp")
     if t == "TIME":
-        return v.cast("string")
+        # Spark 4.1 has no direct timestamp→time cast (analysis error),
+        # so CAST(x AS TIME) goes through the string form: a
+        # date-carrying value keeps only its time-of-day part (the
+        # reference's timestamp→time meaning), plain time strings and
+        # time values pass straight through. Codegen string ops, no UDF.
+        s = v.cast("string")
+        return (
+            F.when(
+                s.rlike(r"^\d{4}-"),
+                # 0-based get: NULL (not an ANSI error) when a
+                # date-only string has no time-of-day part
+                F.get(F.split(s, " "), 1),
+            )
+            .otherwise(s)
+            .cast("time")
+        )
     if t == "JSONB":
         return v.cast("string")
     if t.endswith("[]"):
@@ -248,7 +263,11 @@ def _compile_func(node: A.Func, agg_subst) -> Column:
             "IS_STR": t == "string",
             "IS_ARRAY": t.startswith("array"),
             "IS_DATE": t == "date",
-            "IS_TIME": t.isin("timestamp", "timestamp_ntz"),
+            # native time(p) counts, and (documented divergence) so do
+            # timestamps — under declared schemas the predicate is a
+            # castability check, not a runtime tag
+            "IS_TIME": t.isin("timestamp", "timestamp_ntz")
+            | t.startswith("time("),
         }
         if name in checks:
             return v.isNotNull() & checks[name]

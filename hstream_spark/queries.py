@@ -2845,6 +2845,37 @@ def _sql_resolver(spark, sf):
 
 
 @register(
+    "time_type_ops",
+    """
+    SELECT event_id,
+           CAST(ts AS TIME) AS tod,
+           CAST(ts AS TIME) > TIME '12:00:00' AS afternoon,
+           CAST(ts AS TIME) IS NOT NULL AS p_time
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("frontend", "scalar", "time"),
+)
+def q_time_type_ops(spark, sf):
+    """Native TIME (time-of-day) type — the reference's first-class
+    RTypeTime (hstream-sql/src/HStream/SQL/AST.hs:84), realized on
+    Spark 4.1's TimeType (spark.sql.timeType.enabled pinned in the
+    session): TIME literals, CAST timestamp→TIME, time comparisons and
+    IS_TIME all flow through the SQL frontend and hash-match DuckDB's
+    native TIME. Closes the round-5 SEMANTICS.md 'ISO-8601 string
+    stand-in' divergence."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT event_id, CAST(_ts AS TIME) AS tod, "
+        "CAST(_ts AS TIME) > TIME '12:00:00' AS afternoon, "
+        "IS_TIME(CAST(_ts AS TIME)) AS p_time "
+        "FROM events WHERE event_id < 2000;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+@register(
     "type_predicates",
     """
     SELECT event_id,

@@ -34,6 +34,10 @@ _DEFAULTS: dict[str, str] = {
     # pandas/pyarrow-written parquet uses TIMESTAMP(NANOS); read as long
     # and normalize in sources.tables.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # native TIME (time-of-day) type — Spark 4.1's TimeType, gated off
+    # by default; the reference SQL dialect has a first-class TIME
+    # (hstream-sql/src/HStream/SQL/AST.hs:84 RTypeTime)
+    "spark.sql.timeType.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.spill.compress": "true",
     "spark.ui.enabled": "false",

@@ -75,7 +75,7 @@ DEFAULT_BACKLOG_SECONDS = 7 * 24 * 3600  # CREATE STREAM default (AST.hs:708-712
 _TYPE_MAP = {
     "INTEGER": T.LongType(), "FLOAT": T.DoubleType(), "BOOLEAN": T.BooleanType(),
     "BYTEA": T.BinaryType(), "STRING": T.StringType(), "DATE": T.DateType(),
-    "TIME": T.StringType(), "TIMESTAMP": T.TimestampType(),
+    "TIME": T.TimeType(), "TIMESTAMP": T.TimestampType(),
     "JSONB": T.StringType(),
 }
 
@@ -1330,7 +1330,32 @@ class HStreamEngine:
             )
             schema = info.schema
             self._save_stream_schema(info)
-        values = [record.get(f.name) for f in schema.fields if f.name != EVENT_TIME_COL]
+        # string literals coerce into TIME/DATE/TIMESTAMP columns the
+        # way the reference's FlowObject ingestion parses them — Spark's
+        # createDataFrame verifier accepts only the Python-native types
+        import datetime as _dt
+
+        def _coerce(f: "T.StructField", v):
+            if v is None or not isinstance(v, str):
+                return v
+            try:
+                if isinstance(f.dataType, T.TimeType):
+                    return _dt.time.fromisoformat(v)
+                if isinstance(f.dataType, T.DateType):
+                    return _dt.date.fromisoformat(v)
+                if isinstance(f.dataType, T.TimestampType):
+                    return _dt.datetime.fromisoformat(v)
+            except ValueError as exc:
+                raise CompileError(
+                    f"INSERT value {v!r} does not parse as "
+                    f"{f.dataType.simpleString()} for column {f.name!r}"
+                ) from exc
+            return v
+
+        values = [
+            _coerce(f, record.get(f.name))
+            for f in schema.fields if f.name != EVENT_TIME_COL
+        ]
         base = T.StructType([f for f in schema.fields if f.name != EVENT_TIME_COL])
         try:
             row_df = self.spark.createDataFrame([values], base).withColumn(

@@ -132,3 +132,61 @@ class TestDates:
             one(spark, S.stringtodate(F.lit("2024-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"))
             == epoch
         )
+
+
+def test_native_time_type_literals_casts_and_ddl(spark):
+    """Native TIME (Spark 4.1 TimeType): literals, string→TIME and
+    timestamp→TIME casts (time-of-day extraction), comparisons, and a
+    TIME column in CREATE STREAM DDL all work; date-only strings cast
+    to NULL rather than garbage."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    src = spark.createDataFrame(
+        [Row(id=1, s="08:30:00", ts="2024-03-05 17:45:10.123456"),
+         Row(id=2, s="23:59:59", ts="2024-03-05 00:00:00")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stmt = parse(
+        "SELECT id, CAST(s AS TIME) AS t1, CAST(ts AS TIME) AS t2, "
+        "CAST(s AS TIME) > TIME '12:00:00' AS after_noon, "
+        "IS_TIME(CAST(s AS TIME)) AS p FROM src;"
+    )
+    out = compile_select(stmt, lambda n: src)
+    assert "time" in out.schema["t1"].dataType.simpleString()
+    rows = {r["id"]: r for r in out.collect()}
+    import datetime
+
+    assert rows[1]["t1"] == datetime.time(8, 30)
+    assert rows[1]["t2"] == datetime.time(17, 45, 10, 123456)
+    assert rows[2]["t2"] == datetime.time(0, 0)
+    assert rows[1]["after_noon"] is False and rows[2]["after_noon"] is True
+    assert rows[1]["p"] is True
+    # date-only string: no time-of-day part -> NULL
+    d = spark.createDataFrame([Row(s="2024-03-05")])
+    stmt2 = parse("SELECT CAST(s AS TIME) AS t FROM d;")
+    assert compile_select(stmt2, lambda n: d).collect()[0]["t"] is None
+
+
+def test_time_column_in_stream_ddl(spark, tmp_path):
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    eng = HStreamEngine(spark, str(tmp_path / "data"))
+    try:
+        eng.execute("CREATE STREAM shifts (worker INTEGER, clock_in TIME);")
+        eng.execute(
+            "INSERT INTO shifts (worker, clock_in) VALUES (1, '09:15:00');"
+        )
+        out = eng.execute(
+            "SELECT worker, clock_in FROM shifts "
+            "WHERE clock_in > TIME '09:00:00';"
+        ).collect()
+        import datetime
+
+        assert [(r["worker"], r["clock_in"]) for r in out] == [
+            (1, datetime.time(9, 15))
+        ]
+    finally:
+        eng.shutdown()
