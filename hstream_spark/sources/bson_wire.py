@@ -229,3 +229,104 @@ def send_command(sock: socket.socket, command: dict, request_id: int = 1) -> dic
     if reply is None:
         raise ConnectionError("server closed connection before replying")
     return decode_op_msg(reply)
+
+
+class MongoAuthError(RuntimeError):
+    pass
+
+
+def authenticate(
+    sock: socket.socket,
+    username: str,
+    password: str,
+    mechanism: str = "SCRAM-SHA-256",
+    auth_db: str = "admin",
+) -> None:
+    """MongoDB SASL authentication: the saslStart/saslContinue command
+    exchange over OP_MSG (public spec: the MongoDB SCRAM auth
+    conversation) with SCRAM-SHA-256 (server default since 4.0) or
+    SCRAM-SHA-1. The RFC 5802 client half is shared with the Kafka
+    wire module (``kafka_wire.ScramClient``) — same spec, same code.
+
+    Password preparation per the Mongo spec: SCRAM-SHA-1 hashes the
+    credential as hex(md5("user:mongo:pwd")); SCRAM-SHA-256 uses
+    SASLprep, which is the identity for ASCII passwords — non-ASCII
+    passwords error loudly rather than authenticate wrongly."""
+    import hashlib
+
+    from hstream_spark.sources.kafka_wire import KafkaWireError, ScramClient
+
+    mech = mechanism.upper()
+    if mech == "SCRAM-SHA-1":
+        prepped = hashlib.md5(
+            f"{username}:mongo:{password}".encode("utf-8")
+        ).hexdigest()
+    elif mech == "SCRAM-SHA-256":
+        if not password.isascii():
+            raise MongoAuthError(
+                "SCRAM-SHA-256 requires SASLprep for non-ASCII passwords "
+                "(not implemented); use an ASCII password or SCRAM-SHA-1"
+            )
+        prepped = password
+    else:
+        raise MongoAuthError(
+            f"unsupported mongodb auth mechanism {mechanism!r}; "
+            "use SCRAM-SHA-256 or SCRAM-SHA-1"
+        )
+
+    def _ok(reply: dict, what: str) -> dict:
+        if reply.get("ok") not in (1, 1.0):
+            raise MongoAuthError(
+                f"mongodb {what} failed for user {username!r}: "
+                f"{reply.get('errmsg') or reply.get('codeName') or reply}"
+            )
+        return reply
+
+    try:
+        sc = ScramClient(mech, username, prepped)
+        r1 = _ok(
+            send_command(
+                sock,
+                {
+                    "saslStart": 1,
+                    "mechanism": mech,
+                    "payload": sc.first_message(),
+                    "options": {"skipEmptyExchange": True},
+                    "$db": auth_db,
+                },
+                request_id=900001,
+            ),
+            "saslStart",
+        )
+        cid = r1.get("conversationId", 1)
+        r2 = _ok(
+            send_command(
+                sock,
+                {
+                    "saslContinue": 1,
+                    "conversationId": cid,
+                    "payload": sc.final_message(bytes(r1.get("payload") or b"")),
+                    "$db": auth_db,
+                },
+                request_id=900002,
+            ),
+            "authentication",
+        )
+        sc.verify_server_final(bytes(r2.get("payload") or b""))
+        if not r2.get("done"):
+            # server skipped skipEmptyExchange: one final empty round
+            _ok(
+                send_command(
+                    sock,
+                    {
+                        "saslContinue": 1,
+                        "conversationId": cid,
+                        "payload": b"",
+                        "$db": auth_db,
+                    },
+                    request_id=900003,
+                ),
+                "authentication finalize",
+            )
+    except KafkaWireError as exc:  # SCRAM-layer failure (nonce/signature)
+        raise MongoAuthError(str(exc)) from exc

@@ -288,6 +288,38 @@ def jdbc_sink(options: dict) -> SinkFn:
     return write
 
 
+def _mongo_auth_options(opts: dict, uri: str) -> dict:
+    """Extract MongoDB credentials from options (``username``/
+    ``password``/``auth_source``/``auth_mechanism``) or the URI
+    userinfo part (``mongodb://user:pw@host``, percent-decoded).
+    Returns {} when unauthenticated; explicit options win over URI."""
+    from urllib.parse import unquote
+
+    user = opts.get("username") or opts.get("user")
+    pw = opts.get("password")
+    if user is None and uri and "@" in uri.split("://", 1)[-1].split("/", 1)[0]:
+        userinfo = uri.split("://", 1)[-1].split("/", 1)[0].rsplit("@", 1)[0]
+        if ":" in userinfo:
+            u, p = userinfo.split(":", 1)
+            user, pw = unquote(u), unquote(p)
+        else:
+            user = unquote(userinfo)
+    if user is None:
+        return {}
+    if pw is None:
+        raise ConnectorError(
+            "mongodb auth requires both username and password"
+        )
+    return {
+        "username": str(user),
+        "password": str(pw),
+        "mechanism": str(
+            opts.get("auth_mechanism") or "SCRAM-SHA-256"
+        ).upper(),
+        "auth_db": str(opts.get("auth_source") or "admin"),
+    }
+
+
 def mongodb_sink(options: dict) -> SinkFn:
     """MongoDB sink speaking the wire protocol (OP_MSG) directly —
     no jar, no external client (``sources/bson_wire.py`` implements the
@@ -320,6 +352,7 @@ def mongodb_sink(options: dict) -> SinkFn:
         )
     insert_batch = int(opts.get("batchsize", 1000) or 1000)
     timeout = float(opts.get("timeout", 30) or 30)
+    auth = _mongo_auth_options(opts, uri)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select(
@@ -341,6 +374,12 @@ def mongodb_sink(options: dict) -> SinkFn:
                     return
                 if sock is None:
                     sock = _socket.create_connection((host, port), timeout=timeout)
+                    if auth:
+                        bson_wire.authenticate(
+                            sock, auth["username"], auth["password"],
+                            mechanism=auth["mechanism"],
+                            auth_db=auth["auth_db"],
+                        )
                 req_id += 1
                 reply = bson_wire.send_command(
                     sock,
@@ -388,6 +427,12 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     and partitions post independently so sink throughput scales with
     the cluster exactly like es-hadoop's per-task writers. Required
     options: ``url`` (or ``nodes``) and ``index``.
+
+    Authentication (ES 8.x ships with security ON by default):
+    ``username``+``password`` → Basic auth, or ``api_key`` →
+    ``Authorization: ApiKey``; ``tls_verify=false`` accepts a
+    self-signed https endpoint (lab use), ``tls_cafile`` pins a
+    private CA.
     """
     opts = {str(k).lower(): v for k, v in options.items()}
     url = str(opts.get("url") or opts.get("nodes") or "").rstrip("/")
@@ -397,6 +442,25 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     if not url.startswith("http"):
         url = f"http://{url}"
     timeout = float(opts.get("timeout", 30))
+    auth_header: Optional[str] = None
+    if opts.get("api_key"):
+        auth_header = f"ApiKey {opts['api_key']}"
+    elif opts.get("username") is not None or opts.get("password") is not None:
+        if opts.get("username") is None or opts.get("password") is None:
+            raise ConnectorError(
+                "elasticsearch auth requires BOTH username and password "
+                "(or a single api_key)"
+            )
+        import base64
+
+        tok = base64.b64encode(
+            f"{opts['username']}:{opts['password']}".encode("utf-8")
+        ).decode("ascii")
+        auth_header = f"Basic {tok}"
+    tls_verify = str(opts.get("tls_verify", "true")).lower() not in (
+        "false", "0", "no",
+    )
+    tls_cafile = opts.get("tls_cafile")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         bulk_url = f"{url}/_bulk"
@@ -415,15 +479,40 @@ def elasticsearch_sink(options: dict) -> SinkFn:
                 lines.append(r["doc"])
             if not lines:
                 return
+            headers = {"Content-Type": "application/x-ndjson"}
+            if auth_header:
+                headers["Authorization"] = auth_header
             req = urllib.request.Request(
                 bulk_url,
                 data=("\n".join(lines) + "\n").encode("utf-8"),
-                headers={"Content-Type": "application/x-ndjson"},
+                headers=headers,
                 method="POST",
             )
+            ctx = None
+            if bulk_url.startswith("https"):
+                import ssl as _ssl
+
+                ctx = (
+                    _ssl.create_default_context(cafile=tls_cafile)
+                    if tls_verify
+                    else _ssl._create_unverified_context()
+                )
             try:
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                with urllib.request.urlopen(
+                    req, timeout=timeout, context=ctx
+                ) as resp:
                     body = resp.read()
+            except urllib.error.HTTPError as exc:
+                detail = ""
+                if exc.code in (401, 403):
+                    detail = (
+                        " (authentication rejected — check username/"
+                        "password or api_key options)"
+                    )
+                raise ConnectorError(
+                    f"elasticsearch bulk POST to {bulk_url} failed: "
+                    f"HTTP {exc.code}{detail}"
+                ) from exc
             except urllib.error.URLError as exc:
                 raise ConnectorError(
                     f"elasticsearch bulk POST to {bulk_url} failed: {exc}"
@@ -1053,15 +1142,28 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
         )
     batch_size = int(opts.get("batchsize", 1000) or 1000)
     timeout = float(opts.get("timeout", 30) or 30)
+    auth = _mongo_auth_options(opts, uri)
 
     docs: list[dict] = []
     try:
         with _socket.create_connection((host, port), timeout=timeout) as sock:
+            if auth:
+                bson_wire.authenticate(
+                    sock, auth["username"], auth["password"],
+                    mechanism=auth["mechanism"], auth_db=auth["auth_db"],
+                )
             find_cmd = {"find": collection, "$db": database,
                         "batchSize": batch_size}
             if filter is not None:
                 find_cmd["filter"] = filter
             reply = bson_wire.send_command(sock, find_cmd)
+            if reply.get("ok") not in (1, 1.0):
+                # an error reply must not read as an empty collection
+                # (e.g. 'command find requires authentication')
+                raise ConnectorError(
+                    f"mongodb find on {database}.{collection} failed: "
+                    f"{reply.get('errmsg') or reply}"
+                )
             cursor = reply.get("cursor") or {}
             docs.extend(cursor.get("firstBatch", []))
             cid = int(cursor.get("id", 0))
@@ -1083,6 +1185,11 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
                      "collection": collection, "batchSize": batch_size},
                     request_id=req,
                 )
+                if reply.get("ok") not in (1, 1.0):
+                    raise ConnectorError(
+                        f"mongodb getMore on {database}.{collection} "
+                        f"failed: {reply.get('errmsg') or reply}"
+                    )
                 cursor = reply.get("cursor") or {}
                 docs.extend(cursor.get("nextBatch", []))
                 cid = int(cursor.get("id", 0))

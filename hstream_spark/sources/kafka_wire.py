@@ -456,7 +456,10 @@ ERR_SASL_AUTHENTICATION_FAILED = 58
 # Handler/Security.hs handleSaslHandshake/handleSaslAuthenticate)
 # ---------------------------------------------------------------------------
 
-SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512",
+                # SHA-1 exists for MongoDB (bson_wire.authenticate);
+                # Kafka brokers only ever enable the SHA-256/512 pair
+                "SCRAM-SHA-1": "sha1"}
 
 
 def scram_salted_password(password: str, salt: bytes, iterations: int,

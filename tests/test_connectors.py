@@ -1278,3 +1278,264 @@ class TestKafkaSASL:
             finally:
                 eng.shutdown()
             prod.close()
+
+
+class TestElasticsearchAuth:
+    @staticmethod
+    def _auth_server(captured, expect_auth):
+        import http.server
+        import json as _json
+        import threading
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 - http.server API
+                got = self.headers.get("Authorization")
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = self.rfile.read(n).decode("utf-8")
+                if got != expect_auth:
+                    self.send_response(401)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                captured.append((got, payload))
+                body = _json.dumps({"errors": False, "items": []}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    def test_basic_auth_accept_and_reject(self, spark):
+        import base64
+
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            elasticsearch_sink,
+        )
+
+        tok = base64.b64encode(b"elastic:changeme").decode()
+        captured: list = []
+        srv = self._auth_server(captured, f"Basic {tok}")
+        try:
+            port = srv.server_address[1]
+            df = spark.createDataFrame([(1, "a")], "k long, s string")
+            ok = elasticsearch_sink({
+                "url": f"http://127.0.0.1:{port}", "index": "ix",
+                "username": "elastic", "password": "changeme",
+            })
+            ok(df, 0)
+            assert len(captured) == 1 and '"k":1' in captured[0][1]
+            bad = elasticsearch_sink({
+                "url": f"http://127.0.0.1:{port}", "index": "ix",
+                "username": "elastic", "password": "WRONG",
+            })
+            import pytest as _pytest
+
+            with _pytest.raises(Exception, match="401.*authentication"):
+                bad(df, 0)
+        finally:
+            srv.shutdown()
+
+    def test_api_key_header_and_option_validation(self, spark):
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            elasticsearch_sink,
+        )
+
+        captured: list = []
+        srv = self._auth_server(captured, "ApiKey abc123")
+        try:
+            port = srv.server_address[1]
+            df = spark.createDataFrame([(2, "b")], "k long, s string")
+            elasticsearch_sink({
+                "url": f"http://127.0.0.1:{port}", "index": "ix",
+                "api_key": "abc123",
+            })(df, 0)
+            assert captured and captured[0][0] == "ApiKey abc123"
+        finally:
+            srv.shutdown()
+        import pytest as _pytest
+
+        with _pytest.raises(ConnectorError, match="BOTH username and password"):
+            elasticsearch_sink({"url": "http://h", "index": "i",
+                                "username": "u"})
+
+
+class TestMongoAuth:
+    """SCRAM authentication on the MongoDB wire path: the stub mongod
+    requires auth (real deployments default to it), rejecting commands
+    before a completed saslStart/saslContinue conversation."""
+
+    @staticmethod
+    def _authed_mongod(inserted, users, mechanisms=("SCRAM-SHA-256",)):
+        import base64
+        import hashlib
+        import secrets
+        import socket
+        import threading
+
+        from hstream_spark.sources import bson_wire
+        from hstream_spark.sources import kafka_wire as W
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        srv.settimeout(30)
+
+        def handle(conn):
+            state = {"authed": False, "scram": None}
+            with conn:
+                while True:
+                    try:
+                        frame = bson_wire.read_message(conn)
+                    except (ConnectionError, OSError):
+                        return
+                    if frame is None:
+                        return
+                    cmd = bson_wire.decode_op_msg(frame)
+                    reply = dispatch(cmd, state)
+                    conn.sendall(bson_wire.encode_op_msg(reply, 1))
+
+        def dispatch(cmd, state):
+            if "saslStart" in cmd:
+                mech = cmd.get("mechanism")
+                if mech not in mechanisms:
+                    return {"ok": 0.0, "errmsg": f"mechanism {mech} unsupported"}
+                algo = W.SCRAM_HASHES[mech]
+                text = bytes(cmd["payload"]).decode()
+                bare = text[3:]
+                attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+                user = attrs["n"]
+                pw = users.get(user)
+                if pw is None:
+                    return {"ok": 0.0, "errmsg": f"no such user {user}"}
+                if mech == "SCRAM-SHA-1":  # mongo credential derivation
+                    pw = hashlib.md5(
+                        f"{user}:mongo:{pw}".encode()
+                    ).hexdigest()
+                salt, iters = secrets.token_bytes(16), 4096
+                snonce = attrs["r"] + secrets.token_urlsafe(12)
+                server_first = (
+                    f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+                )
+                state["scram"] = {
+                    "bare": bare, "sf": server_first, "snonce": snonce,
+                    "salted": W.scram_salted_password(pw, salt, iters, algo),
+                    "algo": algo, "user": user,
+                }
+                return {"ok": 1.0, "conversationId": 7, "done": False,
+                        "payload": server_first.encode()}
+            if "saslContinue" in cmd:
+                st = state.get("scram")
+                if st is None:
+                    return {"ok": 0.0, "errmsg": "no sasl conversation"}
+                text = bytes(cmd["payload"]).decode()
+                attrs = dict(kv.split("=", 1) for kv in text.split(","))
+                algo = st["algo"]
+                if attrs.get("r") != st["snonce"]:
+                    return {"ok": 0.0, "errmsg": "nonce mismatch"}
+                without_proof = text.rsplit(",p=", 1)[0]
+                auth_msg = ",".join(
+                    [st["bare"], st["sf"], without_proof]
+                ).encode()
+                ck = W._scram_hmac(st["salted"], b"Client Key", algo)
+                sig = W._scram_hmac(W._scram_h(ck, algo), auth_msg, algo)
+                expect = W._xor_bytes(ck, sig)
+                if base64.b64decode(attrs["p"]) != expect:
+                    return {"ok": 0.0,
+                            "errmsg": f"auth failed for {st['user']}"}
+                sk = W._scram_hmac(st["salted"], b"Server Key", algo)
+                v = base64.b64encode(W._scram_hmac(sk, auth_msg, algo))
+                state["authed"] = True
+                return {"ok": 1.0, "conversationId": 7, "done": True,
+                        "payload": b"v=" + v}
+            if not state["authed"]:
+                return {"ok": 0.0, "code": 13,
+                        "errmsg": "command requires authentication"}
+            if "insert" in cmd:
+                inserted.append(
+                    (cmd["$db"], cmd["insert"], cmd.get("documents", []))
+                )
+                return {"n": len(cmd.get("documents", [])), "ok": 1.0}
+            if "find" in cmd:
+                return {"ok": 1.0, "cursor": {"id": bson_wire.Int64(0),
+                                              "firstBatch": [{"x": 1}]}}
+            return {"ok": 0.0, "errmsg": "unknown command"}
+
+        def serve():
+            while True:
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    return
+                threading.Thread(target=handle, args=(conn,), daemon=True).start()
+
+        threading.Thread(target=serve, daemon=True).start()
+        return srv
+
+    def test_scram_sha256_sink_and_source(self, spark):
+        from hstream_spark.sources.connectors import mongodb_sink, mongodb_source
+
+        inserted: list = []
+        srv = self._authed_mongod(inserted, {"app": "s3cret"})
+        try:
+            host, port = srv.getsockname()
+            df = spark.createDataFrame([(1, "a")], "k long, s string")
+            mongodb_sink({
+                "host": host, "port": port, "database": "db",
+                "collection": "c", "username": "app", "password": "s3cret",
+            })(df, 0)
+            assert inserted and inserted[0][2][0]["k"] == 1
+            out = mongodb_source(spark, {
+                "host": host, "port": port, "database": "db",
+                "collection": "c", "username": "app", "password": "s3cret",
+            })
+            assert out.count() == 1
+        finally:
+            srv.close()
+
+    def test_wrong_password_and_unauthenticated_rejected(self, spark):
+        import pytest as _pytest
+
+        from hstream_spark.sources.connectors import mongodb_source
+
+        srv = self._authed_mongod([], {"app": "s3cret"})
+        try:
+            host, port = srv.getsockname()
+            with _pytest.raises(Exception, match="auth.*failed|authentication"):
+                mongodb_source(spark, {
+                    "host": host, "port": port, "database": "db",
+                    "collection": "c", "username": "app", "password": "nope",
+                })
+            with _pytest.raises(Exception, match="requires authentication"):
+                mongodb_source(spark, {
+                    "host": host, "port": port, "database": "db",
+                    "collection": "c",
+                })
+        finally:
+            srv.close()
+
+    def test_uri_credentials_and_scram_sha1(self, spark):
+        from hstream_spark.sources.connectors import mongodb_sink
+
+        inserted: list = []
+        srv = self._authed_mongod(
+            inserted, {"legacy": "p@ss"}, mechanisms=("SCRAM-SHA-1",)
+        )
+        try:
+            host, port = srv.getsockname()
+            df = spark.createDataFrame([(9, "z")], "k long, s string")
+            # credentials in the URI userinfo, percent-encoded
+            mongodb_sink({
+                "uri": f"mongodb://legacy:p%40ss@{host}:{port}",
+                "database": "db", "collection": "c",
+                "auth_mechanism": "SCRAM-SHA-1",
+            })(df, 0)
+            assert inserted and inserted[0][2][0]["k"] == 9
+        finally:
+            srv.close()
