@@ -1539,3 +1539,35 @@ class TestMongoAuth:
             assert inserted and inserted[0][2][0]["k"] == 9
         finally:
             srv.close()
+
+
+class TestKafkaSinkSASL:
+    def test_sink_connector_produces_over_sasl(self, engine):
+        """CREATE SINK CONNECTOR type=kafka with SASL options drains a
+        stream into an authenticated topic — the executor-side producer
+        closure carries the credentials."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker(sasl_users={"svc": "tok"}) as broker:
+            broker.create_topic("sec_sink")
+            engine.execute("CREATE STREAM sks (a INTEGER);")
+            engine.execute("INSERT INTO sks (a) VALUES (7);")
+            info = engine.execute(
+                "CREATE SINK CONNECTOR sk TO sks WITH (\"type\" = 'kafka', "
+                "\"topic\" = 'sec_sink', "
+                f"\"bootstrap_servers\" = '{broker.bootstrap}', "
+                "\"sasl_mechanism\" = 'SCRAM-SHA-256', "
+                "\"sasl_username\" = 'svc', \"sasl_password\" = 'tok');"
+            )
+            info.handle.processAllAvailable()
+            consumer = KafkaClient(
+                broker.bootstrap, sasl_mechanism="PLAIN",
+                sasl_username="svc", sasl_password="tok",
+            )
+            recs, hwm = consumer.fetch("sec_sink", 0, 0)
+            consumer.close()
+            assert hwm == 1
+            assert _json.loads(recs[0][2].decode())["a"] == 7
