@@ -1397,3 +1397,46 @@ def test_kafka_readstream_maps_sasl_to_connector_options():
     assert o["kafka.sasl.mechanism"] == "SCRAM-SHA-256"
     assert "ScramLoginModule" in o["kafka.sasl.jaas.config"]
     assert o["kafka.ssl.truststore.type"] == "PEM"
+
+
+def test_scram_rfc_test_vectors():
+    """Pin ScramClient against the OFFICIAL example conversations:
+    RFC 5802 §5 (SCRAM-SHA-1, user 'user' / pass 'pencil') and
+    RFC 7677 §3 (SCRAM-SHA-256). Client nonce forced to the RFC's;
+    the proof and the expected server signature must match the
+    published bytes exactly."""
+    from hstream_spark.sources.kafka_wire import ScramClient
+
+    # RFC 7677 §3 example
+    sc = ScramClient(
+        "SCRAM-SHA-256", "user", "pencil", nonce="rOprNGfwEbeRWgbNEkqO"
+    )
+    assert sc.first_message() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final = sc.final_message(server_first)
+    assert final == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    sc.verify_server_final(
+        b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )  # must not raise
+
+    # RFC 5802 §5 example (SHA-1)
+    s1 = ScramClient(
+        "SCRAM-SHA-1", "user", "pencil", nonce="fyko+d2lbbFgONRv9qkxdawL"
+    )
+    assert s1.first_message() == b"n,,n=user,r=fyko+d2lbbFgONRv9qkxdawL"
+    sf1 = (
+        b"r=fyko+d2lbbFgONRv9qkxdawL3rfcNHYJY1ZVvWVs7j,"
+        b"s=QSXCR+Q6sek8bf92,i=4096"
+    )
+    f1 = s1.final_message(sf1)
+    assert f1 == (
+        b"c=biws,r=fyko+d2lbbFgONRv9qkxdawL3rfcNHYJY1ZVvWVs7j,"
+        b"p=v0X8v3Bz2T0CJGbJQyF0X+HI4Ts="
+    )
+    s1.verify_server_final(b"v=rmF9pqV8S7suAoZWja4dJRkFsKQ=")
