@@ -330,3 +330,10 @@ def authenticate(
             )
     except KafkaWireError as exc:  # SCRAM-layer failure (nonce/signature)
         raise MongoAuthError(str(exc)) from exc
+    except (ValueError, KeyError, UnicodeDecodeError) as exc:
+        # a missing/malformed server SCRAM payload must surface as an
+        # auth error, not a raw dict-construction traceback
+        raise MongoAuthError(
+            f"malformed SCRAM challenge from server during {mech} "
+            f"authentication: {exc!r}"
+        ) from exc

@@ -288,6 +288,45 @@ def jdbc_sink(options: dict) -> SinkFn:
     return write
 
 
+def _json_safe(df: DataFrame) -> DataFrame:
+    """Spark 4.1's ``to_json`` cannot serialize TimeType (runtime
+    'Failed to convert value ... to JSON'): cast TIME columns to their
+    ISO string form before any sink JSON-encodes rows."""
+    from pyspark.sql import types as T
+
+    if not any(isinstance(f.dataType, T.TimeType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("string").alias(f.name)
+            if isinstance(f.dataType, T.TimeType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _mongo_split_uri(uri: str):
+    """urlsplit with scheme normalization (bare ``host:port`` URIs are
+    accepted by prefixing ``mongodb://``) — ONE parser for host, port
+    and userinfo instead of three hand-rolled split chains."""
+    from urllib.parse import urlsplit
+
+    return urlsplit(uri if "://" in uri else f"mongodb://{uri}")
+
+
+def _mongo_endpoint(opts: dict, uri: str) -> tuple[str, int]:
+    """(host, port) from explicit options or the URI netloc."""
+    host = str(opts.get("host", ""))
+    port = int(opts.get("port", 27017) or 27017)
+    if uri:
+        u = _mongo_split_uri(uri)
+        host = u.hostname or host
+        if u.port:
+            port = u.port
+    return host, port
+
+
 def _mongo_auth_options(opts: dict, uri: str) -> dict:
     """Extract MongoDB credentials from options (``username``/
     ``password``/``auth_source``/``auth_mechanism``) or the URI
@@ -297,13 +336,11 @@ def _mongo_auth_options(opts: dict, uri: str) -> dict:
 
     user = opts.get("username") or opts.get("user")
     pw = opts.get("password")
-    if user is None and uri and "@" in uri.split("://", 1)[-1].split("/", 1)[0]:
-        userinfo = uri.split("://", 1)[-1].split("/", 1)[0].rsplit("@", 1)[0]
-        if ":" in userinfo:
-            u, p = userinfo.split(":", 1)
-            user, pw = unquote(u), unquote(p)
-        else:
-            user = unquote(userinfo)
+    if user is None and uri:
+        u = _mongo_split_uri(uri)
+        if u.username is not None:
+            user = unquote(u.username)
+            pw = unquote(u.password) if u.password is not None else pw
     if user is None:
         return {}
     if pw is None:
@@ -338,12 +375,7 @@ def mongodb_sink(options: dict) -> SinkFn:
     """
     opts = {str(k).lower(): v for k, v in options.items()}
     uri = str(opts.get("uri") or opts.get("url") or "")
-    host, port = str(opts.get("host", "")), int(opts.get("port", 27017) or 27017)
-    if uri:
-        hp = uri.split("://", 1)[-1].split("/", 1)[0].rsplit("@", 1)[-1]
-        host = hp.split(":", 1)[0]
-        if ":" in hp:
-            port = int(hp.split(":", 1)[1])
+    host, port = _mongo_endpoint(opts, uri)
     database = str(opts.get("database") or opts.get("db") or "")
     collection = str(opts.get("collection") or opts.get("table") or "")
     if not host or not database or not collection:
@@ -355,6 +387,7 @@ def mongodb_sink(options: dict) -> SinkFn:
     auth = _mongo_auth_options(opts, uri)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = _json_safe(batch_df)
         docs = batch_df.select(
             F.to_json(F.struct(*batch_df.columns)).alias("doc")
         )
@@ -463,6 +496,7 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     tls_cafile = opts.get("tls_cafile")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = _json_safe(batch_df)
         bulk_url = f"{url}/_bulk"
         action = json.dumps({"index": {"_index": index}})
         docs = batch_df.select(
@@ -614,6 +648,7 @@ def kafka_sink(options: dict) -> SinkFn:
     client_opts = kafka_client_options(opts)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = _json_safe(batch_df)
         if key_column is not None and key_column not in batch_df.columns:
             raise ConnectorError(
                 f"kafka sink key_column {key_column!r} not in stream "
@@ -964,7 +999,7 @@ class KafkaIngestTailer:
             )
             any_progress = False
             for p in sorted(active):
-                recs, hwm, end_off = results.get(p, ([], 0, None))
+                recs, hwm, end_off = results.get(p, ([], None, None))
                 next_off = active[p]
                 if recs:
                     batch = [
@@ -983,13 +1018,17 @@ class KafkaIngestTailer:
                     end_off or next_off, (recs[-1][0] + 1) if recs else next_off
                 )
                 if new_off <= next_off:
-                    # nothing complete for THIS partition — but with the
-                    # request-level max_bytes cap (Fetch v3+) a real
-                    # broker returns empty sets for partitions squeezed
-                    # out of a full response, so only treat it as
-                    # caught-up once a whole page advances NOTHING
-                    # (otherwise retry it on the next page, when the
-                    # filled partitions have drained out of `active`)
+                    # nothing complete for THIS partition. Its own
+                    # response hwm says whether that means caught-up
+                    # (hwm reached → drop now, don't refetch an idle
+                    # partition on every page) or squeezed out of a
+                    # max_bytes-capped response (Fetch v3+: still
+                    # lagging → retry next page, when the filled
+                    # partitions have drained out of `active`). A
+                    # partition absent from the response keeps retrying;
+                    # the no-progress-page break below bounds that.
+                    if hwm is not None and next_off >= hwm:
+                        del active[p]
                     continue
                 any_progress = True
                 active[p] = new_off
@@ -1128,12 +1167,7 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
 
     opts = {str(k).lower(): v for k, v in options.items()}
     uri = str(opts.get("uri") or opts.get("url") or "")
-    host, port = str(opts.get("host", "")), int(opts.get("port", 27017) or 27017)
-    if uri:
-        hp = uri.split("://", 1)[-1].split("/", 1)[0].rsplit("@", 1)[-1]
-        host = hp.split(":", 1)[0]
-        if ":" in hp:
-            port = int(hp.split(":", 1)[1])
+    host, port = _mongo_endpoint(opts, uri)
     database = str(opts.get("database") or opts.get("db") or "")
     collection = str(opts.get("collection") or opts.get("table") or "")
     if not host or not database or not collection:

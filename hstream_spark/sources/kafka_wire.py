@@ -456,10 +456,14 @@ ERR_SASL_AUTHENTICATION_FAILED = 58
 # Handler/Security.hs handleSaslHandshake/handleSaslAuthenticate)
 # ---------------------------------------------------------------------------
 
-SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512",
-                # SHA-1 exists for MongoDB (bson_wire.authenticate);
-                # Kafka brokers only ever enable the SHA-256/512 pair
-                "SCRAM-SHA-1": "sha1"}
+# mechanisms a Kafka broker can enable (KIP-84) — what KafkaClient
+# validates against and the stub broker advertises
+SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+# the full RFC 5802 family the ScramClient speaks; SHA-1 exists for
+# MongoDB (bson_wire.authenticate) and deliberately stays OUT of the
+# Kafka-side validation set so a typo'd KAFKA_SASL_MECHANISM fails at
+# DDL time, not at the broker handshake
+SCRAM_ALL_ALGOS = {**SCRAM_HASHES, "SCRAM-SHA-1": "sha1"}
 
 
 def scram_salted_password(password: str, salt: bytes, iterations: int,
@@ -498,7 +502,7 @@ class ScramClient:
                  nonce: Optional[str] = None):
         import secrets
 
-        self.algo = SCRAM_HASHES[mechanism]
+        self.algo = SCRAM_ALL_ALGOS[mechanism]
         self.username = username
         self.password = password
         self.cnonce = nonce or secrets.token_urlsafe(18)

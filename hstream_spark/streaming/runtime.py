@@ -815,10 +815,27 @@ class HStreamEngine:
             data_schema = T.StructType(
                 [f for f in logical.fields if f.name != EVENT_TIME_COL]
             )
+            # Spark 4.1's from_json does not support TimeType
+            # (UNSUPPORTED_DATATYPE): parse TIME fields as string and
+            # cast after the parse — the ISO time-of-day text a JSON
+            # record carries casts losslessly
+            parse_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.StringType(), f.nullable)
+                    if isinstance(f.dataType, T.TimeType)
+                    else f
+                    for f in data_schema.fields
+                ]
+            )
             out = raw.select(
-                F.from_json(F.col("__j"), data_schema).alias("__r"), ts_col
+                F.from_json(F.col("__j"), parse_schema).alias("__r"), ts_col
             ).select(
-                *[F.col(f"__r.{f.name}").alias(f.name) for f in data_schema.fields],
+                *[
+                    F.col(f"__r.{f.name}").cast(f.dataType).alias(f.name)
+                    if isinstance(f.dataType, T.TimeType)
+                    else F.col(f"__r.{f.name}").alias(f.name)
+                    for f in data_schema.fields
+                ],
                 F.col(EVENT_TIME_COL),
             )
         out.write.mode("append").parquet(info.path)
@@ -1274,7 +1291,12 @@ class HStreamEngine:
             from hstream_spark.sources.kafka_wire import KafkaClient
 
             topic = str(kc.options.get("topic"))
-            client = KafkaClient(str(kc.options.get("bootstrap_servers")))
+            # credentials live in kc.secrets (kept out of the displayed
+            # options) — the INSERT-side producer needs them exactly
+            # like the tailer rebuild does
+            client = KafkaClient(
+                str(kc.options.get("bootstrap_servers")), **kc.secrets
+            )
             try:
                 client.produce(
                     topic,

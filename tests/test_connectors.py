@@ -1406,7 +1406,7 @@ class TestMongoAuth:
                 mech = cmd.get("mechanism")
                 if mech not in mechanisms:
                     return {"ok": 0.0, "errmsg": f"mechanism {mech} unsupported"}
-                algo = W.SCRAM_HASHES[mech]
+                algo = W.SCRAM_ALL_ALGOS[mech]
                 text = bytes(cmd["payload"]).decode()
                 bare = text[3:]
                 attrs = dict(kv.split("=", 1) for kv in bare.split(","))
@@ -1571,3 +1571,99 @@ class TestKafkaSinkSASL:
             consumer.close()
             assert hwm == 1
             assert _json.loads(recs[0][2].decode())["a"] == 7
+
+
+class TestTimeTypeThroughConnectors:
+    def test_time_column_ingests_from_kafka_topic(self, spark, tmp_path):
+        """from_json has no TimeType support in Spark 4.1 — the typed
+        ingestion path parses TIME fields as string and casts after;
+        a kafka-backed stream with a TIME column must round-trip."""
+        import datetime
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("shift_t")
+            prod = KafkaClient(broker.bootstrap)
+            prod.produce(
+                "shift_t",
+                [(None, b'{"worker": 1, "clock_in": "09:15:00"}', 1000)],
+            )
+            prod.close()
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM tshift (worker INTEGER, clock_in TIME) "
+                    "WITH (\"kafka_topic\" = 'shift_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                assert eng.connectors["__kafka_tshift"].handle.poll() == 1
+                out = eng.execute(
+                    "SELECT worker, clock_in FROM tshift;"
+                ).collect()
+                assert out[0]["clock_in"] == datetime.time(9, 15)
+            finally:
+                eng.shutdown()
+
+    def test_time_column_through_kafka_sink(self, engine):
+        """to_json cannot serialize TimeType — JSON-encoding sinks cast
+        TIME columns to their ISO string form first."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("tsink")
+            engine.execute("CREATE STREAM tsrc (w INTEGER, t TIME);")
+            engine.execute(
+                "INSERT INTO tsrc (w, t) VALUES (1, '08:30:00');"
+            )
+            info = engine.execute(
+                "CREATE SINK CONNECTOR tk TO tsrc WITH (\"type\" = 'kafka', "
+                "\"topic\" = 'tsink', "
+                f"\"bootstrap_servers\" = '{broker.bootstrap}');"
+            )
+            info.handle.processAllAvailable()
+            c = KafkaClient(broker.bootstrap)
+            recs, hwm = c.fetch("tsink", 0, 0)
+            c.close()
+            assert hwm == 1
+            doc = _json.loads(recs[0][2].decode())
+            assert doc == {"w": 1, "t": "08:30:00"}
+
+    def test_insert_into_sasl_kafka_stream_produces_with_credentials(
+        self, spark, tmp_path
+    ):
+        """INSERT into a SASL kafka-backed stream produces THROUGH the
+        authenticated topic (the producer closure carries kc.secrets)."""
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker(sasl_users={"svc": "tok"}) as broker:
+            broker.create_topic("ins_t")
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM insev (k INTEGER) "
+                    "WITH (\"kafka_topic\" = 'ins_t', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_sasl_mechanism\" = 'PLAIN', "
+                    "\"kafka_sasl_username\" = 'svc', "
+                    "\"kafka_sasl_password\" = 'tok', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                eng.execute("INSERT INTO insev (k) VALUES (42);")
+                # the record went through the topic and came back
+                assert eng.execute("SELECT k FROM insev;").collect()[0]["k"] == 42
+                ext = KafkaClient(
+                    broker.bootstrap, sasl_mechanism="PLAIN",
+                    sasl_username="svc", sasl_password="tok",
+                )
+                recs, hwm = ext.fetch("ins_t", 0, 0)
+                ext.close()
+                assert hwm == 1  # externally visible in the topic
+            finally:
+                eng.shutdown()
