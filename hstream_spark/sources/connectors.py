@@ -979,6 +979,7 @@ class KafkaIngestTailer:
         # broker per page carries every still-lagging partition that
         # broker leads (the protocol's partition array) — a
         # 32-partition topic drains in 1 round-trip per page, not 32
+        resets: dict[int, int] = {}
         while active:
             if self.coordinated and self._membership is not None:
                 # heartbeat per fetch page: a long drain must not
@@ -994,9 +995,52 @@ class KafkaIngestTailer:
                 )
                 if code != 0:
                     return total
-            results = client.fetch_records_multi(
-                self.topic, active, max_bytes=self.max_batch_bytes
-            )
+            try:
+                results = client.fetch_records_multi(
+                    self.topic, active, max_bytes=self.max_batch_bytes
+                )
+            except Exception as exc:  # noqa: BLE001 — typed check below
+                from hstream_spark.sources.kafka_wire import (
+                    EARLIEST,
+                    ERR_OFFSET_OUT_OF_RANGE,
+                    KafkaPartitionError,
+                )
+
+                if not (
+                    isinstance(exc, KafkaPartitionError)
+                    and exc.code == ERR_OFFSET_OUT_OF_RANGE
+                    and exc.partition in active
+                ):
+                    raise
+                # the committed position aged out of retention (or the
+                # topic was recreated): auto offset reset per the
+                # starting policy — earliest replays what's left,
+                # latest/timestamp subscribe at log end. The skipped
+                # range is GONE on the broker; log it loudly so the
+                # data loss is visible, then resume.
+                p = exc.partition
+                resets[p] = resets.get(p, 0) + 1
+                if resets[p] > 2:
+                    # a reset position that is ITSELF out of range means
+                    # a broker bug or a racing truncation storm — fail
+                    # the poll instead of spinning
+                    raise
+                reset_point = (
+                    EARLIEST if self._start_point == EARLIEST else LATEST
+                )
+                new_pos = client.list_offsets(self.topic, p, reset_point)
+                _LOG.warning(
+                    "kafka offset %s for %s[%s] is out of range "
+                    "(retention aged it out); auto-resetting to %s "
+                    "offset %s — records in between are gone",
+                    active[p], self.topic, p,
+                    "earliest" if reset_point == EARLIEST else "latest",
+                    new_pos,
+                )
+                active[p] = new_pos
+                self.offsets[p] = new_pos
+                self._commit(p)
+                continue  # retry the page with the reset position
             any_progress = False
             for p in sorted(active):
                 recs, hwm, end_off = results.get(p, ([], None, None))

@@ -24,11 +24,19 @@ from hstream_spark.sources import kafka_wire as W
 class _PartitionLog:
     """Append-only in-memory log of re-based record batches."""
 
-    __slots__ = ("batches", "next_offset")
+    __slots__ = ("batches", "next_offset", "log_start")
 
     def __init__(self):
         self.batches: list[tuple[int, int, bytes]] = []  # (base, last, raw)
         self.next_offset = 0
+        self.log_start = 0  # first retained offset (advances on truncation)
+
+    def truncate_before(self, offset: int) -> None:
+        """Retention: drop batches entirely below ``offset`` — fetches
+        below the new log start answer OFFSET_OUT_OF_RANGE like a real
+        broker whose segments aged out."""
+        self.batches = [b for b in self.batches if b[1] >= offset]
+        self.log_start = min(offset, self.next_offset)
 
     def append(self, record_set: bytes) -> int:
         records = W.decode_record_batches(record_set)  # validates CRC (+codec)
@@ -494,7 +502,7 @@ class KafkaStubBroker:
                         )
                         continue
                     if ts == W.EARLIEST:
-                        off = 0
+                        off = log.log_start  # first RETAINED offset
                     elif ts == W.LATEST:
                         off = log.next_offset
                     else:  # real timestamp: first offset at/after it
@@ -564,6 +572,15 @@ class KafkaStubBroker:
                             W.enc_int32(pid) + W.enc_int16(3)
                             + W.enc_int64(-1) + W.enc_int64(-1)
                             + W.enc_int32(-1) + W.enc_bytes(None)
+                        )
+                        continue
+                    if offset < log.log_start:
+                        # aged out by retention: OFFSET_OUT_OF_RANGE
+                        parts_out.append(
+                            W.enc_int32(pid) + W.enc_int16(1)
+                            + W.enc_int64(log.next_offset)
+                            + W.enc_int64(log.next_offset)
+                            + W.enc_int32(0) + W.enc_bytes(None)
                         )
                         continue
                     data = log.read_from(offset, pmax)

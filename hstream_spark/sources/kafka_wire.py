@@ -55,6 +55,18 @@ class KafkaWireError(RuntimeError):
     pass
 
 
+class KafkaPartitionError(KafkaWireError):
+    """Partition-level protocol error, carrying the code so callers can
+    react to specific conditions (e.g. OFFSET_OUT_OF_RANGE=1 after
+    retention aged out a committed position → auto offset reset)."""
+
+    def __init__(self, code: int, topic: str, partition: int, what: str):
+        self.code = code
+        self.topic = topic
+        self.partition = partition
+        super().__init__(f"{what} error code {code} for {topic}[{partition}]")
+
+
 # ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
@@ -440,6 +452,7 @@ ERR_NOT_COORDINATOR = 16
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_OFFSET_OUT_OF_RANGE = 1
 # leadership-movement partition error codes (the only ones that mean
 # the cached leader is stale): UNKNOWN_TOPIC_OR_PARTITION after a
 # reassignment, LEADER_NOT_AVAILABLE, NOT_LEADER_FOR_PARTITION
@@ -861,9 +874,7 @@ class KafkaClient:
         re-resolving metadata per failure would be a wasted round-trip."""
         if err in ERR_LEADERSHIP_CODES:
             self._leaders.pop((topic, partition), None)
-        return KafkaWireError(
-            f"{what} error code {err} for {topic}[{partition}]"
-        )
+        return KafkaPartitionError(err, topic, partition, what)
 
     # -- APIs --------------------------------------------------------------
 

@@ -1440,3 +1440,42 @@ def test_scram_rfc_test_vectors():
         b"p=v0X8v3Bz2T0CJGbJQyF0X+HI4Ts="
     )
     s1.verify_server_final(b"v=rmF9pqV8S7suAoZWja4dJRkFsKQ=")
+
+
+def test_tailer_auto_offset_reset_after_retention(tmp_path):
+    """A committed offset that retention aged out must not wedge the
+    tailer: the fetch answers OFFSET_OUT_OF_RANGE and the tailer
+    auto-resets per its starting policy, logging the loss."""
+    from hstream_spark.sources.connectors import KafkaIngestTailer
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient
+
+    with KafkaStubBroker() as broker:
+        broker.create_topic("ret_t")
+        client = KafkaClient(broker.bootstrap)
+        client.produce(
+            "ret_t", [(None, b'{"i": %d}' % i, i) for i in range(6)]
+        )
+        got = []
+        t = KafkaIngestTailer(
+            broker.bootstrap, "ret_t",
+            emit=lambda b: got.extend(b) or len(b),
+            offsets_path=str(tmp_path / "off.json"),
+        )
+        assert t.poll() == 6
+        # retention drops everything; four new records arrive ABOVE
+        # the old range but the tailer's committed offset (6) is now
+        # below the log start (10)... simulate the harsher case: the
+        # log truncates to offset 8 with records 8..9 retained
+        client.produce(
+            "ret_t", [(None, b'{"i": %d}' % i, i) for i in range(6, 10)]
+        )
+        broker._topics["ret_t"][0].truncate_before(8)
+        # committed position 6 < log_start 8 -> OFFSET_OUT_OF_RANGE ->
+        # earliest policy resets to 8 and ingests the retained records
+        assert t.poll() == 2
+        assert [r[0]["i"] for r in got[-2:]] == [8, 9]
+        assert t.offsets[0] == 10
+        assert t.poll() == 0  # stable afterwards
+        client.close()
+        t.stop()
