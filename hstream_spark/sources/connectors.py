@@ -586,7 +586,18 @@ def kafka_client_options(options: dict) -> dict:
     out: dict = {}
     mech = g("sasl_mechanism", "kafka_sasl_mechanism")
     if mech:
-        out["sasl_mechanism"] = str(mech)
+        from hstream_spark.sources.kafka_wire import SCRAM_HASHES
+
+        mech_up = str(mech).upper()
+        allowed = ("PLAIN",) + tuple(SCRAM_HASHES)
+        if mech_up not in allowed:
+            # fail at CREATE, not at the tailer's first (logged,
+            # retried) poll — a typo'd mechanism must be loud
+            raise ConnectorError(
+                f"KAFKA_SASL_MECHANISM={mech!r} is not supported; "
+                f"use one of {', '.join(allowed)}"
+            )
+        out["sasl_mechanism"] = mech_up
         user = g("sasl_username", "kafka_sasl_username")
         pw = g("sasl_password", "kafka_sasl_password")
         if user is None or pw is None:
@@ -1001,7 +1012,6 @@ class KafkaIngestTailer:
                 )
             except Exception as exc:  # noqa: BLE001 — typed check below
                 from hstream_spark.sources.kafka_wire import (
-                    EARLIEST,
                     ERR_OFFSET_OUT_OF_RANGE,
                     KafkaPartitionError,
                 )

@@ -831,7 +831,11 @@ class HStreamEngine:
                 F.from_json(F.col("__j"), parse_schema).alias("__r"), ts_col
             ).select(
                 *[
-                    F.col(f"__r.{f.name}").cast(f.dataType).alias(f.name)
+                    # try_cast: a malformed time string in ONE record
+                    # must degrade to NULL like every other malformed
+                    # field, not ANSI-throw and wedge the poll loop on
+                    # a poisoned record forever
+                    F.col(f"__r.{f.name}").try_cast(f.dataType).alias(f.name)
                     if isinstance(f.dataType, T.TimeType)
                     else F.col(f"__r.{f.name}").alias(f.name)
                     for f in data_schema.fields
@@ -945,6 +949,10 @@ class HStreamEngine:
             else:
                 out_df = batch_df
             if payload:
+                from hstream_spark.sources.connectors import _json_safe
+
+                # Spark 4.1 to_json cannot serialize TimeType
+                out_df = _json_safe(out_df)
                 cols = [c for c in out_df.columns if c != EVENT_TIME_COL]
                 out_df = out_df.select(
                     F.to_json(F.struct(*cols)).alias(HStreamEngine._PAYLOAD_COL),
@@ -1444,6 +1452,9 @@ class HStreamEngine:
         if not target.payload:
             return df
         self._merge_payload_schema(target, df.schema)
+        from hstream_spark.sources.connectors import _json_safe
+
+        df = _json_safe(df)  # Spark 4.1 to_json cannot serialize TimeType
         cols = [c for c in df.columns if c != EVENT_TIME_COL]
         return df.select(
             F.to_json(F.struct(*cols)).alias(self._PAYLOAD_COL),
@@ -1461,13 +1472,22 @@ class HStreamEngine:
         for f in incoming.fields:
             if f.name == EVENT_TIME_COL:
                 continue
+            # payload streams store JSON text and read back via
+            # from_json, which has no TimeType in Spark 4.1: a TIME
+            # field lands as its ISO string (same text the encode
+            # writes), consistent with the JSONB-text demotion rule
+            ftype = (
+                T.StringType()
+                if isinstance(f.dataType, T.TimeType)
+                else f.dataType
+            )
             i = by_name.get(f.name)
             if i is None:
-                fields.append(T.StructField(f.name, f.dataType))
+                fields.append(T.StructField(f.name, ftype))
                 by_name[f.name] = len(fields) - 1
                 changed = True
-            elif fields[i].dataType != f.dataType:
-                cur, new = fields[i].dataType, f.dataType
+            elif fields[i].dataType != ftype:
+                cur, new = fields[i].dataType, ftype
                 numeric = (T.LongType, T.DoubleType)
                 if isinstance(cur, numeric) and isinstance(new, numeric):
                     fields[i] = T.StructField(f.name, T.DoubleType())

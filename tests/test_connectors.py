@@ -1667,3 +1667,73 @@ class TestTimeTypeThroughConnectors:
                 assert hwm == 1  # externally visible in the topic
             finally:
                 eng.shutdown()
+
+    def test_malformed_time_record_degrades_to_null(self, spark, tmp_path):
+        """One poisoned record ('not-a-time') must null the
+        field and keep the stream ingesting — not ANSI-throw and wedge
+        the poll loop on the same record forever."""
+        import datetime
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        with KafkaStubBroker() as broker:
+            broker.create_topic("badt")
+            prod = KafkaClient(broker.bootstrap)
+            prod.produce("badt", [
+                (None, b'{"worker": 1, "clock_in": "not-a-time"}', 1),
+                (None, b'{"worker": 2, "clock_in": "10:00:00"}', 2),
+            ])
+            prod.close()
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute(
+                    "CREATE STREAM badshift (worker INTEGER, clock_in TIME) "
+                    "WITH (\"kafka_topic\" = 'badt', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                assert eng.connectors["__kafka_badshift"].handle.poll() == 2
+                rows = {r["worker"]: r["clock_in"] for r in eng.execute(
+                    "SELECT worker, clock_in FROM badshift;"
+                ).collect()}
+                assert rows[1] is None
+                assert rows[2] == datetime.time(10, 0)
+            finally:
+                eng.shutdown()
+
+    def test_sasl_mechanism_typo_fails_at_create(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from hstream_spark.plans.compiler import CompileError
+
+        eng = HStreamEngine(spark, str(tmp_path / "data"))
+        try:
+            with _pytest.raises(CompileError, match="SCRAM_SHA_256.*not supported"):
+                eng.execute(
+                    "CREATE STREAM b2 WITH (\"kafka_topic\" = 't', "
+                    "\"kafka_bootstrap_servers\" = 'h:9', "
+                    "\"kafka_sasl_mechanism\" = 'SCRAM_SHA_256', "
+                    "\"kafka_sasl_username\" = 'u', "
+                    "\"kafka_sasl_password\" = 'p');"
+                )
+            assert "b2" not in eng.streams
+        finally:
+            eng.shutdown()
+
+    def test_time_column_into_payload_stream(self, spark, tmp_path):
+        """INSERT INTO <payload stream> SELECT from a TIME-columned
+        stream: the engine-side to_json encode must stringify TIME."""
+        eng = HStreamEngine(spark, str(tmp_path / "data"))
+        try:
+            eng.execute("CREATE STREAM tsrc2 (w INTEGER, t TIME);")
+            eng.execute("INSERT INTO tsrc2 (w, t) VALUES (3, '11:30:00');")
+            eng.execute("CREATE STREAM payl;")  # schemaless: payload mode
+            eng.execute("INSERT INTO payl VALUES '{\"seed\": 1}';")
+            q = eng.execute("INSERT INTO payl SELECT w, t FROM tsrc2;")
+            q.handle.processAllAvailable()
+            out = eng.execute("SELECT w, t FROM payl;").collect()
+            vals = [(r["w"], r["t"]) for r in out if r["w"] is not None]
+            assert vals == [(3, "11:30:00")]
+        finally:
+            eng.shutdown()
