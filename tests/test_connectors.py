@@ -1737,3 +1737,26 @@ class TestTimeTypeThroughConnectors:
             assert vals == [(3, "11:30:00")]
         finally:
             eng.shutdown()
+
+    def test_mongo_source_connector_ddl_with_credentials(self, spark, tmp_path):
+        """CREATE SOURCE CONNECTOR type=mongodb with username/password
+        snapshots an auth-required mongod into the stream."""
+        srv = TestMongoAuth._authed_mongod([], {"svc": "pw"})
+        try:
+            host, port = srv.getsockname()
+            eng = HStreamEngine(spark, str(tmp_path / "data"))
+            try:
+                eng.execute("CREATE STREAM msnap;")
+                eng.execute(
+                    "CREATE SOURCE CONNECTOR ms2 FROM msnap WITH "
+                    "(\"type\" = 'mongodb', "
+                    f"\"host\" = '{host}', \"port\" = {port}, "
+                    "\"database\" = 'db', \"collection\" = 'c', "
+                    "\"username\" = 'svc', \"password\" = 'pw');"
+                )
+                out = eng.execute("SELECT x FROM msnap;").collect()
+                assert [r["x"] for r in out] == [1]
+            finally:
+                eng.shutdown()
+        finally:
+            srv.close()
