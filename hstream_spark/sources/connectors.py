@@ -315,6 +315,43 @@ def _mongo_split_uri(uri: str):
     return urlsplit(uri if "://" in uri else f"mongodb://{uri}")
 
 
+def _mongo_connect(host: str, port: int, timeout: float, opts: dict):
+    """Open (and optionally TLS-wrap) the MongoDB wire socket.
+    Options: ``tls=true`` (implied by ``mongodb+srv://`` URIs and by
+    ``tls_cafile``), ``tls_cafile`` for a private CA, ``tls_verify=
+    false`` to accept self-signed lab endpoints — the same surface the
+    Kafka wire client exposes; Atlas-style deployments are TLS+SCRAM
+    by default."""
+    import socket as _socket
+
+    sock = _socket.create_connection((host, port), timeout=timeout)
+    uri = str(opts.get("uri") or opts.get("url") or "")
+    tls = str(opts.get("tls", "")).lower() in ("true", "1", "yes")
+    tls = tls or bool(opts.get("tls_cafile")) or uri.startswith("mongodb+srv://")
+    if not tls:
+        return sock
+    import ssl as _ssl
+
+    verify = str(opts.get("tls_verify", "true")).lower() not in (
+        "false", "0", "no",
+    )
+    ctx = (
+        _ssl.create_default_context(cafile=opts.get("tls_cafile"))
+        if verify
+        else _ssl._create_unverified_context()
+    )
+    try:
+        return ctx.wrap_socket(
+            sock, server_hostname=host if verify else None
+        )
+    except (OSError, _ssl.SSLError) as exc:
+        try:
+            sock.close()
+        except OSError:
+            pass
+        raise ConnectorError(f"mongodb TLS handshake failed: {exc}") from exc
+
+
 def _mongo_endpoint(opts: dict, uri: str) -> tuple[str, int]:
     """(host, port) from explicit options or the URI netloc."""
     host = str(opts.get("host", ""))
@@ -406,7 +443,7 @@ def mongodb_sink(options: dict) -> SinkFn:
                 if not pending:
                     return
                 if sock is None:
-                    sock = _socket.create_connection((host, port), timeout=timeout)
+                    sock = _mongo_connect(host, port, timeout, opts)
                     if auth:
                         bson_wire.authenticate(
                             sock, auth["username"], auth["password"],
@@ -1234,7 +1271,7 @@ def mongodb_source(spark: SparkSession, options: dict, max_docs: int = 1_000_000
 
     docs: list[dict] = []
     try:
-        with _socket.create_connection((host, port), timeout=timeout) as sock:
+        with _mongo_connect(host, port, timeout, opts) as sock:
             if auth:
                 bson_wire.authenticate(
                     sock, auth["username"], auth["password"],

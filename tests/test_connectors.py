@@ -1374,7 +1374,8 @@ class TestMongoAuth:
     before a completed saslStart/saslContinue conversation."""
 
     @staticmethod
-    def _authed_mongod(inserted, users, mechanisms=("SCRAM-SHA-256",)):
+    def _authed_mongod(inserted, users, mechanisms=("SCRAM-SHA-256",),
+                       tls_context=None):
         import base64
         import hashlib
         import secrets
@@ -1388,6 +1389,11 @@ class TestMongoAuth:
         srv.settimeout(30)
 
         def handle(conn):
+            if tls_context is not None:
+                try:
+                    conn = tls_context.wrap_socket(conn, server_side=True)
+                except OSError:
+                    return
             state = {"authed": False, "scram": None}
             with conn:
                 while True:
@@ -1758,5 +1764,47 @@ class TestTimeTypeThroughConnectors:
                 assert [r["x"] for r in out] == [1]
             finally:
                 eng.shutdown()
+        finally:
+            srv.close()
+
+    def test_mongo_tls_scram_round_trip(self, spark):
+        """TLS + SCRAM — the Atlas-default posture — over the wire
+        sink/source, verified against the self-signed CA; a plaintext
+        client against the TLS listener fails loudly."""
+        import pytest as _pytest
+
+        from tests.test_kafka_wire import _self_signed_tls
+
+        tls = _self_signed_tls()
+        if tls is None:
+            _pytest.skip("cryptography lib unavailable")
+        server_ctx, cafile = tls
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            mongodb_sink,
+            mongodb_source,
+        )
+
+        inserted: list = []
+        srv = TestMongoAuth._authed_mongod(
+            inserted, {"svc": "pw"}, tls_context=server_ctx
+        )
+        try:
+            host, port = srv.getsockname()
+            base = {
+                "host": host, "port": port, "database": "db",
+                "collection": "c", "username": "svc", "password": "pw",
+                "tls": "true", "tls_cafile": cafile,
+            }
+            df = spark.createDataFrame([(5, "e")], "k long, s string")
+            mongodb_sink(base)(df, 0)
+            assert inserted and inserted[0][2][0]["k"] == 5
+            assert mongodb_source(spark, base).count() == 1
+            # plaintext client against the TLS listener: loud failure
+            with _pytest.raises(Exception):
+                mongodb_source(spark, {
+                    "host": host, "port": port, "database": "db",
+                    "collection": "c", "username": "svc", "password": "pw",
+                })
         finally:
             srv.close()
