@@ -249,9 +249,9 @@ def authenticate(
     wire module (``kafka_wire.ScramClient``) — same spec, same code.
 
     Password preparation per the Mongo spec: SCRAM-SHA-1 hashes the
-    credential as hex(md5("user:mongo:pwd")); SCRAM-SHA-256 uses
-    SASLprep, which is the identity for ASCII passwords — non-ASCII
-    passwords error loudly rather than authenticate wrongly."""
+    credential as hex(md5("user:mongo:pwd")); SCRAM-SHA-256 applies
+    RFC 4013 SASLprep (kafka_wire.saslprep — NFKC unification,
+    prohibited-character rejection) inside the shared ScramClient."""
     import hashlib
 
     from hstream_spark.sources.kafka_wire import KafkaWireError, ScramClient
@@ -262,11 +262,9 @@ def authenticate(
             f"{username}:mongo:{password}".encode("utf-8")
         ).hexdigest()
     elif mech == "SCRAM-SHA-256":
-        if not password.isascii():
-            raise MongoAuthError(
-                "SCRAM-SHA-256 requires SASLprep for non-ASCII passwords "
-                "(not implemented); use an ASCII password or SCRAM-SHA-1"
-            )
+        # ScramClient SASLpreps internally (RFC 4013 via stdlib
+        # stringprep) — non-ASCII passwords normalize instead of
+        # erroring; prohibited characters still raise loudly
         prepped = password
     else:
         raise MongoAuthError(

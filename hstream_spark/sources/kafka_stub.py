@@ -385,7 +385,9 @@ class KafkaStubBroker:
             server_first = (
                 f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
             )
-            salted = W.scram_salted_password(pw, salt, iters, algo)
+            # stored credentials derive from the SASLprep'd password,
+            # matching the client's RFC 5802 normalization
+            salted = W.scram_salted_password(W.saslprep(pw), salt, iters, algo)
             cstate["scram"] = {
                 "bare": bare, "server_first": server_first,
                 "snonce": snonce, "salted": salted, "user": user,

@@ -472,6 +472,69 @@ ERR_SASL_AUTHENTICATION_FAILED = 58
 # mechanisms a Kafka broker can enable (KIP-84) — what KafkaClient
 # validates against and the stub broker advertises
 SCRAM_HASHES = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+
+
+def saslprep(s: str) -> str:
+    """RFC 4013 SASLprep (the stringprep profile SCRAM requires for
+    usernames and passwords), via the stdlib ``stringprep`` tables:
+    map non-ASCII spaces to space and commonly-mapped-to-nothing
+    characters away, NFKC-normalize (so composed and decomposed forms
+    of the same password authenticate interchangeably), then reject
+    prohibited output (control chars, private use, surrogates, ...),
+    mixed-direction bidi text, and unassigned code points. ASCII
+    strings pass through unchanged — the profile is the identity on
+    them, which keeps the RFC test vectors byte-exact."""
+    if s.isascii():
+        return s
+    import stringprep
+    import unicodedata
+
+    mapped = []
+    for ch in s:
+        if stringprep.in_table_c12(ch):
+            mapped.append(" ")  # non-ASCII space -> SPACE
+        elif stringprep.in_table_b1(ch):
+            continue  # map to nothing
+        else:
+            mapped.append(ch)
+    out = unicodedata.normalize("NFKC", "".join(mapped))
+    if not out:
+        raise KafkaWireError("SASLprep result is empty")
+    for ch in out:
+        if (
+            stringprep.in_table_c12(ch)
+            or stringprep.in_table_c21_c22(ch)
+            or stringprep.in_table_c3(ch)
+            or stringprep.in_table_c4(ch)
+            or stringprep.in_table_c5(ch)
+            or stringprep.in_table_c6(ch)
+            or stringprep.in_table_c7(ch)
+            or stringprep.in_table_c8(ch)
+            or stringprep.in_table_c9(ch)
+        ):
+            raise KafkaWireError(
+                f"SASLprep-prohibited character {ch!r} in credential"
+            )
+    has_r = any(stringprep.in_table_d1(ch) for ch in out)
+    if has_r:
+        if any(stringprep.in_table_d2(ch) for ch in out):
+            raise KafkaWireError(
+                "SASLprep: credential mixes left-to-right and "
+                "right-to-left characters"
+            )
+        if not (
+            stringprep.in_table_d1(out[0]) and stringprep.in_table_d1(out[-1])
+        ):
+            raise KafkaWireError(
+                "SASLprep: right-to-left credential must start and end "
+                "with RandALCat characters"
+            )
+    for ch in out:
+        if stringprep.in_table_a1(ch):
+            raise KafkaWireError(
+                f"SASLprep: unassigned code point {ch!r} in credential"
+            )
+    return out
 # the full RFC 5802 family the ScramClient speaks; SHA-1 exists for
 # MongoDB (bson_wire.authenticate) and deliberately stays OUT of the
 # Kafka-side validation set so a typo'd KAFKA_SASL_MECHANISM fails at
@@ -516,11 +579,13 @@ class ScramClient:
         import secrets
 
         self.algo = SCRAM_ALL_ALGOS[mechanism]
-        self.username = username
-        self.password = password
+        # RFC 5802 §5.1: both credentials SASLprep before use (identity
+        # on ASCII; composed/decomposed unicode forms unify via NFKC)
+        self.username = saslprep(username)
+        self.password = saslprep(password)
         self.cnonce = nonce or secrets.token_urlsafe(18)
         # '=' and ',' in usernames escape per RFC 5802 §5.1
-        user = username.replace("=", "=3D").replace(",", "=2C")
+        user = self.username.replace("=", "=3D").replace(",", "=2C")
         self.client_first_bare = f"n={user},r={self.cnonce}"
 
     def first_message(self) -> bytes:

@@ -1479,3 +1479,36 @@ def test_tailer_auto_offset_reset_after_retention(tmp_path):
         assert t.poll() == 0  # stable afterwards
         client.close()
         t.stop()
+
+
+def test_saslprep_unifies_unicode_forms_and_rejects_prohibited():
+    """RFC 4013: composed and decomposed forms of the same password
+    authenticate interchangeably (NFKC); control characters and empty
+    results are rejected; ASCII is untouched."""
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import (
+        KafkaClient,
+        KafkaWireError,
+        saslprep,
+    )
+
+    composed = "p\u00e4ss"              # a-umlaut as one code point
+    decomposed = "pa\u0308ss"           # a + combining diaeresis
+    assert saslprep(composed) == saslprep(decomposed)
+    assert saslprep("I\u00adX") == "IX"   # soft hyphen maps to nothing
+    assert saslprep("a\u00a0b") == "a b"  # non-ASCII space -> SPACE
+    assert saslprep("plain") == "plain"
+    with _pytest.raises(KafkaWireError, match="prohibited"):
+        saslprep("bell\u0007\u00e9")     # control char (non-ASCII path)
+    # end to end: broker stores the composed form, client presents the
+    # decomposed form — SCRAM still succeeds
+    with KafkaStubBroker(sasl_users={"u": composed}) as broker:
+        broker.create_topic("nfc")
+        client = KafkaClient(
+            broker.bootstrap, sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="u", sasl_password=decomposed,
+        )
+        assert client.partitions("nfc") == [0]
+        client.close()
