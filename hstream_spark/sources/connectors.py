@@ -603,6 +603,50 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     return write
 
 
+_ENV_REF_RE = None  # compiled lazily; module keeps a light import footprint
+
+
+def resolve_secret_refs(options: dict) -> dict:
+    """Resolve ``${ENV:VAR}`` indirection in WITH-option values.
+
+    Connector/stream DDL is persisted verbatim in the engine's
+    append-only DDL log and replayed on restart — so a credential
+    written literally (``KAFKA_SASL_PASSWORD='hunter2'``) would sit in
+    plaintext on disk for the lifetime of the catalog. With indirection
+    the statement stores only the *reference*; the secret is read from
+    the process environment at execute time, and recovery re-resolves
+    (the reference's own connector config takes credentials from task
+    config delivered out-of-band — hstream-io/HStream/IO/Types.hs
+    TaskConfig — rather than from durable catalog text).
+
+    Only whole values of the exact shape ``${ENV:NAME}`` (``env`` also
+    accepted) resolve; anything else passes through untouched, so
+    literal ``$`` strings keep working. An unset variable fails the DDL
+    loudly at CREATE/recovery time — never at the first poll.
+    """
+    global _ENV_REF_RE
+    if _ENV_REF_RE is None:
+        import re
+
+        _ENV_REF_RE = re.compile(r"^\$\{(?:ENV|env):([A-Za-z_][A-Za-z0-9_]*)\}$")
+    import os
+
+    out: dict = {}
+    for key, value in options.items():
+        if isinstance(value, str):
+            m = _ENV_REF_RE.match(value)
+            if m:
+                var = m.group(1)
+                if var not in os.environ:
+                    raise ConnectorError(
+                        f"option {key!r} references ${{ENV:{var}}} but "
+                        f"environment variable {var!r} is not set"
+                    )
+                value = os.environ[var]
+        out[key] = value
+    return out
+
+
 def kafka_client_options(options: dict) -> dict:
     """Extract SASL/TLS client options from connector/stream WITH
     options into ``KafkaClient`` kwargs. Accepted (``KAFKA_``-prefixed

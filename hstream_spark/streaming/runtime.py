@@ -637,8 +637,18 @@ class HStreamEngine:
         if stmt.name in self.streams:
             raise CompileError(f"stream {stmt.name!r} already exists")
         # validate kafka options BEFORE registering anything: a failed
-        # CREATE must not leave an orphan stream that blocks the retry
+        # CREATE must not leave an orphan stream that blocks the retry.
+        # ${ENV:VAR} credential indirection resolves HERE (execute time)
+        # so the DDL log / StreamInfo.options keep only the reference,
+        # never the secret; recovery replay re-resolves from the
+        # then-current environment. An unset variable fails the DDL.
+        from hstream_spark.sources import connectors as C
+
         kopts = {str(k).lower(): v for k, v in stmt.options.items()}
+        try:
+            kopts = C.resolve_secret_refs(kopts)
+        except C.ConnectorError as exc:
+            raise CompileError(str(exc)) from exc
         if kopts.get("kafka_topic"):
             self._validate_kafka_opts(kopts)
         path = self._stream_path(stmt.name)
@@ -1093,11 +1103,20 @@ class HStreamEngine:
             raise CompileError(f"connector {stmt.name!r} already exists")
         info = ConnectorInfo(stmt.name, stmt.kind, stmt.target, dict(stmt.options),
                              secrets=dict(secrets or {}))
-        ctype = str(info.options.get("TYPE", info.options.get("type", ""))).lower()
         from hstream_spark.sources import connectors as C
 
+        # ${ENV:VAR} credential indirection: info.options (stored,
+        # shown, and — via the raw SQL — DDL-logged) keeps the
+        # reference; only this execute-time copy carries the secret.
+        # Recovery replay re-resolves from the environment.
+        try:
+            ropts = C.resolve_secret_refs(info.options)
+        except C.ConnectorError as exc:
+            raise CompileError(str(exc)) from exc
+        ctype = str(ropts.get("TYPE", ropts.get("type", ""))).lower()
+
         if stmt.kind == "SINK" and ctype in C.SINK_BUILDERS:
-            sink_fn = C.build_sink(ctype, info.options)
+            sink_fn = C.build_sink(ctype, ropts)
             src = self._resolve_stream(info.target)
             with self._stream_start_conf():
                 info.handle = (
@@ -1121,7 +1140,7 @@ class HStreamEngine:
             # tailer restarts from the stream's recorded high-water mark.
             opts = {
                 str(k).lower(): v
-                for k, v in info.options.items()
+                for k, v in ropts.items()
                 if str(k).upper() != "TYPE"
             }
             wm_col = opts.pop("watermark_column", None)
@@ -1186,7 +1205,7 @@ class HStreamEngine:
             # topic into the target stream; committed offsets in the
             # stream's sidecar make re-creation resume, not re-read
             target = self._require_stream(info.target)
-            kopts = {str(k).lower(): v for k, v in info.options.items()}
+            kopts = {str(k).lower(): v for k, v in ropts.items()}
             topic = str(kopts.get("topic") or kopts.get("kafka_topic") or "")
             bootstrap = str(
                 kopts.get("bootstrap_servers")
@@ -1224,7 +1243,7 @@ class HStreamEngine:
         elif stmt.kind == "SOURCE" and ctype == "generator":
             target = self._require_stream(info.target)
             rate = C.rate_source(
-                self.spark, int(info.options.get("ROWS_PER_SECOND", 10))
+                self.spark, int(ropts.get("ROWS_PER_SECOND", 10))
             )
             try:
                 self._schema_of(target)

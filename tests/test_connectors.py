@@ -1808,3 +1808,129 @@ class TestTimeTypeThroughConnectors:
                 })
         finally:
             srv.close()
+
+
+class TestSecretIndirection:
+    """${ENV:VAR} credential indirection: the DDL log stores the
+    reference, never the plaintext secret; execute-time (and recovery
+    replay) resolve from the process environment."""
+
+    def test_resolve_secret_refs_unit(self, monkeypatch):
+        from hstream_spark.sources.connectors import resolve_secret_refs
+
+        monkeypatch.setenv("HS_T_SECRET", "s3cr3t")
+        out = resolve_secret_refs({
+            "a": "${ENV:HS_T_SECRET}",
+            "b": "plain",
+            "c": 5,
+            "d": "$HOME and ${ENV:HS_T_SECRET} embedded",  # whole-value only
+            "e": "${env:HS_T_SECRET}",
+        })
+        assert out["a"] == "s3cr3t" and out["e"] == "s3cr3t"
+        assert out["b"] == "plain" and out["c"] == 5
+        assert out["d"] == "$HOME and ${ENV:HS_T_SECRET} embedded"
+        with pytest.raises(ConnectorError, match="HS_T_MISSING"):
+            resolve_secret_refs({"pw": "${ENV:HS_T_MISSING}"})
+
+    def test_env_indirected_kafka_stream_recovers_without_plaintext(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """e2e: authenticated broker + ${ENV:...} password; the tailer
+        authenticates, the DDL log contains the reference but not the
+        secret, and a NEW engine over the same data_root recovers the
+        connector and keeps tailing."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        monkeypatch.setenv("HS_T_KPASS", "tok")
+        with KafkaStubBroker(sasl_users={"svc": "tok"}) as broker:
+            broker.create_topic("env_events")
+            prod = KafkaClient(
+                broker.bootstrap, sasl_mechanism="PLAIN",
+                sasl_username="svc", sasl_password="tok",
+            )
+            prod.produce("env_events", [(None, b'{"k": 1}', 1000)])
+            root = str(tmp_path / "data")
+            eng = HStreamEngine(spark, root)
+            try:
+                eng.execute(
+                    "CREATE STREAM esec WITH (\"kafka_topic\" = 'env_events', "
+                    f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
+                    "\"kafka_sasl_mechanism\" = 'PLAIN', "
+                    "\"kafka_sasl_username\" = 'svc', "
+                    "\"kafka_sasl_password\" = '${ENV:HS_T_KPASS}', "
+                    "\"kafka_poll_interval_ms\" = 0);"
+                )
+                tailer = eng.connectors["__kafka_esec"].handle
+                # resolution happened in-memory only
+                assert tailer.client_options.get("sasl_password") == "tok"
+                assert tailer.poll() == 1
+                assert eng.execute("SELECT k FROM esec;").collect()[0]["k"] == 1
+            finally:
+                eng.shutdown()
+            # the durable DDL log holds the reference, not the secret
+            with open(f"{root}/_ddl_log.jsonl") as fh:
+                log = fh.read()
+            assert "${ENV:HS_T_KPASS}" in log and "'tok'" not in log
+            for line in log.splitlines():
+                assert "tok" not in _json.dumps(_json.loads(line)["sql"])
+
+            prod.produce("env_events", [(None, b'{"k": 2}', 2000)])
+            prod.close()
+            eng2 = HStreamEngine(spark, root)  # recover=True default
+            try:
+                tailer2 = eng2.connectors["__kafka_esec"].handle
+                assert tailer2.client_options.get("sasl_password") == "tok"
+                assert tailer2.poll() == 1  # resumes after the sidecar offset
+                out = eng2.execute("SELECT k FROM esec;").collect()
+                assert sorted(r["k"] for r in out) == [1, 2]
+            finally:
+                eng2.shutdown()
+
+    def test_env_indirected_sink_connector(self, engine, monkeypatch):
+        """CREATE SINK CONNECTOR resolves ${ENV:...} for the producer
+        closure; stored connector options keep the reference."""
+        import json as _json
+
+        from hstream_spark.sources.kafka_stub import KafkaStubBroker
+        from hstream_spark.sources.kafka_wire import KafkaClient
+
+        monkeypatch.setenv("HS_T_SINKPASS", "tok")
+        with KafkaStubBroker(sasl_users={"svc": "tok"}) as broker:
+            broker.create_topic("env_sink")
+            engine.execute("CREATE STREAM envs (a INTEGER);")
+            engine.execute("INSERT INTO envs (a) VALUES (9);")
+            info = engine.execute(
+                "CREATE SINK CONNECTOR esk TO envs WITH (\"type\" = 'kafka', "
+                "\"topic\" = 'env_sink', "
+                f"\"bootstrap_servers\" = '{broker.bootstrap}', "
+                "\"sasl_mechanism\" = 'PLAIN', "
+                "\"sasl_username\" = 'svc', "
+                "\"sasl_password\" = '${ENV:HS_T_SINKPASS}');"
+            )
+            info.handle.processAllAvailable()
+            assert info.options.get("SASL_PASSWORD") == "${ENV:HS_T_SINKPASS}"
+            consumer = KafkaClient(
+                broker.bootstrap, sasl_mechanism="PLAIN",
+                sasl_username="svc", sasl_password="tok",
+            )
+            recs, hwm = consumer.fetch("env_sink", 0, 0)
+            consumer.close()
+            assert hwm == 1
+            assert _json.loads(recs[0][2].decode())["a"] == 9
+
+    def test_unset_env_reference_fails_at_create(self, engine, monkeypatch):
+        from hstream_spark.plans.compiler import CompileError
+
+        monkeypatch.delenv("HS_T_NOPE", raising=False)
+        with pytest.raises(CompileError, match="HS_T_NOPE"):
+            engine.execute(
+                "CREATE STREAM nref WITH (\"kafka_topic\" = 't', "
+                "\"kafka_bootstrap_servers\" = 'h:9', "
+                "\"kafka_sasl_mechanism\" = 'PLAIN', "
+                "\"kafka_sasl_username\" = 'svc', "
+                "\"kafka_sasl_password\" = '${ENV:HS_T_NOPE}');"
+            )
+        assert "nref" not in engine.streams  # no orphan registration
