@@ -318,16 +318,20 @@ def _mongo_split_uri(uri: str):
 def _mongo_connect(host: str, port: int, timeout: float, opts: dict):
     """Open (and optionally TLS-wrap) the MongoDB wire socket.
     Options: ``tls=true`` (implied by ``mongodb+srv://`` URIs and by
-    ``tls_cafile``), ``tls_cafile`` for a private CA, ``tls_verify=
-    false`` to accept self-signed lab endpoints — the same surface the
-    Kafka wire client exposes; Atlas-style deployments are TLS+SCRAM
-    by default."""
+    ``tls_cafile``/``tls_certfile``), ``tls_cafile`` for a private CA,
+    ``tls_certfile``/``tls_keyfile`` for mutual TLS (x509 client
+    certificate), ``tls_verify=false`` to accept self-signed lab
+    endpoints — the same surface the Kafka wire client exposes;
+    Atlas-style deployments are TLS+SCRAM by default."""
     import socket as _socket
 
     sock = _socket.create_connection((host, port), timeout=timeout)
     uri = str(opts.get("uri") or opts.get("url") or "")
     tls = str(opts.get("tls", "")).lower() in ("true", "1", "yes")
-    tls = tls or bool(opts.get("tls_cafile")) or uri.startswith("mongodb+srv://")
+    tls = (
+        tls or bool(opts.get("tls_cafile")) or bool(opts.get("tls_certfile"))
+        or uri.startswith("mongodb+srv://")
+    )
     if not tls:
         return sock
     import ssl as _ssl
@@ -340,6 +344,20 @@ def _mongo_connect(host: str, port: int, timeout: float, opts: dict):
         if verify
         else _ssl._create_unverified_context()
     )
+    if opts.get("tls_certfile"):
+        try:
+            ctx.load_cert_chain(
+                str(opts["tls_certfile"]),
+                str(opts["tls_keyfile"]) if opts.get("tls_keyfile") else None,
+            )
+        except (OSError, _ssl.SSLError) as exc:
+            try:
+                sock.close()
+            except OSError:
+                pass
+            raise ConnectorError(
+                f"mongodb TLS client certificate load failed: {exc}"
+            ) from exc
     try:
         return ctx.wrap_socket(
             sock, server_hostname=host if verify else None
@@ -531,6 +549,15 @@ def elasticsearch_sink(options: dict) -> SinkFn:
         "false", "0", "no",
     )
     tls_cafile = opts.get("tls_cafile")
+    # mTLS client certificate — same option surface as the Kafka/Mongo
+    # wire clients; strings only so the closure stays picklable
+    tls_certfile = opts.get("tls_certfile")
+    tls_keyfile = opts.get("tls_keyfile")
+    if tls_keyfile and not tls_certfile:
+        raise ConnectorError(
+            "TLS_KEYFILE requires TLS_CERTFILE (the certificate the key "
+            "belongs to)"
+        )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = _json_safe(batch_df)
@@ -568,6 +595,17 @@ def elasticsearch_sink(options: dict) -> SinkFn:
                     if tls_verify
                     else _ssl._create_unverified_context()
                 )
+                if tls_certfile:
+                    try:
+                        ctx.load_cert_chain(
+                            str(tls_certfile),
+                            str(tls_keyfile) if tls_keyfile else None,
+                        )
+                    except (OSError, _ssl.SSLError) as exc:
+                        raise ConnectorError(
+                            "elasticsearch TLS client certificate load "
+                            f"failed: {exc}"
+                        ) from exc
             try:
                 with urllib.request.urlopen(
                     req, timeout=timeout, context=ctx
@@ -585,6 +623,13 @@ def elasticsearch_sink(options: dict) -> SinkFn:
                     f"HTTP {exc.code}{detail}"
                 ) from exc
             except urllib.error.URLError as exc:
+                raise ConnectorError(
+                    f"elasticsearch bulk POST to {bulk_url} failed: {exc}"
+                ) from exc
+            except OSError as exc:
+                # urlopen wraps connect-time errors in URLError but lets
+                # response-READ errors (TLS alerts like mTLS
+                # certificate-required, resets) escape raw
                 raise ConnectorError(
                     f"elasticsearch bulk POST to {bulk_url} failed: {exc}"
                 ) from exc
@@ -691,6 +736,25 @@ def kafka_client_options(options: dict) -> dict:
     cafile = g("tls_cafile", "kafka_tls_cafile")
     if cafile:
         out["tls_cafile"] = str(cafile)
+        out["tls"] = True
+    certfile = g("tls_certfile", "kafka_tls_certfile")
+    keyfile = g("tls_keyfile", "kafka_tls_keyfile")
+    if keyfile and not certfile:
+        raise ConnectorError(
+            "KAFKA_TLS_KEYFILE requires KAFKA_TLS_CERTFILE (the "
+            "certificate the key belongs to)"
+        )
+    if certfile:
+        # mTLS client certificate — validate at CREATE like the SASL
+        # options: a missing/unreadable file must fail the DDL, not the
+        # first poll
+        for label, path in (("KAFKA_TLS_CERTFILE", certfile),
+                            ("KAFKA_TLS_KEYFILE", keyfile)):
+            if path and not _os_path_exists(str(path)):
+                raise ConnectorError(f"{label}={path!r} does not exist")
+        out["tls_certfile"] = str(certfile)
+        if keyfile:
+            out["tls_keyfile"] = str(keyfile)
         out["tls"] = True
     tls = g("tls", "kafka_tls")
     if tls is not None:

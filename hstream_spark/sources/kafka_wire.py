@@ -30,7 +30,10 @@ Scope (all from the public Kafka protocol specification):
   and SCRAM-SHA-256/512 (RFC 5802/7677, pure hashlib/hmac — mutual:
   the server signature is verified), optional TLS via the stdlib
   ``ssl`` wrap — the SASL_PLAINTEXT / SASL_SSL / SSL security
-  postures every managed Kafka defaults to (reference handler:
+  postures every managed Kafka defaults to — plus mutual TLS
+  (``tls_certfile``/``tls_keyfile`` present a client certificate to
+  brokers with ``ssl.client.auth=required``; hardening beyond the
+  reference, whose broker is SASL-only — reference handler:
   hstream-kafka/HStream/Kafka/Server/Handler/Security.hs:32,
   mechanisms in HStream/Kafka/Server/Security/SASL.hs).
 - No transactions (the reference's own InitProducerId handler is a
@@ -709,6 +712,8 @@ class KafkaClient:
                  tls_cafile: Optional[str] = None,
                  tls_verify: bool = True,
                  tls_context=None,
+                 tls_certfile: Optional[str] = None,
+                 tls_keyfile: Optional[str] = None,
                  sasl_mechanism: Optional[str] = None,
                  sasl_username: Optional[str] = None,
                  sasl_password: Optional[str] = None):
@@ -716,10 +721,23 @@ class KafkaClient:
         self.bootstrap = (host or "127.0.0.1", int(port or 9092))
         self.client_id = client_id
         self.timeout = timeout
-        self.tls = bool(tls) or tls_context is not None or tls_cafile is not None
+        # mTLS: tls_certfile/tls_keyfile present a client certificate to
+        # brokers that mandate it (ssl.client.auth=required). A certfile
+        # alone may bundle cert+key; a keyfile alone is a config error.
+        if tls_keyfile and not tls_certfile:
+            raise KafkaWireError(
+                "tls_keyfile requires tls_certfile (the certificate the "
+                "key belongs to)"
+            )
+        self.tls = (
+            bool(tls) or tls_context is not None or tls_cafile is not None
+            or tls_certfile is not None
+        )
         self._tls_context = tls_context
         self._tls_cafile = tls_cafile
         self._tls_verify = tls_verify
+        self._tls_certfile = tls_certfile
+        self._tls_keyfile = tls_keyfile
         self.sasl_mechanism = sasl_mechanism.upper() if sasl_mechanism else None
         if self.sasl_mechanism and self.sasl_mechanism not in (
             ("PLAIN",) + tuple(SCRAM_HASHES)
@@ -755,6 +773,19 @@ class KafkaClient:
                 ctx = ssl.create_default_context(cafile=self._tls_cafile)
             else:
                 ctx = ssl._create_unverified_context()  # explicit opt-out
+            if self._tls_certfile:
+                # mTLS: load the client certificate into the context we
+                # built; a caller-provided tls_context manages its own
+                try:
+                    ctx.load_cert_chain(self._tls_certfile, self._tls_keyfile)
+                except (OSError, ssl.SSLError) as exc:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    raise KafkaWireError(
+                        f"kafka TLS client certificate load failed: {exc}"
+                    ) from exc
         try:
             return ctx.wrap_socket(
                 sock,
@@ -1533,6 +1564,22 @@ def kafka_readstream(spark, topic: str, bootstrap: str,
         # ssl.truststore.type=PEM (Kafka 2.7+)
         kafka_opts["kafka.ssl.truststore.type"] = "PEM"
         kafka_opts["kafka.ssl.truststore.location"] = str(opts["tls_cafile"])
+    if opts.get("tls_certfile"):
+        # mTLS client certificate. With a separate keyfile the JVM PEM
+        # keystore can't point at two locations, but Kafka 2.7+ accepts
+        # the PEM CONTENT inline (ssl.keystore.key /
+        # ssl.keystore.certificate.chain); a bundled cert+key PEM maps
+        # by location.
+        kafka_opts["kafka.ssl.keystore.type"] = "PEM"
+        if opts.get("tls_keyfile"):
+            with open(str(opts["tls_certfile"])) as fh:
+                kafka_opts["kafka.ssl.keystore.certificate.chain"] = fh.read()
+            with open(str(opts["tls_keyfile"])) as fh:
+                kafka_opts["kafka.ssl.keystore.key"] = fh.read()
+        else:
+            kafka_opts["kafka.ssl.keystore.location"] = str(
+                opts["tls_certfile"]
+            )
     if opts.get("tls_verify") is False:
         kafka_opts["kafka.ssl.endpoint.identification.algorithm"] = ""
     try:

@@ -1934,3 +1934,104 @@ class TestSecretIndirection:
                 "\"kafka_sasl_password\" = '${ENV:HS_T_NOPE}');"
             )
         assert "nref" not in engine.streams  # no orphan registration
+
+
+class TestMutualTLS:
+    """mTLS (client-certificate) auth on the Mongo and ES paths — the
+    same TLS_CERTFILE/TLS_KEYFILE surface as the Kafka wire client
+    (tests/test_kafka_wire.py::test_mtls_client_certificate_*)."""
+
+    def test_mongo_mtls_accept_and_reject(self, spark):
+        import ssl as _ssl
+
+        import pytest as _pytest
+
+        from tests.test_kafka_wire import _self_signed_pair, _self_signed_tls
+
+        tls = _self_signed_tls()
+        pair = _self_signed_pair("mongo-client")
+        if tls is None or pair is None:
+            _pytest.skip("cryptography lib unavailable")
+        server_ctx, cafile = tls
+        ccert, ckey = pair
+        server_ctx.load_verify_locations(ccert)
+        server_ctx.verify_mode = _ssl.CERT_REQUIRED
+        from hstream_spark.sources.connectors import (
+            mongodb_sink,
+            mongodb_source,
+        )
+
+        inserted: list = []
+        srv = TestMongoAuth._authed_mongod(
+            inserted, {"svc": "pw"}, tls_context=server_ctx
+        )
+        try:
+            host, port = srv.getsockname()
+            base = {
+                "host": host, "port": port, "database": "db",
+                "collection": "c", "username": "svc", "password": "pw",
+                "tls_cafile": cafile,
+                "tls_certfile": ccert, "tls_keyfile": ckey,
+            }
+            df = spark.createDataFrame([(6, "m")], "k long, s string")
+            mongodb_sink(base)(df, 0)
+            assert inserted and inserted[0][2][0]["k"] == 6
+            assert mongodb_source(spark, base).count() == 1
+            # trusted CA but NO client certificate: handshake aborted
+            nocert = {k: v for k, v in base.items()
+                      if k not in ("tls_certfile", "tls_keyfile")}
+            nocert["tls"] = "true"
+            with _pytest.raises(Exception):
+                mongodb_source(spark, nocert)
+        finally:
+            srv.close()
+
+    def test_elasticsearch_mtls_accept_and_reject(self, spark):
+        import base64
+        import ssl as _ssl
+
+        import pytest as _pytest
+
+        from tests.test_kafka_wire import _self_signed_pair, _self_signed_tls
+
+        tls = _self_signed_tls()
+        pair = _self_signed_pair("es-client")
+        if tls is None or pair is None:
+            _pytest.skip("cryptography lib unavailable")
+        server_ctx, cafile = tls
+        ccert, ckey = pair
+        server_ctx.load_verify_locations(ccert)
+        server_ctx.verify_mode = _ssl.CERT_REQUIRED
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            elasticsearch_sink,
+        )
+
+        tok = base64.b64encode(b"elastic:pw").decode()
+        captured: list = []
+        srv = TestElasticsearchAuth._auth_server(captured, f"Basic {tok}")
+        srv.socket = server_ctx.wrap_socket(srv.socket, server_side=True)
+        try:
+            port = srv.server_address[1]
+            df = spark.createDataFrame([(3, "c")], "k long, s string")
+            base = {
+                "url": f"https://127.0.0.1:{port}", "index": "ix",
+                "username": "elastic", "password": "pw",
+                "tls_cafile": cafile,
+                "tls_certfile": ccert, "tls_keyfile": ckey,
+            }
+            elasticsearch_sink(base)(df, 0)
+            assert captured and '"k":3' in captured[0][1]
+            nocert = {k: v for k, v in base.items()
+                      if k not in ("tls_certfile", "tls_keyfile")}
+            # the executor-side ConnectorError surfaces wrapped in the
+            # Py4J job failure at the driver
+            with _pytest.raises(Exception, match="elasticsearch bulk POST"):
+                elasticsearch_sink(nocert)(df, 0)
+            with _pytest.raises(ConnectorError, match="TLS_CERTFILE"):
+                elasticsearch_sink({
+                    "url": "https://h", "index": "i", "api_key": "k",
+                    "tls_keyfile": ckey,
+                })
+        finally:
+            srv.shutdown()

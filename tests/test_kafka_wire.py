@@ -1512,3 +1512,164 @@ def test_saslprep_unifies_unicode_forms_and_rejects_prohibited():
         )
         assert client.partitions("nfc") == [0]
         client.close()
+
+
+def _self_signed_pair(cn: str):
+    """(certfile, keyfile) for a self-signed cert with the given CN, or
+    None if the cryptography lib is unavailable (import-try gate)."""
+    try:
+        import datetime
+        import tempfile
+
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        from cryptography.x509.oid import NameOID
+    except ImportError:
+        return None
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+    now = datetime.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=3650))
+        .sign(key, hashes.SHA256())
+    )
+    d = tempfile.mkdtemp(prefix="kafka_mtls_")
+    certf, keyf = f"{d}/{cn}.pem", f"{d}/{cn}.key"
+    with open(certf, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyf, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    return certf, keyf
+
+
+def test_mtls_client_certificate_accept_and_reject():
+    """Mutual TLS: a broker with ssl.client.auth=required accepts the
+    client that presents a trusted certificate and rejects the one that
+    doesn't — produce/fetch round trip over the accepted connection."""
+    import ssl
+
+    import pytest as _pytest
+
+    tls = _self_signed_tls()
+    pair = _self_signed_pair("hstream-client")
+    if tls is None or pair is None:
+        _pytest.skip("cryptography lib unavailable for cert generation")
+    server_ctx, cafile = tls
+    ccert, ckey = pair
+    # the stub broker mandates a client certificate (the self-signed
+    # client cert is its own trust root)
+    server_ctx.load_verify_locations(ccert)
+    server_ctx.verify_mode = ssl.CERT_REQUIRED
+    from hstream_spark.sources.kafka_stub import KafkaStubBroker
+    from hstream_spark.sources.kafka_wire import KafkaClient, KafkaWireError
+
+    with KafkaStubBroker(tls_context=server_ctx) as broker:
+        broker.create_topic("mt")
+        client = KafkaClient(
+            broker.bootstrap, tls=True, tls_cafile=cafile,
+            tls_certfile=ccert, tls_keyfile=ckey,
+        )
+        client.produce("mt", [(b"k", b"v", 1)])
+        recs, hwm = client.fetch("mt", 0, 0)
+        client.close()
+        assert hwm == 1 and recs[0][1:3] == (b"k", b"v")
+        # no client certificate: the broker aborts the handshake
+        bad = KafkaClient(broker.bootstrap, tls=True, tls_cafile=cafile)
+        with _pytest.raises(KafkaWireError):
+            bad.partitions("mt")
+        bad.close()
+
+
+def test_mtls_option_validation():
+    """keyfile without certfile and a missing certfile both fail at
+    CREATE-time option extraction, not at the first poll."""
+    import pytest as _pytest
+
+    from hstream_spark.sources.connectors import (
+        ConnectorError,
+        kafka_client_options,
+    )
+    from hstream_spark.sources.kafka_wire import KafkaClient, KafkaWireError
+
+    with _pytest.raises(ConnectorError, match="KAFKA_TLS_CERTFILE"):
+        kafka_client_options({"kafka_tls_keyfile": "/k.pem"})
+    with _pytest.raises(ConnectorError, match="does not exist"):
+        kafka_client_options({"kafka_tls_certfile": "/nope/cert.pem"})
+    with _pytest.raises(KafkaWireError, match="tls_certfile"):
+        KafkaClient("h:9092", tls_keyfile="/k.pem")
+    pair = _self_signed_pair("opt-client")
+    if pair is None:
+        _pytest.skip("cryptography lib unavailable for cert generation")
+    certf, keyf = pair
+    out = kafka_client_options({
+        "kafka_tls_certfile": certf, "kafka_tls_keyfile": keyf,
+    })
+    assert out == {"tls_certfile": certf, "tls_keyfile": keyf, "tls": True}
+
+
+def test_mtls_readstream_option_mapping():
+    """The jar path maps a cert/key pair onto Kafka's PEM keystore
+    options — inline content for a split pair (two locations can't fit
+    one keystore), location for a bundled PEM."""
+    import pytest as _pytest
+
+    from hstream_spark.sources.kafka_wire import KafkaWireError, kafka_readstream
+
+    pair = _self_signed_pair("rs-client")
+    if pair is None:
+        _pytest.skip("cryptography lib unavailable for cert generation")
+    certf, keyf = pair
+
+    class _Opt:
+        def __init__(self):
+            self.opts = {}
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+        def load(self):
+            raise RuntimeError("no jar in test")
+
+    class _RS:
+        def __init__(self):
+            self.r = _Opt()
+        def format(self, f):
+            return self.r
+
+    class _Spark:
+        readStream = _RS()
+
+    sp = _Spark()
+    with _pytest.raises(KafkaWireError, match="spark-sql-kafka"):
+        kafka_readstream(
+            sp, "t", "h:9092",
+            client_options={
+                "tls": True, "tls_certfile": certf, "tls_keyfile": keyf,
+            },
+        )
+    o = sp.readStream.r.opts
+    assert o["kafka.security.protocol"] == "SSL"
+    assert o["kafka.ssl.keystore.type"] == "PEM"
+    assert "BEGIN CERTIFICATE" in o["kafka.ssl.keystore.certificate.chain"]
+    assert "PRIVATE KEY" in o["kafka.ssl.keystore.key"]
+    assert "kafka.ssl.keystore.location" not in o
+
+    sp2 = _Spark()
+    with _pytest.raises(KafkaWireError, match="spark-sql-kafka"):
+        kafka_readstream(
+            sp2, "t", "h:9092",
+            client_options={"tls": True, "tls_certfile": certf},
+        )
+    assert sp2.readStream.r.opts["kafka.ssl.keystore.location"] == certf
