@@ -158,6 +158,12 @@ HEADLINE = [
     "sql_frontend_tumble",
     "sql_frontend_interval_join",
     "sql_frontend_sliding",
+    "sql_frontend_having",
+    "sql_frontend_hop",
+    "sql_frontend_session",
+    "sql_frontend_join_using",
+    "sql_frontend_natural_join",
+    "sql_frontend_json_cast",
     "pii_detect",
     "time_type_ops",
     "sketch_quantiles",

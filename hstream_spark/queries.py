@@ -3122,6 +3122,202 @@ def q_sql_frontend_sliding(spark, sf):
     return compile_select(stmt, _sql_resolver(spark, sf))
 
 
+@register(
+    "sql_frontend_having",
+    """
+    SELECT user_id, event_type, count(*) AS n, max(value) AS vmax
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 15
+    """,
+    tags=("frontend", "agg", "having"),
+)
+def q_sql_frontend_having(spark, sf):
+    """HAVING through the dialect frontend — the post-aggregation
+    Filter node of the reference's plan (hstream-sql Planner.hs
+    Reduce→Filter(HAVING)→Project); the HAVING aggregate shares the
+    dedup-rewritten accumulator with the SELECT item."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT user_id, event_type, COUNT(*) AS n, MAX(value) AS vmax "
+        "FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 15;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+@register(
+    "sql_frontend_hop",
+    """
+    WITH e AS (SELECT (epoch_us(ts) // 1800000000) * 1800 AS fb, event_type
+               FROM events),
+    x AS (SELECT unnest(generate_series(fb - 3600 + 1800, fb, 1800)) AS window_start,
+                 event_type
+          FROM e)
+    SELECT window_start, event_type, count(*) AS n
+    FROM x GROUP BY 1, 2
+    """,
+    tags=("frontend", "window", "hop"),
+)
+def q_sql_frontend_hop(spark, sf):
+    """HOP(stream, size, advance) through the dialect frontend — same
+    oracle family as the Python-API twin ``hop_agg``."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT event_type, COUNT(*) AS n "
+        "FROM HOP(events, INTERVAL 1 HOUR, INTERVAL 30 MINUTE) "
+        "GROUP BY event_type;"
+    )
+    df = compile_select(stmt, _sql_resolver(spark, sf))
+    return df.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "sql_frontend_session",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS eu FROM events),
+    s AS (SELECT user_id, eu,
+                 CASE WHEN lag(eu) OVER w IS NULL
+                       OR eu - lag(eu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+    g AS (SELECT user_id, eu,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eu
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s)
+    SELECT user_id, min(eu) // 1000000 AS session_start, count(*) AS n
+    FROM g GROUP BY user_id, sess
+    """,
+    tags=("frontend", "window", "session"),
+)
+def q_sql_frontend_session(spark, sf):
+    """SESSION(stream, gap) through the dialect frontend — same oracle
+    family as the Python-API twin ``session_agg``."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT user_id, COUNT(*) AS n "
+        "FROM SESSION(events, INTERVAL 30 MINUTE) GROUP BY user_id;"
+    )
+    df = compile_select(stmt, _sql_resolver(spark, sf))
+    return df.select(
+        F.unix_timestamp("window_start").alias("session_start"),
+        "user_id",
+        "n",
+    )
+
+
+@register(
+    "sql_frontend_join_using",
+    """
+    SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      USING (user_id)
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    """,
+    tags=("frontend", "join"),
+)
+def q_sql_frontend_join_using(spark, sf):
+    """JOIN USING (cols) WITHIN through the dialect frontend — the
+    LoopJoinUsing form (SQL-v1.cf JoinUsing); same oracle as the
+    Python-API twin ``interval_join_using``."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    def resolve(name: str):
+        ev = load_table(spark, sf, "events").withColumn("_ts", F.col("ts"))
+        if name == "clicku_s":
+            return ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("event_id").alias("eid_a"), "_ts"
+            )
+        if name == "purchu_s":
+            return ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("eid_b"), "_ts"
+            )
+        raise KeyError(name)
+
+    stmt = parse(
+        "SELECT user_id, eid_a, eid_b FROM clicku_s JOIN purchu_s "
+        "USING (user_id) WITHIN (INTERVAL 5 MINUTE);"
+    )
+    return compile_select(stmt, resolve)
+
+
+@register(
+    "sql_frontend_natural_join",
+    """
+    SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      USING (user_id)
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    """,
+    tags=("frontend", "join", "natural"),
+)
+def q_sql_frontend_natural_join(spark, sf):
+    """NATURAL JOIN WITHIN through the dialect frontend — the
+    LoopJoinNatural form: the join keys are the shared column names
+    (here exactly ``user_id``; ``_ts`` is excluded by the compiler),
+    so the oracle is the same as the explicit USING twin."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    def resolve(name: str):
+        ev = load_table(spark, sf, "events").withColumn("_ts", F.col("ts"))
+        if name == "clickn_s":
+            return ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("event_id").alias("eid_a"), "_ts"
+            )
+        if name == "purchn_s":
+            return ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("eid_b"), "_ts"
+            )
+        raise KeyError(name)
+
+    stmt = parse(
+        "SELECT user_id, eid_a, eid_b FROM clickn_s NATURAL JOIN purchn_s "
+        "WITHIN (INTERVAL 5 MINUTE);"
+    )
+    return compile_select(stmt, resolve)
+
+
+@register(
+    "sql_frontend_json_cast",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_text,
+           json_extract_string(props, '$.k')                  AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_num,
+           CAST(floor(value) AS BIGINT)                       AS v_int,
+           CAST(event_id AS VARCHAR)                          AS id_text
+    FROM events
+    """,
+    tags=("frontend", "scalar", "json"),
+)
+def q_sql_frontend_json_cast(spark, sf):
+    """JSON access operators (``->>``, ``#>>`` with a path array
+    literal) and CAST through the dialect frontend — twins of
+    ``json_ops`` / ``cast_ops``."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT event_id, props ->> 'k' AS k_text, "
+        "props #>> {'k'} AS k_path, "
+        "CAST(props ->> 'k' AS INTEGER) AS k_num, "
+        "CAST(value AS INTEGER) AS v_int, "
+        "CAST(event_id AS STRING) AS id_text "
+        "FROM events;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # Text pipeline: repetition signals, PII detection, decontamination
 # ---------------------------------------------------------------------------
