@@ -674,3 +674,61 @@ def test_streaming_full_outer_interval_join(spark, tmp_path):
         h.stop()
     finally:
         eng.shutdown()
+
+
+def test_time_group_key_view_and_push_query_survive_restart(spark, tmp_path):
+    """Round-7 TIME e2e: a view grouped on a native TIME column runs
+    through the streaming surface (keyed-parquet state carries
+    TimeType), an EMIT CHANGES push query groups on the same
+    TIME-derived key, and BOTH the view state and a fresh engine's
+    recovery survive a checkpoint restart — proving the Spark 4.1
+    TimeType workarounds (string-path casts in the JSON codecs,
+    TimeType-keyed state merge) hold end-to-end, not just in batch."""
+    import datetime
+
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    nine15 = datetime.time(9, 15)
+    five30 = datetime.time(17, 30)
+    root = str(tmp_path / "tview")
+    a = HStreamEngine(spark, root)
+    a.execute("CREATE STREAM shifts (worker INTEGER, clock_in TIME, amt INTEGER);")
+    a.execute("INSERT INTO shifts (worker, clock_in, amt) VALUES (1, '09:15:00', 5);")
+    a.execute("INSERT INTO shifts (worker, clock_in, amt) VALUES (2, '09:15:00', 7);")
+    a.execute("INSERT INTO shifts (worker, clock_in, amt) VALUES (3, '17:30:00', 2);")
+    a.execute(
+        "CREATE VIEW shift_tot AS SELECT clock_in, COUNT(*) AS n, "
+        "SUM(amt) AS total FROM shifts GROUP BY clock_in;"
+    )
+    a.views["shift_tot"].handle.processAllAvailable()
+    rows = {
+        r["clock_in"]: (r["n"], r["total"])
+        for r in a.execute("SELECT clock_in, n, total FROM shift_tot;").collect()
+    }
+    assert rows == {nine15: (2, 12), five30: (1, 2)}
+
+    # push query on the same TIME group key emits typed update rows
+    h = a.execute(
+        "SELECT clock_in, COUNT(*) AS n FROM shifts GROUP BY clock_in "
+        "EMIT CHANGES;"
+    )
+    got = {r["clock_in"]: r["n"] for r in h.drain()}
+    assert got == {nine15: 2, five30: 1}
+    assert all(isinstance(k, datetime.time) for k in got)
+    h.stop()
+    a.shutdown()
+
+    # restart on the same root: recovery replays the DDL log, the view's
+    # TimeType-keyed parquet state is reread, and a new insert UPDATES
+    # the recovered key rather than forking a fresh accumulator
+    b = HStreamEngine(spark, root)
+    try:
+        b.execute("INSERT INTO shifts (worker, clock_in, amt) VALUES (4, '09:15:00', 1);")
+        b.views["shift_tot"].handle.processAllAvailable()
+        rows = {
+            r["clock_in"]: (r["n"], r["total"])
+            for r in b.execute("SELECT clock_in, n, total FROM shift_tot;").collect()
+        }
+        assert rows == {nine15: (3, 13), five30: (1, 2)}
+    finally:
+        b.shutdown()
