@@ -164,6 +164,7 @@ HEADLINE = [
     "sql_frontend_join_using",
     "sql_frontend_natural_join",
     "sql_frontend_json_cast",
+    "sql_frontend_subquery",
     "pii_detect",
     "time_type_ops",
     "sketch_quantiles",

@@ -3318,6 +3318,33 @@ def q_sql_frontend_json_cast(spark, sf):
     return compile_select(stmt, _sql_resolver(spark, sf))
 
 
+@register(
+    "sql_frontend_subquery",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
+    FROM (SELECT event_type, value FROM events WHERE value > 50.0)
+    GROUP BY event_type
+    """,
+    tags=("frontend", "agg", "subquery"),
+)
+def q_sql_frontend_subquery(spark, sf):
+    """Derived table in FROM through the dialect frontend — the
+    SQL-v2 ``TableRefSubquery ::= "(" Select ")"`` production
+    (SQL-v2.cf:126): the inner SELECT compiles recursively, the outer
+    aggregate runs over its projection. Catalyst collapses the two
+    into one scan with the filter pushed down."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS INTEGER)) AS sv "
+        "FROM (SELECT event_type, value FROM events WHERE value > 50.0) "
+        "GROUP BY event_type;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # Text pipeline: repetition signals, PII detection, decontamination
 # ---------------------------------------------------------------------------

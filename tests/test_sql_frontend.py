@@ -188,6 +188,25 @@ class TestCompiler:
         got = {r["b"]: r["x"] for r in df.collect()}
         assert got == {2: 9, 3: 5}
 
+    def test_from_subquery(self, spark, streams):
+        # SQL-v2.cf:126 TableRefSubquery — derived table in FROM
+        df = self.run(
+            "SELECT b, SUM(a) AS s FROM "
+            "(SELECT a, b FROM pairs WHERE a > 1) GROUP BY b;",
+            streams,
+        )
+        got = {r["b"]: r["s"] for r in df.collect()}
+        assert got == {2: 5, 3: 4}
+
+    def test_from_subquery_aliased(self, spark, streams):
+        df = self.run(
+            "SELECT x.b, COUNT(*) AS n FROM "
+            "(SELECT * FROM pairs WHERE b = 2) AS x GROUP BY x.b;",
+            streams,
+        )
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["n"] == 3
+
     def test_having(self, spark, streams):
         df = self.run(
             "SELECT b, COUNT(*) AS n FROM pairs GROUP BY b HAVING COUNT(*) > 1;",
