@@ -321,6 +321,11 @@ class HStreamEngine:
                         self.execute(json.loads(line)["sql"])
         finally:
             self._replaying = False
+        # roll forward any compaction that committed but was interrupted
+        # before its segment swap finished (see compact())
+        for info in self.streams.values():
+            if os.path.isdir(info.path):
+                self._finish_compact_commit(info)
 
     # -- helpers ------------------------------------------------------------
 
@@ -633,6 +638,148 @@ class HStreamEngine:
                     removed += 1
         return removed
 
+    # -- stream compaction --------------------------------------------------
+    #
+    # Every INSERT / connector poll appends one small parquet part, so a
+    # long-lived stream accumulates tens of thousands of tiny files —
+    # the classic small-file problem: file-per-task scans, slow
+    # listings, metadata pressure. The reference runs log compaction
+    # inside its storage layer (LogDevice); here the stream IS a parquet
+    # directory, so compaction is a rewrite of many small parts into
+    # ~target-size segments.
+
+    _COMPACT_TMP = ".compact_tmp"
+    _COMPACT_COMMIT = ".compact_commit"
+
+    def _streams_read_by(self, sql: str) -> set:
+        """Stream names a statement's FROM tree references — both join
+        sides, windowed refs, and derived-table subqueries."""
+        try:
+            stmt = parse(sql)
+        except Exception:  # noqa: BLE001 — unparseable log line reads nothing
+            return set()
+        out: set = set()
+
+        def walk_sel(s):
+            if s is not None and s.from_ is not None:
+                walk_ref(s.from_)
+
+        def walk_ref(r):
+            if isinstance(r, A.StreamRef):
+                out.add(r.name)
+            elif isinstance(r, A.SubqueryRef):
+                walk_sel(r.select)
+            elif isinstance(r, A.WindowedRef):
+                walk_ref(r.inner)
+            elif isinstance(r, A.JoinRef):
+                walk_ref(r.left)
+                walk_ref(r.right)
+
+        sel = stmt if isinstance(stmt, A.Select) else getattr(stmt, "select", None)
+        walk_sel(sel)
+        return out
+
+    def _finish_compact_commit(self, info: StreamInfo) -> None:
+        """Complete a committed compaction (idempotent): the commit dir
+        holds the replacement segments plus a manifest naming the source
+        files they supersede. Called at compact() entry and on recovery,
+        so a crash anywhere after the commit rename still converges."""
+        commit = os.path.join(info.path, self._COMPACT_COMMIT)
+        if not os.path.isdir(commit):
+            return
+        with open(os.path.join(commit, "manifest.json")) as fh:
+            man = json.load(fh)
+        for f in man["sources"]:
+            p = os.path.join(info.path, f)
+            if os.path.exists(p):
+                os.remove(p)
+            crc = os.path.join(info.path, f".{f}.crc")
+            if os.path.exists(crc):  # Hadoop LocalFS checksum sidecar
+                os.remove(crc)
+        for f in man["parts"]:
+            src = os.path.join(commit, f)
+            if os.path.exists(src):
+                dst = os.path.join(info.path, f)
+                os.replace(src, dst)
+                # segments inherit the NEWEST source append time so
+                # DURATION retention (vacuum, mtime-based) never expires
+                # a record earlier than it would have uncompacted
+                os.utime(dst, (man["mtime"], man["mtime"]))
+        shutil.rmtree(commit)
+
+    def compact(self, stream: str | None = None,
+                target_bytes: int = 128 * 1024 * 1024,
+                min_files: int = 8) -> dict:
+        """Coalesce a stream's small parquet parts into ~target-size
+        segments; returns per-stream {files_before, files_after, bytes}.
+
+        Refuses while any non-terminated query or sink connector reads
+        the stream: Spark's FileStreamSource checkpoints identify input
+        by file path, so a rewritten (new-path) segment would replay as
+        brand-new data through an existing checkpoint — duplicates.
+        Source connectors appending INTO the stream are safe: only the
+        files listed at entry are rewritten, concurrent appends land in
+        new untouched parts.
+
+        Crash-safe: segments build under a dot-prefixed temp dir
+        (invisible to Spark listings), a manifest records the source
+        files, and one atomic dir rename commits; interrupted runs are
+        rolled forward (post-commit) or discarded (pre-commit) on the
+        next compact() or engine recovery. A retention vacuum racing
+        this (INSERT-triggered) can delete a listed source mid-read —
+        that fails the rewrite job loudly before the commit point, so
+        state is never corrupted; re-run.
+        """
+        names = [stream] if stream else list(self.streams)
+        stats: dict = {}
+        for n in names:
+            info = self._require_stream(n)
+            if not os.path.isdir(info.path):
+                continue
+            self._finish_compact_commit(info)
+            tmp = os.path.join(info.path, self._COMPACT_TMP)
+            if os.path.isdir(tmp):  # pre-commit leftover: never committed
+                shutil.rmtree(tmp)
+            readers = [
+                qi.name for qi in self.queries.values()
+                if qi.status != "TERMINATED" and n in self._streams_read_by(qi.sql)
+            ] + [
+                ci.name for ci in self.connectors.values()
+                if ci.kind == "SINK" and ci.target == n
+            ]
+            if readers:
+                raise RuntimeError(
+                    f"cannot compact stream {n!r}: active readers {sorted(readers)} "
+                    "hold file-path checkpoints that would replay compacted "
+                    "segments as new data; TERMINATE/DROP them first"
+                )
+            sources = sorted(
+                f for f in os.listdir(info.path) if f.endswith(".parquet")
+            )
+            if len(sources) < min_files:
+                stats[n] = {"files_before": len(sources),
+                            "files_after": len(sources), "skipped": True}
+                continue
+            paths = [os.path.join(info.path, f) for f in sources]
+            total = sum(os.path.getsize(p) for p in paths)
+            mtime = max(os.path.getmtime(p) for p in paths)
+            nparts = max(1, -(-total // target_bytes))
+            (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .repartition(nparts)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+                json.dump({"sources": sources, "parts": parts, "mtime": mtime}, fh)
+            os.replace(tmp, os.path.join(info.path, self._COMPACT_COMMIT))
+            self._finish_compact_commit(info)
+            stats[n] = {"files_before": len(sources), "files_after": len(parts),
+                        "bytes": total}
+        return stats
+
     def _exec_create_stream(self, stmt: A.CreateStream) -> StreamInfo:
         if stmt.name in self.streams:
             raise CompileError(f"stream {stmt.name!r} already exists")
@@ -852,7 +999,13 @@ class HStreamEngine:
                 ],
                 F.col(EVENT_TIME_COL),
             )
-        out.write.mode("append").parquet(info.path)
+        # one part file per append: INSERT/poll batches are driver-sized
+        # (a few rows to a few thousand), but createDataFrame spreads
+        # them over defaultParallelism partitions — without the coalesce
+        # every single-row INSERT writes one empty part plus one 1-row
+        # part, doubling the small-file accumulation compact() exists to
+        # fix
+        out.coalesce(1).write.mode("append").parquet(info.path)
         return len(rows)
 
     def _start_continuous(self, select: A.Select, sink_stream: str, sql: str,
@@ -1352,7 +1505,10 @@ class HStreamEngine:
                 [(json.dumps(record, default=_payload_default),)],
                 T.StructType([T.StructField(self._PAYLOAD_COL, T.StringType())]),
             ).withColumn(EVENT_TIME_COL, F.timestamp_seconds(F.lit(now)))
-            row_df.write.mode("append").parquet(info.path)
+            # coalesce: a 1-row driver frame otherwise spreads over
+            # defaultParallelism partitions and writes an empty part
+            # alongside the 1-row part, doubling small-file growth
+            row_df.coalesce(1).write.mode("append").parquet(info.path)
             self.vacuum(stmt.stream)
             return 1
         # column-typed path: nested documents persist as JSONB text
@@ -1415,7 +1571,7 @@ class HStreamEngine:
                 f"INSERT value types conflict with stream {info.name!r} "
                 f"schema ({exc})"
             ) from exc
-        row_df.write.mode("append").parquet(info.path)
+        row_df.coalesce(1).write.mode("append").parquet(info.path)
         self.vacuum(stmt.stream)
         return 1
 

@@ -448,3 +448,131 @@ def test_drop_stream_cascades_to_sinking_queries(engine):
     names = {r["name"] for r in rows}
     assert "casc_dst" not in names and "casc_src" in names
     assert all(r["bytes"] >= 0 for r in rows)
+
+
+class TestStreamCompaction:
+    """compact(): many small INSERT parts coalesce into ~target-size
+    segments — the storage-layer log compaction the reference gets from
+    LogDevice, re-expressed for parquet-directory streams."""
+
+    def _files(self, eng, name):
+        import os
+
+        p = eng.streams[name].path
+        return sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+
+    def test_compact_preserves_rows_and_reduces_files(self, engine):
+        engine.execute("CREATE STREAM cmp (k INTEGER, v INTEGER);")
+        for i in range(12):
+            engine.execute(f"INSERT INTO cmp (k, v) VALUES ({i}, {i * 10});")
+        assert len(self._files(engine, "cmp")) >= 12
+        before = sorted(
+            (r["k"], r["v"]) for r in engine.execute("SELECT k, v FROM cmp;").collect()
+        )
+        stats = engine.compact("cmp")
+        assert stats["cmp"]["files_before"] >= 12
+        assert stats["cmp"]["files_after"] == 1  # 12 tiny parts << 128 MB
+        after = sorted(
+            (r["k"], r["v"]) for r in engine.execute("SELECT k, v FROM cmp;").collect()
+        )
+        assert after == before
+
+    def test_compact_skips_below_min_files(self, engine):
+        engine.execute("CREATE STREAM cmps (k INTEGER);")
+        engine.execute("INSERT INTO cmps (k) VALUES (1);")
+        stats = engine.compact("cmps")
+        assert stats["cmps"].get("skipped") is True
+
+    def test_compact_refuses_active_readers(self, engine):
+        engine.execute("CREATE STREAM cmpr (k INTEGER, v INTEGER);")
+        for i in range(10):
+            engine.execute(f"INSERT INTO cmpr (k, v) VALUES ({i}, 1);")
+        engine.execute(
+            "CREATE VIEW cmpr_v AS SELECT k, SUM(v) AS s FROM cmpr GROUP BY k;"
+        )
+        with pytest.raises(RuntimeError, match="active readers"):
+            engine.compact("cmpr")
+        engine.execute("TERMINATE QUERY view_cmpr_v;")
+        stats = engine.compact("cmpr")
+        assert stats["cmpr"]["files_after"] == 1
+
+    def test_compact_refuses_sink_connector_reader(self, engine, tmp_path):
+        engine.execute("CREATE STREAM cmpk (k INTEGER);")
+        for i in range(9):
+            engine.execute(f"INSERT INTO cmpk (k) VALUES ({i});")
+        engine.execute(
+            "CREATE SINK CONNECTOR cks TO cmpk WITH (\"type\" = 'blackhole');"
+        )
+        with pytest.raises(RuntimeError, match="active readers"):
+            engine.compact("cmpk")
+
+    def test_compact_preserves_retention_clock(self, engine):
+        """Segments inherit the NEWEST source mtime, so DURATION
+        retention (mtime-based vacuum) never drops a compacted record
+        EARLIER than it would have been dropped uncompacted."""
+        import os
+
+        engine.execute("CREATE STREAM cmpt (k INTEGER);")
+        for i in range(10):
+            engine.execute(f"INSERT INTO cmpt (k) VALUES ({i});")
+        p = engine.streams["cmpt"].path
+        old = time.time() - 3600
+        newest = 0.0
+        for f in self._files(engine, "cmpt"):
+            os.utime(os.path.join(p, f), (old, old))
+            newest = max(newest, old)
+        engine.compact("cmpt")
+        (seg,) = self._files(engine, "cmpt")
+        assert abs(os.path.getmtime(os.path.join(p, seg)) - newest) < 1.0
+
+    def test_interrupted_commit_rolls_forward_on_restart(self, spark, tmp_path):
+        """Crash between the atomic commit rename and the segment swap:
+        recovery must finish the swap (remove superseded sources, move
+        segments in) — the manifest makes the roll-forward idempotent."""
+        import json as _json
+        import os
+        import shutil
+
+        root = str(tmp_path / "cc")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM ccr (k INTEGER);")
+        for i in range(10):
+            a.execute(f"INSERT INTO ccr (k) VALUES ({i});")
+        p = a.streams["ccr"].path
+        files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        # fabricate a committed-but-unfinished compaction: the "segment"
+        # is a copy of one real part (k of that part survives), the
+        # manifest supersedes ALL current parts
+        commit = os.path.join(p, ".compact_commit")
+        os.makedirs(commit)
+        seg = "compacted-test.parquet"
+        shutil.copy(os.path.join(p, files[0]), os.path.join(commit, seg))
+        with open(os.path.join(commit, "manifest.json"), "w") as fh:
+            _json.dump({"sources": files, "parts": [seg], "mtime": 1000.0}, fh)
+        a.shutdown()
+
+        b = HStreamEngine(spark, root)
+        try:
+            assert not os.path.isdir(commit)
+            left = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+            assert left == [seg]
+            rows = b.execute("SELECT k FROM ccr;").collect()
+            assert len(rows) == 1  # exactly the surviving segment's row
+            assert abs(os.path.getmtime(os.path.join(p, seg)) - 1000.0) < 1.0
+        finally:
+            b.shutdown()
+
+    def test_streaming_query_after_compaction_reads_once(self, engine):
+        """A fresh checkpoint over a compacted stream sees each record
+        exactly once — and compaction is allowed again after its reader
+        is TERMINATED, proving the reader check tracks status."""
+        engine.execute("CREATE STREAM cmpq (k INTEGER, v INTEGER);")
+        for i in range(10):
+            engine.execute(f"INSERT INTO cmpq (k, v) VALUES ({i % 2}, 1);")
+        engine.compact("cmpq")
+        engine.execute(
+            "CREATE VIEW cmpq_v AS SELECT k, SUM(v) AS s FROM cmpq GROUP BY k;"
+        )
+        engine.views["cmpq_v"].handle.processAllAvailable()
+        rows = {r["k"]: r["s"] for r in engine.execute("SELECT k, s FROM cmpq_v;").collect()}
+        assert rows == {0: 5, 1: 5}
