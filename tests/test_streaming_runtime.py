@@ -576,3 +576,26 @@ class TestStreamCompaction:
         engine.views["cmpq_v"].handle.processAllAvailable()
         rows = {r["k"]: r["s"] for r in engine.execute("SELECT k, s FROM cmpq_v;").collect()}
         assert rows == {0: 5, 1: 5}
+
+    def test_compact_payload_stream_with_evolving_records(self, engine):
+        """Schemaless (payload) streams compact too: records with
+        different field sets share one physical payload column, so the
+        rewrite is schema-stable and every evolved field survives."""
+        engine.execute("CREATE STREAM cmpe;")
+        for i in range(8):
+            engine.execute(f"INSERT INTO cmpe VALUES '{{\"a\": {i}}}';")
+        for i in range(8):
+            engine.execute(
+                f"INSERT INTO cmpe VALUES '{{\"a\": {i + 8}, \"b\": \"x{i}\"}}';"
+            )
+        before = sorted(
+            tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+            for r in engine.execute("SELECT * FROM cmpe;").collect()
+        )
+        stats = engine.compact("cmpe")
+        assert stats["cmpe"]["files_after"] == 1
+        after = sorted(
+            tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+            for r in engine.execute("SELECT * FROM cmpe;").collect()
+        )
+        assert after == before and len(after) == 16
