@@ -203,9 +203,12 @@ HISTORY_WINDOW = 9
 MIN_HISTORY = 3
 
 
-def load_calibration() -> tuple[dict[str, float], str]:
+def load_calibration(sf: str = "0.1") -> tuple[dict[str, float], str]:
     """Median-of-history calibration; (values, source) where source is
-    ``history(n=..)`` or ``pinned``."""
+    ``history(n=..)`` or ``pinned``. Records are keyed by scale factor
+    — a quick sanity bench at sf0.01 must not drag the sf0.1 medians
+    down ~10×. Legacy records without an ``sf`` field were all recorded
+    at the default sf0.1."""
     import statistics
 
     try:
@@ -213,6 +216,7 @@ def load_calibration() -> tuple[dict[str, float], str]:
             runs = [json.loads(line) for line in fh if line.strip()]
     except (OSError, ValueError):
         runs = []
+    runs = [r for r in runs if str(r.get("sf", "0.1")) == str(sf)]
     runs = runs[-HISTORY_WINDOW:]
     if len(runs) < MIN_HISTORY:
         return dict(YARDSTICK_CAL), "pinned"
@@ -230,12 +234,13 @@ def load_calibration() -> tuple[dict[str, float], str]:
     return cal, f"history(n={len(runs)})"
 
 
-def append_history(yard_start: dict, yard_end: dict) -> None:
+def append_history(yard_start: dict, yard_end: dict, sf: str = "0.1") -> None:
     try:
         with open(HISTORY_PATH, "a") as fh:
             fh.write(
                 json.dumps(
-                    {"t": round(time.time()), "start": yard_start, "end": yard_end}
+                    {"t": round(time.time()), "sf": str(sf),
+                     "start": yard_start, "end": yard_end}
                 )
                 + "\n"
             )
@@ -423,8 +428,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     yard_end = run_yardsticks()
-    cal, cal_source = load_calibration()
-    append_history(yard_start, yard_end)
+    run_sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    cal, cal_source = load_calibration(run_sf)
+    append_history(yard_start, yard_end, run_sf)
     ratios = sorted(
         ((yard_start[n] + yard_end[n]) / 2) / cal[n]
         for n in YARDSTICKS

@@ -325,6 +325,15 @@ def _mongo_connect(host: str, port: int, timeout: float, opts: dict):
     Atlas-style deployments are TLS+SCRAM by default."""
     import socket as _socket
 
+    from hstream_spark.sources.tls_util import validate_client_cert_opts
+
+    # config errors (keyfile without certfile, missing files) raise
+    # BEFORE any socket opens — for the snapshot path that means at the
+    # CREATE statement, matching the Kafka client's DDL-time checks
+    validate_client_cert_opts(
+        opts.get("tls_certfile"), opts.get("tls_keyfile"),
+        ConnectorError, "TLS",
+    )
     sock = _socket.create_connection((host, port), timeout=timeout)
     uri = str(opts.get("uri") or opts.get("url") or "")
     tls = str(opts.get("tls", "")).lower() in ("true", "1", "yes")
@@ -344,20 +353,12 @@ def _mongo_connect(host: str, port: int, timeout: float, opts: dict):
         if verify
         else _ssl._create_unverified_context()
     )
-    if opts.get("tls_certfile"):
-        try:
-            ctx.load_cert_chain(
-                str(opts["tls_certfile"]),
-                str(opts["tls_keyfile"]) if opts.get("tls_keyfile") else None,
-            )
-        except (OSError, _ssl.SSLError) as exc:
-            try:
-                sock.close()
-            except OSError:
-                pass
-            raise ConnectorError(
-                f"mongodb TLS client certificate load failed: {exc}"
-            ) from exc
+    from hstream_spark.sources.tls_util import load_client_cert
+
+    load_client_cert(
+        ctx, opts.get("tls_certfile"), opts.get("tls_keyfile"),
+        ConnectorError, "mongodb", sock=sock,
+    )
     try:
         return ctx.wrap_socket(
             sock, server_hostname=host if verify else None
@@ -553,11 +554,10 @@ def elasticsearch_sink(options: dict) -> SinkFn:
     # wire clients; strings only so the closure stays picklable
     tls_certfile = opts.get("tls_certfile")
     tls_keyfile = opts.get("tls_keyfile")
-    if tls_keyfile and not tls_certfile:
-        raise ConnectorError(
-            "TLS_KEYFILE requires TLS_CERTFILE (the certificate the key "
-            "belongs to)"
-        )
+    from hstream_spark.sources.tls_util import validate_client_cert_opts
+
+    # fail the DDL, not the first bulk batch
+    validate_client_cert_opts(tls_certfile, tls_keyfile, ConnectorError, "TLS")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = _json_safe(batch_df)
@@ -596,16 +596,14 @@ def elasticsearch_sink(options: dict) -> SinkFn:
                     else _ssl._create_unverified_context()
                 )
                 if tls_certfile:
-                    try:
-                        ctx.load_cert_chain(
-                            str(tls_certfile),
-                            str(tls_keyfile) if tls_keyfile else None,
-                        )
-                    except (OSError, _ssl.SSLError) as exc:
-                        raise ConnectorError(
-                            "elasticsearch TLS client certificate load "
-                            f"failed: {exc}"
-                        ) from exc
+                    from hstream_spark.sources.tls_util import (
+                        load_client_cert,
+                    )
+
+                    load_client_cert(
+                        ctx, tls_certfile, tls_keyfile,
+                        ConnectorError, "elasticsearch",
+                    )
             try:
                 with urllib.request.urlopen(
                     req, timeout=timeout, context=ctx

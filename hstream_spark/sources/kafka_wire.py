@@ -776,16 +776,12 @@ class KafkaClient:
             if self._tls_certfile:
                 # mTLS: load the client certificate into the context we
                 # built; a caller-provided tls_context manages its own
-                try:
-                    ctx.load_cert_chain(self._tls_certfile, self._tls_keyfile)
-                except (OSError, ssl.SSLError) as exc:
-                    try:
-                        sock.close()
-                    except OSError:
-                        pass
-                    raise KafkaWireError(
-                        f"kafka TLS client certificate load failed: {exc}"
-                    ) from exc
+                from hstream_spark.sources.tls_util import load_client_cert
+
+                load_client_cert(
+                    ctx, self._tls_certfile, self._tls_keyfile,
+                    KafkaWireError, "kafka", sock=sock,
+                )
         try:
             return ctx.wrap_socket(
                 sock,
@@ -1572,10 +1568,27 @@ def kafka_readstream(spark, topic: str, bootstrap: str,
         # by location.
         kafka_opts["kafka.ssl.keystore.type"] = "PEM"
         if opts.get("tls_keyfile"):
-            with open(str(opts["tls_certfile"])) as fh:
-                kafka_opts["kafka.ssl.keystore.certificate.chain"] = fh.read()
-            with open(str(opts["tls_keyfile"])) as fh:
-                kafka_opts["kafka.ssl.keystore.key"] = fh.read()
+            # NEVER put the key PEM content into a source option
+            # (ssl.keystore.key): Spark's default redaction regex does
+            # not match it, so the private key would render in plain
+            # text anywhere options surface (explain output, SQL tab,
+            # shared event logs). Bundle cert+key into a 0600 temp PEM
+            # and pass it by location like the single-file branch.
+            import atexit
+            import os as _os
+            import tempfile as _tempfile
+
+            fd, bundle = _tempfile.mkstemp(suffix=".pem")
+            with _os.fdopen(fd, "w") as out:
+                for path in (opts["tls_certfile"], opts["tls_keyfile"]):
+                    with open(str(path)) as fh:
+                        out.write(fh.read())
+                    out.write("\n")
+            _os.chmod(bundle, 0o600)
+            atexit.register(
+                lambda p=bundle: _os.path.exists(p) and _os.unlink(p)
+            )
+            kafka_opts["kafka.ssl.keystore.location"] = bundle
         else:
             kafka_opts["kafka.ssl.keystore.location"] = str(
                 opts["tls_certfile"]

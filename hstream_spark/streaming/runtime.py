@@ -170,6 +170,13 @@ class QueryInfo:
     # complete(fallback) — the fallback marker flags a full-result
     # refresh per trigger (a scale-killer the user should see)
     mode: str = "update"
+    # deferred start during DDL-log replay: recovery must not .start()
+    # a query whose TERMINATE appears later in the log — its file-path
+    # checkpoint would ingest any segments compact() rewrote after the
+    # TERMINATE as brand-new data before the replayed TERMINATE stops
+    # it. Replay registers this thunk instead; queries still RUNNING
+    # when the whole log is replayed start then.
+    starter: Optional[object] = None
 
 
 @dataclass
@@ -321,11 +328,25 @@ class HStreamEngine:
                         self.execute(json.loads(line)["sql"])
         finally:
             self._replaying = False
+        # deferred query starts: only queries still RUNNING after the
+        # FULL log replayed may start — starting at CREATE-replay time
+        # would let a later-TERMINATED query's stale file-path
+        # checkpoint ingest compacted segments as new data (silent
+        # double-count in durable view state) before its TERMINATE line
+        # caught up
+        for qi in list(self.queries.values()):
+            starter, qi.starter = qi.starter, None
+            if qi.status == "RUNNING" and qi.handle is None and starter:
+                starter()
         # roll forward any compaction that committed but was interrupted
-        # before its segment swap finished (see compact())
+        # before its segment swap finished, and clear pre-commit temp
+        # dirs a crashed rewrite stranded (they can hold ~a full copy of
+        # the stream) — see compact()
         for info in self.streams.values():
             if os.path.isdir(info.path):
                 self._finish_compact_commit(info)
+                shutil.rmtree(os.path.join(info.path, self._COMPACT_TMP),
+                              ignore_errors=True)
 
     # -- helpers ------------------------------------------------------------
 
@@ -687,7 +708,15 @@ class HStreamEngine:
         commit = os.path.join(info.path, self._COMPACT_COMMIT)
         if not os.path.isdir(commit):
             return
-        with open(os.path.join(commit, "manifest.json")) as fh:
+        manifest = os.path.join(commit, "manifest.json")
+        if not os.path.exists(manifest):
+            # a crash DURING the final cleanup rmtree can delete the
+            # manifest before the dir: at that point the swap already
+            # finished (sources removed, segments moved) — just clear
+            # the husk instead of failing every engine start
+            shutil.rmtree(commit, ignore_errors=True)
+            return
+        with open(manifest) as fh:
             man = json.load(fh)
         for f in man["sources"]:
             p = os.path.join(info.path, f)
@@ -1068,15 +1097,22 @@ class HStreamEngine:
             self._checkpoint(qname), sink.path, stamp_ts=stamp_ts,
             payload=sink.payload,
         )
-        with self._stream_start_conf():
-            q = (
-                out.writeStream.outputMode(mode)
-                .option("checkpointLocation", self._checkpoint(qname))
-                .foreachBatch(sink_batch)
-                .start()
-            )
-        qi = QueryInfo(qname, sql, sink_stream, self._checkpoint(qname), q,
+        qi = QueryInfo(qname, sql, sink_stream, self._checkpoint(qname), None,
                        mode=mode)
+
+        def _go():
+            with self._stream_start_conf():
+                qi.handle = (
+                    out.writeStream.outputMode(mode)
+                    .option("checkpointLocation", self._checkpoint(qname))
+                    .foreachBatch(sink_batch)
+                    .start()
+                )
+
+        if self._replaying:
+            qi.starter = _go  # started after the whole log replays
+        else:
+            _go()
         self.queries[qname] = qi
         return qi
 
@@ -1217,36 +1253,46 @@ class HStreamEngine:
             mode = mode_label = "append"  # the stateful operator emits per-record
         else:
             mode = "update"
-        try:
-            with self._stream_start_conf():
-                q = (
-                    out.writeStream.outputMode(mode)
-                    .option("checkpointLocation",
-                            self._checkpoint(f"view_{stmt.name}"))
-                    .foreachBatch(upsert)
-                    .start()
-                )
-        except Exception:
-            # last-resort fallback for plans that reject update mode
-            # (full-result refresh — reference-equivalent, not incremental)
-            vi.replace_all = True
-            mode_label = "complete(fallback)"
-            _warn_complete_fallback(stmt.name, "plan rejects update output mode")
-            with self._stream_start_conf():
-                q = (
-                    out.writeStream.outputMode("complete")
-                    .option("checkpointLocation",
-                            self._checkpoint(f"view_{stmt.name}"))
-                    .foreachBatch(upsert)
-                    .start()
-                )
-        vi.handle = q
-        self.views[stmt.name] = vi
         # deterministic name (matches the checkpoint key) so logged
         # TERMINATE/PAUSE statements replay onto the same query after
         # restart instead of silently resurrecting the view refresh
         qi = QueryInfo(f"view_{stmt.name}", sql, None,
-                       self._checkpoint(f"view_{stmt.name}"), q, mode=mode_label)
+                       self._checkpoint(f"view_{stmt.name}"), None,
+                       mode=mode_label)
+
+        def _go():
+            try:
+                with self._stream_start_conf():
+                    q = (
+                        out.writeStream.outputMode(mode)
+                        .option("checkpointLocation",
+                                self._checkpoint(f"view_{stmt.name}"))
+                        .foreachBatch(upsert)
+                        .start()
+                    )
+            except Exception:
+                # last-resort fallback for plans that reject update mode
+                # (full-result refresh — reference-equivalent, not
+                # incremental)
+                vi.replace_all = True
+                qi.mode = "complete(fallback)"
+                _warn_complete_fallback(stmt.name,
+                                        "plan rejects update output mode")
+                with self._stream_start_conf():
+                    q = (
+                        out.writeStream.outputMode("complete")
+                        .option("checkpointLocation",
+                                self._checkpoint(f"view_{stmt.name}"))
+                        .foreachBatch(upsert)
+                        .start()
+                    )
+            vi.handle = qi.handle = q
+
+        self.views[stmt.name] = vi
+        if self._replaying:
+            qi.starter = _go  # started after the whole log replays
+        else:
+            _go()
         self.queries[qi.name] = qi
         return vi
 
@@ -1886,13 +1932,24 @@ class HStreamEngine:
         aggregated = bool(select.group_by) or any(
             find_aggs(it.expr) for it in select.items
         )
-        with self._stream_start_conf():
-            q.handle = (
-                out.writeStream.outputMode("update" if aggregated else "append")
-                .option("checkpointLocation", q.checkpoint)
-                .foreachBatch(self._idempotent_sink(q.checkpoint, sink.path))
-                .start()
-            )
+
+        def _go():
+            with self._stream_start_conf():
+                q.handle = (
+                    out.writeStream.outputMode(
+                        "update" if aggregated else "append"
+                    )
+                    .option("checkpointLocation", q.checkpoint)
+                    .foreachBatch(self._idempotent_sink(q.checkpoint, sink.path))
+                    .start()
+                )
+
+        if self._replaying:
+            # same deferral as CREATE replay: a RESUME followed later in
+            # the log by TERMINATE must not spin up the stale checkpoint
+            q.starter = _go
+        else:
+            _go()
         q.status = "RUNNING"
         return q
 

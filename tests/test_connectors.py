@@ -2035,3 +2035,46 @@ class TestMutualTLS:
                 })
         finally:
             srv.shutdown()
+
+
+class TestClientCertOptionParity:
+    """Round-7 review fix: all three wire clients enforce the SAME
+    client-certificate option rules — keyfile-without-certfile is a
+    config error (Mongo used to silently drop the keyfile and connect
+    WITHOUT a client cert), and missing files fail at DDL/validation
+    time, not on the first poll."""
+
+    def test_mongo_keyfile_without_certfile_rejected(self):
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            _mongo_connect,
+        )
+
+        with pytest.raises(ConnectorError, match="TLS_CERTFILE"):
+            _mongo_connect("127.0.0.1", 1, 0.2, {"tls_keyfile": "/k.pem"})
+
+    def test_mongo_missing_certfile_rejected_before_connect(self):
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            _mongo_connect,
+        )
+
+        # port 1 would refuse instantly — the option error must win,
+        # proving validation happens BEFORE the socket opens
+        with pytest.raises(ConnectorError, match="does not exist"):
+            _mongo_connect(
+                "127.0.0.1", 1, 0.2,
+                {"tls_certfile": "/nonexistent-cert.pem"},
+            )
+
+    def test_es_missing_certfile_rejected_at_ddl(self):
+        from hstream_spark.sources.connectors import (
+            ConnectorError,
+            elasticsearch_sink,
+        )
+
+        with pytest.raises(ConnectorError, match="does not exist"):
+            elasticsearch_sink({
+                "url": "https://h", "index": "i", "api_key": "k",
+                "tls_certfile": "/nonexistent-cert.pem",
+            })

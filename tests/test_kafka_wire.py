@@ -1622,8 +1622,10 @@ def test_mtls_option_validation():
 
 def test_mtls_readstream_option_mapping():
     """The jar path maps a cert/key pair onto Kafka's PEM keystore
-    options — inline content for a split pair (two locations can't fit
-    one keystore), location for a bundled PEM."""
+    options. A split pair bundles into a 0600 temp PEM passed by
+    LOCATION — key CONTENT must never enter a source option, since
+    Spark's default redaction regex doesn't match ssl.keystore.key and
+    options render in explain/SQL-tab/event-log surfaces."""
     import pytest as _pytest
 
     from hstream_spark.sources.kafka_wire import KafkaWireError, kafka_readstream
@@ -1662,9 +1664,18 @@ def test_mtls_readstream_option_mapping():
     o = sp.readStream.r.opts
     assert o["kafka.security.protocol"] == "SSL"
     assert o["kafka.ssl.keystore.type"] == "PEM"
-    assert "BEGIN CERTIFICATE" in o["kafka.ssl.keystore.certificate.chain"]
-    assert "PRIVATE KEY" in o["kafka.ssl.keystore.key"]
-    assert "kafka.ssl.keystore.location" not in o
+    # no PEM content (especially not the private key) in any option
+    assert all("PRIVATE KEY" not in str(v) for v in o.values())
+    assert "kafka.ssl.keystore.key" not in o
+    assert "kafka.ssl.keystore.certificate.chain" not in o
+    bundle = o["kafka.ssl.keystore.location"]
+    assert bundle != certf and bundle.endswith(".pem")
+    import os as _os
+    import stat as _stat
+
+    assert _stat.S_IMODE(_os.stat(bundle).st_mode) == 0o600
+    content = open(bundle).read()
+    assert "BEGIN CERTIFICATE" in content and "PRIVATE KEY" in content
 
     sp2 = _Spark()
     with _pytest.raises(KafkaWireError, match="spark-sql-kafka"):

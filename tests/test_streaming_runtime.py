@@ -599,3 +599,45 @@ class TestStreamCompaction:
             for r in engine.execute("SELECT * FROM cmpe;").collect()
         )
         assert after == before and len(after) == 16
+
+    def test_recovery_never_starts_terminated_reader_after_compaction(
+        self, spark, tmp_path
+    ):
+        """DDL-log replay must NOT .start() a query whose TERMINATE
+        appears later in the log: its file-path checkpoint predates a
+        post-TERMINATE compaction, so the rewritten segments would
+        ingest as brand-new data and silently double the durable view
+        state before the replayed TERMINATE caught up. Recovery defers
+        all starts to end-of-replay; terminated queries never start."""
+        root = str(tmp_path / "ct")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM cts (k INTEGER, v INTEGER);")
+        for i in range(10):
+            a.execute(f"INSERT INTO cts (k, v) VALUES ({i % 2}, 1);")
+        a.execute(
+            "CREATE VIEW cts_v AS SELECT k, SUM(v) AS s FROM cts GROUP BY k;"
+        )
+        a.views["cts_v"].handle.processAllAvailable()
+        before = {
+            r["k"]: r["s"] for r in a.execute("SELECT k, s FROM cts_v;").collect()
+        }
+        assert before == {0: 5, 1: 5}
+        a.execute("TERMINATE QUERY view_cts_v;")
+        a.compact("cts")  # allowed: its only reader is TERMINATED
+        a.shutdown()
+
+        b = HStreamEngine(spark, root)
+        try:
+            qi = b.queries["view_cts_v"]
+            # the strong guarantee: the stale checkpoint was NEVER spun
+            # up — not merely stopped again — so no async microbatch
+            # could have re-ingested the compacted segments
+            assert qi.status == "TERMINATED"
+            assert qi.handle is None and qi.starter is None
+            after = {
+                r["k"]: r["s"]
+                for r in b.execute("SELECT k, s FROM cts_v;").collect()
+            }
+            assert after == before  # sums did NOT double
+        finally:
+            b.shutdown()
