@@ -165,6 +165,8 @@ HEADLINE = [
     "sql_frontend_natural_join",
     "sql_frontend_json_cast",
     "sql_frontend_subquery",
+    "lsh_bucket_stats",
+    "lsh_recall_eval",
     "pii_detect",
     "time_type_ops",
     "sketch_quantiles",

@@ -984,3 +984,129 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def lsh_bucket_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Band-bucket size distribution of the MinHash-LSH index — the
+    skew diagnostic for the candidate join.
+
+    Candidate pairs per bucket grow as C(size, 2): boilerplate-heavy
+    corpora collapse many near-identical documents into one band
+    signature, and that single hot bucket dominates the band-join
+    shuffle long before storage notices. One row per (band,
+    bucket_size): how many buckets have that population and how many
+    candidate pairs they contribute. At 100 TB this histogram is the
+    go/no-go check before running the pair join — and the input to a
+    cap/salting decision for the hot buckets.
+    """
+    sets = doc_shingle_sets(docs, text_col, id_col)
+    buckets = minhash_bands_from_sets(sets).groupBy("band", "band_sig").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        buckets.groupBy("band", "bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(
+            "band",
+            "bucket_size",
+            "n_buckets",
+            F.expr(
+                "n_buckets * (bucket_size * (bucket_size - 1) DIV 2)"
+            ).alias("candidate_pairs"),
+        )
+    )
+
+
+def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
+                    max_id: Optional[int] = None, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Recall of MinHash-LSH candidate generation against exact
+    shingle-Jaccard ground truth — the measurement behind the
+    (bands × rows-per-band) parameter choice: fewer rows per band
+    raises recall but multiplies candidate volume.
+
+    Ground truth comes from the shingle INVERTED INDEX (equi-join on
+    shingle hash, pair counts by groupBy), never an all-pairs cross
+    join — it scales with shared-shingle pairs, not corpus². That
+    truth join is still the expensive thing LSH exists to avoid, so at
+    corpus scale run this on a SAMPLE (``max_id``, or sample upstream)
+    and tune parameters from the sample's recall. One row per
+    threshold: true near-dup pairs at that Jaccard, how many the band
+    index surfaced, and recall; plus the total candidate count (the
+    precision denominator / join cost).
+    """
+    sample = docs.where(F.col(id_col) < max_id) if max_id is not None else docs
+    sets = doc_shingle_sets(sample, text_col, id_col).persist()
+    ex = sets.select("doc_id", F.explode("hs").alias("h"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets.select("doc_id", F.size("hs").alias("sz"))
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+    bands = minhash_bands_from_sets(sets)
+    cand = (
+        bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+        .join(
+            bands.select("band", "band_sig", F.col("doc_id").alias("doc_b")),
+            ["band", "band_sig"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    scored = jac.join(
+        cand.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    aggs = []
+    for i, t in enumerate(thresholds):
+        hit = F.when(F.col("jaccard") >= float(t), F.col("__hit"))
+        # coalesce AFTER the sum too: an empty sample aggregates to
+        # NULL, but the contract (and the DuckDB oracle) is 0 counts
+        # with one row per threshold
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.col("jaccard") >= float(t), 1).otherwise(0)),
+            F.lit(0),
+        ).alias(f"__true_{i}"))
+        aggs.append(F.coalesce(
+            F.sum(F.coalesce(hit, F.lit(0))), F.lit(0)
+        ).alias(f"__hit_{i}"))
+    one = scored.agg(*aggs)
+    total = cand.agg(F.count("*").alias("total_candidates"))
+    stack = ", ".join(
+        f"{float(t)}D, __true_{i}, __hit_{i}" for i, t in enumerate(thresholds)
+    )
+    return (
+        one.crossJoin(F.broadcast(total))  # 1-row scalar broadcast
+        .selectExpr(
+            f"stack({len(thresholds)}, {stack}) AS "
+            "(threshold, true_pairs, hit_pairs)",
+            "total_candidates",
+        )
+        .select(
+            "threshold", "true_pairs", "hit_pairs",
+            F.when(
+                F.col("true_pairs") > 0,
+                F.col("hit_pairs").cast("double")
+                / F.col("true_pairs").cast("double"),
+            ).alias("recall"),
+            "total_candidates",
+        )
+    )

@@ -5259,3 +5259,100 @@ def q_perplexity_bands(spark, sf):
     return out.select(
         "doc_id", "lang", F.col("ppl_band").cast("long").alias("ppl_band"), "keep"
     )
+
+
+_LSH_BANDS_CTES = f"""
+tha AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS th FROM docs),
+sh AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(th) - 2), i -> {_SHINGLE3})) AS h
+       FROM tha),
+shh AS (SELECT DISTINCT doc_id, h FROM sh),
+perms AS (SELECT * FROM (VALUES {{perms}}) p(i, a, b)),
+mh AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+       FROM shh, perms GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+                 string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_sig
+          FROM mh GROUP BY doc_id, i // {D.ROWS_PER_BAND})
+""".strip()
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""
+    WITH docs AS ({_TOKS_CTE}),
+    {_LSH_BANDS_CTES},
+    buckets AS (SELECT band, band_sig, count(*) AS bucket_size
+                FROM bands GROUP BY band, band_sig)
+    SELECT band, bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * (bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+             AS candidate_pairs
+    FROM buckets GROUP BY band, bucket_size
+    """.replace("{perms}", _minhash_perm_values()),
+    tags=("dedup", "lsh", "stats"),
+)
+def q_lsh_bucket_stats(spark, sf):
+    """MinHash-LSH band-bucket population histogram — the skew
+    diagnostic run BEFORE the candidate pair join at corpus scale:
+    candidate pairs grow as C(bucket, 2), so one boilerplate-collapsed
+    hot bucket dominates the shuffle (operators/dedup.py
+    lsh_bucket_stats)."""
+    return D.lsh_bucket_stats(load_table(spark, sf, "documents")).select(
+        F.col("band").cast("long").alias("band"),
+        "bucket_size",
+        "n_buckets",
+        "candidate_pairs",
+    )
+
+
+@register(
+    "lsh_recall_eval",
+    f"""
+    WITH docs AS ({_TOKS_CTE}),
+    {_LSH_BANDS_CTES},
+    pinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_inter
+               FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+    jac AS (SELECT doc_a, doc_b,
+                   n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE AS jaccard
+            FROM pinter JOIN sz sa ON sa.doc_id = doc_a
+                        JOIN sz sb ON sb.doc_id = doc_b),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id),
+    scored AS (SELECT j.jaccard,
+                      CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM jac j LEFT JOIN cand c
+                 ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b),
+    t AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE]) AS threshold),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_candidates FROM cand)
+    SELECT t.threshold,
+           CAST(coalesce(sum(CASE WHEN s.jaccard >= t.threshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_pairs,
+           CAST(coalesce(sum(CASE WHEN s.jaccard >= t.threshold THEN s.hit ELSE 0 END), 0) AS BIGINT) AS hit_pairs,
+           CASE WHEN coalesce(sum(CASE WHEN s.jaccard >= t.threshold THEN 1 ELSE 0 END), 0) > 0
+                THEN coalesce(sum(CASE WHEN s.jaccard >= t.threshold THEN s.hit ELSE 0 END), 0)::DOUBLE
+                     / coalesce(sum(CASE WHEN s.jaccard >= t.threshold THEN 1 ELSE 0 END), 0)::DOUBLE
+           END AS recall,
+           (SELECT total_candidates FROM tot) AS total_candidates
+    FROM t LEFT JOIN scored s ON TRUE
+    GROUP BY t.threshold
+    """.replace("{perms}", _minhash_perm_values()),
+    tags=("dedup", "lsh", "eval"),
+)
+def q_lsh_recall_eval(spark, sf):
+    """LSH parameter-tuning measurement: recall of the band index's
+    candidate pairs against exact shingle-Jaccard ground truth, per
+    threshold — ground truth from the shingle inverted index
+    (equi-join), never all-pairs; at corpus scale this runs on a
+    sample (operators/dedup.py lsh_recall_eval)."""
+    out = D.lsh_recall_eval(load_table(spark, sf, "documents"))
+    return out.select(
+        "threshold",
+        F.coalesce(F.col("true_pairs"), F.lit(0)).cast("long").alias("true_pairs"),
+        F.coalesce(F.col("hit_pairs"), F.lit(0)).cast("long").alias("hit_pairs"),
+        "recall",
+        "total_candidates",
+    )

@@ -948,3 +948,67 @@ def test_dedup_index_compact_retention_drops_removed_ids(spark, tmp_path):
     compact_dedup_index(spark, idx, retain_ids=keep)
     r1 = dedup_with_index(spark, probe, idx, threshold=0.5).collect()[0]
     assert r1["near_dup"] is False
+
+
+def test_lsh_bucket_stats_counts_and_pairs(spark):
+    """Histogram invariants: sum over (size × n_buckets) per band =
+    docs with a signature in that band; candidate_pairs = C(size,2)
+    per bucket; a duplicated text collapses into a shared bucket."""
+    from hstream_spark.operators.dedup import lsh_bucket_stats
+
+    dup = "the same exact words repeated in both documents verbatim here"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "completely different content on another topic"),
+         (4, "a fourth unrelated document with its own words entirely")],
+        "doc_id long, text string",
+    )
+    rows = lsh_bucket_stats(docs).collect()
+    per_band = {}
+    for r in rows:
+        per_band.setdefault(r["band"], 0)
+        per_band[r["band"]] += r["bucket_size"] * r["n_buckets"]
+        assert r["candidate_pairs"] == (
+            r["n_buckets"] * r["bucket_size"] * (r["bucket_size"] - 1) // 2
+        )
+    assert set(per_band.values()) == {4}  # every doc lands in every band
+    # identical docs share every band signature: each band has one
+    # 2-doc bucket contributing exactly one candidate pair
+    for band in per_band:
+        sizes = {r["bucket_size"]: r["n_buckets"] for r in rows if r["band"] == band}
+        assert sizes.get(2) == 1 and sizes.get(1) == 2
+
+
+def test_lsh_recall_eval_finds_planted_dup(spark):
+    """A planted near-duplicate is ground truth at every threshold and
+    the band index must surface it (identical text ⇒ identical
+    signatures ⇒ recall 1.0); the unrelated doc contributes nothing."""
+    from hstream_spark.operators.dedup import lsh_recall_eval
+
+    dup = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "nothing in common with those")],
+        "doc_id long, text string",
+    )
+    rows = {r["threshold"]: r for r in lsh_recall_eval(docs).collect()}
+    for t in (0.3, 0.5, 0.7):
+        assert rows[t]["true_pairs"] == 1
+        assert rows[t]["hit_pairs"] == 1
+        assert rows[t]["recall"] == 1.0
+    assert all(r["total_candidates"] >= 1 for r in rows.values())
+
+
+def test_lsh_recall_eval_empty_sample_yields_threshold_rows(spark):
+    """Zero qualifying docs still yields one row per threshold with
+    zero counts and NULL recall — the empty-group representation the
+    driver gate compares byte-exact."""
+    from hstream_spark.operators.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [(100, "only one document beyond the sample bound")],
+        "doc_id long, text string",
+    )
+    rows = lsh_recall_eval(docs, max_id=60).collect()
+    assert len(rows) == 3
+    assert all(r["true_pairs"] == 0 and r["hit_pairs"] == 0
+               and r["recall"] is None and r["total_candidates"] == 0
+               for r in rows)

@@ -39,6 +39,7 @@ ALLOW_NESTED = {
     "curation_pipeline",      # 1-row stage-count summary cross joins
     "bm25_search",            # 1-row corpus-stats (N/avgdl/df) broadcast
     "temperature_sample",     # 1-row min-group-count scalar broadcast
+    "lsh_recall_eval",        # 1-row total-candidates scalar broadcast
     "ann_pq_topk",            # tiny query side × code scan (ADC reads
                               # m-byte codes, not vectors — the PQ point)
 }
