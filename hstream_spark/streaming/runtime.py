@@ -736,9 +736,22 @@ class HStreamEngine:
                 os.utime(dst, (man["mtime"], man["mtime"]))
         shutil.rmtree(commit)
 
+    def maintenance(self, target_bytes: int = 128 * 1024 * 1024,
+                    min_files: int = 8) -> dict:
+        """Janitor entry point — what a production deployment runs on a
+        schedule: enforce DURATION retention on every stream, then
+        compact the streams that have no attached readers (busy streams
+        are reported, not failed — they compact on a later run once
+        their readers terminate)."""
+        removed = self.vacuum()
+        compacted = self.compact(
+            target_bytes=target_bytes, min_files=min_files, skip_active=True
+        )
+        return {"vacuumed_files": removed, "compacted": compacted}
+
     def compact(self, stream: str | None = None,
                 target_bytes: int = 128 * 1024 * 1024,
-                min_files: int = 8) -> dict:
+                min_files: int = 8, skip_active: bool = False) -> dict:
         """Coalesce a stream's small parquet parts into ~target-size
         segments; returns per-stream {files_before, files_after, bytes}.
 
@@ -777,6 +790,9 @@ class HStreamEngine:
                 if ci.kind == "SINK" and ci.target == n
             ]
             if readers:
+                if skip_active:  # janitor mode: report and move on
+                    stats[n] = {"skipped_active": sorted(readers)}
+                    continue
                 raise RuntimeError(
                     f"cannot compact stream {n!r}: active readers {sorted(readers)} "
                     "hold file-path checkpoints that would replay compacted "

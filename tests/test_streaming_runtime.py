@@ -641,3 +641,20 @@ class TestStreamCompaction:
             assert after == before  # sums did NOT double
         finally:
             b.shutdown()
+
+    def test_maintenance_janitor_skips_busy_compacts_idle(self, engine):
+        """maintenance() = retention vacuum + compact-with-skip: busy
+        streams are reported (not failed) and idle streams compact."""
+        engine.execute("CREATE STREAM mnt_idle (k INTEGER);")
+        engine.execute("CREATE STREAM mnt_busy (k INTEGER);")
+        for i in range(10):
+            engine.execute(f"INSERT INTO mnt_idle (k) VALUES ({i});")
+            engine.execute(f"INSERT INTO mnt_busy (k) VALUES ({i});")
+        engine.execute(
+            "CREATE VIEW mnt_v AS SELECT k, COUNT(*) AS n FROM mnt_busy GROUP BY k;"
+        )
+        out = engine.maintenance()
+        assert out["compacted"]["mnt_idle"]["files_after"] == 1
+        assert out["compacted"]["mnt_busy"] == {"skipped_active": ["view_mnt_v"]}
+        rows = engine.execute("SELECT k FROM mnt_idle;").collect()
+        assert len(rows) == 10
