@@ -451,7 +451,8 @@ def main() -> None:
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    sf = run_sf  # single derivation — keeps the calibration key and
+    # the recorded sf from ever desynchronizing
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,

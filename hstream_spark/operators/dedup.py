@@ -1000,7 +1000,10 @@ def lsh_bucket_stats(docs: DataFrame, text_col: str = "text",
     go/no-go check before running the pair join — and the input to a
     cap/salting decision for the hot buckets.
     """
-    sets = doc_shingle_sets(docs, text_col, id_col)
+    # docs too short to shingle (< n tokens) have NO band membership:
+    # without this filter they'd all share the P31-sentinel signature
+    # and fabricate one giant phantom bucket per band
+    sets = doc_shingle_sets(docs, text_col, id_col).where(F.size("hs") > 0)
     buckets = minhash_bands_from_sets(sets).groupBy("band", "band_sig").agg(
         F.count("*").alias("bucket_size")
     )
@@ -1037,7 +1040,16 @@ def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
     precision denominator / join cost).
     """
     sample = docs.where(F.col(id_col) < max_id) if max_id is not None else docs
-    sets = doc_shingle_sets(sample, text_col, id_col).persist()
+    # exclude unshingleable docs (see lsh_bucket_stats) — they can be
+    # neither ground truth nor candidates. NOTE: the returned frame is
+    # lazy, so the persisted shingle sets stay cached for the session
+    # (like minhash_near_duplicates); long-lived services should
+    # unpersist via spark.catalog.clearCache() between evaluations.
+    sets = (
+        doc_shingle_sets(sample, text_col, id_col)
+        .where(F.size("hs") > 0)
+        .persist()
+    )
     ex = sets.select("doc_id", F.explode("hs").alias("h"))
     inter = (
         ex.alias("a")

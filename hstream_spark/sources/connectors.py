@@ -737,19 +737,13 @@ def kafka_client_options(options: dict) -> dict:
         out["tls"] = True
     certfile = g("tls_certfile", "kafka_tls_certfile")
     keyfile = g("tls_keyfile", "kafka_tls_keyfile")
-    if keyfile and not certfile:
-        raise ConnectorError(
-            "KAFKA_TLS_KEYFILE requires KAFKA_TLS_CERTFILE (the "
-            "certificate the key belongs to)"
-        )
+    # mTLS client certificate — validate at CREATE like the SASL
+    # options (shared rules: keyfile requires certfile, files must
+    # exist — a missing file must fail the DDL, not the first poll)
+    from hstream_spark.sources.tls_util import validate_client_cert_opts
+
+    validate_client_cert_opts(certfile, keyfile, ConnectorError, "KAFKA_TLS")
     if certfile:
-        # mTLS client certificate — validate at CREATE like the SASL
-        # options: a missing/unreadable file must fail the DDL, not the
-        # first poll
-        for label, path in (("KAFKA_TLS_CERTFILE", certfile),
-                            ("KAFKA_TLS_KEYFILE", keyfile)):
-            if path and not _os_path_exists(str(path)):
-                raise ConnectorError(f"{label}={path!r} does not exist")
         out["tls_certfile"] = str(certfile)
         if keyfile:
             out["tls_keyfile"] = str(keyfile)

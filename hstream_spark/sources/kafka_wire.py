@@ -1560,6 +1560,16 @@ def kafka_readstream(spark, topic: str, bootstrap: str,
         # ssl.truststore.type=PEM (Kafka 2.7+)
         kafka_opts["kafka.ssl.truststore.type"] = "PEM"
         kafka_opts["kafka.ssl.truststore.location"] = str(opts["tls_cafile"])
+    # options built by kafka_client_options arrive pre-validated, but
+    # this is a public entry point that accepts the dict directly — a
+    # keyfile without its certfile must fail loudly here too, never
+    # silently connect without a client certificate
+    from hstream_spark.sources.tls_util import validate_client_cert_opts
+
+    validate_client_cert_opts(
+        opts.get("tls_certfile"), opts.get("tls_keyfile"),
+        KafkaWireError, "KAFKA_TLS",
+    )
     if opts.get("tls_certfile"):
         # mTLS client certificate. With a separate keyfile the JVM PEM
         # keystore can't point at two locations, but Kafka 2.7+ accepts

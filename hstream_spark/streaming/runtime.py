@@ -328,6 +328,17 @@ class HStreamEngine:
                         self.execute(json.loads(line)["sql"])
         finally:
             self._replaying = False
+        # roll forward any compaction that committed but was interrupted
+        # before its segment swap finished, and clear pre-commit temp
+        # dirs a crashed rewrite stranded (they can hold ~a full copy of
+        # the stream). This runs BEFORE any deferred query starts so no
+        # reader's checkpoint can ever observe the half-swapped file set
+        # — see compact()
+        for info in self.streams.values():
+            if os.path.isdir(info.path):
+                self._finish_compact_commit(info)
+                shutil.rmtree(os.path.join(info.path, self._COMPACT_TMP),
+                              ignore_errors=True)
         # deferred query starts: only queries still RUNNING after the
         # FULL log replayed may start — starting at CREATE-replay time
         # would let a later-TERMINATED query's stale file-path
@@ -338,15 +349,6 @@ class HStreamEngine:
             starter, qi.starter = qi.starter, None
             if qi.status == "RUNNING" and qi.handle is None and starter:
                 starter()
-        # roll forward any compaction that committed but was interrupted
-        # before its segment swap finished, and clear pre-commit temp
-        # dirs a crashed rewrite stranded (they can hold ~a full copy of
-        # the stream) — see compact()
-        for info in self.streams.values():
-            if os.path.isdir(info.path):
-                self._finish_compact_commit(info)
-                shutil.rmtree(os.path.join(info.path, self._COMPACT_TMP),
-                              ignore_errors=True)
 
     # -- helpers ------------------------------------------------------------
 
@@ -718,13 +720,10 @@ class HStreamEngine:
             return
         with open(manifest) as fh:
             man = json.load(fh)
-        for f in man["sources"]:
-            p = os.path.join(info.path, f)
-            if os.path.exists(p):
-                os.remove(p)
-            crc = os.path.join(info.path, f".{f}.crc")
-            if os.path.exists(crc):  # Hadoop LocalFS checksum sidecar
-                os.remove(crc)
+        # install the replacement segments BEFORE removing their
+        # sources: a failure mid-swap then leaves transient duplicates
+        # (which the idempotent re-run converges) rather than silently
+        # serving a partial stream
         for f in man["parts"]:
             src = os.path.join(commit, f)
             if os.path.exists(src):
@@ -734,6 +733,13 @@ class HStreamEngine:
                 # DURATION retention (vacuum, mtime-based) never expires
                 # a record earlier than it would have uncompacted
                 os.utime(dst, (man["mtime"], man["mtime"]))
+        for f in man["sources"]:
+            p = os.path.join(info.path, f)
+            if os.path.exists(p):
+                os.remove(p)
+            crc = os.path.join(info.path, f".{f}.crc")
+            if os.path.exists(crc):  # Hadoop LocalFS checksum sidecar
+                os.remove(crc)
         shutil.rmtree(commit)
 
     def maintenance(self, target_bytes: int = 128 * 1024 * 1024,
@@ -774,6 +780,11 @@ class HStreamEngine:
         """
         names = [stream] if stream else list(self.streams)
         stats: dict = {}
+        # parse each live query's FROM tree once, not once per stream
+        reads_by_query = {
+            qi.name: self._streams_read_by(qi.sql)
+            for qi in self.queries.values() if qi.status != "TERMINATED"
+        }
         for n in names:
             info = self._require_stream(n)
             if not os.path.isdir(info.path):
@@ -783,8 +794,7 @@ class HStreamEngine:
             if os.path.isdir(tmp):  # pre-commit leftover: never committed
                 shutil.rmtree(tmp)
             readers = [
-                qi.name for qi in self.queries.values()
-                if qi.status != "TERMINATED" and n in self._streams_read_by(qi.sql)
+                qn for qn, reads in reads_by_query.items() if n in reads
             ] + [
                 ci.name for ci in self.connectors.values()
                 if ci.kind == "SINK" and ci.target == n
@@ -1304,11 +1314,14 @@ class HStreamEngine:
                     )
             vi.handle = qi.handle = q
 
-        self.views[stmt.name] = vi
         if self._replaying:
             qi.starter = _go  # started after the whole log replays
         else:
+            # start FIRST: a plan both output modes reject must leave
+            # no phantom view/query behind (the DDL log is only written
+            # after execute() returns, so registration must match)
             _go()
+        self.views[stmt.name] = vi
         self.queries[qi.name] = qi
         return vi
 
@@ -1871,6 +1884,11 @@ class HStreamEngine:
             view = self.views[stmt.name]
             if view.handle is not None:
                 view.handle.stop()
+            # forget the refresh query too — leaving it RUNNING (with a
+            # deferred starter during replay) would resurrect a ghost
+            # query on recovery and block compact() of the source
+            # stream forever
+            self.queries.pop(f"view_{stmt.name}", None)
             shutil.rmtree(view.state_dir, ignore_errors=True)
             shutil.rmtree(
                 self._checkpoint(f"view_{stmt.name}"), ignore_errors=True
@@ -1941,6 +1959,18 @@ class HStreamEngine:
         q = self.queries[stmt.name]
         if q.status != "PAUSED":
             raise CompileError(f"query {stmt.name!r} is not paused")
+        if q.sink_stream is None and stmt.name.startswith("view_"):
+            # view refresh queries have no sink stream and an upsert
+            # writer — rebuild through the view machinery (same state
+            # dir and checkpoint, so the refresh resumes where it
+            # paused rather than appending through _idempotent_sink)
+            vname = stmt.name[len("view_"):]
+            if vname in self.views:
+                create_sql = q.sql
+                self.views.pop(vname, None)
+                self.queries.pop(stmt.name, None)
+                self._exec_create_view(parse(create_sql), create_sql)
+                return self.queries[stmt.name]
         stmt_ast = parse(q.sql)
         select = stmt_ast.select if hasattr(stmt_ast, "select") else stmt_ast
         sink = self.streams[q.sink_stream]

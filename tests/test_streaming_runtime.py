@@ -658,3 +658,73 @@ class TestStreamCompaction:
         assert out["compacted"]["mnt_busy"] == {"skipped_active": ["view_mnt_v"]}
         rows = engine.execute("SELECT k FROM mnt_idle;").collect()
         assert len(rows) == 10
+
+    def test_drop_view_forgets_refresh_query_and_unblocks_compact(
+        self, spark, tmp_path
+    ):
+        """DROP VIEW must forget queries['view_<name>'] too: a RUNNING
+        leftover would resurrect a ghost refresh on recovery (deferred
+        starter) and block compact() of the source stream forever."""
+        root = str(tmp_path / "dv")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM dvs (k INTEGER);")
+        for i in range(10):
+            a.execute(f"INSERT INTO dvs (k) VALUES ({i});")
+        a.execute("CREATE VIEW dv_v AS SELECT k, COUNT(*) AS n FROM dvs GROUP BY k;")
+        a.execute("DROP VIEW dv_v;")
+        assert "view_dv_v" not in a.queries
+        stats = a.compact("dvs")  # no longer a phantom reader
+        assert stats["dvs"]["files_after"] == 1
+        a.shutdown()
+
+        b = HStreamEngine(spark, root)
+        try:
+            # no ghost refresh query resurrected by replay
+            assert "view_dv_v" not in b.queries and "dv_v" not in b.views
+            import os
+
+            assert not os.path.isdir(os.path.join(root, "_viewstate", "dv_v"))
+        finally:
+            b.shutdown()
+
+    def test_failed_view_start_leaves_no_phantom(self, engine, monkeypatch):
+        """If BOTH output modes reject the view plan, CREATE VIEW must
+        raise without registering a phantom view/query (re-creation
+        after a fix must not hit 'already exists')."""
+        engine.execute("CREATE STREAM pv_ev (k INTEGER, v INTEGER);")
+        engine.execute("INSERT INTO pv_ev (k, v) VALUES (1, 2);")
+
+        def boom(self):
+            raise RuntimeError("no start for you")
+
+        monkeypatch.setattr(HStreamEngine, "_stream_start_conf", boom)
+        with pytest.raises(RuntimeError, match="no start"):
+            engine.execute(
+                "CREATE VIEW pv_v AS SELECT k, SUM(v) AS s FROM pv_ev GROUP BY k;"
+            )
+        monkeypatch.undo()
+        assert "pv_v" not in engine.views and "view_pv_v" not in engine.queries
+        engine.execute(
+            "CREATE VIEW pv_v AS SELECT k, SUM(v) AS s FROM pv_ev GROUP BY k;"
+        )
+        engine.views["pv_v"].handle.processAllAvailable()
+        rows = engine.execute("SELECT k, s FROM pv_v;").collect()
+        assert [(r["k"], r["s"]) for r in rows] == [(1, 2)]
+
+    def test_pause_resume_view_query_keeps_upserting(self, engine):
+        """RESUME of a paused view refresh rebuilds through the view
+        machinery (same state dir + checkpoint, upsert writer) — not
+        the sink-stream path, which would KeyError on sink_stream=None
+        and append instead of upsert."""
+        engine.execute("CREATE STREAM pr_ev (k INTEGER, v INTEGER);")
+        engine.execute("INSERT INTO pr_ev (k, v) VALUES (1, 10);")
+        engine.execute(
+            "CREATE VIEW pr_v AS SELECT k, SUM(v) AS s FROM pr_ev GROUP BY k;"
+        )
+        engine.views["pr_v"].handle.processAllAvailable()
+        engine.execute("PAUSE QUERY view_pr_v;")
+        engine.execute("INSERT INTO pr_ev (k, v) VALUES (1, 5);")
+        engine.execute("RESUME QUERY view_pr_v;")
+        engine.views["pr_v"].handle.processAllAvailable()
+        rows = engine.execute("SELECT k, s FROM pr_v;").collect()
+        assert [(r["k"], r["s"]) for r in rows] == [(1, 15)]  # upserted, once

@@ -1012,3 +1012,26 @@ def test_lsh_recall_eval_empty_sample_yields_threshold_rows(spark):
     assert all(r["true_pairs"] == 0 and r["hit_pairs"] == 0
                and r["recall"] is None and r["total_candidates"] == 0
                for r in rows)
+
+
+def test_lsh_ops_exclude_unshingleable_docs(spark):
+    """Docs with < n tokens have no shingles: they must not fabricate a
+    shared sentinel-signature bucket (lsh_bucket_stats) or phantom
+    candidates (lsh_recall_eval) — the DuckDB oracle omits them."""
+    from hstream_spark.operators.dedup import lsh_bucket_stats, lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [(1, "a full length document with plenty of words inside"),
+         (2, "another quite different document with several words too"),
+         (3, "too short"), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    rows = lsh_bucket_stats(docs).collect()
+    per_band = {}
+    for r in rows:
+        per_band[r["band"]] = per_band.get(r["band"], 0) + (
+            r["bucket_size"] * r["n_buckets"]
+        )
+    assert set(per_band.values()) == {2}  # only the two shingleable docs
+    ev = lsh_recall_eval(docs).collect()
+    assert all(r["total_candidates"] == 0 for r in ev)  # no phantom pairs
