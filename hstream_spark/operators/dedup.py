@@ -123,8 +123,17 @@ def minhash_signature_from_sets(sets: DataFrame, perms: int = MINHASH_PERMS) -> 
 
 def minhash_bands_from_sets(sets: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) via a single posexplode pass — no
-    union-of-branches, so the signature expression evaluates once."""
-    with_sig = minhash_signature_from_sets(sets)
+    union-of-branches, so the signature expression evaluates once.
+
+    Docs with EMPTY shingle sets are excluded from the band table: they
+    would all share the P31-sentinel signature, and on a corpus with
+    many sub-n-token documents that one phantom bucket makes the
+    candidate self-join quadratic in their count — pairs that the
+    downstream Jaccard filter would drop anyway (null similarity), but
+    only after the join cost is paid. Consumers' results are unchanged;
+    the join is strictly cheaper, and lsh_bucket_stats (which predicts
+    this join's cost) stays consistent with it."""
+    with_sig = minhash_signature_from_sets(sets.where(F.size("hs") > 0))
     band_strs = F.transform(
         F.sequence(F.lit(0), F.lit(BANDS - 1)),
         lambda b: F.array_join(

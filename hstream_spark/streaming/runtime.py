@@ -319,6 +319,20 @@ class HStreamEngine:
     def _recover(self) -> None:
         if not os.path.exists(self._ddl_log):
             return
+        # FIRST, before replaying a single statement: roll forward any
+        # compaction that committed but was interrupted mid-swap, and
+        # clear stranded pre-commit temp dirs. Replay starts SINK
+        # connectors eagerly (they have no starter deferral), so the
+        # file set must be whole before anything can attach a reader —
+        # scanned from disk because streams aren't registered yet.
+        streams_root = os.path.join(self.data_root, "streams")
+        if os.path.isdir(streams_root):
+            for d in os.listdir(streams_root):
+                p = os.path.join(streams_root, d)
+                if os.path.isdir(p):
+                    self._finish_compact_commit(p)
+                    shutil.rmtree(os.path.join(p, self._COMPACT_TMP),
+                                  ignore_errors=True)
         self._replaying = True
         try:
             with open(self._ddl_log) as f:
@@ -328,17 +342,6 @@ class HStreamEngine:
                         self.execute(json.loads(line)["sql"])
         finally:
             self._replaying = False
-        # roll forward any compaction that committed but was interrupted
-        # before its segment swap finished, and clear pre-commit temp
-        # dirs a crashed rewrite stranded (they can hold ~a full copy of
-        # the stream). This runs BEFORE any deferred query starts so no
-        # reader's checkpoint can ever observe the half-swapped file set
-        # — see compact()
-        for info in self.streams.values():
-            if os.path.isdir(info.path):
-                self._finish_compact_commit(info)
-                shutil.rmtree(os.path.join(info.path, self._COMPACT_TMP),
-                              ignore_errors=True)
         # deferred query starts: only queries still RUNNING after the
         # FULL log replayed may start — starting at CREATE-replay time
         # would let a later-TERMINATED query's stale file-path
@@ -702,12 +705,13 @@ class HStreamEngine:
         walk_sel(sel)
         return out
 
-    def _finish_compact_commit(self, info: StreamInfo) -> None:
+    def _finish_compact_commit(self, stream_path: str) -> None:
         """Complete a committed compaction (idempotent): the commit dir
         holds the replacement segments plus a manifest naming the source
-        files they supersede. Called at compact() entry and on recovery,
-        so a crash anywhere after the commit rename still converges."""
-        commit = os.path.join(info.path, self._COMPACT_COMMIT)
+        files they supersede. Called at compact() entry and on recovery
+        (BEFORE any replay, from the on-disk stream listing), so a crash
+        anywhere after the commit rename still converges."""
+        commit = os.path.join(stream_path, self._COMPACT_COMMIT)
         if not os.path.isdir(commit):
             return
         manifest = os.path.join(commit, "manifest.json")
@@ -727,17 +731,17 @@ class HStreamEngine:
         for f in man["parts"]:
             src = os.path.join(commit, f)
             if os.path.exists(src):
-                dst = os.path.join(info.path, f)
+                dst = os.path.join(stream_path, f)
                 os.replace(src, dst)
                 # segments inherit the NEWEST source append time so
                 # DURATION retention (vacuum, mtime-based) never expires
                 # a record earlier than it would have uncompacted
                 os.utime(dst, (man["mtime"], man["mtime"]))
         for f in man["sources"]:
-            p = os.path.join(info.path, f)
+            p = os.path.join(stream_path, f)
             if os.path.exists(p):
                 os.remove(p)
-            crc = os.path.join(info.path, f".{f}.crc")
+            crc = os.path.join(stream_path, f".{f}.crc")
             if os.path.exists(crc):  # Hadoop LocalFS checksum sidecar
                 os.remove(crc)
         shutil.rmtree(commit)
@@ -789,7 +793,7 @@ class HStreamEngine:
             info = self._require_stream(n)
             if not os.path.isdir(info.path):
                 continue
-            self._finish_compact_commit(info)
+            self._finish_compact_commit(info.path)
             tmp = os.path.join(info.path, self._COMPACT_TMP)
             if os.path.isdir(tmp):  # pre-commit leftover: never committed
                 shutil.rmtree(tmp)
@@ -830,7 +834,7 @@ class HStreamEngine:
             with open(os.path.join(tmp, "manifest.json"), "w") as fh:
                 json.dump({"sources": sources, "parts": parts, "mtime": mtime}, fh)
             os.replace(tmp, os.path.join(info.path, self._COMPACT_COMMIT))
-            self._finish_compact_commit(info)
+            self._finish_compact_commit(info.path)
             stats[n] = {"files_before": len(sources), "files_after": len(parts),
                         "bytes": total}
         return stats
@@ -1259,6 +1263,9 @@ class HStreamEngine:
             elif not find_aggs(it.expr):
                 key_cols.append(it.alias or it.text)
         state_dir = os.path.join(self.data_root, "_viewstate", stmt.name)
+        # remember whether state pre-existed (RESUME rebuilds reuse it)
+        # so a failed start can clean up ONLY dirs this call created
+        state_existed = os.path.isdir(state_dir)
         os.makedirs(state_dir, exist_ok=True)
         vi = ViewInfo(
             stmt.name, sql, table, None, state_dir, out.schema, tuple(key_cols),
@@ -1319,8 +1326,17 @@ class HStreamEngine:
         else:
             # start FIRST: a plan both output modes reject must leave
             # no phantom view/query behind (the DDL log is only written
-            # after execute() returns, so registration must match)
-            _go()
+            # after execute() returns, so registration must match) —
+            # and no orphan state/checkpoint dirs a later same-name
+            # CREATE would silently adopt
+            try:
+                _go()
+            except Exception:
+                if not state_existed:
+                    shutil.rmtree(state_dir, ignore_errors=True)
+                    shutil.rmtree(self._checkpoint(f"view_{stmt.name}"),
+                                  ignore_errors=True)
+                raise
         self.views[stmt.name] = vi
         self.queries[qi.name] = qi
         return vi
@@ -1967,9 +1983,17 @@ class HStreamEngine:
             vname = stmt.name[len("view_"):]
             if vname in self.views:
                 create_sql = q.sql
-                self.views.pop(vname, None)
-                self.queries.pop(stmt.name, None)
-                self._exec_create_view(parse(create_sql), create_sql)
+                old_vi = self.views.pop(vname)
+                old_qi = self.queries.pop(stmt.name)
+                try:
+                    self._exec_create_view(parse(create_sql), create_sql)
+                except Exception:
+                    # rebuild failed (source dropped, transient start
+                    # error): restore the PAUSED catalog entries so the
+                    # view doesn't silently vanish mid-session
+                    self.views[vname] = old_vi
+                    self.queries[stmt.name] = old_qi
+                    raise
                 return self.queries[stmt.name]
         stmt_ast = parse(q.sql)
         select = stmt_ast.select if hasattr(stmt_ast, "select") else stmt_ast

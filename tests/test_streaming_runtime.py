@@ -728,3 +728,52 @@ class TestStreamCompaction:
         engine.views["pr_v"].handle.processAllAvailable()
         rows = engine.execute("SELECT k, s FROM pr_v;").collect()
         assert [(r["k"], r["s"]) for r in rows] == [(1, 15)]  # upserted, once
+
+    def test_failed_resume_restores_paused_view(self, engine, monkeypatch):
+        """A RESUME whose rebuild fails must restore the PAUSED catalog
+        entries — the view must not silently vanish mid-session."""
+        engine.execute("CREATE STREAM rr_ev (k INTEGER, v INTEGER);")
+        engine.execute("INSERT INTO rr_ev (k, v) VALUES (1, 1);")
+        engine.execute(
+            "CREATE VIEW rr_v AS SELECT k, SUM(v) AS s FROM rr_ev GROUP BY k;"
+        )
+        engine.views["rr_v"].handle.processAllAvailable()
+        engine.execute("PAUSE QUERY view_rr_v;")
+
+        def boom(self):
+            raise RuntimeError("start refused")
+
+        monkeypatch.setattr(HStreamEngine, "_stream_start_conf", boom)
+        with pytest.raises(RuntimeError, match="start refused"):
+            engine.execute("RESUME QUERY view_rr_v;")
+        monkeypatch.undo()
+        # catalog intact, still PAUSED, state preserved — and a retried
+        # RESUME now succeeds
+        assert "rr_v" in engine.views
+        assert engine.queries["view_rr_v"].status == "PAUSED"
+        engine.execute("RESUME QUERY view_rr_v;")
+        engine.execute("INSERT INTO rr_ev (k, v) VALUES (1, 2);")
+        engine.views["rr_v"].handle.processAllAvailable()
+        rows = engine.execute("SELECT k, s FROM rr_v;").collect()
+        assert [(r["k"], r["s"]) for r in rows] == [(1, 3)]
+
+    def test_failed_view_start_leaves_no_orphan_dirs(self, engine, monkeypatch):
+        """Both-modes-rejected CREATE VIEW cleans up the state and
+        checkpoint dirs it created — a later same-name CREATE must not
+        adopt a failed attempt's checkpoint."""
+        import os
+
+        engine.execute("CREATE STREAM od_ev (k INTEGER);")
+
+        def boom(self):
+            raise RuntimeError("nope")
+
+        monkeypatch.setattr(HStreamEngine, "_stream_start_conf", boom)
+        with pytest.raises(RuntimeError):
+            engine.execute(
+                "CREATE VIEW od_v AS SELECT k, COUNT(*) AS n FROM od_ev GROUP BY k;"
+            )
+        monkeypatch.undo()
+        assert not os.path.isdir(
+            os.path.join(engine.data_root, "_viewstate", "od_v")
+        )
