@@ -19,23 +19,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hstream_spark.queries import REGISTRY  # noqa: E402
 
-def _proven_green() -> frozenset[str]:
-    """Catalog entries with a green driver row in any past round.
+def _proven_green() -> dict[str, int]:
+    """Catalog entries with a green driver row, mapped to the round
+    number of their MOST RECENT green.
 
     The driver draws 50 entries per round from the front of the
     enumeration, so ranking never-green entries first converges the
-    driver-proven set toward the full catalog.  Read from the recorded
-    CORRECTNESS_r*.json files so re-fixed red rows and newly added
-    entries automatically rank first each round — no hand-kept lists.
+    driver-proven set toward the full catalog; among proven entries,
+    ranking least-recently-green first rotates the sample so every
+    entry gets re-verified periodically instead of the same front-50
+    being redrawn forever.  Read from the recorded CORRECTNESS_r*.json
+    files so re-fixed red rows and newly added entries automatically
+    rank first each round — no hand-kept lists.
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     # LATEST round's status wins: an entry green in r1 but red in r3
     # must rank FRESH again (rounds sort lexicographically: r01..r99)
     status: dict[str, bool] = {}
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -47,17 +55,24 @@ def _proven_green() -> frozenset[str]:
             if row.get("err") == "no_oracle" and row.get("spark_rows"):
                 # rows-only entries (no SQL-expressible oracle) — the
                 # weak check is the strongest available; count as seen
-                status[name] = True
+                ok = True
             else:
-                status[name] = bool(row.get("hash_match"))
-    return frozenset(n for n, ok in status.items() if ok)
+                ok = bool(row.get("hash_match"))
+            status[name] = ok
+            if ok:
+                last_green[name] = rnd
+    return {n: last_green[n] for n, ok in status.items() if ok}
 
 
 def _driver_order() -> list[str]:
     names = list(REGISTRY)
     green = _proven_green()
     fresh = [n for n in names if n not in green]
-    seen = [n for n in names if n in green]
+    # Least-recently-green first so the driver's front-50 draw rotates
+    # through stale proven entries each round (ties broken by catalog
+    # order for determinism).
+    rank = {n: i for i, n in enumerate(names)}
+    seen = sorted((n for n in names if n in green), key=lambda n: (green[n], rank[n]))
     return fresh + seen
 
 
