@@ -190,6 +190,93 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5,
     return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
 
 
+def capped_band_candidates(bands: DataFrame, cap: int) -> DataFrame:
+    """Candidate pairs from a band table with HOT-BUCKET CAPPING.
+
+    The LSH failure mode a web corpus hits that curated corpora don't:
+    one boilerplate-collapsed band bucket (cookie banners, error pages,
+    SEO spam) holding m docs yields m²/2 candidate pairs — a single hot
+    key that turns the linear candidate join quadratic at 100 TB.
+    Mitigation: buckets over ``cap`` are split into ceil(m/cap) salted
+    sub-buckets (salt = engine-agnostic md5 of ``doc_id#band`` mod
+    n_sub, so each BAND re-salts independently), and pairs form only
+    within a sub-bucket — still scored by exact Jaccard downstream.
+    Pair count per hot bucket drops from O(m²) to O(m·cap).
+
+    Semantics: buckets at or under the cap get salt 0 on every member,
+    so their pair set is EXACTLY the uncapped one — on a corpus with no
+    hot buckets the decisions are identical. In a hot bucket a dup pair
+    is compared iff some band co-salts it (P ≈ 1-(1-1/n_sub)^BANDS),
+    but a dup CLUSTER stays connected with overwhelming probability
+    (a doc is isolated only if it shares no sub-bucket with any of its
+    ~cap co-salted neighbours in all bands), which is what component-
+    based dedup consumes. Documented bounded-recall trade, not a bug.
+
+    Bucket sizes come from a count window over the same (band,
+    band_sig) key the candidate self-join shuffles on, so AQE reuses
+    one exchange; no extra join against a sizes table.
+    """
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+    n_sub = ((bn + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+    salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("doc_id").cast("string"),
+                        F.col("band").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_sub
+    )
+    salted = bands.select("doc_id", "band", "band_sig", salt.alias("salt"))
+    left = salted.select(
+        "band", "band_sig", "salt", F.col("doc_id").alias("doc_a")
+    )
+    right = salted.select(
+        "band", "band_sig", "salt", F.col("doc_id").alias("doc_b")
+    )
+    return (
+        left.join(right, ["band", "band_sig", "salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates_capped(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    cap: int = 32,
+    cache_sets: bool = True,
+) -> DataFrame:
+    """``minhash_near_duplicates`` with bounded hot buckets: identical
+    pipeline (shingle sets → band buckets → candidate join → exact
+    Jaccard ≥ threshold), but the candidate join goes through
+    ``capped_band_candidates`` so no band bucket contributes more than
+    O(m·cap) pairs. Equal to the uncapped operator wherever every
+    bucket fits the cap; see ``capped_band_candidates`` for the hot-
+    bucket semantics."""
+    sets = doc_shingle_sets(docs, text_col, id_col, n)
+    if cache_sets:
+        sets = sets.persist()
+    bands = minhash_bands_from_sets(sets)
+    cands = capped_band_candidates(bands, cap)
+    return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "doc_a",

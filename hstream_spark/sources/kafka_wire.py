@@ -48,6 +48,7 @@ and the integration-test substrate (``kafka_stub.KafkaStubBroker``).
 
 from __future__ import annotations
 
+import os
 import socket
 import struct
 import threading
@@ -1515,6 +1516,42 @@ class KafkaClient:
         return out
 
 
+_CERT_BUNDLE_DIR: list = []  # lazily-created process-private 0700 dir
+_CERT_BUNDLES: dict = {}  # (certfile, keyfile) -> bundle path
+
+
+def _client_cert_bundle(certfile: str, keyfile: str) -> str:
+    """Cert+key PEM bundle for the JVM PEM keystore, deduped per
+    (certfile, keyfile) pair and written 0600 inside one
+    process-private ``mkdtemp`` dir (0700 by default) — so repeated
+    streams reuse one bundle instead of leaking a file per call, and a
+    crashed process leaves the key unreadable to other users rather
+    than a world-listable PEM in the shared temp dir."""
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    key = (os.path.realpath(certfile), os.path.realpath(keyfile))
+    cached = _CERT_BUNDLES.get(key)
+    if cached is not None and os.path.exists(cached):
+        return cached
+    if not _CERT_BUNDLE_DIR or not os.path.isdir(_CERT_BUNDLE_DIR[0]):
+        d = _tempfile.mkdtemp(prefix="hstream-mtls-")
+        _CERT_BUNDLE_DIR[:] = [d]
+        atexit.register(lambda p=d: _shutil.rmtree(p, ignore_errors=True))
+    bundle = os.path.join(
+        _CERT_BUNDLE_DIR[0], f"bundle-{len(_CERT_BUNDLES)}.pem"
+    )
+    fd = os.open(bundle, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w") as out:
+        for path in (certfile, keyfile):
+            with open(path) as fh:
+                out.write(fh.read())
+            out.write("\n")
+    _CERT_BUNDLES[key] = bundle
+    return bundle
+
+
 def kafka_readstream(spark, topic: str, bootstrap: str,
                      starting_offsets: str = "earliest",
                      client_options: Optional[dict] = None):
@@ -1582,23 +1619,14 @@ def kafka_readstream(spark, topic: str, bootstrap: str,
             # (ssl.keystore.key): Spark's default redaction regex does
             # not match it, so the private key would render in plain
             # text anywhere options surface (explain output, SQL tab,
-            # shared event logs). Bundle cert+key into a 0600 temp PEM
-            # and pass it by location like the single-file branch.
-            import atexit
-            import os as _os
-            import tempfile as _tempfile
-
-            fd, bundle = _tempfile.mkstemp(suffix=".pem")
-            with _os.fdopen(fd, "w") as out:
-                for path in (opts["tls_certfile"], opts["tls_keyfile"]):
-                    with open(str(path)) as fh:
-                        out.write(fh.read())
-                    out.write("\n")
-            _os.chmod(bundle, 0o600)
-            atexit.register(
-                lambda p=bundle: _os.path.exists(p) and _os.unlink(p)
+            # shared event logs). Bundle cert+key into a 0600 PEM
+            # inside a process-private 0700 dir and pass it by
+            # location like the single-file branch.
+            kafka_opts["kafka.ssl.keystore.location"] = (
+                _client_cert_bundle(
+                    str(opts["tls_certfile"]), str(opts["tls_keyfile"])
+                )
             )
-            kafka_opts["kafka.ssl.keystore.location"] = bundle
         else:
             kafka_opts["kafka.ssl.keystore.location"] = str(
                 opts["tls_certfile"]

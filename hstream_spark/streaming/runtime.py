@@ -210,6 +210,14 @@ class ConnectorInfo:
     # credentials/client kwargs kept OUT of `options` (which SHOW
     # CONNECTORS surfaces) but needed to rebuild the handle on RESUME
     secrets: dict = field(default_factory=dict)
+    # deferred start during DDL-log replay (same hazard as QueryInfo
+    # .starter): a sink connector's FileStreamSource checkpoint
+    # identifies input by file path, so starting it at CREATE-replay
+    # time would deliver any segments compact() rewrote after a later
+    # DROP line as duplicate new data to the external sink before that
+    # DROP replays. Connectors still registered and RUNNING after the
+    # full log replays start then.
+    starter: Optional[object] = None
 
 
 class PushQueryHandle:
@@ -274,6 +282,11 @@ class HStreamEngine:
         self.connectors: dict[str, ConnectorInfo] = {}
         self._qcounter = 0
         self._replaying = False
+        # per-statement recovery failures (e.g. a ${ENV:VAR} secret
+        # unset in the new environment): the failing object is
+        # quarantined here and replay CONTINUES — one missing secret
+        # must not keep the whole engine from starting
+        self.replay_errors: list[dict] = []
         os.makedirs(data_root, exist_ok=True)
         if recover:
             self._recover()
@@ -321,9 +334,10 @@ class HStreamEngine:
             return
         # FIRST, before replaying a single statement: roll forward any
         # compaction that committed but was interrupted mid-swap, and
-        # clear stranded pre-commit temp dirs. Replay starts SINK
-        # connectors eagerly (they have no starter deferral), so the
-        # file set must be whole before anything can attach a reader —
+        # clear stranded pre-commit temp dirs. Replay defers query and
+        # connector starts to end-of-replay, but CDC tailers resume
+        # eagerly by reading the stream's high-water mark, so the file
+        # set must be whole before anything can attach a reader —
         # scanned from disk because streams aren't registered yet.
         streams_root = os.path.join(self.data_root, "streams")
         if os.path.isdir(streams_root):
@@ -338,8 +352,28 @@ class HStreamEngine:
             with open(self._ddl_log) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
-                        self.execute(json.loads(line)["sql"])
+                    if not line:
+                        continue
+                    sql = None
+                    try:
+                        sql = json.loads(line)["sql"]
+                        self.execute(sql)
+                    except Exception as exc:  # noqa: BLE001
+                        # quarantine and keep replaying: aborting here
+                        # would leave eagerly-resumed tailers running
+                        # under a failed init and take every OTHER
+                        # healthy object down with the broken one.
+                        # Dependent statements later in the log fail
+                        # into this same list (their objects are simply
+                        # absent), so the error surface is complete.
+                        self.replay_errors.append(
+                            {"sql": sql if sql is not None else line,
+                             "error": f"{type(exc).__name__}: {exc}"}
+                        )
+                        _LOG.warning(
+                            "DDL replay: quarantined %r (%s)",
+                            sql if sql is not None else line, exc,
+                        )
         finally:
             self._replaying = False
         # deferred query starts: only queries still RUNNING after the
@@ -351,6 +385,12 @@ class HStreamEngine:
         for qi in list(self.queries.values()):
             starter, qi.starter = qi.starter, None
             if qi.status == "RUNNING" and qi.handle is None and starter:
+                starter()
+        # same deferral for streaming-query connectors (sink/generator):
+        # a connector DROPped or PAUSEd later in the log never starts
+        for ci in list(self.connectors.values()):
+            starter, ci.starter = ci.starter, None
+            if ci.status == "RUNNING" and ci.handle is None and starter:
                 starter()
 
     # -- helpers ------------------------------------------------------------
@@ -1361,15 +1401,22 @@ class HStreamEngine:
 
         if stmt.kind == "SINK" and ctype in C.SINK_BUILDERS:
             sink_fn = C.build_sink(ctype, ropts)
-            src = self._resolve_stream(info.target)
-            with self._stream_start_conf():
-                info.handle = (
-                    src.writeStream.outputMode("append")
-                    .option("checkpointLocation",
-                            self._checkpoint(f"conn_{info.name}"))
-                    .foreachBatch(sink_fn)
-                    .start()
-                )
+
+            def _start_sink(info=info, sink_fn=sink_fn):
+                src = self._resolve_stream(info.target)
+                with self._stream_start_conf():
+                    info.handle = (
+                        src.writeStream.outputMode("append")
+                        .option("checkpointLocation",
+                                self._checkpoint(f"conn_{info.name}"))
+                        .foreachBatch(sink_fn)
+                        .start()
+                    )
+
+            if self._replaying:
+                info.starter = _start_sink
+            else:
+                _start_sink()
         elif stmt.kind == "SOURCE" and ctype in (
             "jdbc", "mysql", "postgresql", "sqlserver", "mongodb",
         ):
@@ -1503,14 +1550,20 @@ class HStreamEngine:
                     "append"
                 ).parquet(target.path)
 
-            with self._stream_start_conf():
-                info.handle = (
-                    rate.writeStream.outputMode("append")
-                    .option("checkpointLocation",
-                            self._checkpoint(f"conn_{info.name}"))
-                    .foreachBatch(_gen_write)
-                    .start()
-                )
+            def _start_gen(info=info, rate=rate):
+                with self._stream_start_conf():
+                    info.handle = (
+                        rate.writeStream.outputMode("append")
+                        .option("checkpointLocation",
+                                self._checkpoint(f"conn_{info.name}"))
+                        .foreachBatch(_gen_write)
+                        .start()
+                    )
+
+            if self._replaying:
+                info.starter = _start_gen
+            else:
+                _start_gen()
         self.connectors.setdefault(stmt.name, info)
         return info
 
@@ -1896,6 +1949,19 @@ class HStreamEngine:
         if stmt.what == "QUERY":
             self._terminate(stmt.name)
             shutil.rmtree(self._checkpoint(stmt.name), ignore_errors=True)
+        if stmt.what == "CONNECTOR":
+            # stop the live handle (streaming query or CDC/kafka tailer)
+            # and take the checkpoint with it — a stale conn_ checkpoint
+            # would make a same-name successor (or a replayed CREATE
+            # after compaction) re-deliver rewritten segments to the
+            # external sink as duplicate new data
+            c = self.connectors[stmt.name]
+            if c.handle is not None:
+                c.handle.stop()
+            c.starter = None
+            shutil.rmtree(
+                self._checkpoint(f"conn_{stmt.name}"), ignore_errors=True
+            )
         if stmt.what == "VIEW":
             view = self.views[stmt.name]
             if view.handle is not None:
@@ -1917,10 +1983,20 @@ class HStreamEngine:
                         qi.handle.stop()
                     shutil.rmtree(qi.checkpoint, ignore_errors=True)
                     del self.queries[qn]
-            # cascade: stop + forget the implicit kafka ingestion tailer
-            kc = self.connectors.pop(f"__kafka_{stmt.name}", None)
-            if kc is not None and kc.handle is not None:
-                kc.handle.stop()
+            # cascade: stop + forget every connector attached to the
+            # stream — the implicit kafka ingestion tailer, sink
+            # connectors reading FROM it (their FileStreamSource would
+            # watch a deleted dir), and source connectors appending
+            # INTO it (they'd silently recreate a ghost directory)
+            for cn, ci in list(self.connectors.items()):
+                if ci.target == stmt.name or cn == f"__kafka_{stmt.name}":
+                    self.connectors.pop(cn, None)
+                    if ci.handle is not None:
+                        ci.handle.stop()
+                    ci.starter = None
+                    shutil.rmtree(
+                        self._checkpoint(f"conn_{cn}"), ignore_errors=True
+                    )
             shutil.rmtree(self.streams[stmt.name].path, ignore_errors=True)
         del registry[stmt.name]
         return True

@@ -2078,3 +2078,105 @@ class TestClientCertOptionParity:
                 "url": "https://h", "index": "i", "api_key": "k",
                 "tls_certfile": "/nonexistent-cert.pem",
             })
+
+
+class TestConnectorLifecycleRecovery:
+    """DROP CONNECTOR cleanup + replay deferral + replay quarantine —
+    the three hazards of eager connector starts during DDL-log replay
+    (mirrors the reference's connector lifecycle in
+    hstream-io/HStream/IO/Worker.hs: stop deletes the task and its
+    state; recovery only resumes tasks still marked running)."""
+
+    def test_drop_sink_connector_stops_handle_and_checkpoint(self, engine):
+        import os
+
+        engine.execute("CREATE STREAM dsrc (a INTEGER);")
+        engine.execute("INSERT INTO dsrc (a) VALUES (1);")
+        info = engine.execute(
+            "CREATE SINK CONNECTOR dbh TO dsrc WITH (\"type\" = 'blackhole');"
+        )
+        info.handle.processAllAvailable()
+        ckpt = engine._checkpoint("conn_dbh")
+        assert os.path.isdir(ckpt)
+        handle = info.handle
+        engine.execute("DROP CONNECTOR dbh;")
+        assert "dbh" not in engine.connectors
+        assert not handle.isActive  # live query stopped, not orphaned
+        assert not os.path.exists(ckpt)  # checkpoint taken with it
+
+    def test_replay_never_starts_dropped_sink_connector(self, spark, tmp_path):
+        import os
+
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "data")
+        eng = HStreamEngine(spark, root)
+        eng.execute("CREATE STREAM rsrc (a INTEGER);")
+        eng.execute("INSERT INTO rsrc (a) VALUES (1);")
+        eng.execute(
+            "CREATE SINK CONNECTOR rbh TO rsrc WITH (\"type\" = 'blackhole');"
+        )
+        eng.execute("DROP CONNECTOR rbh;")
+        eng.shutdown()
+
+        eng2 = HStreamEngine(spark, root)
+        try:
+            assert "rbh" not in eng2.connectors
+            # the deferred starter never ran: no checkpoint dir was
+            # recreated by a transient replay start
+            assert not os.path.exists(eng2._checkpoint("conn_rbh"))
+            assert eng2.replay_errors == []
+        finally:
+            eng2.shutdown()
+
+    def test_replay_starts_surviving_sink_connector(self, spark, tmp_path):
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "data")
+        eng = HStreamEngine(spark, root)
+        eng.execute("CREATE STREAM ssrc (a INTEGER);")
+        eng.execute(
+            "CREATE SINK CONNECTOR sbh TO ssrc WITH (\"type\" = 'blackhole');"
+        )
+        eng.shutdown()
+
+        eng2 = HStreamEngine(spark, root)
+        try:
+            info = eng2.connectors["sbh"]
+            assert info.status == "RUNNING"
+            assert info.handle is not None and info.handle.isActive
+            assert info.starter is None  # consumed, not leaked
+        finally:
+            eng2.shutdown()
+
+    def test_replay_quarantines_missing_secret(self, spark, tmp_path, monkeypatch):
+        """One unset ${ENV:VAR} in a logged CREATE must not keep the
+        whole engine from starting: the failing object is quarantined
+        in replay_errors and every other object replays normally."""
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "data")
+        monkeypatch.setenv("HS_RQ_SECRET", "hunter2")
+        eng = HStreamEngine(spark, root)
+        eng.execute("CREATE STREAM qsrc (a INTEGER);")
+        eng.execute(
+            "CREATE SINK CONNECTOR qbh TO qsrc WITH (\"type\" = 'blackhole', "
+            "\"token\" = '${ENV:HS_RQ_SECRET}');"
+        )
+        eng.execute("CREATE STREAM qafter (b INTEGER);")
+        eng.execute("INSERT INTO qafter (b) VALUES (7);")
+        eng.shutdown()
+
+        monkeypatch.delenv("HS_RQ_SECRET")
+        eng2 = HStreamEngine(spark, root)
+        try:
+            # engine started; the broken connector is quarantined …
+            assert "qbh" not in eng2.connectors
+            assert len(eng2.replay_errors) == 1
+            assert "HS_RQ_SECRET" in eng2.replay_errors[0]["error"]
+            # … and statements AFTER the failure still replayed
+            assert "qafter" in eng2.streams
+            rows = eng2.execute("SELECT b FROM qafter;").collect()
+            assert [r["b"] for r in rows] == [7]
+        finally:
+            eng2.shutdown()

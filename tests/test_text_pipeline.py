@@ -1035,3 +1035,72 @@ def test_lsh_ops_exclude_unshingleable_docs(spark):
     assert set(per_band.values()) == {2}  # only the two shingleable docs
     ev = lsh_recall_eval(docs).collect()
     assert all(r["total_candidates"] == 0 for r in ev)  # no phantom pairs
+
+
+class TestCappedMinhashLSH:
+    """Hot-bucket capping (capped_band_candidates): the web-corpus
+    failure mode where one boilerplate-collapsed band bucket turns the
+    candidate join quadratic. Decisions must equal the uncapped path
+    wherever buckets fit the cap; an adversarial hot bucket must yield
+    bounded pair counts while the dup CLUSTER stays connected."""
+
+    def test_capped_equals_uncapped_on_standard_corpus(self, spark):
+        from hstream_spark.operators import dedup as D
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        base = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in D.minhash_near_duplicates(docs, threshold=0.5).collect()
+        )
+        capped = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in D.minhash_near_duplicates_capped(
+                docs, threshold=0.5, cap=32
+            ).collect()
+        )
+        assert capped == base and len(base) > 0
+
+    def test_hot_bucket_bounded_pairs_and_connected_cluster(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import dedup as D
+
+        m, cap = 200, 8
+        boiler = "cookie consent banner please accept all cookies " * 4
+        rows = [(i, boiler) for i in range(m)]
+        # a few genuinely distinct docs that must NOT join the cluster
+        rows += [(1000 + i, f"unique document body {i} " + " ".join(
+            f"tok{i}x{j}" for j in range(20))) for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        sets = D.doc_shingle_sets(docs)
+        bands = D.minhash_bands_from_sets(sets)
+        uncapped = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "band_sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .count()
+        )
+        assert uncapped >= m * (m - 1) // 2  # the quadratic blow-up is real
+
+        capped = D.capped_band_candidates(bands, cap)
+        n_capped = capped.count()
+        # bounded: per band, ceil(m/cap) sub-buckets of ~cap docs each
+        # → O(m·cap) pairs, not O(m²)
+        assert n_capped <= D.BANDS * m * cap
+        assert n_capped < uncapped / 5
+
+        # the identical-doc cluster stays ONE component (each doc only
+        # needs to co-salt with ANY neighbour in ANY band)
+        dups = D.minhash_near_duplicates_capped(docs, threshold=0.5, cap=cap)
+        comps = D.connected_components(dups)
+        hot = comps.filter(F.col("doc_id") < 1000)
+        assert hot.count() == m
+        assert hot.select("component").distinct().count() == 1
+        # and the distinct docs never entered it
+        assert comps.filter(F.col("doc_id") >= 1000).count() == 0

@@ -29,7 +29,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
 #   correct physical plan for a scalar subquery
 ALLOW_NESTED = {
     "ann_cosine_topk",        # exact-cosine baseline (vs ann_lsh/ivf)
-    "dedup_embedding_cosine", # exact near-dup baseline (vs *_lsh)
+    "dedup_embedding_cosine", # exact near-dup baseline (vs *_lsh) on a
+                              # BOUNDED md5-ordered sample (cap 800) —
+                              # constant ~cap²/2 pairs at any corpus size
     "tpch_q22ish",            # 1-row avg-balance scalar broadcast
     "tpch_q11ish",            # 1-row value-threshold scalar broadcast
     "lm_cross_entropy",       # 1-row token-total scalar broadcast
