@@ -55,7 +55,10 @@ def _proven_green() -> dict[str, int]:
             if row.get("err") == "no_oracle" and row.get("spark_rows"):
                 # rows-only entries (no SQL-expressible oracle) — the
                 # weak check is the strongest available; count as seen
-                ok = True
+                # UNLESS the entry has since gained an oracle: the old
+                # rows-only proof is weaker than what's now checkable,
+                # so rank it fresh for a full hash-gated pass
+                ok = REGISTRY[name].oracle is None if name in REGISTRY else True
             else:
                 ok = bool(row.get("hash_match"))
             status[name] = ok

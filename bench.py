@@ -35,6 +35,7 @@ HEADLINE = [
     "top_orders_per_customer",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_lsh",
@@ -165,6 +166,7 @@ HEADLINE = [
     "sql_frontend_natural_join",
     "sql_frontend_json_cast",
     "sql_frontend_subquery",
+    "sql_frontend_from_list",
     "lsh_bucket_stats",
     "lsh_recall_eval",
     "pii_detect",

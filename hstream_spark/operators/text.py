@@ -380,20 +380,36 @@ def vocab_top(
     TakeOrdered top-k (per-partition heads merged on the driver — the
     global row_number window only ever sees the k survivors, never the
     full vocabulary)."""
-    from pyspark.sql import Window
-
     counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     topk = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(k)
-    # constant partition key: the window only ever ranks the k
-    # survivors (bounded), and an explicit key silences Spark's
-    # "no partition defined" all-to-one-partition warning
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("tok").asc())
-    return topk.withColumn("token_id", F.row_number().over(w)).select(
-        "token_id", "tok", "n"
+    # rank the k survivors WITHOUT a window: collect them into one
+    # k-bounded sorted array (struct compares field-by-field, so
+    # (-n, tok) ascending = count desc, token asc) and posexplode the
+    # position into the id. Same single-reduce shape as the TakeOrdered
+    # above — and no global-window "no partition defined" plan, which
+    # at a glance reads like an unbounded all-to-one shuffle to an
+    # operator auditing logs (it never was: only k rows reach it).
+    ranked = topk.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n")).alias("_negn"),
+                    F.col("tok").alias("tok"),
+                    F.col("n").alias("n"),
+                )
+            )
+        ).alias("a")
+    )
+    return ranked.select(
+        F.posexplode("a").alias("pos", "r")
+    ).select(
+        (F.col("pos") + 1).alias("token_id"),
+        F.col("r.tok").alias("tok"),
+        F.col("r.n").alias("n"),
     )
 
 

@@ -197,6 +197,11 @@ class ViewInfo:
     # sliding views: batches carry several rows per key (one per input
     # record); the LATEST by this column wins the upsert
     order_col: Optional[str] = None
+    # producer guarantees one row per key per trigger (Spark's own
+    # update-mode aggregate emits each touched group exactly once), so
+    # the upsert can skip its defensive dropDuplicates — one less
+    # shuffle per trigger
+    batch_unique: bool = False
 
 
 @dataclass
@@ -505,29 +510,104 @@ class HStreamEngine:
 
     # -- view state (distributed keyed upsert) ------------------------------
     #
-    # View state = latest accumulator per group key, kept as a versioned
-    # parquet table under ``state_dir`` with an atomically-swapped CURRENT
+    # View state = latest accumulator per group key, kept as an LSM-style
+    # parquet table under ``state_dir``: a compacted BASE (``v{B}``, one
+    # row per key) plus per-trigger DELTA dirs (``v{B}_d{k}``, each one
+    # micro-batch's touched groups), folded into a new base every
+    # ``_VIEW_COMPACT_EVERY`` triggers with an atomically-swapped CURRENT
     # pointer — the reference's in-memory groupbyStores (View.hs:235-243)
-    # made durable and DISTRIBUTED: the per-trigger merge is an anti-join
-    # + union executed by the cluster, never a driver materialization, so
-    # state size is bounded by executor storage, not driver heap. With
-    # Delta/Iceberg available this is exactly MERGE INTO; plain parquet
-    # needs copy-on-write versions to keep concurrent readers consistent.
+    # made durable and DISTRIBUTED. The delta layout is what makes the
+    # view scale: a trigger writes O(touched groups), never O(total
+    # state) — a copy-on-write rewrite of the whole table per trigger
+    # would be a scale-killer once state outgrows a micro-batch. Readers
+    # resolve latest-wins per key over base+deltas (one extra window
+    # shuffle, amortized by compaction); with Delta/Iceberg available
+    # this whole section is exactly MERGE INTO.
+
+    _VIEW_COMPACT_EVERY = 8  # deltas per generation before fold-down
+
+    @staticmethod
+    def _view_layout(state_dir: str) -> tuple[Optional[int], list[int]]:
+        """(base_version, sorted delta indexes) from the CURRENT pointer
+        + a directory listing; (None, []) when no state exists yet."""
+        ptr = os.path.join(state_dir, "CURRENT")
+        if not os.path.exists(ptr):
+            return None, []
+        with open(ptr) as f:
+            base = int(f.read().strip())
+        pre = f"v{base}_d"
+        ks = sorted(
+            int(name[len(pre):])
+            for name in os.listdir(state_dir)
+            if name.startswith(pre) and name[len(pre):].isdigit()
+        )
+        return base, ks
+
+    @staticmethod
+    def _rm_generation(state_dir: str, v: int) -> None:
+        """Remove base ``v{v}`` and every ``v{v}_d*`` delta — plus any
+        OLDER generation a crash between a previous pointer swap and
+        its cleanup left behind (otherwise such orphans would never be
+        revisited and leak disk forever)."""
+        if v < 0:
+            return
+        for name in os.listdir(state_dir):
+            if not name.startswith("v"):
+                continue
+            head = name[1:].split("_d", 1)[0]
+            if head.isdigit() and int(head) <= v:
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+    @staticmethod
+    def _view_state_frame(spark, vi: ViewInfo) -> DataFrame:
+        """Latest-wins view state: base rows are version 0, delta k's
+        rows version k; per key the highest version wins (within one
+        dir keys are unique, so no ties). No deltas → plain base read,
+        no shuffle."""
+        base, ks = HStreamEngine._view_layout(vi.state_dir)
+        if base is None:
+            return spark.createDataFrame([], vi.schema)
+
+        def read(d: str) -> DataFrame:
+            return spark.read.schema(vi.schema).parquet(
+                os.path.join(vi.state_dir, d)
+            )
+
+        cur = read(f"v{base}")
+        if not ks:
+            return cur
+        allv = cur.withColumn("__sv", F.lit(0))
+        for k in ks:
+            allv = allv.unionByName(
+                read(f"v{base}_d{k}").withColumn("__sv", F.lit(k))
+            )
+        if not vi.key_cols:
+            # keyless (global) aggregate: the single row of the highest
+            # non-empty version — empty deltas contribute no rows
+            return allv.orderBy(F.col("__sv").desc()).limit(1).drop("__sv")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*vi.key_cols).orderBy(F.col("__sv").desc())
+        return (
+            allv.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__sv")
+        )
 
     def _view_state_read(self, vi: ViewInfo) -> DataFrame:
-        ptr = os.path.join(vi.state_dir, "CURRENT")
-        if not os.path.exists(ptr):
-            return self.spark.createDataFrame([], vi.schema)
-        with open(ptr) as f:
-            v = int(f.read().strip())
-        return self.spark.read.schema(vi.schema).parquet(
-            os.path.join(vi.state_dir, f"v{v}")
-        )
+        return self._view_state_frame(self.spark, vi)
 
     @staticmethod
     def _view_upsert(vi: ViewInfo, batch_df: DataFrame) -> None:
         spark = batch_df.sparkSession
         key_cols = list(vi.key_cols)
+        # no-data micro-batches (watermark bookkeeping) also reach
+        # foreachBatch: writing them would append one empty delta per
+        # idle trigger — state churn proportional to TIME instead of
+        # data. Complete-mode fallbacks are exempt: there every trigger
+        # carries the full result by definition.
+        if not vi.replace_all and batch_df.isEmpty():
+            return
         if vi.order_col is not None and key_cols:
             from pyspark.sql import Window
 
@@ -537,11 +617,21 @@ class HStreamEngine:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        elif key_cols:
+        elif key_cols and not vi.batch_unique:
             batch = batch_df.dropDuplicates(key_cols)
         else:
+            # Spark's update-mode aggregate already emits one row per
+            # touched group per trigger — re-deduplicating would add a
+            # whole shuffle to every trigger for nothing
             batch = batch_df
         ptr = os.path.join(vi.state_dir, "CURRENT")
+
+        def swap_current(v: int) -> None:
+            tmp = ptr + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, ptr)
+
         cur_v = -1
         if vi.replace_all:
             if os.path.exists(ptr):
@@ -551,46 +641,77 @@ class HStreamEngine:
             batch.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{nxt}")
             )
-            tmp = ptr + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(nxt))
-            os.replace(tmp, ptr)
-            shutil.rmtree(os.path.join(vi.state_dir, f"v{nxt - 2}"), ignore_errors=True)
+            swap_current(nxt)
+            HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
             return
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur_v = int(f.read().strip())
-            cur = spark.read.schema(vi.schema).parquet(
-                os.path.join(vi.state_dir, f"v{cur_v}")
-            )
-            if vi.merge_on_overlap:
-                # a merged session covers its constituents: drop any
-                # state row with the same group keys whose window
-                # overlaps an incoming row's window
-                plain = [k for k in key_cols if k not in ("window_start", "window_end")]
-                cond = (cur["window_start"] < batch["window_end"]) & (
-                    cur["window_end"] > batch["window_start"]
+        if vi.merge_on_overlap:
+            # a merged session covers its constituents: drop any state
+            # row with the same group keys whose window OVERLAPS an
+            # incoming row's window — supersession isn't key-equality,
+            # so sessions can't use the delta log; they compact every
+            # trigger. The merge plan references `batch` twice (join
+            # condition + union) and each reference re-executes the
+            # micro-batch subtree in foreachBatch — persist caps that
+            # at one evaluation (the standard foreachBatch pattern).
+            batch = batch.persist()
+            try:
+                if os.path.exists(ptr):
+                    with open(ptr) as f:
+                        cur_v = int(f.read().strip())
+                    cur = spark.read.schema(vi.schema).parquet(
+                        os.path.join(vi.state_dir, f"v{cur_v}")
+                    )
+                    plain = [k for k in key_cols
+                             if k not in ("window_start", "window_end")]
+                    cond = (cur["window_start"] < batch["window_end"]) & (
+                        cur["window_end"] > batch["window_start"]
+                    )
+                    for k in plain:
+                        cond = cond & cur[k].eqNullSafe(batch[k])
+                    new = cur.join(batch, cond, "left_anti").unionByName(batch)
+                else:
+                    new = batch
+                nxt = cur_v + 1
+                new.write.mode("overwrite").parquet(
+                    os.path.join(vi.state_dir, f"v{nxt}")
                 )
-                for k in plain:
-                    cond = cond & cur[k].eqNullSafe(batch[k])
-                keep = cur.join(batch, cond, "left_anti")
-                new = keep.unionByName(batch)
-            elif key_cols:
-                keep = cur.join(batch.select(*key_cols), key_cols, "left_anti")
-                new = keep.unionByName(batch)
-            else:
-                # keyless (global) aggregate: ≤1 row per trigger, replace
-                new = batch if not batch.isEmpty() else cur
-        else:
-            new = batch
-        nxt = cur_v + 1
-        new.write.mode("overwrite").parquet(os.path.join(vi.state_dir, f"v{nxt}"))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, ptr)
-        # keep one superseded version for in-flight readers
-        shutil.rmtree(os.path.join(vi.state_dir, f"v{nxt - 2}"), ignore_errors=True)
+            finally:
+                batch.unpersist()
+            swap_current(nxt)
+            HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
+            return
+        # keyed latest-wins (and keyless ≤1-row) views: append the
+        # trigger's touched groups as ONE delta — O(batch) work, never
+        # O(total state). Parquet-write to a dot-tmp dir then an atomic
+        # rename keeps half-written deltas invisible to the listing
+        # readers use. A replayed epoch appends a duplicate delta with
+        # identical content under a higher version — latest-wins
+        # converges to the same values, so the path stays idempotent.
+        base, ks = HStreamEngine._view_layout(vi.state_dir)
+        if base is None:
+            batch.write.mode("overwrite").parquet(
+                os.path.join(vi.state_dir, "v0")
+            )
+            swap_current(0)
+            return
+        k = (ks[-1] if ks else 0) + 1
+        tmp_dir = os.path.join(vi.state_dir, f".tmp_v{base}_d{k}")
+        batch.write.mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, os.path.join(vi.state_dir, f"v{base}_d{k}"))
+        if len(ks) + 1 >= HStreamEngine._VIEW_COMPACT_EVERY:
+            # fold base+deltas into the next generation's base; the old
+            # generation stays on disk for in-flight readers and is
+            # removed when the one after supersedes it
+            merged = HStreamEngine._view_state_frame(spark, vi)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(vi.state_dir, f"v{base + 1}")
+            )
+            swap_current(base + 1)
+            HStreamEngine._rm_generation(vi.state_dir, base - 1)
+            for name in os.listdir(vi.state_dir):
+                if name.startswith(".tmp_"):  # stray crash leftovers
+                    shutil.rmtree(os.path.join(vi.state_dir, name),
+                                  ignore_errors=True)
 
     def _resolve_stream(self, name: str) -> DataFrame:
         if name in self.views:
@@ -1166,6 +1287,10 @@ class HStreamEngine:
         sink_batch = self._idempotent_sink(
             self._checkpoint(qname), sink.path, stamp_ts=stamp_ts,
             payload=sink.payload,
+            # cap per-trigger sink files at the engine's streaming
+            # parallelism (None = inherit the batch's partitioning, the
+            # right default on a real cluster with big triggers)
+            coalesce_to=self.streaming_shuffle_partitions,
         )
         qi = QueryInfo(qname, sql, sink_stream, self._checkpoint(qname), None,
                        mode=mode)
@@ -1188,7 +1313,8 @@ class HStreamEngine:
 
     @staticmethod
     def _idempotent_sink(checkpoint_dir: str, sink_path: str, stamp_ts: bool = False,
-                         payload: bool = False):
+                         payload: bool = False,
+                         coalesce_to: Optional[int] = None):
         """foreachBatch writer with epoch-marker idempotence: Spark's
         foreachBatch is at-least-once (a crash between the sink write
         and the offset commit replays the epoch), so the sink records
@@ -1227,6 +1353,16 @@ class HStreamEngine:
                     F.to_json(F.struct(*cols)).alias(HStreamEngine._PAYLOAD_COL),
                     F.col(EVENT_TIME_COL),
                 )
+            if coalesce_to:
+                # stateless (append) queries keep the source's split
+                # count — a 64-file trigger otherwise fans out into 64
+                # write tasks producing 64 tiny part files per trigger:
+                # most of the map path's addBatch time is task launch +
+                # parquet open/commit overhead, and the file count
+                # compounds for every downstream reader's listing.
+                # Shuffled (aggregate) batches already arrive at
+                # streaming_shuffle_partitions, so this is a no-op there.
+                out_df = out_df.coalesce(coalesce_to)
             out_df.write.mode("append").parquet(sink_path)
             os.makedirs(checkpoint_dir, exist_ok=True)
             tmp = marker + ".tmp"
@@ -1310,6 +1446,11 @@ class HStreamEngine:
         vi = ViewInfo(
             stmt.name, sql, table, None, state_dir, out.schema, tuple(key_cols),
             merge_on_overlap, order_col=order_col,
+            # plain/TUMBLE/HOP views: Spark's update-mode aggregate (and
+            # the complete-fallback's full result) emits one row per
+            # group per trigger, so the upsert skips its defensive
+            # per-trigger dropDuplicates shuffle
+            batch_unique=not merge_on_overlap and order_col is None,
         )
 
         def upsert(batch_df: DataFrame, epoch_id: int) -> None:

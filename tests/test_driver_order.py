@@ -55,6 +55,10 @@ def test_regressed_entry_ranks_fresh_again(monkeypatch, tmp_path):
 
 
 def test_rows_only_entries_count_as_seen(monkeypatch, tmp_path):
+    """A rows-only driver record counts as seen ONLY while the entry
+    still has no oracle; once it gains one (round 8 upgraded all
+    formerly rows-only entries), the old weak proof ranks it fresh so
+    the driver re-verifies it hash-gated."""
     names = list(REGISTRY)
     a = names[0]
     (tmp_path / "CORRECTNESS_r02.json").write_text(
@@ -63,4 +67,8 @@ def test_rows_only_entries_count_as_seen(monkeypatch, tmp_path):
     monkeypatch.setattr(
         entry_mod.os.path, "dirname", lambda _p: str(tmp_path)
     )
+    # entry has an oracle now → the rows-only record is stale evidence
+    assert entry_mod._proven_green() == {}
+    # same record while the entry is genuinely oracle-less → seen
+    monkeypatch.setattr(REGISTRY[a], "oracle", None)
     assert entry_mod._proven_green() == {a: 2}

@@ -801,11 +801,15 @@ def test_group_membership_converges_under_churn():
             t.start()
         for t in threads:
             t.join(timeout=30)
-        # timeout-class errors under churn are starvation artifacts
-        # (the next ensure() loop recovers); anything else is a real
-        # protocol failure and stays fatal
+        # tolerated during the chaos window: timeout-class errors and
+        # join_and_sync's "failed to stabilize" (a member exhausting its
+        # bounded rejoin attempts while the group is DELIBERATELY being
+        # churned and the box may be starved — the next ensure() call
+        # recovers). Any other protocol error stays fatal: wrong error
+        # codes, bad assignments, etc. are real bugs.
         fatal = [e for e in errors
-                 if not isinstance(e, (TimeoutError, ConnectionError))]
+                 if not isinstance(e, (TimeoutError, ConnectionError))
+                 and "failed to stabilize" not in str(e)]
         assert not fatal, fatal[:3]
 
         # convergence: everyone re-coordinates to one stable generation.

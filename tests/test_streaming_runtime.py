@@ -777,3 +777,114 @@ class TestStreamCompaction:
         assert not os.path.isdir(
             os.path.join(engine.data_root, "_viewstate", "od_v")
         )
+
+
+class TestViewDeltaLog:
+    """LSM-style view state: each trigger appends ONE delta of touched
+    groups (O(batch), never O(total state)); every _VIEW_COMPACT_EVERY
+    deltas fold into a new base generation. Latest version wins per
+    key; readers never see half-written deltas (atomic dir rename)."""
+
+    def test_deltas_accumulate_then_compact(self, engine):
+        import os
+
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        engine.execute("CREATE STREAM dl_ev (k STRING, v INTEGER);")
+        engine.execute(
+            "CREATE VIEW dl AS SELECT k, COUNT(*) AS n, SUM(v) AS s "
+            "FROM dl_ev GROUP BY k;"
+        )
+        vi = engine.views["dl"]
+        n_triggers = HStreamEngine._VIEW_COMPACT_EVERY + 2
+        for i in range(n_triggers):
+            engine.execute(f"INSERT INTO dl_ev (k, v) VALUES ('a', {i});")
+            engine.execute(f"INSERT INTO dl_ev (k, v) VALUES ('k{i}', 1);")
+            vi.handle.processAllAvailable()
+        base, ks = HStreamEngine._view_layout(vi.state_dir)
+        # enough data triggers ran (trigger count is timing-dependent:
+        # each INSERT may land in its own micro-batch) that at least one
+        # compaction folded deltas into a new base generation, and the
+        # live delta count stays bounded by the compaction threshold
+        assert base >= 1
+        assert len(ks) <= HStreamEngine._VIEW_COMPACT_EVERY
+        names = os.listdir(vi.state_dir)
+        assert not any(n.startswith(".tmp_") for n in names)
+        # generations older than the one superseded base are swept
+        dead = [n for n in names
+                if n.startswith("v") and
+                n[1:].split("_d", 1)[0].isdigit() and
+                int(n[1:].split("_d", 1)[0]) < base - 1]
+        assert dead == []
+        # latest-wins correctness across base + deltas
+        rows = {r["k"]: (r["n"], r["s"]) for r in
+                engine.execute("SELECT k, n, s FROM dl;").collect()}
+        assert rows["a"] == (n_triggers, sum(range(n_triggers)))
+        for i in range(n_triggers):
+            assert rows[f"k{i}"] == (1, 1)
+
+    def test_delta_state_survives_restart(self, spark, tmp_path):
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "dl_srv")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM dr_ev (k STRING, v INTEGER);")
+        a.execute(
+            "CREATE VIEW dr AS SELECT k, SUM(v) AS s FROM dr_ev GROUP BY k;"
+        )
+        for i in range(3):  # base + 2 deltas, below the compact threshold
+            a.execute(f"INSERT INTO dr_ev (k, v) VALUES ('x', {10 + i});")
+            a.views["dr"].handle.processAllAvailable()
+        base, ks = HStreamEngine._view_layout(a.views["dr"].state_dir)
+        assert base == 0 and len(ks) == 2  # deltas really exist on disk
+        a.shutdown()
+
+        b = HStreamEngine(spark, root)
+        try:
+            rows = b.execute("SELECT k, s FROM dr;").collect()
+            assert [(r["k"], r["s"]) for r in rows] == [("x", 33)]
+            # post-restart triggers keep appending to the same log
+            b.execute("INSERT INTO dr_ev (k, v) VALUES ('x', 7);")
+            b.views["dr"].handle.processAllAvailable()
+            rows = b.execute("SELECT k, s FROM dr;").collect()
+            assert [(r["k"], r["s"]) for r in rows] == [("x", 40)]
+        finally:
+            b.shutdown()
+
+    def test_keyless_view_over_deltas(self, engine):
+        engine.execute("CREATE STREAM gl_ev (v INTEGER);")
+        engine.execute(
+            "CREATE VIEW gl AS SELECT COUNT(*) AS n, SUM(v) AS s FROM gl_ev;"
+        )
+        for i in range(4):
+            engine.execute(f"INSERT INTO gl_ev (v) VALUES ({i});")
+            engine.views["gl"].handle.processAllAvailable()
+        rows = engine.execute("SELECT n, s FROM gl;").collect()
+        assert [(r["n"], r["s"]) for r in rows] == [(4, 6)]
+
+    def test_stray_tmp_dir_is_invisible_and_cleaned(self, engine):
+        import os
+
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        engine.execute("CREATE STREAM st_ev (k STRING, v INTEGER);")
+        engine.execute(
+            "CREATE VIEW st AS SELECT k, COUNT(*) AS n FROM st_ev GROUP BY k;"
+        )
+        vi = engine.views["st"]
+        engine.execute("INSERT INTO st_ev (k, v) VALUES ('a', 1);")
+        vi.handle.processAllAvailable()
+        # simulate a crash mid-delta-write: a dot-tmp dir left behind
+        stray = os.path.join(vi.state_dir, ".tmp_v0_d99")
+        os.makedirs(stray, exist_ok=True)
+        rows = engine.execute("SELECT k, n FROM st;").collect()
+        assert [(r["k"], r["n"]) for r in rows] == [("a", 1)]  # ignored
+        # enough triggers to reach compaction, which sweeps the stray
+        for i in range(HStreamEngine._VIEW_COMPACT_EVERY):
+            engine.execute(f"INSERT INTO st_ev (k, v) VALUES ('a', {i});")
+            vi.handle.processAllAvailable()
+        assert not os.path.isdir(stray)
+        rows = engine.execute("SELECT k, n FROM st;").collect()
+        assert [(r["k"], r["n"]) for r in rows] == [
+            ("a", 1 + HStreamEngine._VIEW_COMPACT_EVERY)
+        ]
