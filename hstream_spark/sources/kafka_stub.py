@@ -129,6 +129,10 @@ class _GroupState:
             target_gen = self.generation + 1
             # complete when every PREVIOUS member rejoined or timeout
             while self.generation < target_gen:
+                # a concurrent leave() may have re-armed the barrier;
+                # re-assert our own membership in the joining cohort so
+                # the generation we complete can never be empty
+                self.pending[member_id] = metadata
                 if set(self.members) <= set(self.pending) or (
                     _time.monotonic() >= self.deadline
                 ):
@@ -186,10 +190,14 @@ class _GroupState:
         with self.cond:
             self.members.pop(member_id, None)
             self.pending.pop(member_id, None)
-            if self.members:
-                # survivors rejoin via heartbeat signal
+            if self.members or self.pending:
+                # survivors rejoin via heartbeat signal. Members already
+                # blocked in the join barrier STAY in `pending` — wiping
+                # it would drop concurrent joiners from the cohort, and
+                # a lone waiter could then complete an EMPTY generation
+                # after the deadline (observed as min() on no members
+                # killing the connection thread under churn)
                 self.state = "PreparingRebalance"
-                self.pending = {}
                 self.deadline = _time.monotonic() + self.rebalance_timeout
             else:
                 self.state = "Empty"

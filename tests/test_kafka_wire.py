@@ -1773,3 +1773,47 @@ def test_mtls_bundle_deduped_and_private_dir():
     _os.unlink(b1)
     b4 = _client_cert_bundle(certf, keyf)
     assert _os.path.exists(b4)
+
+
+def test_leave_during_join_barrier_keeps_pending_joiner():
+    """Regression (round 8): a member leaving while another is blocked
+    in the join barrier must NOT drop the joiner from the rebalance
+    cohort. The old code wiped `pending` on leave, so a lone waiter
+    completed an EMPTY generation after the deadline — min() over no
+    members killed the broker's connection thread, surfacing to clients
+    as 'connection closed mid-response' under churn."""
+    import threading
+    import time as _time
+
+    from hstream_spark.sources.kafka_stub import _GroupState
+
+    g = _GroupState(rebalance_timeout=0.3)
+    # A is the sole stable member of generation 1
+    gen, a_id, leader, members = g.join("", b"ma")
+    assert gen == 1 and members == {a_id: b"ma"}
+
+    result: dict = {}
+
+    def join_b():
+        result["out"] = g.join("", b"mb")
+
+    t = threading.Thread(target=join_b)
+    t.start()
+    # wait until B is actually inside the barrier (registered pending)
+    deadline = _time.monotonic() + 2
+    while _time.monotonic() < deadline:
+        with g.cond:
+            if any(m != a_id for m in g.pending):
+                break
+        _time.sleep(0.01)
+    g.leave(a_id)  # A departs while B waits
+    t.join(timeout=5)
+    assert not t.is_alive(), "joiner never completed the rebalance"
+    gen_b, b_id, leader_b, members_b = result["out"]
+    # B completed a generation that CONTAINS B and elected B leader
+    assert b_id in members_b and leader_b == b_id
+    assert gen_b == 2
+    # and the group is functional: B can sync and heartbeat
+    code, _ = g.sync(gen_b, b_id, {b_id: b"assign"})
+    assert code == 0
+    assert g.beat(gen_b, b_id) == 0
