@@ -71,6 +71,8 @@ HEADLINE = [
     "stratified_sample",
     "embedding_kmeans",
     "kmeans_fit_fixed",
+    "linear_probe_fit_fixed",
+    "linear_probe_score",
     "extended_json_scan",
     "kmeans_assign",
     "dedup_prune",

@@ -673,6 +673,96 @@ def kmeans_assign(
     )
 
 
+def linear_probe_fit(
+    corpus: DataFrame,
+    label: Column,
+    dim: int = 8,
+    iters: int = 3,
+    lr: float = 0.5,
+    vec_col: str = "embedding",
+    init: Optional[list[float]] = None,
+) -> list[float]:
+    """Distributed LINEAR PROBE trainer: least-squares gradient descent
+    for ŷ = w·x + b over the first ``dim`` embedding dimensions — the
+    standard train-a-linear-probe-on-embeddings step of a curation
+    pipeline (is this doc high-quality / on-topic / in-domain?), run
+    where the embeddings live instead of collecting them.
+
+    The Spark iterative shape matches ``kmeans_fit``: per iteration the
+    residual and per-feature gradient terms are computed inside the
+    scan (the current weights ship as ONE array literal), one
+    posexplode → (pos) hash-agg reduces them — shuffle volume is
+    O(partitions × (dim+1)) partial sums, independent of corpus size —
+    and only dim+1 gradient scalars return to the driver, which applies
+    the update. Least squares (not logistic) is deliberate: the
+    gradient uses only +/× so the 2^-40 binary fixed-point sum makes
+    every iteration byte-exact against a single-node SQL replay
+    (`linear_probe_fit_fixed`'s DuckDB oracle) — a transcendental
+    sigmoid would diverge across libm implementations. ``lr`` should be
+    an exact binary fraction (0.5, 0.25) for the same reason.
+
+    Returns dim+1 weights, bias LAST. The prediction fold is
+    ``list_dot_product``-compatible (0-seeded left fold, bias added
+    after), the per-term quantum is ``round(err * x * 2^40)`` summed as
+    decimal(38,0) (128-bit, order-independent, no int64 wrap), and the
+    driver-side update ``w - lr*((g/2^40)/n)`` uses the identical
+    floating-op sequence the oracle's CTE chain replays.
+    """
+    scale = float(1 << 40)
+    w = list(init) if init is not None else [0.0] * (dim + 1)
+    if len(w) != dim + 1:
+        raise ValueError(f"init must have dim+1={dim + 1} weights (bias last)")
+    feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
+    base = corpus.select(
+        feats.alias("px"), label.cast("double").alias("py")
+    )
+    for _ in range(iters):
+        w_lit = F.lit(w[:dim])
+        pred = dot(F.col("px"), w_lit) + F.lit(w[dim])
+        err = pred - F.col("py")
+        garr = F.concat(
+            F.transform(
+                F.col("px"),
+                lambda x: F.round(err * x * F.lit(scale)).cast("long"),
+            ),
+            F.array(F.round(err * F.lit(scale)).cast("long")),
+        )
+        sums = (
+            base.select(F.posexplode(garr).alias("pos", "gq"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.col("gq").cast("decimal(38,0)")).alias("g"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for row in sums:  # dim+1 rows — model-sized driver traffic
+            g = float(row["g"]) / scale
+            w[row["pos"]] = w[row["pos"]] - lr * (g / row["n"])
+    return w
+
+
+def linear_probe_score(
+    corpus: DataFrame,
+    weights: list[float],
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score every vector with a trained linear probe — map-only: the
+    weights ship as one literal, ŷ = w·x + b folds inside the scan,
+    and the boolean keep-decision is ŷ > threshold. The inference half
+    of ``linear_probe_fit``; at 100 TB this is a pure scan."""
+    dim = len(weights) - 1
+    feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
+    score = dot(feats, F.lit(weights[:dim])) + F.lit(weights[dim])
+    return corpus.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score > threshold).alias("keep"),
+    )
+
+
 def quantize_embeddings(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -5180,6 +5180,98 @@ def q_kmeans_assign(spark, sf):
     return kmeans_assign(emb, _seed_centroids(emb))
 
 
+_PROBE_DIM = 8
+_PROBE_ITERS = 3
+_PROBE_LABEL_SQL = "CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+_PROBE_SCORE_W = [0.25, -0.5, 0.125, 0.75, -0.25, 0.5, -0.125, 0.0625, -0.03125]
+
+
+def _linear_probe_oracle(iters: int = _PROBE_ITERS, dim: int = _PROBE_DIM) -> str:
+    """DuckDB replay of the FULL linear-probe GD trainer, iterations
+    unrolled into chained CTEs (the kmeans_fit_fixed construction):
+    per iteration the residual uses the same 0-seeded
+    ``list_dot_product`` fold + bias-after as the Spark side, each
+    gradient term quantizes as ``round(err * x * 2^40)`` (exact-binary
+    scale, half-away rounding agrees cross-engine) summed in 128-bit,
+    and the weight update replays the identical floating-op sequence
+    ``w - lr*((double(g)/2^40)/n)``. Weights are therefore
+    byte-identical after every iteration."""
+    zeros = "[" + ", ".join(["0.0"] * dim) + "]"
+    parts = [
+        f"WITH b AS (SELECT (embedding::DOUBLE[])[1:{dim}] AS px,",
+        f"                  {_PROBE_LABEL_SQL} AS py FROM embeddings),",
+        f"w0 AS (SELECT {zeros}::DOUBLE[] AS wv, CAST(0.0 AS DOUBLE) AS wb),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+g{i} AS (SELECT d.pos,
+         SUM(CAST(round(
+             ((list_dot_product(b.px, w.wv) + w.wb) - b.py)
+             * (CASE WHEN d.pos <= {dim} THEN b.px[d.pos] ELSE 1.0 END)
+             * 1099511627776) AS BIGINT)) AS g,
+         COUNT(*) AS n
+       FROM b CROSS JOIN w{p} w CROSS JOIN generate_series(1, {dim + 1}) d(pos)
+       GROUP BY d.pos),
+gl{i} AS (SELECT list(CAST(g AS DOUBLE) ORDER BY pos) AS gs, max(n) AS n FROM g{i}),
+w{i} AS (SELECT list_transform(generate_series(1, {dim}),
+                 j -> w.wv[j] - 0.5 * ((gl.gs[j] / 1099511627776) / gl.n)) AS wv,
+              w.wb - 0.5 * ((gl.gs[{dim + 1}] / 1099511627776) / gl.n) AS wb
+       FROM w{p} w CROSS JOIN gl{i} gl),""")
+    parts.append(f"""
+fin AS (SELECT CAST(j AS INTEGER) AS pos, wv[j] AS weight
+        FROM w{iters}, generate_series(1, {dim}) t(j)
+        UNION ALL SELECT {dim + 1}, wb FROM w{iters})
+SELECT pos, weight FROM fin""")
+    return "\n".join(parts)
+
+
+@register(
+    "linear_probe_fit_fixed",
+    _linear_probe_oracle(),
+    tags=("similarity", "ml", "iterative"),
+)
+def q_linear_probe_fit_fixed(spark, sf):
+    """Distributed linear-probe trainer, hash-gated end to end: 3
+    least-squares GD iterations over the first 8 embedding dims against
+    the binarized corpus label (label < 5), the oracle replaying every
+    iteration in DuckDB (unrolled CTE chain, 2^-40 fixed-point gradient
+    sums). The train-a-probe-on-embeddings step of a curation pipeline
+    with per-iteration traffic of dim+1 scalars — the driver-holds-
+    model / executors-hold-data shape shared with kmeans_fit_fixed."""
+    from hstream_spark.operators.similarity import linear_probe_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    w = linear_probe_fit(
+        emb, label=(F.col("label") < 5).cast("double"),
+        dim=_PROBE_DIM, iters=_PROBE_ITERS, lr=0.5,
+    )
+    rows = [(j + 1, w[j]) for j in range(len(w))]
+    return spark.createDataFrame(rows, "pos int, weight double")
+
+
+@register(
+    "linear_probe_score",
+    f"""
+    SELECT vec_id,
+           list_dot_product((embedding::DOUBLE[])[1:{_PROBE_DIM}],
+                            {_PROBE_SCORE_W[:_PROBE_DIM]}) + {_PROBE_SCORE_W[_PROBE_DIM]} AS score,
+           (list_dot_product((embedding::DOUBLE[])[1:{_PROBE_DIM}],
+                             {_PROBE_SCORE_W[:_PROBE_DIM]}) + {_PROBE_SCORE_W[_PROBE_DIM]}) > 0.5 AS keep
+    FROM embeddings
+    """,
+    tags=("similarity", "ml"),
+)
+def q_linear_probe_score(spark, sf):
+    """The inference half of the linear probe with pinned exact-binary
+    weights — map-only: one dot fold per row inside the scan, boolean
+    keep-decision. At 100 TB this is a pure scan with no shuffle."""
+    from hstream_spark.operators.similarity import linear_probe_score
+
+    emb = load_table(spark, sf, "embeddings")
+    return linear_probe_score(emb, _PROBE_SCORE_W, threshold=0.5)
+
+
 _SEMANTIC_DEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, {_NORM_VEC} AS vn FROM embeddings),
 c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vn AS cvec

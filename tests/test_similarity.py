@@ -389,3 +389,86 @@ def test_semantic_dedup_np_matches_expression_path(spark, emb):
     b = sorted((r["vec_id"], r["cluster"])
                for r in semantic_dedup_np(emb, cents, eps=0.4).collect())
     assert a == b
+
+
+class TestLinearProbe:
+    """Linear-probe trainer (least-squares GD on embedding dims):
+    convergence on a separable synthetic task, determinism, and the
+    scoring half."""
+
+    def test_probe_learns_separable_labels(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        # y = 1 iff x0 + x1 > 0 — linearly separable in the first two
+        # dims; deterministic pseudo-random features from md5
+        import hashlib
+
+        def feat(i, j):
+            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            return (h / 0x7FFFFFFF) - 1.0
+
+        rows = []
+        for i in range(400):
+            x = [feat(i, j) for j in range(8)]
+            rows.append((i, x, 1.0 if x[0] + x[1] > 0 else 0.0))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, y double"
+        )
+
+        def mse(w):
+            scored = SIM.linear_probe_score(df, w).join(
+                df.select("vec_id", "y"), "vec_id"
+            )
+            return scored.agg(
+                F.avg((F.col("score") - F.col("y")) ** 2).alias("m")
+            ).collect()[0]["m"]
+
+        losses = [mse([0.0] * 9)]
+        w = [0.0] * 9
+        for _ in range(4):
+            w = SIM.linear_probe_fit(
+                df, label=F.col("y"), dim=8, iters=1, lr=0.5, init=w
+            )
+            losses.append(mse(w))
+        # GD strictly improves on a separable least-squares problem
+        assert all(b < a for a, b in zip(losses, losses[1:])), losses
+        # the two informative dims dominate the learned weights
+        assert abs(w[0]) > 3 * max(abs(v) for v in w[2:8])
+        assert abs(w[1]) > 3 * max(abs(v) for v in w[2:8])
+        # and the trained probe classifies well above chance
+        scored = SIM.linear_probe_score(df, w).join(
+            df.select("vec_id", "y"), "vec_id"
+        )
+        acc = scored.agg(
+            F.avg((F.col("keep").cast("double") == F.col("y")).cast("double"))
+        ).collect()[0][0]
+        assert acc > 0.8, acc
+
+    def test_probe_is_deterministic_across_partitionings(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        emb = spark.createDataFrame(
+            [(i, [((i * 37 + j * 11) % 101 - 50) / 50.0 for j in range(8)],
+              float(i % 2)) for i in range(200)],
+            "vec_id long, embedding array<double>, y double",
+        )
+        w1 = SIM.linear_probe_fit(emb.repartition(1), F.col("y"), dim=8, iters=2)
+        w32 = SIM.linear_probe_fit(emb.repartition(32), F.col("y"), dim=8, iters=2)
+        assert w1 == w32  # fixed-point sums are order-independent
+
+    def test_probe_rejects_bad_init(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        emb = spark.createDataFrame(
+            [(0, [0.0] * 8, 0.0)], "vec_id long, embedding array<double>, y double"
+        )
+        with _pytest.raises(ValueError, match="dim\\+1"):
+            SIM.linear_probe_fit(emb, F.col("y"), dim=8, init=[0.0] * 3)
