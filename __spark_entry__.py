@@ -38,12 +38,19 @@ def _proven_green() -> dict[str, int]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     # LATEST round's status wins: an entry green in r1 but red in r3
-    # must rank FRESH again (rounds sort lexicographically: r01..r99)
+    # must rank FRESH again. Sort by the PARSED round number, not the
+    # filename — lexicographic order would put r100 before r99 and
+    # resurrect a regressed entry's stale green status.
     status: dict[str, bool] = {}
     last_green: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+
+    def _round_of(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else 0
+
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                       key=_round_of):
+        rnd = _round_of(path)
         try:
             with open(path) as fh:
                 rows = json.load(fh)

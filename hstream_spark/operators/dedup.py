@@ -166,7 +166,8 @@ def jaccard_for_pairs(sets: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5,
                             text_col: str = "text", id_col: str = "doc_id",
-                            n: int = 3, cache_sets: bool = True) -> DataFrame:
+                            n: int = 3, cache_sets: bool = True,
+                            cap: Optional[int] = None) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle sets → band buckets →
     candidate self-join → exact-Jaccard verify ≥ threshold.
 
@@ -174,19 +175,27 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5,
     Jaccard ×2 sides); ``cache_sets`` persists it so the tokenize+hash
     scan runs once. At cluster scale replace the cache with a parquet
     checkpoint of (doc_id, hs).
+
+    ``cap`` routes candidate generation through
+    ``capped_band_candidates`` (hot band buckets split into salted
+    sub-buckets, bounding any one bucket's pairs at O(m·cap)); ``None``
+    keeps the plain all-pairs-per-bucket join.
     """
     sets = doc_shingle_sets(docs, text_col, id_col, n)
     if cache_sets:
         sets = sets.persist()
     bands = minhash_bands_from_sets(sets)
-    left = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
-    right = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
-    cands = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    if cap is not None:
+        cands = capped_band_candidates(bands, cap)
+    else:
+        left = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+        right = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+        cands = (
+            left.join(right, ["band", "band_sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
 
 
@@ -262,19 +271,14 @@ def minhash_near_duplicates_capped(
     cap: int = 32,
     cache_sets: bool = True,
 ) -> DataFrame:
-    """``minhash_near_duplicates`` with bounded hot buckets: identical
-    pipeline (shingle sets → band buckets → candidate join → exact
-    Jaccard ≥ threshold), but the candidate join goes through
-    ``capped_band_candidates`` so no band bucket contributes more than
-    O(m·cap) pairs. Equal to the uncapped operator wherever every
+    """``minhash_near_duplicates`` with bounded hot buckets — one body,
+    selected by its ``cap`` parameter, so the two operators can never
+    silently diverge. Equal to the uncapped operator wherever every
     bucket fits the cap; see ``capped_band_candidates`` for the hot-
     bucket semantics."""
-    sets = doc_shingle_sets(docs, text_col, id_col, n)
-    if cache_sets:
-        sets = sets.persist()
-    bands = minhash_bands_from_sets(sets)
-    cands = capped_band_candidates(bands, cap)
-    return jaccard_for_pairs(sets, cands).filter(F.col("jaccard") >= threshold)
+    return minhash_near_duplicates(
+        docs, threshold, text_col, id_col, n, cache_sets, cap=cap
+    )
 
 
 def connected_components(

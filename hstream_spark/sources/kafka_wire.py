@@ -1517,7 +1517,9 @@ class KafkaClient:
 
 
 _CERT_BUNDLE_DIR: list = []  # lazily-created process-private 0700 dir
-_CERT_BUNDLES: dict = {}  # (certfile, keyfile) -> bundle path
+_CERT_BUNDLES: dict = {}  # cache key -> bundle path
+_CERT_BUNDLE_LOCK = threading.Lock()
+_CERT_BUNDLE_SEQ = [0]
 
 
 def _client_cert_bundle(certfile: str, keyfile: str) -> str:
@@ -1526,30 +1528,43 @@ def _client_cert_bundle(certfile: str, keyfile: str) -> str:
     process-private ``mkdtemp`` dir (0700 by default) — so repeated
     streams reuse one bundle instead of leaking a file per call, and a
     crashed process leaves the key unreadable to other users rather
-    than a world-listable PEM in the shared temp dir."""
+    than a world-listable PEM in the shared temp dir.
+
+    The cache key includes each source file's (mtime_ns, size): a
+    cert-manager-style in-place rotation of the pair invalidates the
+    cached bundle instead of handing the JVM the EXPIRED certificate
+    for the rest of the process lifetime. A lock serializes the
+    check-then-create so two streams starting concurrently can't
+    interleave writes into one half-built bundle."""
     import atexit
     import shutil as _shutil
     import tempfile as _tempfile
 
-    key = (os.path.realpath(certfile), os.path.realpath(keyfile))
-    cached = _CERT_BUNDLES.get(key)
-    if cached is not None and os.path.exists(cached):
-        return cached
-    if not _CERT_BUNDLE_DIR or not os.path.isdir(_CERT_BUNDLE_DIR[0]):
-        d = _tempfile.mkdtemp(prefix="hstream-mtls-")
-        _CERT_BUNDLE_DIR[:] = [d]
-        atexit.register(lambda p=d: _shutil.rmtree(p, ignore_errors=True))
-    bundle = os.path.join(
-        _CERT_BUNDLE_DIR[0], f"bundle-{len(_CERT_BUNDLES)}.pem"
-    )
-    fd = os.open(bundle, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
-    with os.fdopen(fd, "w") as out:
-        for path in (certfile, keyfile):
-            with open(path) as fh:
-                out.write(fh.read())
-            out.write("\n")
-    _CERT_BUNDLES[key] = bundle
-    return bundle
+    def _stamp(p: str) -> tuple:
+        st = os.stat(p)
+        return (os.path.realpath(p), st.st_mtime_ns, st.st_size)
+
+    key = (_stamp(certfile), _stamp(keyfile))
+    with _CERT_BUNDLE_LOCK:
+        cached = _CERT_BUNDLES.get(key)
+        if cached is not None and os.path.exists(cached):
+            return cached
+        if not _CERT_BUNDLE_DIR or not os.path.isdir(_CERT_BUNDLE_DIR[0]):
+            d = _tempfile.mkdtemp(prefix="hstream-mtls-")
+            _CERT_BUNDLE_DIR[:] = [d]
+            atexit.register(lambda p=d: _shutil.rmtree(p, ignore_errors=True))
+        _CERT_BUNDLE_SEQ[0] += 1
+        bundle = os.path.join(
+            _CERT_BUNDLE_DIR[0], f"bundle-{_CERT_BUNDLE_SEQ[0]}.pem"
+        )
+        fd = os.open(bundle, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "w") as out:
+            for path in (certfile, keyfile):
+                with open(path) as fh:
+                    out.write(fh.read())
+                out.write("\n")
+        _CERT_BUNDLES[key] = bundle
+        return bundle
 
 
 def kafka_readstream(spark, topic: str, bootstrap: str,

@@ -202,6 +202,11 @@ class ViewInfo:
     # the upsert can skip its defensive dropDuplicates — one less
     # shuffle per trigger
     batch_unique: bool = False
+    # GROUP BY keys the user's projection dropped, re-added as hidden
+    # __gk_* state columns: they key the upsert (otherwise the state
+    # would be keyless and forget untouched groups every trigger) and
+    # are stripped from every read
+    hidden_cols: tuple = ()
 
 
 @dataclass
@@ -576,15 +581,18 @@ class HStreamEngine:
         cur = read(f"v{base}")
         if not ks:
             return cur
+        if not vi.key_cols:
+            # truly keyless view (global aggregate, no GROUP BY —
+            # unprojected group keys are re-added as hidden key columns
+            # upstream, so they never land here): every trigger's batch
+            # REPLACES the whole state, and empty batches never write
+            # deltas — the newest delta IS the state, in full.
+            return read(f"v{base}_d{ks[-1]}")
         allv = cur.withColumn("__sv", F.lit(0))
         for k in ks:
             allv = allv.unionByName(
                 read(f"v{base}_d{k}").withColumn("__sv", F.lit(k))
             )
-        if not vi.key_cols:
-            # keyless (global) aggregate: the single row of the highest
-            # non-empty version — empty deltas contribute no rows
-            return allv.orderBy(F.col("__sv").desc()).limit(1).drop("__sv")
         from pyspark.sql import Window
 
         w = Window.partitionBy(*vi.key_cols).orderBy(F.col("__sv").desc())
@@ -595,19 +603,58 @@ class HStreamEngine:
         )
 
     def _view_state_read(self, vi: ViewInfo) -> DataFrame:
-        return self._view_state_frame(self.spark, vi)
+        df = self._view_state_frame(self.spark, vi)
+        if vi.hidden_cols:
+            df = df.drop(*vi.hidden_cols)
+        return df
+
+    @staticmethod
+    def _parquet_dir_rows(path: str) -> int:
+        """Total row count of a just-written local parquet dir, from
+        the file footers — driver-side metadata only, no Spark job.
+        Falls back to -1 (unknown) if the footers aren't readable
+        (e.g. remote storage without a local path)."""
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, name)
+                    ).metadata.num_rows
+            return total
+        except Exception:  # noqa: BLE001
+            return -1
 
     @staticmethod
     def _view_upsert(vi: ViewInfo, batch_df: DataFrame) -> None:
         spark = batch_df.sparkSession
         key_cols = list(vi.key_cols)
-        # no-data micro-batches (watermark bookkeeping) also reach
-        # foreachBatch: writing them would append one empty delta per
-        # idle trigger — state churn proportional to TIME instead of
-        # data. Complete-mode fallbacks are exempt: there every trigger
-        # carries the full result by definition.
-        if not vi.replace_all and batch_df.isEmpty():
+        if vi.merge_on_overlap:
+            # the session merge references the batch on BOTH sides
+            # (join condition + union) and foreachBatch re-executes the
+            # subtree per reference — persist caps that at one
+            # evaluation, and makes the emptiness skip (idle watermark
+            # triggers must not rewrite state) nearly free
+            batch_df = batch_df.persist()
+            try:
+                if batch_df.isEmpty():
+                    return
+                HStreamEngine._view_upsert_inner(vi, batch_df, key_cols)
+            finally:
+                batch_df.unpersist()
             return
+        # replace_all (complete fallback, full result each trigger) and
+        # the delta path both evaluate the batch exactly ONCE (the
+        # write); the delta path's emptiness check reads the written
+        # footers instead of running a second probe job
+        HStreamEngine._view_upsert_inner(vi, batch_df, key_cols)
+
+    @staticmethod
+    def _view_upsert_inner(vi: ViewInfo, batch_df: DataFrame,
+                           key_cols: list) -> None:
+        spark = batch_df.sparkSession
         if vi.order_col is not None and key_cols:
             from pyspark.sql import Window
 
@@ -649,34 +696,29 @@ class HStreamEngine:
             # row with the same group keys whose window OVERLAPS an
             # incoming row's window — supersession isn't key-equality,
             # so sessions can't use the delta log; they compact every
-            # trigger. The merge plan references `batch` twice (join
-            # condition + union) and each reference re-executes the
-            # micro-batch subtree in foreachBatch — persist caps that
-            # at one evaluation (the standard foreachBatch pattern).
-            batch = batch.persist()
-            try:
-                if os.path.exists(ptr):
-                    with open(ptr) as f:
-                        cur_v = int(f.read().strip())
-                    cur = spark.read.schema(vi.schema).parquet(
-                        os.path.join(vi.state_dir, f"v{cur_v}")
-                    )
-                    plain = [k for k in key_cols
-                             if k not in ("window_start", "window_end")]
-                    cond = (cur["window_start"] < batch["window_end"]) & (
-                        cur["window_end"] > batch["window_start"]
-                    )
-                    for k in plain:
-                        cond = cond & cur[k].eqNullSafe(batch[k])
-                    new = cur.join(batch, cond, "left_anti").unionByName(batch)
-                else:
-                    new = batch
-                nxt = cur_v + 1
-                new.write.mode("overwrite").parquet(
-                    os.path.join(vi.state_dir, f"v{nxt}")
+            # trigger. (The raw batch is already persisted by the
+            # caller, so the merge plan's two references re-read the
+            # cached rows, not the stateful subtree.)
+            if os.path.exists(ptr):
+                with open(ptr) as f:
+                    cur_v = int(f.read().strip())
+                cur = spark.read.schema(vi.schema).parquet(
+                    os.path.join(vi.state_dir, f"v{cur_v}")
                 )
-            finally:
-                batch.unpersist()
+                plain = [k for k in key_cols
+                         if k not in ("window_start", "window_end")]
+                cond = (cur["window_start"] < batch["window_end"]) & (
+                    cur["window_end"] > batch["window_start"]
+                )
+                for k in plain:
+                    cond = cond & cur[k].eqNullSafe(batch[k])
+                new = cur.join(batch, cond, "left_anti").unionByName(batch)
+            else:
+                new = batch
+            nxt = cur_v + 1
+            new.write.mode("overwrite").parquet(
+                os.path.join(vi.state_dir, f"v{nxt}")
+            )
             swap_current(nxt)
             HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
             return
@@ -687,16 +729,27 @@ class HStreamEngine:
         # readers use. A replayed epoch appends a duplicate delta with
         # identical content under a higher version — latest-wins
         # converges to the same values, so the path stays idempotent.
+        # No-data micro-batches (watermark bookkeeping) write ZERO rows:
+        # their tmp dir is discarded instead of renamed — an idle stream
+        # must not accrete empty deltas and re-compact O(state) forever
+        # — decided from the written parquet FOOTERS (driver-side
+        # metadata, no second execution of the batch subtree).
         base, ks = HStreamEngine._view_layout(vi.state_dir)
         if base is None:
-            batch.write.mode("overwrite").parquet(
-                os.path.join(vi.state_dir, "v0")
-            )
+            tmp_dir = os.path.join(vi.state_dir, ".tmp_v0")
+            batch.write.mode("overwrite").parquet(tmp_dir)
+            if HStreamEngine._parquet_dir_rows(tmp_dir) == 0:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return
+            os.rename(tmp_dir, os.path.join(vi.state_dir, "v0"))
             swap_current(0)
             return
         k = (ks[-1] if ks else 0) + 1
         tmp_dir = os.path.join(vi.state_dir, f".tmp_v{base}_d{k}")
         batch.write.mode("overwrite").parquet(tmp_dir)
+        if HStreamEngine._parquet_dir_rows(tmp_dir) == 0:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return
         os.rename(tmp_dir, os.path.join(vi.state_dir, f"v{base}_d{k}"))
         if len(ks) + 1 >= HStreamEngine._VIEW_COMPACT_EVERY:
             # fold base+deltas into the next generation's base; the old
@@ -1427,8 +1480,36 @@ class HStreamEngine:
                 )
             order_col = "__slide_ts"
         session_fellback = window_kind == "SESSION" and out is None
+        hidden_keys: list[str] = []
         if out is None:
-            out = compile_select(stmt.select, self._resolve_stream)
+            # a GROUP BY key the projection DROPS still keys the state:
+            # without it the upsert is keyless and every trigger's batch
+            # would REPLACE the whole state, silently forgetting groups
+            # the trigger didn't touch. Project the missing keys as
+            # hidden __gk_* columns — they key the upsert and are
+            # stripped from every read.
+            compiled_select = stmt.select
+            if stmt.select.group_by and not session_fellback:
+                projected = set()
+                for it in stmt.select.items:
+                    if it.wildcard:
+                        projected.update(g.name for g in stmt.select.group_by)
+                    elif isinstance(it.expr, A.ColRef) and not find_aggs(it.expr):
+                        projected.add(it.expr.name)
+                missing = [g for g in stmt.select.group_by
+                           if g.name not in projected]
+                if missing:
+                    import dataclasses as _dc
+
+                    hidden_keys = [f"__gk_{g.name}" for g in missing]
+                    compiled_select = _dc.replace(
+                        stmt.select,
+                        items=list(stmt.select.items) + [
+                            A.SelectItem(g, alias=h, text=h)
+                            for g, h in zip(missing, hidden_keys)
+                        ],
+                    )
+            out = compile_select(compiled_select, self._resolve_stream)
 
         key_cols: list[str] = []
         if window_kind in ("TUMBLE", "HOP", "SESSION"):
@@ -1438,6 +1519,7 @@ class HStreamEngine:
                 key_cols += [g.name for g in stmt.select.group_by]
             elif not find_aggs(it.expr):
                 key_cols.append(it.alias or it.text)
+        key_cols += hidden_keys
         state_dir = os.path.join(self.data_root, "_viewstate", stmt.name)
         # remember whether state pre-existed (RESUME rebuilds reuse it)
         # so a failed start can clean up ONLY dirs this call created
@@ -1451,6 +1533,7 @@ class HStreamEngine:
             # group per trigger, so the upsert skips its defensive
             # per-trigger dropDuplicates shuffle
             batch_unique=not merge_on_overlap and order_col is None,
+            hidden_cols=tuple(hidden_keys),
         )
 
         def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -2214,31 +2297,28 @@ class HStreamEngine:
                 return self.queries[stmt.name]
         stmt_ast = parse(q.sql)
         select = stmt_ast.select if hasattr(stmt_ast, "select") else stmt_ast
-        sink = self.streams[q.sink_stream]
-        out = compile_select(select, self._resolve_stream)
-        aggregated = bool(select.group_by) or any(
-            find_aggs(it.expr) for it in select.items
-        )
-
-        def _go():
-            with self._stream_start_conf():
-                q.handle = (
-                    out.writeStream.outputMode(
-                        "update" if aggregated else "append"
-                    )
-                    .option("checkpointLocation", q.checkpoint)
-                    .foreachBatch(self._idempotent_sink(q.checkpoint, sink.path))
-                    .start()
-                )
-
-        if self._replaying:
-            # same deferral as CREATE replay: a RESUME followed later in
-            # the log by TERMINATE must not spin up the stale checkpoint
-            q.starter = _go
-        else:
-            _go()
-        q.status = "RUNNING"
-        return q
+        # rebuild through the SAME machinery CREATE used (same qname →
+        # same checkpoint, so offsets resume exactly-once). A hand-rolled
+        # writeStream here silently diverged from _start_continuous on
+        # every flag it didn't copy: payload sinks resumed writing RAW
+        # columns into the JSON payload stream, keep_event_time was
+        # dropped (resumed records lost source timestamps), stateful
+        # SESSION/SLIDING plans fell back to a plain compile, and the
+        # sink file-count cap was lost. _start_continuous also defers
+        # via self._replaying, preserving the RESUME-then-TERMINATE
+        # replay ordering this branch handled itself.
+        old = self.queries.pop(stmt.name)
+        try:
+            qi = self._start_continuous(
+                select, q.sink_stream, q.sql, qname=stmt.name
+            )
+        except Exception:
+            # failed rebuild (source dropped, transient start error):
+            # restore the PAUSED entry instead of losing the query
+            self.queries[stmt.name] = old
+            raise
+        qi.status = "RUNNING"
+        return qi
 
     # -- teardown -----------------------------------------------------------
 

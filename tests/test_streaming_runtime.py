@@ -888,3 +888,86 @@ class TestViewDeltaLog:
         assert [(r["k"], r["n"]) for r in rows] == [
             ("a", 1 + HStreamEngine._VIEW_COMPACT_EVERY)
         ]
+
+    def test_unprojected_group_key_view_keeps_all_groups(self, engine):
+        """GROUP BY whose key is NOT projected: the dropped key is
+        re-added as a hidden __gk_* state column so the upsert stays
+        PER-GROUP — before round 8's fix the state was keyless and
+        every trigger silently forgot the groups it didn't touch."""
+        engine.execute("CREATE STREAM ug_ev (k STRING, v INTEGER);")
+        engine.execute(
+            "CREATE VIEW ug AS SELECT COUNT(*) AS n FROM ug_ev GROUP BY k;"
+        )
+        vi = engine.views["ug"]
+        assert vi.key_cols == ("__gk_k",)
+        assert vi.hidden_cols == ("__gk_k",)
+        for k in ("a", "b", "c"):
+            engine.execute(f"INSERT INTO ug_ev (k, v) VALUES ('{k}', 1);")
+        vi.handle.processAllAvailable()
+        # later triggers touch only a subset — c's count must survive
+        engine.execute("INSERT INTO ug_ev (k, v) VALUES ('a', 1);")
+        engine.execute("INSERT INTO ug_ev (k, v) VALUES ('b', 1);")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT n FROM ug;").collect()
+        assert sorted(r["n"] for r in rows) == [1, 2, 2]
+        # the hidden key column never leaks into reads
+        assert rows[0].asDict().keys() == {"n"}
+
+
+class TestResumeParity:
+    """RESUME must rebuild a continuous query through the SAME
+    machinery CREATE used (round-8 review: a hand-rolled rebuild
+    silently dropped the payload JSON encoding, event-time
+    propagation, and the sink file-count cap)."""
+
+    def test_resume_payload_sink_keeps_json_encoding(self, engine):
+        engine.execute("CREATE STREAM rp_src (a INTEGER);")
+        engine.execute("CREATE STREAM rp_dyn;")
+        engine.execute("INSERT INTO rp_dyn VALUES CAST('{\"note\": \"hi\"}' AS JSONB);")
+        qi = engine.execute("INSERT INTO rp_dyn SELECT a FROM rp_src;")
+        engine.execute("INSERT INTO rp_src (a) VALUES (1);")
+        qi.handle.processAllAvailable()
+        engine.execute(f"PAUSE QUERY {qi.name};")
+        engine.execute("INSERT INTO rp_src (a) VALUES (2);")
+        engine.execute(f"RESUME QUERY {qi.name};")
+        q2 = engine.queries[qi.name]
+        assert q2.status == "RUNNING"
+        q2.handle.processAllAvailable()
+        # the resumed writer must keep JSON-encoding into the payload
+        # layout: a raw-column write would corrupt the stream and these
+        # reads would miss the post-resume row (or error)
+        rows = engine.execute("SELECT a, note FROM rp_dyn;").collect()
+        got = {(r["a"], r["note"]) for r in rows}
+        assert got == {(None, "hi"), (1, None), (2, None)}
+
+    def test_resume_keeps_event_time_column(self, engine):
+        import time as _time
+
+        engine.execute("CREATE STREAM re_src (k STRING, v INTEGER);")
+        engine.execute("CREATE STREAM re_out AS SELECT k, v * 2 AS v2 FROM re_src;")
+        qname = "csas_re_out"
+        ts = _time.time()
+        engine.execute(f"INSERT INTO re_src (k, v, _ts) VALUES ('a', 1, {ts});")
+        engine.queries[qname].handle.processAllAvailable()
+        engine.execute(f"PAUSE QUERY {qname};")
+        engine.execute(f"INSERT INTO re_src (k, v, _ts) VALUES ('b', 2, {ts});")
+        engine.execute(f"RESUME QUERY {qname};")
+        engine.queries[qname].handle.processAllAvailable()
+        # event time propagated for BOTH pre- and post-resume records:
+        # a rebuild without keep_event_time would stamp append time,
+        # and a windowed consumer would bucket post-resume rows wrong
+        rows = engine.execute("SELECT k, v2 FROM re_out;").collect()
+        assert {(r["k"], r["v2"]) for r in rows} == {("a", 2), ("b", 4)}
+        import pyarrow.parquet as pq
+        import glob as _glob
+        import os as _os
+
+        ts_vals = []
+        for f in _glob.glob(_os.path.join(engine.streams["re_out"].path, "*.parquet")):
+            t = pq.read_table(f)
+            if "_ts" in t.column_names:
+                ts_vals += [v.as_py() for v in t.column("_ts")]
+        assert len(ts_vals) == 2
+        # both carry the SOURCE event time (same pinned second)
+        secs = {v.timestamp() // 1 for v in ts_vals}
+        assert all(abs(s - ts) < 2 for s in secs), (secs, ts)
