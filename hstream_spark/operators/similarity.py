@@ -715,7 +715,12 @@ def linear_probe_fit(
     feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
     base = corpus.select(
         feats.alias("px"), label.cast("double").alias("py")
-    )
+    ).filter(F.col("py").isNotNull() & F.col("px").isNotNull())
+    # NULL rows are excluded BEFORE the gradient: a NULL label would
+    # NULL every gradient term (skipped by SUM but still counted in n),
+    # silently shrinking the effective step — and diverging from any
+    # replay that coalesces NULL to a real label. Filtering keeps the n
+    # denominator and the gradient sums aligned by construction.
     for _ in range(iters):
         w_lit = F.lit(w[:dim])
         pred = dot(F.col("px"), w_lit) + F.lit(w[dim])

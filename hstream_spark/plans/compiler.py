@@ -565,6 +565,7 @@ def _compile_stateful_window(
     resolve: Resolver,
     window_kind: str,
     keep_ts: bool = False,
+    hidden_keys: Optional[list] = None,
 ) -> Optional[DataFrame]:
     """Shared Reduce-node compilation for the custom stateful window
     operators (SESSION update stream, SLIDING retract buffer).
@@ -680,6 +681,14 @@ def _compile_stateful_window(
             final.append(compile_expr(it.expr, agg_subst).alias(name))
         else:
             final.append(F.col(it.expr.name).alias(name))
+    for key_name, alias in hidden_keys or ():
+        # a GROUP BY key the projection drops still keys the view state:
+        # without it a SESSION view's overlap anti-join would evict OTHER
+        # groups' overlapping sessions and a SLIDING view would read back
+        # keyless (newest delta only). The stateful output carries every
+        # group key, so project the missing ones under hidden aliases —
+        # the runtime keys the upsert on them and strips them on read.
+        final.append(F.col(key_name).alias(alias))
     if keep_ts:
         # view upsert orders by this to keep each key's LATEST trailing
         # aggregate (the V2 materialized-view read of an update stream)
@@ -688,7 +697,7 @@ def _compile_stateful_window(
 
 
 def compile_select_session_update(
-    sel: A.Select, resolve: Resolver
+    sel: A.Select, resolve: Resolver, hidden_keys: Optional[list] = None
 ) -> Optional[DataFrame]:
     """Streaming SESSION-window aggregation as an UPDATE stream.
 
@@ -700,11 +709,13 @@ def compile_select_session_update(
     ``stateful.session_aggregate`` (applyInPandasWithState, bounded
     state, per-trigger deltas) instead.
     """
-    return _compile_stateful_window(sel, resolve, "SESSION")
+    return _compile_stateful_window(sel, resolve, "SESSION",
+                                    hidden_keys=hidden_keys)
 
 
 def compile_select_sliding_update(
-    sel: A.Select, resolve: Resolver, keep_ts: bool = False
+    sel: A.Select, resolve: Resolver, keep_ts: bool = False,
+    hidden_keys: Optional[list] = None,
 ) -> Optional[DataFrame]:
     """Streaming SLIDING-window aggregation (the V2 engine's native
     mode): per-record trailing aggregates need window functions, which
@@ -714,7 +725,8 @@ def compile_select_sliding_update(
     Emission is append-per-record, matching the batch range-frame
     compilation sampled at arrivals.
     """
-    return _compile_stateful_window(sel, resolve, "SLIDING", keep_ts=keep_ts)
+    return _compile_stateful_window(sel, resolve, "SLIDING", keep_ts=keep_ts,
+                                    hidden_keys=hidden_keys)
 
 
 def explain(sel: A.Select, resolve: Resolver) -> str:

@@ -5199,7 +5199,11 @@ def _linear_probe_oracle(iters: int = _PROBE_ITERS, dim: int = _PROBE_DIM) -> st
     zeros = "[" + ", ".join(["0.0"] * dim) + "]"
     parts = [
         f"WITH b AS (SELECT (embedding::DOUBLE[])[1:{dim}] AS px,",
-        f"                  {_PROBE_LABEL_SQL} AS py FROM embeddings),",
+        f"                  {_PROBE_LABEL_SQL} AS py FROM embeddings",
+        # NULL-row exclusion mirrors linear_probe_fit's filter: without
+        # it a NULL label maps to 0.0 here (CASE) but drops out of the
+        # Spark gradient, breaking byte parity on nullable corpora
+        "                  WHERE label IS NOT NULL AND embedding IS NOT NULL),",
         f"w0 AS (SELECT {zeros}::DOUBLE[] AS wv, CAST(0.0 AS DOUBLE) AS wb),",
     ]
     for i in range(1, iters + 1):

@@ -734,20 +734,39 @@ class HStreamEngine:
         # must not accrete empty deltas and re-compact O(state) forever
         # — decided from the written parquet FOOTERS (driver-side
         # metadata, no second execution of the batch subtree).
+        def written_empty(tmp: str) -> bool:
+            rows = HStreamEngine._parquet_dir_rows(tmp)
+            if rows >= 0:
+                return rows == 0
+            # footers unreadable (no pyarrow / non-local state_dir):
+            # read back the just-WRITTEN files with Spark instead of
+            # guessing — treating unknown as non-empty would accrete
+            # empty deltas, and a keyless view's newest-delta read
+            # would then return EMPTY state after an idle trigger
+            return spark.read.schema(vi.schema).parquet(tmp).isEmpty()
+
         base, ks = HStreamEngine._view_layout(vi.state_dir)
         if base is None:
             tmp_dir = os.path.join(vi.state_dir, ".tmp_v0")
             batch.write.mode("overwrite").parquet(tmp_dir)
-            if HStreamEngine._parquet_dir_rows(tmp_dir) == 0:
+            if written_empty(tmp_dir):
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 return
-            os.rename(tmp_dir, os.path.join(vi.state_dir, "v0"))
+            dst = os.path.join(vi.state_dir, "v0")
+            if os.path.isdir(dst):
+                # crash window: a previous first write renamed v0 but
+                # died before swap_current(0). CURRENT is still absent,
+                # so that v0 was never visible to any reader, and the
+                # replayed epoch carries the same batch — drop the
+                # orphan instead of failing ENOTEMPTY forever.
+                shutil.rmtree(dst)
+            os.rename(tmp_dir, dst)
             swap_current(0)
             return
         k = (ks[-1] if ks else 0) + 1
         tmp_dir = os.path.join(vi.state_dir, f".tmp_v{base}_d{k}")
         batch.write.mode("overwrite").parquet(tmp_dir)
-        if HStreamEngine._parquet_dir_rows(tmp_dir) == 0:
+        if written_empty(tmp_dir):
             shutil.rmtree(tmp_dir, ignore_errors=True)
             return
         os.rename(tmp_dir, os.path.join(vi.state_dir, f"v{base}_d{k}"))
@@ -1455,13 +1474,35 @@ class HStreamEngine:
             if isinstance(stmt.select.from_, A.WindowedRef)
             else None
         )
+        # a GROUP BY key the projection DROPS still keys the state in
+        # EVERY view shape: without it the upsert is keyless (or under-
+        # keyed) and the state silently forgets groups — plain views
+        # replace the whole state per trigger, SESSION views evict OTHER
+        # groups' overlapping sessions, SLIDING views read back only the
+        # newest delta. Project the missing keys as hidden __gk_*
+        # columns — they key the upsert and are stripped from every read.
+        missing: list = []
+        if stmt.select.group_by:
+            projected = set()
+            for it in stmt.select.items:
+                if it.wildcard:
+                    projected.update(g.name for g in stmt.select.group_by)
+                elif isinstance(it.expr, A.ColRef) and not find_aggs(it.expr):
+                    projected.add(it.expr.name)
+            missing = [g for g in stmt.select.group_by
+                       if g.name not in projected]
+        hidden_pairs = [(g, f"__gk_{g.name}") for g in missing]
+
         out = None
         merge_on_overlap = False
         order_col = None
         if window_kind == "SESSION":
             from hstream_spark.plans.compiler import compile_select_session_update
 
-            out = compile_select_session_update(stmt.select, self._resolve_stream)
+            out = compile_select_session_update(
+                stmt.select, self._resolve_stream,
+                hidden_keys=[(g.name, h) for g, h in hidden_pairs],
+            )
             merge_on_overlap = out is not None
         elif window_kind == "SLIDING":
             # batch SLIDING compiles to window functions, which streaming
@@ -1471,7 +1512,8 @@ class HStreamEngine:
             from hstream_spark.plans.compiler import compile_select_sliding_update
 
             out = compile_select_sliding_update(
-                stmt.select, self._resolve_stream, keep_ts=True
+                stmt.select, self._resolve_stream, keep_ts=True,
+                hidden_keys=[(g.name, h) for g, h in hidden_pairs],
             )
             if out is None:
                 raise CompileError(
@@ -1481,34 +1523,21 @@ class HStreamEngine:
             order_col = "__slide_ts"
         session_fellback = window_kind == "SESSION" and out is None
         hidden_keys: list[str] = []
-        if out is None:
-            # a GROUP BY key the projection DROPS still keys the state:
-            # without it the upsert is keyless and every trigger's batch
-            # would REPLACE the whole state, silently forgetting groups
-            # the trigger didn't touch. Project the missing keys as
-            # hidden __gk_* columns — they key the upsert and are
-            # stripped from every read.
+        if out is not None:
+            hidden_keys = [h for _, h in hidden_pairs]
+        else:
             compiled_select = stmt.select
-            if stmt.select.group_by and not session_fellback:
-                projected = set()
-                for it in stmt.select.items:
-                    if it.wildcard:
-                        projected.update(g.name for g in stmt.select.group_by)
-                    elif isinstance(it.expr, A.ColRef) and not find_aggs(it.expr):
-                        projected.add(it.expr.name)
-                missing = [g for g in stmt.select.group_by
-                           if g.name not in projected]
-                if missing:
-                    import dataclasses as _dc
+            if hidden_pairs and not session_fellback:
+                import dataclasses as _dc
 
-                    hidden_keys = [f"__gk_{g.name}" for g in missing]
-                    compiled_select = _dc.replace(
-                        stmt.select,
-                        items=list(stmt.select.items) + [
-                            A.SelectItem(g, alias=h, text=h)
-                            for g, h in zip(missing, hidden_keys)
-                        ],
-                    )
+                hidden_keys = [h for _, h in hidden_pairs]
+                compiled_select = _dc.replace(
+                    stmt.select,
+                    items=list(stmt.select.items) + [
+                        A.SelectItem(g, alias=h, text=h)
+                        for g, h in hidden_pairs
+                    ],
+                )
             out = compile_select(compiled_select, self._resolve_stream)
 
         key_cols: list[str] = []

@@ -913,6 +913,64 @@ class TestViewDeltaLog:
         # the hidden key column never leaks into reads
         assert rows[0].asDict().keys() == {"n"}
 
+    def test_unprojected_group_key_session_view(self, engine):
+        """SESSION view whose GROUP BY key is NOT projected: the key
+        must still key the state (hidden __gk_*) — before round 9's fix
+        the overlap anti-join was window-only, so one group's session
+        EVICTED every other group's overlapping session."""
+        import time as _time
+
+        engine.execute("CREATE STREAM ugs_ev (k STRING, v INTEGER);")
+        base = _time.time()
+        # two groups with time-OVERLAPPING sessions, written first
+        engine.execute(f"INSERT INTO ugs_ev (k, v, _ts) VALUES ('a', 1, {base});")
+        engine.execute(f"INSERT INTO ugs_ev (k, v, _ts) VALUES ('b', 1, {base + 1.0});")
+        engine.execute(
+            "CREATE VIEW ugs AS SELECT COUNT(*) AS n "
+            "FROM SESSION(ugs_ev, INTERVAL 10 SECOND) GROUP BY k;"
+        )
+        vi = engine.views["ugs"]
+        assert vi.merge_on_overlap  # the stateful path, not the fallback
+        assert "__gk_k" in vi.key_cols and vi.hidden_cols == ("__gk_k",)
+        vi.handle.processAllAvailable()
+        assert sorted(r["n"] for r in
+                      engine.execute("SELECT n FROM ugs;").collect()) == [1, 1]
+        # a later trigger extends ONLY a's session (still overlapping
+        # b's window) — b's session must survive the merge
+        engine.execute(f"INSERT INTO ugs_ev (k, v, _ts) VALUES ('a', 1, {base + 2.0});")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT n FROM ugs;").collect()
+        assert sorted(r["n"] for r in rows) == [1, 2]
+        assert rows[0].asDict().keys() == {"n"}
+
+    def test_unprojected_group_key_sliding_view(self, engine):
+        """SLIDING view whose GROUP BY key is NOT projected: hidden key
+        columns keep the upsert keyed — before round 9's fix key_cols
+        was empty, the order_col dedup was skipped, and the keyless
+        read returned ONLY the newest delta (groups the last trigger
+        didn't touch vanished)."""
+        import time as _time
+
+        engine.execute("CREATE STREAM ugl_ev (k STRING, v INTEGER);")
+        base = _time.time()
+        engine.execute(f"INSERT INTO ugl_ev (k, v, _ts) VALUES ('a', 1, {base});")
+        engine.execute(f"INSERT INTO ugl_ev (k, v, _ts) VALUES ('b', 2, {base + 1.0});")
+        engine.execute(
+            "CREATE VIEW ugl AS SELECT SUM(v) AS s "
+            "FROM SLIDING(ugl_ev, INTERVAL 10 SECOND) GROUP BY k;"
+        )
+        vi = engine.views["ugl"]
+        assert vi.key_cols == ("__gk_k",) and vi.hidden_cols == ("__gk_k",)
+        vi.handle.processAllAvailable()
+        assert sorted(r["s"] for r in
+                      engine.execute("SELECT s FROM ugl;").collect()) == [1, 2]
+        # a later trigger touches ONLY a — b's latest aggregate survives
+        engine.execute(f"INSERT INTO ugl_ev (k, v, _ts) VALUES ('a', 4, {base + 3.0});")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT s FROM ugl;").collect()
+        assert sorted(r["s"] for r in rows) == [2, 5]
+        assert rows[0].asDict().keys() == {"s"}
+
 
 class TestResumeParity:
     """RESUME must rebuild a continuous query through the SAME
