@@ -73,6 +73,7 @@ HEADLINE = [
     "kmeans_fit_fixed",
     "linear_probe_fit_fixed",
     "linear_probe_score",
+    "logistic_probe_fit",
     "extended_json_scan",
     "kmeans_assign",
     "dedup_prune",

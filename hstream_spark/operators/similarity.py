@@ -747,6 +747,86 @@ def linear_probe_fit(
     return w
 
 
+def logistic_probe_fit(
+    corpus: DataFrame,
+    label: Column,
+    dim: int = 8,
+    iters: int = 3,
+    lr: float = 0.25,
+    vec_col: str = "embedding",
+    init: Optional[list[float]] = None,
+) -> tuple[list[float], list[float]]:
+    """Distributed LOGISTIC-regression probe trainer — the shape real
+    curation filters use (is this doc high-quality? in-domain?), run
+    where the embeddings live. Same driver-holds-model /
+    executors-hold-data economics as ``linear_probe_fit``: per
+    iteration the current weights ship as ONE array literal, the
+    per-row gradient ``(sigmoid(w·x+b) - y)·x`` and the numerically
+    stable BCE loss ``max(z,0) - y·z + log1p(exp(-|z|))`` fold inside
+    the scan, one posexplode→pos hash-agg reduces dim+2 partial sums
+    (dim+1 gradient slots + the loss), and dim+2 scalars return to the
+    driver per iteration.
+
+    Unlike the linear probe there is NO byte-exact replay — sigmoid is
+    transcendental and diverges across libm implementations — so the
+    oracle contract is the INVARIANT instead: full-batch GD on the
+    (convex) BCE objective with a conservative step must not increase
+    the loss; ``logistic_probe_fit``'s catalog entry emits the
+    per-iteration loss-non-increasing booleans the oracle asserts (the
+    ``embedding_kmeans`` gating pattern).
+
+    Returns ``(weights, losses)``: dim+1 weights (bias LAST,
+    ``linear_probe_score``-compatible) and iters+1 mean losses (before
+    each update, plus after the final one). NULL label/embedding rows
+    are excluded up front, mirroring ``linear_probe_fit``.
+    """
+    w = list(init) if init is not None else [0.0] * (dim + 1)
+    if len(w) != dim + 1:
+        raise ValueError(f"init must have dim+1={dim + 1} weights (bias last)")
+    feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
+    base = corpus.select(
+        feats.alias("px"), label.cast("double").alias("py")
+    ).filter(F.col("py").isNotNull() & F.col("px").isNotNull())
+
+    def pass_once(weights: list[float], with_grad: bool):
+        z = dot(F.col("px"), F.lit(weights[:dim])) + F.lit(weights[dim])
+        loss = (
+            F.greatest(z, F.lit(0.0))
+            - z * F.col("py")
+            + F.log1p(F.exp(-F.abs(z)))
+        )
+        if not with_grad:
+            row = base.agg(
+                F.sum(loss).alias("l"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            return None, float(row["l"]) / row["n"]
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("py")
+        garr = F.concat(
+            F.transform(F.col("px"), lambda x: err * x),
+            F.array(err, loss),
+        )
+        sums = (
+            base.select(F.posexplode(garr).alias("pos", "t"))
+            .groupBy("pos")
+            .agg(F.sum("t").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_pos = {r["pos"]: (float(r["s"]), r["n"]) for r in sums}
+        n = by_pos[0][1]
+        grad = [by_pos[j][0] / n for j in range(dim + 1)]
+        return grad, by_pos[dim + 1][0] / n
+
+    losses: list[float] = []
+    for _ in range(iters):
+        grad, loss = pass_once(w, with_grad=True)
+        losses.append(loss)
+        w = [wj - lr * gj for wj, gj in zip(w, grad)]
+    _, final_loss = pass_once(w, with_grad=False)
+    losses.append(final_loss)
+    return w, losses
+
+
 def linear_probe_score(
     corpus: DataFrame,
     weights: list[float],

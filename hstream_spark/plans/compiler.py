@@ -560,12 +560,36 @@ _SESSION_AGG_KIND = {
 }
 
 
+def find_plain_colrefs(node: Optional[A.Expr]) -> list[A.ColRef]:
+    """All ColRef nodes NOT inside an aggregate call (pre-order) —
+    the columns an expression needs from the post-aggregation frame."""
+    out: list[A.ColRef] = []
+
+    def walk(n):
+        if n is None or isinstance(n, A.AggFunc):
+            return
+        if isinstance(n, A.ColRef):
+            out.append(n)
+            return
+        for attr in ("left", "right", "operand", "low", "high"):
+            if hasattr(n, attr):
+                walk(getattr(n, attr))
+        for attr in ("items", "args"):
+            if hasattr(n, attr):
+                for c in getattr(n, attr):
+                    walk(c)
+
+    walk(node)
+    return out
+
+
 def _compile_stateful_window(
     sel: A.Select,
     resolve: Resolver,
     window_kind: str,
     keep_ts: bool = False,
     hidden_keys: Optional[list] = None,
+    having_col: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Shared Reduce-node compilation for the custom stateful window
     operators (SESSION update stream, SLIDING retract buffer).
@@ -584,7 +608,18 @@ def _compile_stateful_window(
     if src.window is None or src.window.window_kind != window_kind:
         return None
     if sel.having is not None:
-        return None
+        # HAVING over a stateful-window view compiles as a hidden
+        # boolean OUTPUT column (filtered at view-READ time by the
+        # runtime, never inside the operator: a session/window can later
+        # GROW into satisfying the predicate, so the state must keep
+        # non-passing groups). Callers that can't do read-side filtering
+        # (EMIT CHANGES, continuous queries) pass no having_col and keep
+        # the old fall-back behavior.
+        if having_col is None:
+            return None
+        key_set = {k.name for k in sel.group_by}
+        if any(c.name not in key_set for c in find_plain_colrefs(sel.having)):
+            return None  # non-key plain column in HAVING: fall back
     df = src.df
     if EVENT_TIME_COL not in df.columns:
         return None
@@ -600,6 +635,22 @@ def _compile_stateful_window(
     hidden: list[str] = []
     agg_subst: dict[int, str] = {}
     seen: dict[str, str] = {}
+    def note_agg(node) -> bool:
+        key = f"{node.name}:{[repr(a) for a in node.args]}"
+        if key in seen:
+            agg_subst[id(node)] = seen[key]
+            return True
+        kind = _SESSION_AGG_KIND.get(node.name)
+        if kind is None:
+            return False
+        name = f"__agg{len(hidden)}"
+        seen[key] = name
+        agg_subst[id(node)] = name
+        hidden.append(name)
+        kinds.append(kind)
+        in_exprs.append(compile_expr(node.args[0]) if node.args else None)
+        return True
+
     for it in sel.items:
         if it.wildcard:
             return None
@@ -609,19 +660,14 @@ def _compile_stateful_window(
                 return None
             continue
         for node in aggs:
-            key = f"{node.name}:{[repr(a) for a in node.args]}"
-            if key in seen:
-                agg_subst[id(node)] = seen[key]
-                continue
-            kind = _SESSION_AGG_KIND.get(node.name)
-            if kind is None:
+            if not note_agg(node):
                 return None
-            name = f"__agg{len(hidden)}"
-            seen[key] = name
-            agg_subst[id(node)] = name
-            hidden.append(name)
-            kinds.append(kind)
-            in_exprs.append(compile_expr(node.args[0]) if node.args else None)
+    for node in find_aggs(sel.having):
+        # HAVING's aggregates compute as hidden stateful outputs too
+        # (deduped against the items' — HAVING COUNT(*) > 2 with
+        # COUNT(*) projected costs nothing extra)
+        if not note_agg(node):
+            return None
 
     # project group keys + event-time micros + aggregate inputs; the
     # watermarked _ts column stays in the frame so the watermark node
@@ -681,6 +727,10 @@ def _compile_stateful_window(
             final.append(compile_expr(it.expr, agg_subst).alias(name))
         else:
             final.append(F.col(it.expr.name).alias(name))
+    if sel.having is not None and having_col is not None:
+        final.append(
+            compile_expr(sel.having, agg_subst).cast("boolean").alias(having_col)
+        )
     for key_name, alias in hidden_keys or ():
         # a GROUP BY key the projection drops still keys the view state:
         # without it a SESSION view's overlap anti-join would evict OTHER
@@ -697,7 +747,8 @@ def _compile_stateful_window(
 
 
 def compile_select_session_update(
-    sel: A.Select, resolve: Resolver, hidden_keys: Optional[list] = None
+    sel: A.Select, resolve: Resolver, hidden_keys: Optional[list] = None,
+    having_col: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Streaming SESSION-window aggregation as an UPDATE stream.
 
@@ -710,12 +761,14 @@ def compile_select_session_update(
     state, per-trigger deltas) instead.
     """
     return _compile_stateful_window(sel, resolve, "SESSION",
-                                    hidden_keys=hidden_keys)
+                                    hidden_keys=hidden_keys,
+                                    having_col=having_col)
 
 
 def compile_select_sliding_update(
     sel: A.Select, resolve: Resolver, keep_ts: bool = False,
     hidden_keys: Optional[list] = None,
+    having_col: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Streaming SLIDING-window aggregation (the V2 engine's native
     mode): per-record trailing aggregates need window functions, which
@@ -726,7 +779,8 @@ def compile_select_sliding_update(
     compilation sampled at arrivals.
     """
     return _compile_stateful_window(sel, resolve, "SLIDING", keep_ts=keep_ts,
-                                    hidden_keys=hidden_keys)
+                                    hidden_keys=hidden_keys,
+                                    having_col=having_col)
 
 
 def explain(sel: A.Select, resolve: Resolver) -> str:

@@ -185,6 +185,16 @@ class Parser:
             self.next()
             t = self.next()
             what = t.text.upper()
+            if what == "REPLAY":
+                # SHOW REPLAY ERRORS — recovery failures the DDL-replay
+                # quarantine swallowed (engine extension; the reference
+                # aborts recovery outright instead of quarantining)
+                t2 = self.next()
+                if t2.text.upper() != "ERRORS":
+                    raise ParseError(
+                        f"SHOW REPLAY: expected ERRORS, got {t2.text!r}"
+                    )
+                return A.Show("REPLAY_ERRORS")
             if what not in {"QUERIES", "STREAMS", "CONNECTORS", "VIEWS"}:
                 raise ParseError(f"SHOW: unknown object {t.text!r}")
             return A.Show(what)

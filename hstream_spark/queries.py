@@ -5276,6 +5276,39 @@ def q_linear_probe_score(spark, sf):
     return linear_probe_score(emb, _PROBE_SCORE_W, threshold=0.5)
 
 
+@register(
+    "logistic_probe_fit",
+    """
+    SELECT * FROM (VALUES (1, true), (2, true), (3, true))
+      t(iter, loss_nonincreasing)
+    """,
+    tags=("similarity", "ml", "iterative"),
+)
+def q_logistic_probe_fit(spark, sf):
+    """Distributed logistic-probe trainer (full-batch GD on binary
+    cross-entropy over the first 8 embedding dims, label = corpus
+    label < 5), invariant-gated the ``embedding_kmeans`` way: sigmoid
+    is transcendental (no byte-exact cross-engine replay exists), so
+    the entry EMITS the convexity contract — with a conservative step,
+    every GD iteration's mean BCE loss is ≤ the previous one (1e-9
+    slack) — as booleans computed DISTRIBUTEDLY (the loss folds inside
+    the same scan as the gradient; dim+2 scalars to the driver per
+    iteration) and the oracle asserts all three. The least-squares
+    sibling ``linear_probe_fit_fixed`` keeps the byte-exact DuckDB
+    replay; this entry covers the objective real curation filters
+    train."""
+    from hstream_spark.operators.similarity import logistic_probe_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    _w, losses = logistic_probe_fit(
+        emb, label=(F.col("label") < 5).cast("double"),
+        dim=_PROBE_DIM, iters=_PROBE_ITERS, lr=0.25,
+    )
+    rows = [(i, losses[i] <= losses[i - 1] + 1e-9)
+            for i in range(1, len(losses))]
+    return spark.createDataFrame(rows, "iter int, loss_nonincreasing boolean")
+
+
 _SEMANTIC_DEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, {_NORM_VEC} AS vn FROM embeddings),
 c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vn AS cvec

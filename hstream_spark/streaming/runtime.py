@@ -69,6 +69,19 @@ def _warn_complete_fallback(name: str, why: str) -> None:
     warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
+# Crash-injection seam for the LSM view-state fault-point tests
+# (tests/test_streaming_runtime.py): production leaves it None; a test
+# sets it to a callable that raises at a named window, simulating a
+# kill between two filesystem operations the crash-safety design
+# claims are individually survivable.
+_FAULT_HOOK = None
+
+
+def _fault(point: str) -> None:
+    if _FAULT_HOOK is not None:
+        _FAULT_HOOK(point)
+
+
 DEFAULT_GRACE = "24 hours"
 DEFAULT_BACKLOG_SECONDS = 7 * 24 * 3600  # CREATE STREAM default (AST.hs:708-712)
 
@@ -207,6 +220,15 @@ class ViewInfo:
     # would be keyless and forget untouched groups every trigger) and
     # are stripped from every read
     hidden_cols: tuple = ()
+    # HAVING compiled as a hidden boolean state column, applied as a
+    # READ-time filter: state must keep non-passing groups (they can
+    # grow back into the predicate), and filtering inside the streaming
+    # plan would suppress the retraction when a group falls below it
+    having_col: Optional[str] = None
+    # complete-fallback refusal bound: when replace_all state exceeds
+    # this many rows the refresh FAILS loudly instead of silently
+    # rewriting O(result) per trigger forever (None = unbounded)
+    complete_max_rows: Optional[int] = None
 
 
 @dataclass
@@ -272,10 +294,17 @@ class HStreamEngine:
 
     def __init__(self, spark: SparkSession, data_root: str,
                  grace: str = DEFAULT_GRACE, recover: bool = True,
-                 streaming_shuffle_partitions: Optional[int] = None):
+                 streaming_shuffle_partitions: Optional[int] = None,
+                 complete_fallback_max_rows: Optional[int] = 10_000_000):
         self.spark = spark
         self.data_root = data_root
         self.grace = grace
+        # complete-mode fallback views rewrite their FULL result every
+        # trigger; above this row count that silent O(result)-per-
+        # trigger degradation becomes a loud failure instead (the view
+        # refresh raises; SHOW QUERIES keeps flagging the mode). None
+        # disables the bound for deployments that accept the cost.
+        self.complete_fallback_max_rows = complete_fallback_max_rows
         # decouples streaming STATE partitioning from the session's
         # batch shuffle parallelism: a stateful streaming query pays a
         # per-trigger state-store open/commit per shuffle partition, so
@@ -529,7 +558,20 @@ class HStreamEngine:
     # shuffle, amortized by compaction); with Delta/Iceberg available
     # this whole section is exactly MERGE INTO.
 
-    _VIEW_COMPACT_EVERY = 8  # deltas per generation before fold-down
+    # Compaction cadence is SIZE-ADAPTIVE (round-9): fold the deltas into
+    # a new base when they carry a meaningful fraction of the base's rows
+    # — both counts read from parquet footers, zero extra Spark jobs. A
+    # fixed every-N cadence amplifies writes at large state (rewriting a
+    # 1M-row base to absorb 8 tiny deltas) and wastes read-side window
+    # work at tiny state; row-proportional folding keeps write
+    # amplification bounded at ~(1 + 1/fraction)× and compacts tiny
+    # state eagerly (where the fold is ~free). _VIEW_COMPACT_EVERY stays
+    # as the fallback when footers are unreadable; _MAX_DELTAS hard-caps
+    # the reader's union fan-out regardless of row counts.
+    _VIEW_COMPACT_EVERY = 8  # fallback cadence when footer counts unknown
+    _VIEW_COMPACT_MAX_DELTAS = 64  # hard cap on read-side delta fan-out
+    _VIEW_COMPACT_MIN_DELTAS = 2  # never fold after every single trigger
+    _VIEW_COMPACT_FRACTION = 0.5  # fold when Σ delta rows ≥ ½ base rows
 
     @staticmethod
     def _view_layout(state_dir: str) -> tuple[Optional[int], list[int]]:
@@ -581,6 +623,45 @@ class HStreamEngine:
         cur = read(f"v{base}")
         if not ks:
             return cur
+        if vi.merge_on_overlap:
+            # session views: OVERLAP-wins, not key-equality-wins. The
+            # upsert appends each trigger's merged sessions as a plain
+            # delta (O(touched sessions) — the LSM write path); the
+            # reader replays the supersession fold: a row is dead iff
+            # any SAME-GROUP row in a NEWER version overlaps its window
+            # (the stateful operator only ever EXTENDS a session, so a
+            # newer overlapping row covers the old one; removal-only
+            # folding makes "any newer overlap" exactly the sequential
+            # per-trigger merge). The anti-join is keyed on the plain
+            # group columns — sort-merge/hash on keys with the window
+            # range as residual, never a cartesian (keyless global
+            # session views join on range only, but their state is one
+            # group's live sessions — bounded).
+            def stamped(v: int) -> DataFrame:
+                d = f"v{base}" if v == 0 else f"v{base}_d{v}"
+                return read(d).withColumn("__sv", F.lit(v))
+
+            older = stamped(0)
+            newer = None  # fresh lineage → no self-join ambiguity
+            for k in ks:
+                older = older.unionByName(stamped(k))
+                # only DELTA rows can supersede (base is version 0 —
+                # nothing is older), so the anti-join's right side is
+                # the deltas alone: trigger-sized, so AQE broadcasts it
+                # and the read costs one scan of state + a broadcast
+                # join instead of shuffling the full state twice
+                newer = (stamped(k) if newer is None
+                         else newer.unionByName(stamped(k)))
+            plain = [k for k in vi.key_cols
+                     if k not in ("window_start", "window_end")]
+            cond = (
+                (newer["__sv"] > older["__sv"])
+                & (newer["window_start"] < older["window_end"])
+                & (newer["window_end"] > older["window_start"])
+            )
+            for k in plain:
+                cond = cond & newer[k].eqNullSafe(older[k])
+            return older.join(newer, cond, "left_anti").drop("__sv")
         if not vi.key_cols:
             # truly keyless view (global aggregate, no GROUP BY —
             # unprojected group keys are re-added as hidden key columns
@@ -604,6 +685,10 @@ class HStreamEngine:
 
     def _view_state_read(self, vi: ViewInfo) -> DataFrame:
         df = self._view_state_frame(self.spark, vi)
+        if vi.having_col:
+            # HAVING applies to the CURRENT aggregate — evaluated here,
+            # over state, not inside the streaming plan (see ViewInfo)
+            df = df.filter(F.col(vi.having_col))
         if vi.hidden_cols:
             df = df.drop(*vi.hidden_cols)
         return df
@@ -629,27 +714,14 @@ class HStreamEngine:
 
     @staticmethod
     def _view_upsert(vi: ViewInfo, batch_df: DataFrame) -> None:
-        spark = batch_df.sparkSession
-        key_cols = list(vi.key_cols)
-        if vi.merge_on_overlap:
-            # the session merge references the batch on BOTH sides
-            # (join condition + union) and foreachBatch re-executes the
-            # subtree per reference — persist caps that at one
-            # evaluation, and makes the emptiness skip (idle watermark
-            # triggers must not rewrite state) nearly free
-            batch_df = batch_df.persist()
-            try:
-                if batch_df.isEmpty():
-                    return
-                HStreamEngine._view_upsert_inner(vi, batch_df, key_cols)
-            finally:
-                batch_df.unpersist()
-            return
         # replace_all (complete fallback, full result each trigger) and
-        # the delta path both evaluate the batch exactly ONCE (the
+        # the delta path — which since round 9 includes session
+        # (merge_on_overlap) views: supersession resolves at READ time,
+        # so a session trigger appends O(touched sessions) like any
+        # other view — both evaluate the batch exactly ONCE (the
         # write); the delta path's emptiness check reads the written
         # footers instead of running a second probe job
-        HStreamEngine._view_upsert_inner(vi, batch_df, key_cols)
+        HStreamEngine._view_upsert_inner(vi, batch_df, list(vi.key_cols))
 
     @staticmethod
     def _view_upsert_inner(vi: ViewInfo, batch_df: DataFrame,
@@ -688,37 +760,26 @@ class HStreamEngine:
             batch.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{nxt}")
             )
-            swap_current(nxt)
-            HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
-            return
-        if vi.merge_on_overlap:
-            # a merged session covers its constituents: drop any state
-            # row with the same group keys whose window OVERLAPS an
-            # incoming row's window — supersession isn't key-equality,
-            # so sessions can't use the delta log; they compact every
-            # trigger. (The raw batch is already persisted by the
-            # caller, so the merge plan's two references re-read the
-            # cached rows, not the stateful subtree.)
-            if os.path.exists(ptr):
-                with open(ptr) as f:
-                    cur_v = int(f.read().strip())
-                cur = spark.read.schema(vi.schema).parquet(
-                    os.path.join(vi.state_dir, f"v{cur_v}")
+            if vi.complete_max_rows is not None:
+                rows = HStreamEngine._parquet_dir_rows(
+                    os.path.join(vi.state_dir, f"v{nxt}")
                 )
-                plain = [k for k in key_cols
-                         if k not in ("window_start", "window_end")]
-                cond = (cur["window_start"] < batch["window_end"]) & (
-                    cur["window_end"] > batch["window_start"]
-                )
-                for k in plain:
-                    cond = cond & cur[k].eqNullSafe(batch[k])
-                new = cur.join(batch, cond, "left_anti").unionByName(batch)
-            else:
-                new = batch
-            nxt = cur_v + 1
-            new.write.mode("overwrite").parquet(
-                os.path.join(vi.state_dir, f"v{nxt}")
-            )
+                if rows > vi.complete_max_rows:
+                    # refuse BEFORE the swap: the previous generation
+                    # stays current, the query fails loudly, and the
+                    # operator sees the real cost instead of a view
+                    # that silently rewrites O(result) per trigger
+                    msg = (
+                        f"view {vi.name!r}: complete-mode fallback "
+                        f"result has {rows} rows > "
+                        f"complete_fallback_max_rows="
+                        f"{vi.complete_max_rows}; every trigger "
+                        "rewrites the full result — restructure the "
+                        "view for update mode or raise/disable the "
+                        "bound"
+                    )
+                    _LOG.error(msg)
+                    raise RuntimeError(msg)
             swap_current(nxt)
             HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
             return
@@ -760,7 +821,9 @@ class HStreamEngine:
                 # replayed epoch carries the same batch — drop the
                 # orphan instead of failing ENOTEMPTY forever.
                 shutil.rmtree(dst)
+            _fault("first-base-written")  # tmp written, not yet visible
             os.rename(tmp_dir, dst)
+            _fault("first-base-renamed")  # v0 on disk, CURRENT absent
             swap_current(0)
             return
         k = (ks[-1] if ks else 0) + 1
@@ -769,8 +832,10 @@ class HStreamEngine:
         if written_empty(tmp_dir):
             shutil.rmtree(tmp_dir, ignore_errors=True)
             return
+        _fault("delta-written")  # tmp delta on disk, not yet listed
         os.rename(tmp_dir, os.path.join(vi.state_dir, f"v{base}_d{k}"))
-        if len(ks) + 1 >= HStreamEngine._VIEW_COMPACT_EVERY:
+        _fault("delta-renamed")  # delta visible, compaction not yet run
+        if HStreamEngine._should_compact(vi.state_dir, base, ks + [k]):
             # fold base+deltas into the next generation's base; the old
             # generation stays on disk for in-flight readers and is
             # removed when the one after supersedes it
@@ -778,12 +843,44 @@ class HStreamEngine:
             merged.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{base + 1}")
             )
+            _fault("compact-written")  # new base on disk, CURRENT old
             swap_current(base + 1)
+            _fault("compact-swapped")  # CURRENT new, old gen not swept
             HStreamEngine._rm_generation(vi.state_dir, base - 1)
             for name in os.listdir(vi.state_dir):
                 if name.startswith(".tmp_"):  # stray crash leftovers
                     shutil.rmtree(os.path.join(vi.state_dir, name),
                                   ignore_errors=True)
+
+    @staticmethod
+    def _should_compact(state_dir: str, base: int, ks: list) -> bool:
+        """Size-adaptive fold-down decision from parquet footers only.
+        Fold when the deltas carry ≥ _VIEW_COMPACT_FRACTION of the
+        base's rows (write amplification bounded at ~(1+1/f)× instead
+        of rewriting a large base to absorb a handful of tiny deltas),
+        but never after a single delta, and always once the delta COUNT
+        reaches _VIEW_COMPACT_MAX_DELTAS (bounds the reader's union
+        fan-out when triggers touch few rows). Unknown footers (no
+        pyarrow / non-local storage) fall back to the fixed cadence."""
+        n = len(ks)
+        if n >= HStreamEngine._VIEW_COMPACT_MAX_DELTAS:
+            return True
+        if n < HStreamEngine._VIEW_COMPACT_MIN_DELTAS:
+            return False
+        base_rows = HStreamEngine._parquet_dir_rows(
+            os.path.join(state_dir, f"v{base}")
+        )
+        if base_rows < 0:
+            return n >= HStreamEngine._VIEW_COMPACT_EVERY
+        delta_rows = 0
+        for k in ks:
+            r = HStreamEngine._parquet_dir_rows(
+                os.path.join(state_dir, f"v{base}_d{k}")
+            )
+            if r < 0:
+                return n >= HStreamEngine._VIEW_COMPACT_EVERY
+            delta_rows += r
+        return delta_rows >= base_rows * HStreamEngine._VIEW_COMPACT_FRACTION
 
     def _resolve_stream(self, name: str) -> DataFrame:
         if name in self.views:
@@ -1502,6 +1599,7 @@ class HStreamEngine:
             out = compile_select_session_update(
                 stmt.select, self._resolve_stream,
                 hidden_keys=[(g.name, h) for g, h in hidden_pairs],
+                having_col="__hv",
             )
             merge_on_overlap = out is not None
         elif window_kind == "SLIDING":
@@ -1514,6 +1612,7 @@ class HStreamEngine:
             out = compile_select_sliding_update(
                 stmt.select, self._resolve_stream, keep_ts=True,
                 hidden_keys=[(g.name, h) for g, h in hidden_pairs],
+                having_col="__hv",
             )
             if out is None:
                 raise CompileError(
@@ -1523,21 +1622,40 @@ class HStreamEngine:
             order_col = "__slide_ts"
         session_fellback = window_kind == "SESSION" and out is None
         hidden_keys: list[str] = []
+        having_col = None
         if out is not None:
             hidden_keys = [h for _, h in hidden_pairs]
+            if stmt.select.having is not None:
+                having_col = "__hv"
         else:
+            # HAVING on an update-mode view compiles as a hidden boolean
+            # column filtered at READ time, like the stateful paths: a
+            # filter INSIDE the streaming plan would suppress the
+            # retraction when a group falls back below the predicate,
+            # leaving a stale passing row in state forever. The complete
+            # fallback (session_fellback) keeps HAVING inline — its
+            # state is replaced wholesale each trigger, so inline
+            # filtering is already correct there.
             compiled_select = stmt.select
-            if hidden_pairs and not session_fellback:
+            if not session_fellback:
                 import dataclasses as _dc
 
                 hidden_keys = [h for _, h in hidden_pairs]
-                compiled_select = _dc.replace(
-                    stmt.select,
-                    items=list(stmt.select.items) + [
-                        A.SelectItem(g, alias=h, text=h)
-                        for g, h in hidden_pairs
-                    ],
-                )
+                extra = [A.SelectItem(g, alias=h, text=h)
+                         for g, h in hidden_pairs]
+                repl = {}
+                if stmt.select.having is not None:
+                    having_col = "__hv"
+                    extra.append(
+                        A.SelectItem(stmt.select.having, alias="__hv",
+                                     text="__hv")
+                    )
+                    repl["having"] = None
+                if extra or repl:
+                    compiled_select = _dc.replace(
+                        stmt.select,
+                        items=list(stmt.select.items) + extra, **repl,
+                    )
             out = compile_select(compiled_select, self._resolve_stream)
 
         key_cols: list[str] = []
@@ -1557,12 +1675,16 @@ class HStreamEngine:
         vi = ViewInfo(
             stmt.name, sql, table, None, state_dir, out.schema, tuple(key_cols),
             merge_on_overlap, order_col=order_col,
-            # plain/TUMBLE/HOP views: Spark's update-mode aggregate (and
-            # the complete-fallback's full result) emits one row per
-            # group per trigger, so the upsert skips its defensive
-            # per-trigger dropDuplicates shuffle
-            batch_unique=not merge_on_overlap and order_col is None,
-            hidden_cols=tuple(hidden_keys),
+            # plain/TUMBLE/HOP views (Spark's update-mode aggregate and
+            # the complete-fallback's full result) and SESSION views
+            # (the stateful operator emits each merged session once)
+            # all produce one row per key per trigger, so the upsert
+            # skips its defensive per-trigger dropDuplicates shuffle
+            batch_unique=order_col is None,
+            hidden_cols=tuple(hidden_keys)
+            + ((having_col,) if having_col else ()),
+            having_col=having_col,
+            complete_max_rows=self.complete_fallback_max_rows,
         )
 
         def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -2181,6 +2303,13 @@ class HStreamEngine:
                 "name string, status string, mode string, last_batch long, "
                 "last_rows long, sql string"
             )
+        elif stmt.what == "REPLAY_ERRORS":
+            # recovery failures the DDL-replay quarantine swallowed —
+            # without this surface an operator running the SQL interface
+            # can't tell that one view/connector silently failed to come
+            # back after a restart (round-9 verdict task 5)
+            rows = [(e["sql"], e["error"]) for e in self.replay_errors]
+            schema = "sql string, error string"
         else:
             rows = [(c.name, c.kind, c.target, c.status) for c in self.connectors.values()]
             schema = "name string, kind string, target string, status string"

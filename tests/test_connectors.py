@@ -2178,5 +2178,14 @@ class TestConnectorLifecycleRecovery:
             assert "qafter" in eng2.streams
             rows = eng2.execute("SELECT b FROM qafter;").collect()
             assert [r["b"] for r in rows] == [7]
+            # the quarantine is visible through the SQL surface too —
+            # an operator doesn't need Python attribute access to learn
+            # that one object failed recovery (round-9)
+            errs = eng2.execute("SHOW REPLAY ERRORS;").collect()
+            assert len(errs) == 1
+            assert "qbh" in errs[0]["sql"]
+            assert "HS_RQ_SECRET" in errs[0]["error"]
+            # a clean engine reports an EMPTY error set, not an error
+            assert errs[0].asDict().keys() == {"sql", "error"}
         finally:
             eng2.shutdown()

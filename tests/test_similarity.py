@@ -472,3 +472,88 @@ class TestLinearProbe:
         )
         with _pytest.raises(ValueError, match="dim\\+1"):
             SIM.linear_probe_fit(emb, F.col("y"), dim=8, init=[0.0] * 3)
+
+
+class TestLogisticProbe:
+    """Logistic-probe trainer (full-batch GD on BCE): loss-monotone on
+    its convex objective, learns a separable task, and ignores NULL
+    rows like the linear sibling."""
+
+    def _separable(self, spark, n=400):
+        import hashlib
+
+        def feat(i, j):
+            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            return (h / 0x7FFFFFFF) - 1.0
+
+        rows = []
+        for i in range(n):
+            x = [feat(i, j) for j in range(8)]
+            rows.append((i, x, 1.0 if x[0] + x[1] > 0 else 0.0))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, y double"
+        )
+
+    def test_logistic_probe_learns_separable_labels(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        df = self._separable(spark)
+        w, losses = SIM.logistic_probe_fit(
+            df, label=F.col("y"), dim=8, iters=10, lr=0.5
+        )
+        assert len(losses) == 11
+        # convex objective + conservative step: monotone non-increasing
+        assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:])), losses
+        assert losses[-1] < 0.9 * losses[0]  # and actually LEARNING
+        # the two informative dims dominate the learned weights
+        assert abs(w[0]) > 2 * max(abs(v) for v in w[2:8])
+        assert abs(w[1]) > 2 * max(abs(v) for v in w[2:8])
+        # decision threshold for a logistic score is z > 0, i.e.
+        # linear_probe_score with threshold 0.0
+        scored = SIM.linear_probe_score(df, w, threshold=0.0).join(
+            df.select("vec_id", "y"), "vec_id"
+        )
+        acc = scored.agg(
+            F.avg((F.col("keep").cast("double") == F.col("y")).cast("double"))
+        ).collect()[0][0]
+        assert acc > 0.85, acc
+
+    def test_logistic_probe_skips_null_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        df = self._separable(spark, n=100)
+        noisy = df.unionByName(
+            spark.createDataFrame(
+                [(1000, None, 1.0), (1001, [0.1] * 8, None)],
+                "vec_id long, embedding array<double>, y double",
+            )
+        )
+        w_clean, l_clean = SIM.logistic_probe_fit(
+            df, label=F.col("y"), dim=8, iters=3, lr=0.25
+        )
+        w_noisy, l_noisy = SIM.logistic_probe_fit(
+            noisy, label=F.col("y"), dim=8, iters=3, lr=0.25
+        )
+        # double sums are shuffle-order-dependent (unlike the linear
+        # probe's fixed-point quanta), so compare to tight tolerance
+        assert all(abs(a - b) <= 1e-9 * max(1.0, abs(a))
+                   for a, b in zip(w_clean, w_noisy))
+        assert all(abs(a - b) <= 1e-9 * max(1.0, abs(a))
+                   for a, b in zip(l_clean, l_noisy))
+
+    def test_logistic_probe_rejects_bad_init(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        emb = spark.createDataFrame(
+            [(0, [0.0] * 8, 0.0)], "vec_id long, embedding array<double>, y double"
+        )
+        with _pytest.raises(ValueError, match="dim\\+1"):
+            SIM.logistic_probe_fit(emb, F.col("y"), dim=8, init=[0.0] * 3)

@@ -419,6 +419,127 @@ def test_sliding_view_keeps_latest_trailing_aggregate(engine):
     assert [(r["k"], r["s"], r["n"]) for r in rows] == [("a", 24, 2)]
 
 
+class TestViewHavingAndFallbackBound:
+    """Round-9 fallback narrowing: HAVING-bearing views compile to
+    UPDATE-safe plans (hidden __hv state column, read-time filter)
+    instead of complete-mode refreshes, and what still falls back is
+    bounded by complete_fallback_max_rows instead of silently
+    rewriting O(result) per trigger."""
+
+    def test_plain_view_having_retracts_below_threshold(self, engine):
+        """HAVING on an update-mode view must RETRACT a group that
+        falls back below the predicate — an inline streaming filter
+        would suppress the retraction and pin the stale passing row."""
+        engine.execute("CREATE STREAM hv_ev (k STRING, v INTEGER);")
+        engine.execute(
+            "CREATE VIEW hv AS SELECT k, SUM(v) AS s FROM hv_ev "
+            "GROUP BY k HAVING SUM(v) > 0;"
+        )
+        vi = engine.views["hv"]
+        assert vi.having_col == "__hv"
+        assert engine.queries["view_hv"].mode == "update"  # no fallback
+        engine.execute("INSERT INTO hv_ev (k, v) VALUES ('a', 5);")
+        engine.execute("INSERT INTO hv_ev (k, v) VALUES ('b', -1);")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT k, s FROM hv;").collect()
+        assert [(r["k"], r["s"]) for r in rows] == [("a", 5)]
+        assert rows[0].asDict().keys() == {"k", "s"}  # __hv stripped
+        # a falls BELOW the predicate, b rises above it
+        engine.execute("INSERT INTO hv_ev (k, v) VALUES ('a', -6);")
+        engine.execute("INSERT INTO hv_ev (k, v) VALUES ('b', 3);")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT k, s FROM hv;").collect()
+        assert [(r["k"], r["s"]) for r in rows] == [("b", 2)]
+
+    def test_session_view_having_stays_stateful(self, engine):
+        """SESSION + HAVING now rides the stateful update path (round-8
+        fell back to complete): the state keeps non-passing sessions so
+        they can GROW into the predicate."""
+        import time as _time
+
+        engine.execute("CREATE STREAM shv_ev (k STRING, v INTEGER);")
+        base = _time.time()
+        engine.execute(f"INSERT INTO shv_ev (k, v, _ts) VALUES ('a', 1, {base});")
+        engine.execute(f"INSERT INTO shv_ev (k, v, _ts) VALUES ('b', 1, {base + 1.0});")
+        engine.execute(
+            "CREATE VIEW shv AS SELECT k, COUNT(*) AS n "
+            "FROM SESSION(shv_ev, INTERVAL 10 SECOND) GROUP BY k "
+            "HAVING COUNT(*) >= 2;"
+        )
+        vi = engine.views["shv"]
+        assert vi.merge_on_overlap  # stateful path, not complete
+        assert engine.queries["view_shv"].mode == "update"
+        vi.handle.processAllAvailable()
+        assert engine.execute("SELECT k, n FROM shv;").collect() == []
+        # a's session grows into the predicate; b's stays hidden
+        engine.execute(f"INSERT INTO shv_ev (k, v, _ts) VALUES ('a', 1, {base + 2.0});")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT k, n FROM shv;").collect()
+        assert [(r["k"], r["n"]) for r in rows] == [("a", 2)]
+
+    def test_fallback_mode_matrix(self, engine):
+        """Which view shapes land where — the enumerated fallback
+        class. Everything convertible is update/append; only shapes the
+        stateful operator genuinely can't express still fall back."""
+        engine.execute("CREATE STREAM fm_ev (k STRING, v INTEGER);")
+        cases = [
+            ("fm_plain", "SELECT k, SUM(v) AS s FROM fm_ev GROUP BY k",
+             "update"),
+            ("fm_tumble", "SELECT k, COUNT(*) AS n FROM "
+             "TUMBLE(fm_ev, INTERVAL 10 SECOND) GROUP BY k", "update"),
+            ("fm_sess", "SELECT k, COUNT(*) AS n FROM "
+             "SESSION(fm_ev, INTERVAL 10 SECOND) GROUP BY k", "update"),
+            ("fm_sess_hav", "SELECT k, COUNT(*) AS n FROM "
+             "SESSION(fm_ev, INTERVAL 10 SECOND) GROUP BY k "
+             "HAVING COUNT(*) > 1", "update"),
+            ("fm_slide_hav", "SELECT k, SUM(v) AS s FROM "
+             "SLIDING(fm_ev, INTERVAL 10 SECOND) GROUP BY k "
+             "HAVING SUM(v) > 0", "append"),
+            # TOPK exceeds the stateful session operator → fallback,
+            # loudly flagged in SHOW QUERIES
+            ("fm_sess_topk", "SELECT k, TOPK(v, 2) AS t FROM "
+             "SESSION(fm_ev, INTERVAL 10 SECOND) GROUP BY k",
+             "complete(fallback)"),
+        ]
+        import warnings as _warnings
+
+        for name, sel, want_mode in cases:
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore", RuntimeWarning)
+                engine.execute(f"CREATE VIEW {name} AS {sel};")
+            assert engine.queries[f"view_{name}"].mode == want_mode, name
+
+    def test_complete_fallback_bound_refuses(self, spark, tmp_path):
+        """Above complete_fallback_max_rows the replace_all refresh
+        raises instead of silently rewriting the full result forever;
+        the previous generation stays current."""
+        import pytest as _pytest
+
+        from pyspark.sql import types as T
+
+        from hstream_spark.streaming.runtime import HStreamEngine, ViewInfo
+
+        schema = T.StructType([T.StructField("k", T.StringType()),
+                               T.StructField("n", T.LongType())])
+        state_dir = str(tmp_path / "cfb")
+        import os
+
+        os.makedirs(state_dir)
+        vi = ViewInfo("cfb", "", "", None, state_dir, schema, ("k",),
+                      replace_all=True, batch_unique=True,
+                      complete_max_rows=5)
+        small = spark.createDataFrame([(f"k{i}", i) for i in range(3)],
+                                      schema)
+        HStreamEngine._view_upsert(vi, small)
+        big = spark.createDataFrame([(f"k{i}", i) for i in range(9)], schema)
+        with _pytest.raises(RuntimeError, match="complete_fallback_max_rows"):
+            HStreamEngine._view_upsert(vi, big)
+        # the refused generation never became current
+        got = {r["k"] for r in
+               HStreamEngine._view_state_frame(spark, vi).collect()}
+        assert got == {f"k{i}" for i in range(3)}
+
+
 def test_stream_joins_view_state(engine):
     """A push query can enrich a stream against a VIEW's materialized
     state (stream-static join with the view as the table side)."""

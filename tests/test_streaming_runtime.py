@@ -829,10 +829,16 @@ class TestViewDeltaLog:
         root = str(tmp_path / "dl_srv")
         a = HStreamEngine(spark, root)
         a.execute("CREATE STREAM dr_ev (k STRING, v INTEGER);")
+        # seed a base wide enough (10 keys) that the two 1-row deltas
+        # stay under the size-adaptive fold threshold (½ of base rows)
+        for j in range(9):
+            a.execute(f"INSERT INTO dr_ev (k, v) VALUES ('p{j}', 1);")
+        a.execute("INSERT INTO dr_ev (k, v) VALUES ('x', 12);")
         a.execute(
             "CREATE VIEW dr AS SELECT k, SUM(v) AS s FROM dr_ev GROUP BY k;"
         )
-        for i in range(3):  # base + 2 deltas, below the compact threshold
+        a.views["dr"].handle.processAllAvailable()
+        for i in range(2):
             a.execute(f"INSERT INTO dr_ev (k, v) VALUES ('x', {10 + i});")
             a.views["dr"].handle.processAllAvailable()
         base, ks = HStreamEngine._view_layout(a.views["dr"].state_dir)
@@ -841,13 +847,15 @@ class TestViewDeltaLog:
 
         b = HStreamEngine(spark, root)
         try:
-            rows = b.execute("SELECT k, s FROM dr;").collect()
-            assert [(r["k"], r["s"]) for r in rows] == [("x", 33)]
+            rows = {r["k"]: r["s"] for r in
+                    b.execute("SELECT k, s FROM dr;").collect()}
+            assert rows["x"] == 33 and all(rows[f"p{j}"] == 1 for j in range(9))
             # post-restart triggers keep appending to the same log
             b.execute("INSERT INTO dr_ev (k, v) VALUES ('x', 7);")
             b.views["dr"].handle.processAllAvailable()
-            rows = b.execute("SELECT k, s FROM dr;").collect()
-            assert [(r["k"], r["s"]) for r in rows] == [("x", 40)]
+            rows = {r["k"]: r["s"] for r in
+                    b.execute("SELECT k, s FROM dr;").collect()}
+            assert rows["x"] == 40 and len(rows) == 10
         finally:
             b.shutdown()
 
@@ -970,6 +978,201 @@ class TestViewDeltaLog:
         rows = engine.execute("SELECT s FROM ugl;").collect()
         assert sorted(r["s"] for r in rows) == [2, 5]
         assert rows[0].asDict().keys() == {"s"}
+
+
+class TestViewStateCrashInjection:
+    """Kill the view-state upsert at every fault window the crash-safety
+    design names (dot-tmp write / rename / CURRENT swap / generation
+    sweep), then recover the way Structured Streaming would — replay the
+    same batch (epoch) — and assert (a) reads NEVER see a torn state
+    (always pre-crash-or-committed), and (b) the replayed log converges
+    to the exact no-crash result."""
+
+    FAULT_POINTS = [
+        "first-base-written",   # tmp_v0 on disk, v0 absent
+        "first-base-renamed",   # v0 on disk, CURRENT absent
+        "delta-written",        # tmp delta on disk, not yet listed
+        "delta-renamed",        # delta visible, compaction not run
+        "compact-written",      # new base on disk, CURRENT still old
+        "compact-swapped",      # CURRENT new, old generation unswept
+    ]
+
+    def _vi(self, tmp_path, name, **kw):
+        import os
+
+        from pyspark.sql import types as T
+
+        from hstream_spark.streaming.runtime import ViewInfo
+
+        schema = kw.pop("schema", None) or T.StructType(
+            [T.StructField("k", T.StringType()),
+             T.StructField("n", T.LongType())]
+        )
+        state_dir = str(tmp_path / f"vs_{name}")
+        os.makedirs(state_dir, exist_ok=True)
+        kw.setdefault("key_cols", ("k",))
+        kw.setdefault("batch_unique", True)
+        return ViewInfo(name, "", "", None, state_dir, schema, **kw)
+
+    def _read(self, spark, vi):
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        return {r["k"]: r["n"] for r in
+                HStreamEngine._view_state_frame(spark, vi).collect()}
+
+    @pytest.mark.parametrize("point", FAULT_POINTS)
+    def test_crash_at_each_fault_point_then_replay(
+        self, spark, tmp_path, point
+    ):
+        import hstream_spark.streaming.runtime as R
+
+        vi = self._vi(tmp_path, f"cr_{point}")
+        # batch 3 reaches the compaction windows: base(2 rows) + d1(1)
+        # + d2(2) → Σdeltas 3 ≥ ½·2 with ≥2 deltas → fold-down fires
+        batches = [
+            [("a", 1), ("b", 1)],
+            [("a", 2)],
+            [("a", 3), ("b", 2)],
+        ]
+        after = [  # committed state expected after each batch applies
+            {"a": 1, "b": 1},
+            {"a": 2, "b": 1},
+            {"a": 3, "b": 2},
+        ]
+
+        class Crash(RuntimeError):
+            pass
+
+        def hook(p):
+            if p == point:
+                raise Crash(p)
+
+        crashed = False
+        for i, rows in enumerate(batches):
+            bdf = spark.createDataFrame(rows, "k string, n long")
+            R._FAULT_HOOK = hook
+            try:
+                R.HStreamEngine._view_upsert(vi, bdf)
+            except Crash:
+                crashed = True
+                # a read between crash and recovery must be sound:
+                # exactly the pre-batch or the post-batch state
+                R._FAULT_HOOK = None
+                seen = self._read(spark, vi)
+                pre = after[i - 1] if i else {}
+                assert seen in (pre, after[i]), (point, seen)
+                # epoch replay: the same batch re-applies
+                R.HStreamEngine._view_upsert(vi, bdf)
+            finally:
+                R._FAULT_HOOK = None
+            assert self._read(spark, vi) == after[i], (point, i)
+        assert crashed, f"fault point {point} never reached"
+        # post-recovery triggers keep working and compaction eventually
+        # sweeps every stale generation and tmp dir
+        import os
+
+        for j in range(4, 10):
+            bdf = spark.createDataFrame([("a", j), ("b", j)], "k string, n long")
+            R.HStreamEngine._view_upsert(vi, bdf)
+        assert self._read(spark, vi) == {"a": 9, "b": 9}
+        base, _ks = R.HStreamEngine._view_layout(vi.state_dir)
+        stale = [d for d in os.listdir(vi.state_dir)
+                 if d.startswith(".tmp_")
+                 or (d.startswith("v") and d[1:].split("_d")[0].isdigit()
+                     and int(d[1:].split("_d")[0]) < base - 1)]
+        assert stale == [], (point, stale)
+
+    def test_crash_then_replay_session_view(self, spark, tmp_path):
+        """Same discipline for the session (merge_on_overlap) delta log:
+        a crash after the delta rename replays the epoch; the duplicate
+        delta's rows supersede their own first copies (self-overlap), so
+        the fold converges to the no-crash session set."""
+        import datetime as dt
+
+        from pyspark.sql import types as T
+
+        import hstream_spark.streaming.runtime as R
+
+        schema = T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ])
+        vi = self._vi(
+            tmp_path, "cr_sess", schema=schema,
+            key_cols=("window_start", "window_end", "k"),
+            merge_on_overlap=True,
+        )
+        t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+        def w(s, e):
+            return (t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=e))
+
+        def push(rows):
+            R.HStreamEngine._view_upsert(
+                vi, spark.createDataFrame(rows, schema)
+            )
+
+        push([("a", *w(0, 10), 1), ("b", *w(5, 15), 1)])
+
+        class Crash(RuntimeError):
+            pass
+
+        def hook(p):
+            if p == "delta-renamed":
+                raise Crash(p)
+
+        # a's session extends (overlaps its old window); b untouched
+        extend = [("a", *w(0, 18), 2)]
+        R._FAULT_HOOK = hook
+        with pytest.raises(Crash):
+            push(extend)
+        R._FAULT_HOOK = None
+        push(extend)  # epoch replay
+        got = {(r["k"], r["window_start"], r["window_end"], r["n"])
+               for r in R.HStreamEngine._view_state_frame(spark, vi).collect()}
+        assert got == {("a", *w(0, 18), 2), ("b", *w(5, 15), 1)}
+
+    def test_randomized_kills_converge(self, spark, tmp_path):
+        """Randomized kill schedule over a longer upsert log: every
+        crash is followed by an epoch replay; the final state must be
+        byte-identical to the crash-free fold."""
+        import random
+
+        import hstream_spark.streaming.runtime as R
+
+        rng = random.Random(20260815)
+        vi = self._vi(tmp_path, "cr_rand")
+        expected: dict[str, int] = {}
+
+        class Crash(RuntimeError):
+            pass
+
+        points = self.FAULT_POINTS
+
+        for i in range(14):
+            rows = [(f"k{rng.randrange(5)}", i * 10 + j) for j in range(2)]
+            dedup = {k: n for k, n in rows}
+            rows = list(dedup.items())  # upsert batches are key-unique
+            expected.update(dedup)
+            bdf = spark.createDataFrame(rows, "k string, n long")
+            if rng.random() < 0.5:
+                target = points[rng.randrange(len(points))]
+                R._FAULT_HOOK = (
+                    lambda p, t=target: (_ for _ in ()).throw(Crash(p))
+                    if p == t else None
+                )
+                try:
+                    R.HStreamEngine._view_upsert(vi, bdf)
+                except Crash:
+                    R._FAULT_HOOK = None
+                    R.HStreamEngine._view_upsert(vi, bdf)  # replay
+                finally:
+                    R._FAULT_HOOK = None
+            else:
+                R.HStreamEngine._view_upsert(vi, bdf)
+            assert self._read(spark, vi) == expected, i
 
 
 class TestResumeParity:
