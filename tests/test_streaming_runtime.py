@@ -437,6 +437,52 @@ def test_session_view_survives_restart(spark, tmp_path):
         b.shutdown()
 
 
+def test_session_view_delta_log_survives_restart(spark, tmp_path):
+    """Session view with UNCOMPACTED deltas on disk at shutdown: the
+    restarted engine's overlap-resolving reader sees the folded state,
+    and post-restart triggers keep appending to the same delta log."""
+    import time as _time
+
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    root = str(tmp_path / "sess_dl")
+    base = _time.time()
+    a = HStreamEngine(spark, root)
+    a.execute("CREATE STREAM sdl_ev (k STRING, v INTEGER);")
+    # seed several keys so the 1-row extension deltas stay under the
+    # size-adaptive fold threshold (deltas must SURVIVE to restart)
+    for j in range(6):
+        a.execute(f"INSERT INTO sdl_ev (k, v, _ts) VALUES ('p{j}', 1, {base});")
+    a.execute(f"INSERT INTO sdl_ev (k, v, _ts) VALUES ('a', 1, {base + 1.0});")
+    a.execute(
+        "CREATE VIEW sdl AS SELECT k, COUNT(*) AS n "
+        "FROM SESSION(sdl_ev, INTERVAL 10 SECOND) GROUP BY k;"
+    )
+    a.views["sdl"].handle.processAllAvailable()
+    # extend a's session twice → two 1-row deltas superseding each other
+    for off in (2.0, 3.0):
+        a.execute(f"INSERT INTO sdl_ev (k, v, _ts) VALUES ('a', 1, {base + off});")
+        a.views["sdl"].handle.processAllAvailable()
+    b0, ks0 = HStreamEngine._view_layout(a.views["sdl"].state_dir)
+    assert ks0, "deltas must exist on disk at shutdown"
+    a.shutdown()
+
+    b = HStreamEngine(spark, root)
+    try:
+        assert b.views["sdl"].merge_on_overlap
+        rows = {r["k"]: r["n"] for r in
+                b.execute("SELECT k, n FROM sdl;").collect()}
+        assert rows["a"] == 3 and all(rows[f"p{j}"] == 1 for j in range(6))
+        # post-restart extension merges into the SAME session
+        b.execute(f"INSERT INTO sdl_ev (k, v, _ts) VALUES ('a', 1, {base + 4.0});")
+        b.views["sdl"].handle.processAllAvailable()
+        rows = {r["k"]: r["n"] for r in
+                b.execute("SELECT k, n FROM sdl;").collect()}
+        assert rows["a"] == 4 and len(rows) == 7
+    finally:
+        b.shutdown()
+
+
 def test_drop_stream_cascades_to_sinking_queries(engine):
     engine.execute("CREATE STREAM casc_src (a INTEGER);")
     engine.execute("CREATE STREAM casc_dst AS SELECT a FROM casc_src;")
