@@ -786,7 +786,17 @@ def logistic_probe_fit(
     feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
     base = corpus.select(
         feats.alias("px"), label.cast("double").alias("py")
-    ).filter(F.col("py").isNotNull() & F.col("px").isNotNull())
+    ).filter(
+        F.col("py").isNotNull()
+        & F.col("px").isNotNull()
+        # element-level hygiene: a SHORT array (source shorter than
+        # dim) or a NULL element would NULL the dot product — SUM
+        # skips those rows but COUNT still counts them, silently
+        # shrinking every gradient step. Exclude them up front so the
+        # n denominator counts exactly the rows that contribute.
+        & (F.size(F.col("px")) == dim)
+        & ~F.exists(F.col("px"), lambda x: x.isNull())
+    )
 
     def pass_once(weights: list[float], with_grad: bool):
         z = dot(F.col("px"), F.lit(weights[:dim])) + F.lit(weights[dim])
@@ -799,6 +809,11 @@ def logistic_probe_fit(
             row = base.agg(
                 F.sum(loss).alias("l"), F.count(F.lit(1)).alias("n")
             ).collect()[0]
+            if not row["n"]:
+                raise ValueError(
+                    "logistic_probe_fit: no trainable rows (all labels/"
+                    f"embeddings NULL or shorter than dim={dim})"
+                )
             return None, float(row["l"]) / row["n"]
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         err = p - F.col("py")
@@ -812,6 +827,11 @@ def logistic_probe_fit(
             .agg(F.sum("t").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        if not sums:
+            raise ValueError(
+                "logistic_probe_fit: no trainable rows (all labels/"
+                f"embeddings NULL or shorter than dim={dim})"
+            )
         by_pos = {r["pos"]: (float(r["s"]), r["n"]) for r in sums}
         n = by_pos[0][1]
         grad = [by_pos[j][0] / n for j in range(dim + 1)]

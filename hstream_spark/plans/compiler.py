@@ -297,6 +297,18 @@ def compile_agg(node: A.AggFunc) -> Column:
     raise CompileError(f"unknown aggregate {name}")
 
 
+def _expr_children(n):
+    """Child expressions of an AST node — the ONE traversal shared by
+    every expression walk (find_aggs, find_plain_colrefs): a new AST
+    node's children list only needs registering here."""
+    for attr in ("left", "right", "operand", "low", "high"):
+        if hasattr(n, attr):
+            yield getattr(n, attr)
+    for attr in ("items", "args"):
+        if hasattr(n, attr):
+            yield from getattr(n, attr)
+
+
 def find_aggs(node: Optional[A.Expr]) -> list[A.AggFunc]:
     """All AggFunc nodes in an expression tree (pre-order)."""
     out: list[A.AggFunc] = []
@@ -307,13 +319,8 @@ def find_aggs(node: Optional[A.Expr]) -> list[A.AggFunc]:
         if isinstance(n, A.AggFunc):
             out.append(n)
             return  # aggs do not nest in the dialect
-        for attr in ("left", "right", "operand", "low", "high"):
-            if hasattr(n, attr):
-                walk(getattr(n, attr))
-        for attr in ("items", "args"):
-            if hasattr(n, attr):
-                for c in getattr(n, attr):
-                    walk(c)
+        for c in _expr_children(n):
+            walk(c)
 
     walk(node)
     return out
@@ -571,13 +578,8 @@ def find_plain_colrefs(node: Optional[A.Expr]) -> list[A.ColRef]:
         if isinstance(n, A.ColRef):
             out.append(n)
             return
-        for attr in ("left", "right", "operand", "low", "high"):
-            if hasattr(n, attr):
-                walk(getattr(n, attr))
-        for attr in ("items", "args"):
-            if hasattr(n, attr):
-                for c in getattr(n, attr):
-                    walk(c)
+        for c in _expr_children(n):
+            walk(c)
 
     walk(node)
     return out
@@ -618,8 +620,14 @@ def _compile_stateful_window(
         if having_col is None:
             return None
         key_set = {k.name for k in sel.group_by}
-        if any(c.name not in key_set for c in find_plain_colrefs(sel.having)):
-            return None  # non-key plain column in HAVING: fall back
+        if any(c.stream is not None or c.name not in key_set
+               for c in find_plain_colrefs(sel.having)):
+            # non-key plain column in HAVING: fall back. STREAM-QUALIFIED
+            # refs fall back too — the stateful output frame's columns
+            # are unqualified, so `HAVING ev.k <> 'x'` would compile to
+            # an unresolvable F.col("ev.k") and turn the graceful
+            # fallback into a hard AnalysisException at CREATE VIEW
+            return None
     df = src.df
     if EVENT_TIME_COL not in df.columns:
         return None

@@ -229,6 +229,13 @@ class ViewInfo:
     # this many rows the refresh FAILS loudly instead of silently
     # rewriting O(result) per trigger forever (None = unbounded)
     complete_max_rows: Optional[int] = None
+    # per-generation footer row counts (dir name → rows), populated as
+    # deltas are written: delta dirs are immutable once renamed, so the
+    # adaptive-compaction decision never re-opens old footers — without
+    # this a view sitting near the delta cap would re-parse every
+    # delta's footers on every trigger. Purely a cache: cleared at
+    # compaction, rebuilt from footers after a restart.
+    delta_rows_cache: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -764,6 +771,14 @@ class HStreamEngine:
                 rows = HStreamEngine._parquet_dir_rows(
                     os.path.join(vi.state_dir, f"v{nxt}")
                 )
+                if rows < 0:
+                    # footers unreadable: count the just-written files
+                    # with Spark rather than silently skipping the
+                    # bound — the no-pyarrow / remote-state deployments
+                    # are exactly the ones likely to be large
+                    rows = spark.read.schema(vi.schema).parquet(
+                        os.path.join(vi.state_dir, f"v{nxt}")
+                    ).count()
                 if rows > vi.complete_max_rows:
                     # refuse BEFORE the swap: the previous generation
                     # stays current, the query fails loudly, and the
@@ -795,22 +810,23 @@ class HStreamEngine:
         # must not accrete empty deltas and re-compact O(state) forever
         # — decided from the written parquet FOOTERS (driver-side
         # metadata, no second execution of the batch subtree).
-        def written_empty(tmp: str) -> bool:
+        def written_rows(tmp: str) -> int:
             rows = HStreamEngine._parquet_dir_rows(tmp)
             if rows >= 0:
-                return rows == 0
+                return rows
             # footers unreadable (no pyarrow / non-local state_dir):
             # read back the just-WRITTEN files with Spark instead of
             # guessing — treating unknown as non-empty would accrete
             # empty deltas, and a keyless view's newest-delta read
             # would then return EMPTY state after an idle trigger
-            return spark.read.schema(vi.schema).parquet(tmp).isEmpty()
+            return spark.read.schema(vi.schema).parquet(tmp).count()
 
         base, ks = HStreamEngine._view_layout(vi.state_dir)
         if base is None:
             tmp_dir = os.path.join(vi.state_dir, ".tmp_v0")
             batch.write.mode("overwrite").parquet(tmp_dir)
-            if written_empty(tmp_dir):
+            rows = written_rows(tmp_dir)
+            if rows == 0:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 return
             dst = os.path.join(vi.state_dir, "v0")
@@ -823,19 +839,23 @@ class HStreamEngine:
                 shutil.rmtree(dst)
             _fault("first-base-written")  # tmp written, not yet visible
             os.rename(tmp_dir, dst)
+            vi.delta_rows_cache.clear()
+            vi.delta_rows_cache["v0"] = rows
             _fault("first-base-renamed")  # v0 on disk, CURRENT absent
             swap_current(0)
             return
         k = (ks[-1] if ks else 0) + 1
         tmp_dir = os.path.join(vi.state_dir, f".tmp_v{base}_d{k}")
         batch.write.mode("overwrite").parquet(tmp_dir)
-        if written_empty(tmp_dir):
+        rows = written_rows(tmp_dir)
+        if rows == 0:
             shutil.rmtree(tmp_dir, ignore_errors=True)
             return
         _fault("delta-written")  # tmp delta on disk, not yet listed
         os.rename(tmp_dir, os.path.join(vi.state_dir, f"v{base}_d{k}"))
+        vi.delta_rows_cache[f"v{base}_d{k}"] = rows
         _fault("delta-renamed")  # delta visible, compaction not yet run
-        if HStreamEngine._should_compact(vi.state_dir, base, ks + [k]):
+        if HStreamEngine._should_compact(vi, base, ks + [k]):
             # fold base+deltas into the next generation's base; the old
             # generation stays on disk for in-flight readers and is
             # removed when the one after supersedes it
@@ -843,6 +863,7 @@ class HStreamEngine:
             merged.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{base + 1}")
             )
+            vi.delta_rows_cache.clear()  # new generation, new footers
             _fault("compact-written")  # new base on disk, CURRENT old
             swap_current(base + 1)
             _fault("compact-swapped")  # CURRENT new, old gen not swept
@@ -853,30 +874,41 @@ class HStreamEngine:
                                   ignore_errors=True)
 
     @staticmethod
-    def _should_compact(state_dir: str, base: int, ks: list) -> bool:
+    def _should_compact(vi: ViewInfo, base: int, ks: list) -> bool:
         """Size-adaptive fold-down decision from parquet footers only.
         Fold when the deltas carry ≥ _VIEW_COMPACT_FRACTION of the
         base's rows (write amplification bounded at ~(1+1/f)× instead
         of rewriting a large base to absorb a handful of tiny deltas),
         but never after a single delta, and always once the delta COUNT
         reaches _VIEW_COMPACT_MAX_DELTAS (bounds the reader's union
-        fan-out when triggers touch few rows). Unknown footers (no
-        pyarrow / non-local storage) fall back to the fixed cadence."""
+        fan-out when triggers touch few rows). Row counts come from
+        ``vi.delta_rows_cache`` (populated as each dir is written —
+        dirs are immutable once renamed); footers are parsed only for
+        dirs a restart made cache-cold. Unknown footers (no pyarrow /
+        non-local storage) fall back to the fixed cadence."""
         n = len(ks)
         if n >= HStreamEngine._VIEW_COMPACT_MAX_DELTAS:
             return True
         if n < HStreamEngine._VIEW_COMPACT_MIN_DELTAS:
             return False
-        base_rows = HStreamEngine._parquet_dir_rows(
-            os.path.join(state_dir, f"v{base}")
-        )
+
+        def rows_of(name: str) -> int:
+            cached = vi.delta_rows_cache.get(name)
+            if cached is not None:
+                return cached
+            r = HStreamEngine._parquet_dir_rows(
+                os.path.join(vi.state_dir, name)
+            )
+            if r >= 0:
+                vi.delta_rows_cache[name] = r
+            return r
+
+        base_rows = rows_of(f"v{base}")
         if base_rows < 0:
             return n >= HStreamEngine._VIEW_COMPACT_EVERY
         delta_rows = 0
         for k in ks:
-            r = HStreamEngine._parquet_dir_rows(
-                os.path.join(state_dir, f"v{base}_d{k}")
-            )
+            r = rows_of(f"v{base}_d{k}")
             if r < 0:
                 return n >= HStreamEngine._VIEW_COMPACT_EVERY
             delta_rows += r
@@ -1681,8 +1713,12 @@ class HStreamEngine:
             # all produce one row per key per trigger, so the upsert
             # skips its defensive per-trigger dropDuplicates shuffle
             batch_unique=order_col is None,
+            # hidden state columns stripped from every read: dropped
+            # group keys, the HAVING boolean, and the sliding path's
+            # internal ordering timestamp
             hidden_cols=tuple(hidden_keys)
-            + ((having_col,) if having_col else ()),
+            + ((having_col,) if having_col else ())
+            + ((order_col,) if order_col else ()),
             having_col=having_col,
             complete_max_rows=self.complete_fallback_max_rows,
         )

@@ -528,7 +528,12 @@ class TestLogisticProbe:
         df = self._separable(spark, n=100)
         noisy = df.unionByName(
             spark.createDataFrame(
-                [(1000, None, 1.0), (1001, [0.1] * 8, None)],
+                [
+                    (1000, None, 1.0),            # NULL embedding
+                    (1001, [0.1] * 8, None),       # NULL label
+                    (1002, [0.1] * 3, 1.0),        # SHORT array (< dim)
+                    (1003, [0.1, None] + [0.1] * 6, 0.0),  # NULL element
+                ],
                 "vec_id long, embedding array<double>, y double",
             )
         )
@@ -544,6 +549,20 @@ class TestLogisticProbe:
                    for a, b in zip(w_clean, w_noisy))
         assert all(abs(a - b) <= 1e-9 * max(1.0, abs(a))
                    for a, b in zip(l_clean, l_noisy))
+
+    def test_logistic_probe_all_null_raises(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        bad = spark.createDataFrame(
+            [(0, [0.1] * 3, 1.0), (1, None, 0.0)],
+            "vec_id long, embedding array<double>, y double",
+        )
+        with _pytest.raises(ValueError, match="no trainable rows"):
+            SIM.logistic_probe_fit(bad, F.col("y"), dim=8, iters=1)
 
     def test_logistic_probe_rejects_bad_init(self, spark):
         import pytest as _pytest

@@ -412,6 +412,9 @@ def test_sliding_view_keeps_latest_trailing_aggregate(engine):
     engine.views["slv"].handle.processAllAvailable()
     rows = engine.execute("SELECT k, s, n FROM slv;").collect()
     assert [(r["k"], r["s"], r["n"]) for r in rows] == [("a", 8, 1)]
+    # the internal ordering timestamp never leaks into wildcard reads
+    star = engine.execute("SELECT * FROM slv;").collect()
+    assert set(star[0].asDict().keys()) == {"k", "s", "n"}
     # a new record re-opens the key's window and supersedes the state
     engine.execute(f"INSERT INTO slv_ev (k, v, _ts) VALUES ('a', 16, {base + 32.0});")
     engine.views["slv"].handle.processAllAvailable()
@@ -500,6 +503,13 @@ class TestViewHavingAndFallbackBound:
             ("fm_sess_topk", "SELECT k, TOPK(v, 2) AS t FROM "
              "SESSION(fm_ev, INTERVAL 10 SECOND) GROUP BY k",
              "complete(fallback)"),
+            # stream-QUALIFIED plain ref in HAVING: the stateful output
+            # frame is unqualified, so this shape must fall back
+            # gracefully instead of failing CREATE VIEW at analysis
+            ("fm_sess_qual", "SELECT k, COUNT(*) AS n FROM "
+             "SESSION(fm_ev, INTERVAL 10 SECOND) GROUP BY k "
+             "HAVING fm_ev.k <> 'x' AND COUNT(*) > 1",
+             "complete(fallback)"),
         ]
         import warnings as _warnings
 
@@ -538,6 +548,18 @@ class TestViewHavingAndFallbackBound:
         got = {r["k"] for r in
                HStreamEngine._view_state_frame(spark, vi).collect()}
         assert got == {f"k{i}" for i in range(3)}
+        # unreadable footers must NOT silently disable the bound: the
+        # check falls back to a Spark count of the written files
+        import hstream_spark.streaming.runtime as R
+
+        orig = R.HStreamEngine._parquet_dir_rows
+        R.HStreamEngine._parquet_dir_rows = staticmethod(lambda p: -1)
+        try:
+            with _pytest.raises(RuntimeError,
+                                match="complete_fallback_max_rows"):
+                HStreamEngine._view_upsert(vi, big)
+        finally:
+            R.HStreamEngine._parquet_dir_rows = staticmethod(orig)
 
 
 def test_stream_joins_view_state(engine):

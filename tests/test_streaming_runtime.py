@@ -1014,7 +1014,10 @@ class TestViewDeltaLog:
             "FROM SLIDING(ugl_ev, INTERVAL 10 SECOND) GROUP BY k;"
         )
         vi = engine.views["ugl"]
-        assert vi.key_cols == ("__gk_k",) and vi.hidden_cols == ("__gk_k",)
+        assert vi.key_cols == ("__gk_k",)
+        # hidden state columns: the dropped key AND the sliding path's
+        # internal ordering timestamp — neither may leak into reads
+        assert vi.hidden_cols == ("__gk_k", "__slide_ts")
         vi.handle.processAllAvailable()
         assert sorted(r["s"] for r in
                       engine.execute("SELECT s FROM ugl;").collect()) == [1, 2]
