@@ -673,6 +673,24 @@ def kmeans_assign(
     )
 
 
+def _probe_trainable(label: Column, dim: int, vec_col: str) -> Column:
+    """Row-trainability predicate shared by both probe trainers: the
+    label casts to a non-NULL double, the embedding exists with ≥ dim
+    elements, and the first dim elements carry no NULLs. Deliberately
+    phrased over the RAW column (null/size checks + a slice-bounded
+    exists) so the filter never evaluates the full-array cast — Filter
+    has no subexpression elimination, so conjuncts re-deriving a heavy
+    projected expression re-run it per conjunct per row (the
+    filter-inlining pathology documented in SCALE.md)."""
+    vec = F.col(vec_col)
+    return (
+        label.cast("double").isNotNull()
+        & vec.isNotNull()
+        & (F.size(vec) >= dim)
+        & ~F.exists(F.slice(vec, 1, dim), lambda x: x.isNull())
+    )
+
+
 def linear_probe_fit(
     corpus: DataFrame,
     label: Column,
@@ -712,15 +730,17 @@ def linear_probe_fit(
     w = list(init) if init is not None else [0.0] * (dim + 1)
     if len(w) != dim + 1:
         raise ValueError(f"init must have dim+1={dim + 1} weights (bias last)")
-    feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
-    base = corpus.select(
-        feats.alias("px"), label.cast("double").alias("py")
-    ).filter(F.col("py").isNotNull() & F.col("px").isNotNull())
-    # NULL rows are excluded BEFORE the gradient: a NULL label would
-    # NULL every gradient term (skipped by SUM but still counted in n),
-    # silently shrinking the effective step — and diverging from any
-    # replay that coalesces NULL to a real label. Filtering keeps the n
-    # denominator and the gradient sums aligned by construction.
+    base = corpus.filter(_probe_trainable(label, dim, vec_col)).select(
+        F.slice(_to_double(F.col(vec_col)), 1, dim).alias("px"),
+        label.cast("double").alias("py"),
+    )
+    # Untrainable rows are excluded BEFORE the gradient: a NULL label,
+    # short array, or NULL element would NULL gradient terms (skipped
+    # by SUM but still counted in n), silently shrinking the effective
+    # step with a PER-POSITION-inconsistent denominator — and diverging
+    # from the DuckDB replay. Filtering keeps the n denominator and the
+    # gradient sums aligned by construction (the oracle applies the
+    # identical predicate).
     for _ in range(iters):
         w_lit = F.lit(w[:dim])
         pred = dot(F.col("px"), w_lit) + F.lit(w[dim])
@@ -741,6 +761,11 @@ def linear_probe_fit(
             )
             .collect()
         )
+        if not sums:
+            raise ValueError(
+                "linear_probe_fit: no trainable rows (all labels/"
+                f"embeddings NULL or shorter than dim={dim})"
+            )
         for row in sums:  # dim+1 rows — model-sized driver traffic
             g = float(row["g"]) / scale
             w[row["pos"]] = w[row["pos"]] - lr * (g / row["n"])
@@ -783,19 +808,9 @@ def logistic_probe_fit(
     w = list(init) if init is not None else [0.0] * (dim + 1)
     if len(w) != dim + 1:
         raise ValueError(f"init must have dim+1={dim + 1} weights (bias last)")
-    feats = F.slice(_to_double(F.col(vec_col)), 1, dim)
-    base = corpus.select(
-        feats.alias("px"), label.cast("double").alias("py")
-    ).filter(
-        F.col("py").isNotNull()
-        & F.col("px").isNotNull()
-        # element-level hygiene: a SHORT array (source shorter than
-        # dim) or a NULL element would NULL the dot product — SUM
-        # skips those rows but COUNT still counts them, silently
-        # shrinking every gradient step. Exclude them up front so the
-        # n denominator counts exactly the rows that contribute.
-        & (F.size(F.col("px")) == dim)
-        & ~F.exists(F.col("px"), lambda x: x.isNull())
+    base = corpus.filter(_probe_trainable(label, dim, vec_col)).select(
+        F.slice(_to_double(F.col(vec_col)), 1, dim).alias("px"),
+        label.cast("double").alias("py"),
     )
 
     def pass_once(weights: list[float], with_grad: bool):

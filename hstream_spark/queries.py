@@ -5200,10 +5200,15 @@ def _linear_probe_oracle(iters: int = _PROBE_ITERS, dim: int = _PROBE_DIM) -> st
     parts = [
         f"WITH b AS (SELECT (embedding::DOUBLE[])[1:{dim}] AS px,",
         f"                  {_PROBE_LABEL_SQL} AS py FROM embeddings",
-        # NULL-row exclusion mirrors linear_probe_fit's filter: without
-        # it a NULL label maps to 0.0 here (CASE) but drops out of the
-        # Spark gradient, breaking byte parity on nullable corpora
-        "                  WHERE label IS NOT NULL AND embedding IS NOT NULL),",
+        # trainability exclusion mirrors _probe_trainable exactly: a
+        # NULL label, missing/short embedding, or NULL element among
+        # the first dim slots drops out of the Spark gradient (and its
+        # n denominator), so it must drop out of the replay too —
+        # otherwise byte parity breaks on dirty corpora
+        "                  WHERE label IS NOT NULL AND embedding IS NOT NULL",
+        f"                    AND len(embedding) >= {dim}",
+        f"                    AND len(list_filter(embedding[1:{dim}],"
+        " x -> x IS NULL)) = 0),",
         f"w0 AS (SELECT {zeros}::DOUBLE[] AS wv, CAST(0.0 AS DOUBLE) AS wb),",
     ]
     for i in range(1, iters + 1):

@@ -758,6 +758,19 @@ class HStreamEngine:
                 f.write(str(v))
             os.replace(tmp, ptr)
 
+        def written_rows(path: str) -> int:
+            rows = HStreamEngine._parquet_dir_rows(path)
+            if rows >= 0:
+                return rows
+            # footers unreadable (no pyarrow / non-local state_dir):
+            # count the just-WRITTEN files with Spark instead of
+            # guessing — treating unknown as non-empty would accrete
+            # empty deltas (blanking keyless views after an idle
+            # trigger), and unknown-skips-the-bound would silently
+            # disable complete_max_rows on exactly the deployments
+            # most likely to be large
+            return spark.read.schema(vi.schema).parquet(path).count()
+
         cur_v = -1
         if vi.replace_all:
             if os.path.exists(ptr):
@@ -768,17 +781,7 @@ class HStreamEngine:
                 os.path.join(vi.state_dir, f"v{nxt}")
             )
             if vi.complete_max_rows is not None:
-                rows = HStreamEngine._parquet_dir_rows(
-                    os.path.join(vi.state_dir, f"v{nxt}")
-                )
-                if rows < 0:
-                    # footers unreadable: count the just-written files
-                    # with Spark rather than silently skipping the
-                    # bound — the no-pyarrow / remote-state deployments
-                    # are exactly the ones likely to be large
-                    rows = spark.read.schema(vi.schema).parquet(
-                        os.path.join(vi.state_dir, f"v{nxt}")
-                    ).count()
+                rows = written_rows(os.path.join(vi.state_dir, f"v{nxt}"))
                 if rows > vi.complete_max_rows:
                     # refuse BEFORE the swap: the previous generation
                     # stays current, the query fails loudly, and the
@@ -810,17 +813,6 @@ class HStreamEngine:
         # must not accrete empty deltas and re-compact O(state) forever
         # — decided from the written parquet FOOTERS (driver-side
         # metadata, no second execution of the batch subtree).
-        def written_rows(tmp: str) -> int:
-            rows = HStreamEngine._parquet_dir_rows(tmp)
-            if rows >= 0:
-                return rows
-            # footers unreadable (no pyarrow / non-local state_dir):
-            # read back the just-WRITTEN files with Spark instead of
-            # guessing — treating unknown as non-empty would accrete
-            # empty deltas, and a keyless view's newest-delta read
-            # would then return EMPTY state after an idle trigger
-            return spark.read.schema(vi.schema).parquet(tmp).count()
-
         base, ks = HStreamEngine._view_layout(vi.state_dir)
         if base is None:
             tmp_dir = os.path.join(vi.state_dir, ".tmp_v0")
@@ -863,7 +855,13 @@ class HStreamEngine:
             merged.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{base + 1}")
             )
-            vi.delta_rows_cache.clear()  # new generation, new footers
+            # new generation: reset the footer cache and seed the new
+            # base's count (in no-pyarrow deployments its footers are
+            # unreadable, and without this seed _should_compact would
+            # degrade to the fixed cadence forever after one fold)
+            new_rows = written_rows(os.path.join(vi.state_dir, f"v{base + 1}"))
+            vi.delta_rows_cache.clear()
+            vi.delta_rows_cache[f"v{base + 1}"] = new_rows
             _fault("compact-written")  # new base on disk, CURRENT old
             swap_current(base + 1)
             _fault("compact-swapped")  # CURRENT new, old gen not swept

@@ -473,6 +473,44 @@ class TestLinearProbe:
         with _pytest.raises(ValueError, match="dim\\+1"):
             SIM.linear_probe_fit(emb, F.col("y"), dim=8, init=[0.0] * 3)
 
+    def test_probe_skips_untrainable_rows(self, spark):
+        """Short arrays / NULL elements / NULL labels drop out of BOTH
+        the gradient sums and the n denominator (a counted-but-
+        contributing-nothing row silently shrinks every step with a
+        per-position-INCONSISTENT denominator); an all-bad corpus
+        raises instead of returning init or crashing on float(None)."""
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        clean = spark.createDataFrame(
+            [(i, [((i * 37 + j * 11) % 101 - 50) / 50.0 for j in range(8)],
+              float(i % 2)) for i in range(50)],
+            "vec_id long, embedding array<double>, y double",
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [
+                    (100, None, 1.0),
+                    (101, [0.1] * 8, None),
+                    (102, [0.1] * 3, 1.0),
+                    (103, [0.1, None] + [0.1] * 6, 0.0),
+                ],
+                "vec_id long, embedding array<double>, y double",
+            )
+        )
+        w_clean = SIM.linear_probe_fit(clean, F.col("y"), dim=8, iters=2)
+        w_dirty = SIM.linear_probe_fit(dirty, F.col("y"), dim=8, iters=2)
+        assert w_clean == w_dirty  # fixed-point: exact equality holds
+        all_bad = spark.createDataFrame(
+            [(0, [0.1] * 3, 1.0), (1, None, 0.0)],
+            "vec_id long, embedding array<double>, y double",
+        )
+        with _pytest.raises(ValueError, match="no trainable rows"):
+            SIM.linear_probe_fit(all_bad, F.col("y"), dim=8, iters=1)
+
 
 class TestLogisticProbe:
     """Logistic-probe trainer (full-batch GD on BCE): loss-monotone on
