@@ -564,7 +564,14 @@ _SESSION_AGG_KIND = {
     "MIN": "min",
     "MAX": "max",
     "AVG": "avg",
+    # bounded top-k: the state partial is the k largest values seen so
+    # far (merge = merge-sort + cap), so TOPK/TOPKDISTINCT session
+    # views ride the stateful update path instead of the complete-mode
+    # fallback (round 9)
+    "TOPK": "topk",
+    "TOPKDISTINCT": "topkdistinct",
 }
+_TOPK_KINDS = ("topk", "topkdistinct")
 
 
 def find_plain_colrefs(node: Optional[A.Expr]) -> list[A.ColRef]:
@@ -643,6 +650,8 @@ def _compile_stateful_window(
     hidden: list[str] = []
     agg_subst: dict[int, str] = {}
     seen: dict[str, str] = {}
+    params: list[Optional[int]] = []
+
     def note_agg(node) -> bool:
         key = f"{node.name}:{[repr(a) for a in node.args]}"
         if key in seen:
@@ -651,6 +660,18 @@ def _compile_stateful_window(
         kind = _SESSION_AGG_KIND.get(node.name)
         if kind is None:
             return False
+        if kind in _TOPK_KINDS:
+            # session-only for now (the sliding buffer recomputes from
+            # raw events and doesn't carry top-k partials), and k must
+            # be an int literal — anything else falls back
+            if window_kind != "SESSION":
+                return False
+            if not (len(node.args) == 2 and isinstance(node.args[1], A.Lit)
+                    and node.args[1].kind == "int"):
+                return False
+            params.append(int(node.args[1].value))
+        else:
+            params.append(None)
         name = f"__agg{len(hidden)}"
         seen[key] = name
         agg_subst[id(node)] = name
@@ -703,11 +724,12 @@ def _compile_stateful_window(
         else:
             t = dtypes[input_cols[j]]
             if t in int_types:
-                out_casts.append("bigint")
+                elem = "bigint"
             elif t in ("double", "float", "decimal"):
-                out_casts.append("double")
+                elem = "double"
             else:
-                return None  # non-numeric MIN/MAX: fall back
+                return None  # non-numeric MIN/MAX/TOPK: fall back
+            out_casts.append(f"array<{elem}>" if kind in _TOPK_KINDS else elem)
     key_ddl = ", ".join(f"`{n}` {dtypes[n]}" for n in key_names)
 
     size_us = src.window.size.seconds * 1_000_000
@@ -716,7 +738,7 @@ def _compile_stateful_window(
 
         out = session_aggregate(
             sdf, key_names, "__ts_us", size_us, kinds, input_cols,
-            hidden, out_casts, key_ddl,
+            hidden, out_casts, key_ddl, params=params,
         )
     else:
         from hstream_spark.streaming.stateful import sliding_aggregate

@@ -85,16 +85,23 @@ def _spark_type_of(df: DataFrame, col: str) -> str:
 # ---------------------------------------------------------------------------
 
 # (kind, needs_input): how each supported aggregate folds into its
-# (value, non-null count) partial pair
-_SESSION_KINDS = ("count_all", "count", "sum", "min", "max", "avg")
+# (value, non-null count) partial pair. The top-k kinds' partial value
+# is the BOUNDED sorted-desc list of the k largest values seen so far —
+# values below a partial's k-th entry can never enter the merged top-k
+# (monotone), so capped partials merge losslessly and session state
+# stays O(open sessions × aggs × k).
+_SESSION_KINDS = ("count_all", "count", "sum", "min", "max", "avg",
+                  "topk", "topkdistinct")
+_TOPK_KINDS = ("topk", "topkdistinct")
 
 
 def _fold_row(
-    kind: str, v, n: int, x, as_int: bool = False
-) -> tuple[float | int | None, int]:
+    kind: str, v, n: int, x, as_int: bool = False, param: int | None = None
+) -> tuple:
     """Fold one input value into a (value, count) partial. ``as_int``
     keeps the partial in exact int64 arithmetic (bigint SUM/MIN/MAX —
-    float64 partials silently lose precision beyond 2^53)."""
+    float64 partials silently lose precision beyond 2^53). ``param``
+    is the k of a top-k kind."""
     import math
 
     is_null = x is None or (isinstance(x, float) and math.isnan(x))
@@ -102,6 +109,14 @@ def _fold_row(
         return (v or 0) + 1, n + 1
     if is_null:
         return v, n
+    if kind in _TOPK_KINDS:
+        x = int(x) if as_int else float(x)
+        cur = list(v) if v else []
+        cur.append(x)
+        if kind == "topkdistinct":
+            cur = list(set(cur))
+        cur.sort(reverse=True)
+        return cur[:param], n + 1
     x = int(x) if as_int else float(x)
     if kind == "count":
         return (v or 0) + 1, n + 1
@@ -114,8 +129,15 @@ def _fold_row(
     raise ValueError(kind)
 
 
-def _merge_partial(kind: str, a: tuple, b: tuple) -> tuple:
+def _merge_partial(kind: str, a: tuple, b: tuple,
+                   param: int | None = None) -> tuple:
     (va, na), (vb, nb) = a, b
+    if kind in _TOPK_KINDS:
+        m = (list(va) if va else []) + (list(vb) if vb else [])
+        if kind == "topkdistinct":
+            m = list(set(m))
+        m.sort(reverse=True)
+        return m[:param], na + nb
     if va is None:
         return vb, na + nb
     if vb is None:
@@ -137,6 +159,7 @@ def session_aggregate(
     out_names: list[str],
     out_casts: list[str],
     key_ddl: str,
+    params: list[int | None] | None = None,
 ) -> DataFrame:
     """SESSION-window aggregation emitting an UPDATE stream — the
     operator Spark's built-in session_window cannot run in update mode
@@ -166,26 +189,37 @@ def session_aggregate(
         if k not in _SESSION_KINDS:
             raise ValueError(f"unsupported session aggregate kind {k!r}")
 
+    import json
+
     import pandas as pd
 
+    params = list(params) if params is not None else [None] * len(kinds)
     n_agg = len(kinds)
-    # integer-output aggregates (bigint SUM/MIN/MAX/COUNT) keep their
-    # partials in a parallel long array — exact int64 arithmetic, no
+    # integer-output aggregates (bigint SUM/MIN/MAX/COUNT, bigint
+    # top-k lists) keep their partials in exact int64 arithmetic — no
     # float64 precision loss beyond 2^53 (matches the batch plan)
-    int_slot = [tp in ("bigint", "int", "long") for tp in out_casts]
+    int_slot = [tp in ("bigint", "int", "long", "array<bigint>")
+                for tp in out_casts]
+    is_topk = [k in _TOPK_KINDS for k in kinds]
+    any_topk = any(is_topk)
+    # top-k partials (bounded lists) ride a JSON-string state column —
+    # added ONLY when a top-k aggregate is present so every existing
+    # view's checkpointed 5-field state stays schema-compatible
     state_type = (
         "starts array<long>, lasts array<long>, "
         "vals array<array<double>>, lvals array<array<long>>, "
         "cnts array<array<long>>"
-    )
+    ) + (", tops array<array<string>>" if any_topk else "")
     out_fields = ["window_start timestamp", "window_end timestamp"]
     if key_ddl:
         out_fields.append(key_ddl)
     out_fields += [f"`{nm}` {tp}" for nm, tp in zip(out_names, out_casts)]
     out_type = ", ".join(out_fields)
 
-    def _load_partial(vals, lvals, cnts, i, j):
+    def _load_partial(vals, lvals, cnts, tops, i, j):
         n = int(cnts[i][j])
+        if is_topk[j]:
+            return (json.loads(tops[i][j]) if tops[i][j] else [], n)
         raw = lvals[i][j] if int_slot[j] else vals[i][j]
         if kinds[j] in ("count_all", "count"):
             return (int(raw or 0), n)
@@ -195,13 +229,16 @@ def session_aggregate(
 
     def step(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            starts, lasts, vals, lvals, cnts = state.get
+            st = state.get
+            starts, lasts, vals, lvals, cnts = st[:5]
+            tops = st[5] if any_topk else None
             sessions = [
                 # [start, last, partials, changed]
                 [
                     s,
                     l,
-                    [_load_partial(vals, lvals, cnts, i, j) for j in range(n_agg)],
+                    [_load_partial(vals, lvals, cnts, tops, i, j)
+                     for j in range(n_agg)],
                     False,
                 ]
                 for i, (s, l) in enumerate(zip(starts, lasts))
@@ -218,7 +255,9 @@ def session_aggregate(
                 partial = []
                 for j, kind in enumerate(kinds):
                     x = in_series[j].iloc[r] if in_series[j] is not None else None
-                    partial.append(_fold_row(kind, None, 0, x, as_int=int_slot[j]))
+                    partial.append(_fold_row(kind, None, 0, x,
+                                             as_int=int_slot[j],
+                                             param=params[j]))
                 sessions.append([int(ts_arr[r]), int(ts_arr[r]), partial, True])
 
         # gap-merge sweep: sort by start, coalesce overlapping-within-gap
@@ -229,7 +268,8 @@ def session_aggregate(
                 m = merged[-1]
                 m[1] = max(m[1], s[1])
                 m[2] = [
-                    _merge_partial(kinds[j], m[2][j], s[2][j]) for j in range(n_agg)
+                    _merge_partial(kinds[j], m[2][j], s[2][j], param=params[j])
+                    for j in range(n_agg)
                 ]
                 m[3] = m[3] or s[3]
             else:
@@ -241,27 +281,38 @@ def session_aggregate(
             wm_us = 0
         keep = [s for s in merged if s[1] + gap_us >= wm_us or wm_us == 0]
         if keep:
-            state.update(
-                (
-                    [s[0] for s in keep],
-                    [s[1] for s in keep],
+            new_state = (
+                [s[0] for s in keep],
+                [s[1] for s in keep],
+                [
                     [
-                        [
-                            0.0 if int_slot[j] else float(s[2][j][0] or 0)
-                            for j in range(n_agg)
-                        ]
-                        for s in keep
-                    ],
+                        0.0 if (int_slot[j] or is_topk[j])
+                        else float(s[2][j][0] or 0)
+                        for j in range(n_agg)
+                    ]
+                    for s in keep
+                ],
+                [
                     [
-                        [
-                            int(s[2][j][0] or 0) if int_slot[j] else 0
-                            for j in range(n_agg)
-                        ]
-                        for s in keep
-                    ],
-                    [[p[1] for p in s[2]] for s in keep],
-                )
+                        int(s[2][j][0] or 0)
+                        if (int_slot[j] and not is_topk[j]) else 0
+                        for j in range(n_agg)
+                    ]
+                    for s in keep
+                ],
+                [[p[1] for p in s[2]] for s in keep],
             )
+            if any_topk:
+                new_state = new_state + (
+                    [
+                        [
+                            json.dumps(s[2][j][0] or []) if is_topk[j] else ""
+                            for j in range(n_agg)
+                        ]
+                        for s in keep
+                    ],
+                )
+            state.update(new_state)
         else:
             state.remove()
 
@@ -282,6 +333,10 @@ def session_aggregate(
                 v, n = s[2][j]
                 if kinds[j] == "count_all" or kinds[j] == "count":
                     col.append(int(v or 0))
+                elif is_topk[j]:
+                    # batch TOPK over an empty/all-NULL group is an
+                    # empty array, never NULL
+                    col.append(list(v) if v else [])
                 elif n == 0 or v is None:
                     col.append(None)
                 elif kinds[j] == "avg":

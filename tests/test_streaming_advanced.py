@@ -498,11 +498,11 @@ class TestViewHavingAndFallbackBound:
             ("fm_slide_hav", "SELECT k, SUM(v) AS s FROM "
              "SLIDING(fm_ev, INTERVAL 10 SECOND) GROUP BY k "
              "HAVING SUM(v) > 0", "append"),
-            # TOPK exceeds the stateful session operator → fallback,
-            # loudly flagged in SHOW QUERIES
+            # round 9: TOPK sessions ride the stateful update path too
+            # (bounded top-k partials in state)
             ("fm_sess_topk", "SELECT k, TOPK(v, 2) AS t FROM "
              "SESSION(fm_ev, INTERVAL 10 SECOND) GROUP BY k",
-             "complete(fallback)"),
+             "update"),
             # stream-QUALIFIED plain ref in HAVING: the stateful output
             # frame is unqualified, so this shape must fall back
             # gracefully instead of failing CREATE VIEW at analysis
@@ -518,6 +518,41 @@ class TestViewHavingAndFallbackBound:
                 _warnings.simplefilter("ignore", RuntimeWarning)
                 engine.execute(f"CREATE VIEW {name} AS {sel};")
             assert engine.queries[f"view_{name}"].mode == want_mode, name
+
+    def test_session_view_topk_stateful(self, engine):
+        """TOPK/TOPKDISTINCT session views run as UPDATE streams with
+        bounded top-k partials in state (round 9 — previously the
+        complete-mode fallback): values merge across triggers, sessions
+        merge their top lists, duplicates dedupe for TOPKDISTINCT."""
+        import time as _time
+
+        engine.execute("CREATE STREAM tkv_ev (k STRING, v INTEGER);")
+        base = _time.time()
+        for off, v in [(0.0, 1), (1.0, 5), (2.0, 5)]:
+            engine.execute(
+                f"INSERT INTO tkv_ev (k, v, _ts) VALUES ('a', {v}, {base + off});"
+            )
+        engine.execute(
+            "CREATE VIEW tkv AS SELECT k, TOPK(v, 2) AS t, "
+            "TOPKDISTINCT(v, 2) AS td FROM "
+            "SESSION(tkv_ev, INTERVAL 10 SECOND) GROUP BY k;"
+        )
+        vi = engine.views["tkv"]
+        assert vi.merge_on_overlap
+        assert engine.queries["view_tkv"].mode == "update"
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT k, t, td FROM tkv;").collect()
+        assert [(r["k"], list(r["t"]), list(r["td"])) for r in rows] == [
+            ("a", [5, 5], [5, 1])
+        ]
+        # a later trigger extends the session: top lists merge across
+        # the stored partial and the new events
+        engine.execute(f"INSERT INTO tkv_ev (k, v, _ts) VALUES ('a', 9, {base + 3.0});")
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT k, t, td FROM tkv;").collect()
+        assert [(r["k"], list(r["t"]), list(r["td"])) for r in rows] == [
+            ("a", [9, 5], [9, 5])
+        ]
 
     def test_complete_fallback_bound_refuses(self, spark, tmp_path):
         """Above complete_fallback_max_rows the replace_all refresh
