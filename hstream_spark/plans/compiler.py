@@ -540,7 +540,20 @@ def _compile_sliding(
         hidden = f"__agg{i}"
         seen[key] = hidden
         agg_subst[id(agg_node)] = hidden
-        df = df.withColumn(hidden, compile_agg(agg_node).over(spec))
+        if agg_node.name in ("TOPK", "TOPKDISTINCT"):
+            # .over() must attach to the AGGREGATE itself — applying it
+            # to the slice(sort_array(collect_list)) composition leaves
+            # a bare collect_list Spark rejects with MISSING_GROUP_BY
+            val = compile_expr(agg_node.args[0])
+            k = _require_int_lit(agg_node.args[1], agg_node.name)
+            base_fn = (F.collect_list if agg_node.name == "TOPK"
+                       else F.collect_set)
+            col = F.slice(
+                F.sort_array(base_fn(val).over(spec), asc=False), 1, k
+            )
+            df = df.withColumn(hidden, col)
+        else:
+            df = df.withColumn(hidden, compile_agg(agg_node).over(spec))
 
     if sel.having is not None:
         df = df.filter(compile_expr(sel.having, agg_subst))
@@ -661,11 +674,9 @@ def _compile_stateful_window(
         if kind is None:
             return False
         if kind in _TOPK_KINDS:
-            # session-only for now (the sliding buffer recomputes from
-            # raw events and doesn't carry top-k partials), and k must
-            # be an int literal — anything else falls back
-            if window_kind != "SESSION":
-                return False
+            # k must be an int literal — anything else falls back.
+            # SESSION carries capped top-k partials in state; SLIDING
+            # folds each window fresh from its raw-event buffer.
             if not (len(node.args) == 2 and isinstance(node.args[1], A.Lit)
                     and node.args[1].kind == "int"):
                 return False
@@ -745,7 +756,7 @@ def _compile_stateful_window(
 
         out = sliding_aggregate(
             sdf, key_names, "__ts_us", size_us, kinds, input_cols,
-            hidden, out_casts, key_ddl,
+            hidden, out_casts, key_ddl, params=params,
         )
 
     final: list[Column] = []

@@ -372,6 +372,7 @@ def sliding_aggregate(
     out_names: list[str],
     out_casts: list[str],
     key_ddl: str,
+    params: list[int | None] | None = None,
 ) -> DataFrame:
     """V2 SLIDING window as a true streaming operator: each arriving
     record emits its group's aggregate over the trailing ``size``
@@ -395,11 +396,15 @@ def sliding_aggregate(
 
     import pandas as pd
 
+    params = list(params) if params is not None else [None] * len(kinds)
     n_agg = len(kinds)
     # vals doubles as the null mask (nan = null input); lvals carries
     # the exact int64 value for integer-output aggregates (bigint
-    # SUM/MIN/MAX fold in exact long arithmetic, no 2^53 loss)
-    int_slot = [tp in ("bigint", "int", "long") for tp in out_casts]
+    # SUM/MIN/MAX fold in exact long arithmetic, no 2^53 loss). Top-k
+    # kinds need NO state change here: the buffer holds raw events and
+    # each emission folds the window's values fresh (param-capped).
+    int_slot = [tp in ("bigint", "int", "long", "array<bigint>")
+                for tp in out_casts]
     state_type = (
         "ts array<long>, vals array<array<double>>, lvals array<array<long>>"
     )
@@ -459,7 +464,9 @@ def sliding_aggregate(
                     if kind == "count_all":
                         x = 1
                     v, n = partials[j]
-                    partials[j] = _fold_row(kind, v, n, x, as_int=int_slot[j])
+                    partials[j] = _fold_row(kind, v, n, x,
+                                            as_int=int_slot[j],
+                                            param=params[j])
             rec = [ts]
             for i in range(len(keys)):
                 rec.append(key[i])
@@ -467,6 +474,8 @@ def sliding_aggregate(
                 v, n = partials[j]
                 if kind in ("count_all", "count"):
                     rec.append(int(v or 0))
+                elif kind in _TOPK_KINDS:
+                    rec.append(list(v) if v else [])
                 elif n == 0 or v is None:
                     rec.append(None)
                 elif kind == "avg":

@@ -554,6 +554,47 @@ class TestViewHavingAndFallbackBound:
             ("a", [9, 5], [9, 5])
         ]
 
+    def test_sliding_view_topk(self, engine):
+        """TOPK over a SLIDING view: each key's state is the latest
+        trailing-window top-k, folded fresh from the raw-event buffer
+        (no state-schema change, append emission)."""
+        import time as _time
+
+        engine.execute("CREATE STREAM tks_ev (k STRING, v INTEGER);")
+        base = _time.time()
+        for off, v in [(0.0, 4), (2.0, 8), (30.0, 6)]:
+            engine.execute(
+                f"INSERT INTO tks_ev (k, v, _ts) VALUES ('a', {v}, {base + off});"
+            )
+        engine.execute(
+            "CREATE VIEW tks AS SELECT k, TOPK(v, 2) AS t FROM "
+            "SLIDING(tks_ev, INTERVAL 10 SECOND) GROUP BY k;"
+        )
+        vi = engine.views["tks"]
+        vi.handle.processAllAvailable()
+        # latest record (t+30) opens its own window: only [6]
+        rows = engine.execute("SELECT k, t FROM tks;").collect()
+        assert [(r["k"], list(r["t"])) for r in rows] == [("a", [6])]
+        engine.execute(
+            f"INSERT INTO tks_ev (k, v, _ts) VALUES ('a', 7, {base + 32.0});"
+        )
+        vi.handle.processAllAvailable()
+        rows = engine.execute("SELECT k, t FROM tks;").collect()
+        assert [(r["k"], list(r["t"])) for r in rows] == [("a", [7, 6])]
+        # batch range-frame analogue agrees (this path used to raise
+        # MISSING_GROUP_BY: .over() must attach to the aggregate, not
+        # the slice/sort composition around it)
+        from hstream_spark.plans.compiler import compile_select
+        from hstream_spark.plans.parser import parse
+
+        stmt = parse(
+            "SELECT k, TOPK(v, 2) AS t FROM "
+            "SLIDING(tks_ev, INTERVAL 10 SECOND) GROUP BY k;"
+        )
+        batch = {tuple(r["t"]) for r in
+                 compile_select(stmt, engine._resolve_batch).collect()}
+        assert (7, 6) in batch  # the view's window is one of the batch's
+
     def test_complete_fallback_bound_refuses(self, spark, tmp_path):
         """Above complete_fallback_max_rows the replace_all refresh
         raises instead of silently rewriting the full result forever;
