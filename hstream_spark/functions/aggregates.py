@@ -26,6 +26,15 @@ min_ = F.min  # AggOp.hs:93-101
 avg = F.avg  # parsed in the dialect; V1 runtime errors — we support it
 
 
+def topk_of(collected: Column, k: int) -> Column:
+    """The rank-and-cap half of TOPK: desc-sort an already-collected
+    array and keep the first k. Shared by the plain aggregates below
+    and the sliding range-frame path (which must attach ``.over`` to
+    the collect aggregate ITSELF before wrapping) so the composition
+    can't drift between call sites."""
+    return F.slice(F.sort_array(collected, asc=False), 1, int(k))
+
+
 def topk(value: Column, k: int) -> Column:
     """TOPK(val, k) — array of the k largest values (AggOp.hs:104-105,153-157).
 
@@ -35,9 +44,9 @@ def topk(value: Column, k: int) -> Column:
     row_number rank (see queries.py top_orders_per_customer) so each
     partition only retains k rows.
     """
-    return F.slice(F.sort_array(F.collect_list(value), asc=False), 1, int(k))
+    return topk_of(F.collect_list(value), k)
 
 
 def topkdistinct(value: Column, k: int) -> Column:
     """TOPKDISTINCT(val, k) — dedup before ranking (AggOp.hs:158-162)."""
-    return F.slice(F.sort_array(F.collect_set(value), asc=False), 1, int(k))
+    return topk_of(F.collect_set(value), k)

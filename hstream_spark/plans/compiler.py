@@ -97,6 +97,16 @@ def _require_int_lit(node: A.Expr, what: str) -> int:
     raise CompileError(f"{what} expects an integer literal")
 
 
+def _require_topk_k(node: A.Expr, what: str) -> int:
+    """TOPK/TOPKDISTINCT k: int literal ≥ 1, rejected at COMPILE time —
+    a negative k otherwise defers to a per-row slice error at runtime
+    (batch) or silently empty arrays (a capped stateful partial)."""
+    k = _require_int_lit(node, what)
+    if k < 1:
+        raise CompileError(f"{what} expects k >= 1, got {k}")
+    return k
+
+
 def _require_str_lit(node: A.Expr, what: str) -> str:
     if isinstance(node, A.Lit) and node.kind == "string":
         return str(node.value)
@@ -289,10 +299,10 @@ def compile_agg(node: A.AggFunc) -> Column:
     if name == "AVG":
         return AGG.avg(compile_expr(args[0]))
     if name == "TOPK":
-        return AGG.topk(compile_expr(args[0]), _require_int_lit(args[1], "TOPK"))
+        return AGG.topk(compile_expr(args[0]), _require_topk_k(args[1], "TOPK"))
     if name == "TOPKDISTINCT":
         return AGG.topkdistinct(
-            compile_expr(args[0]), _require_int_lit(args[1], "TOPKDISTINCT")
+            compile_expr(args[0]), _require_topk_k(args[1], "TOPKDISTINCT")
         )
     raise CompileError(f"unknown aggregate {name}")
 
@@ -548,10 +558,7 @@ def _compile_sliding(
             k = _require_int_lit(agg_node.args[1], agg_node.name)
             base_fn = (F.collect_list if agg_node.name == "TOPK"
                        else F.collect_set)
-            col = F.slice(
-                F.sort_array(base_fn(val).over(spec), asc=False), 1, k
-            )
-            df = df.withColumn(hidden, col)
+            df = df.withColumn(hidden, AGG.topk_of(base_fn(val).over(spec), k))
         else:
             df = df.withColumn(hidden, compile_agg(agg_node).over(spec))
 
@@ -617,12 +624,17 @@ def _compile_stateful_window(
     operators (SESSION update stream, SLIDING retract buffer).
 
     Items may be group-key references or ARBITRARY expressions over the
-    supported aggregates (COUNT/COUNT(*)/SUM/MIN/MAX/AVG): each unique
+    supported aggregates (COUNT/COUNT(*)/SUM/MIN/MAX/AVG, and — round
+    9 — TOPK/TOPKDISTINCT with an int-literal k ≥ 1): each unique
     aggregate call computes once as a hidden stateful output and the
     item expressions project over those (the same agg-dedup rewrite as
-    the batch path, Planner.hs:352-367). Returns None when the shape
-    exceeds the operator (TOPK, HAVING, wildcard, non-key plain
-    columns, non-numeric MIN/MAX) — callers fall back or raise.
+    the batch path, Planner.hs:352-367). HAVING compiles as a hidden
+    boolean output when the caller passes ``having_col`` (read-time
+    filtering). Returns None when the shape exceeds the operator
+    (wildcard, non-key plain columns, non-numeric MIN/MAX/TOPK,
+    HAVING without having_col or over non-key/qualified plain
+    columns, non-literal or non-positive TOPK k) — callers fall back
+    or raise.
     """
     if sel.from_ is None:
         return None
@@ -674,11 +686,15 @@ def _compile_stateful_window(
         if kind is None:
             return False
         if kind in _TOPK_KINDS:
-            # k must be an int literal — anything else falls back.
-            # SESSION carries capped top-k partials in state; SLIDING
-            # folds each window fresh from its raw-event buffer.
+            # k must be an int literal ≥ 1 — anything else falls back
+            # to the batch/complete path, which rejects it LOUDLY
+            # (a capped partial would silently truncate cur[:k] to []
+            # for k < 1 and emit empty arrays forever). SESSION carries
+            # capped top-k partials in state; SLIDING folds each window
+            # fresh from its raw-event buffer.
             if not (len(node.args) == 2 and isinstance(node.args[1], A.Lit)
-                    and node.args[1].kind == "int"):
+                    and node.args[1].kind == "int"
+                    and int(node.args[1].value) >= 1):
                 return False
             params.append(int(node.args[1].value))
         else:

@@ -183,6 +183,13 @@ def session_aggregate(
     merge, the emitted merged row's window COVERS the superseded rows'
     windows; the view-state upsert resolves supersession by overlap
     (runtime._view_upsert merge_on_overlap).
+
+    NaN convention: pandas/Arrow deliver SQL NULL as NaN for float64
+    columns, so at this boundary NaN is indistinguishable from NULL
+    and is treated as NULL for EVERY aggregate kind (including top-k,
+    where the batch plan would sort a true NaN above all numbers) —
+    the long-standing convention of this operator, documented rather
+    than half-fixable.
     """
     assert len(kinds) == len(input_cols) == len(out_names) == len(out_casts)
     for k in kinds:

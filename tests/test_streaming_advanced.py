@@ -554,6 +554,23 @@ class TestViewHavingAndFallbackBound:
             ("a", [9, 5], [9, 5])
         ]
 
+    def test_topk_nonpositive_k_rejected_at_compile(self, engine):
+        """TOPK(v, k<1) is a CompileError at CREATE, not a deferred
+        per-row slice error (batch) or silently-empty arrays (a capped
+        stateful partial truncating cur[:-1])."""
+        import pytest as _pytest
+
+        from hstream_spark.plans.compiler import CompileError
+
+        engine.execute("CREATE STREAM tkn_ev (k STRING, v INTEGER);")
+        for bad_k in (-1, 0):
+            with _pytest.raises(CompileError, match="k >= 1"):
+                engine.execute(
+                    f"CREATE VIEW tkn AS SELECT k, TOPK(v, {bad_k}) AS t "
+                    "FROM SESSION(tkn_ev, INTERVAL 10 SECOND) GROUP BY k;"
+                )
+        assert "tkn" not in engine.views  # no phantom registration
+
     def test_sliding_view_topk(self, engine):
         """TOPK over a SLIDING view: each key's state is the latest
         trailing-window top-k, folded fresh from the raw-event buffer
