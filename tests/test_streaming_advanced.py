@@ -748,9 +748,12 @@ def test_stateful_window_int64_exact_beyond_2_53(engine):
 
 def test_complete_fallback_is_loud(engine):
     """A SESSION view shape the stateful update operator can't express
-    (HAVING) falls back to complete mode — the fallback must warn and
-    surface mode='complete(fallback)' in SHOW QUERIES instead of
-    engaging silently (a full-result refresh per trigger)."""
+    falls back to complete mode — the fallback must warn and surface
+    mode='complete(fallback)' in SHOW QUERIES instead of engaging
+    silently (a full-result refresh per trigger). Plain HAVING and
+    TOPK compile update-safe since round 9, so the representative
+    fallback shape here is HAVING over a stream-QUALIFIED plain ref
+    (the stateful output frame is unqualified)."""
     import time as _time
 
     engine.execute("CREATE STREAM cfb_ev (k STRING, v INTEGER);")
@@ -760,7 +763,7 @@ def test_complete_fallback_is_loud(engine):
         engine.execute(
             "CREATE VIEW cfb AS SELECT k, COUNT(*) AS n "
             "FROM SESSION(cfb_ev, INTERVAL 10 SECOND) GROUP BY k "
-            "HAVING COUNT(*) > 0;"
+            "HAVING cfb_ev.k <> 'zzz' AND COUNT(*) > 0;"
         )
     assert engine.views["cfb"].replace_all
     rows = {r["name"]: r for r in engine.execute("SHOW QUERIES;").collect()}
