@@ -1029,6 +1029,32 @@ class TestViewDeltaLog:
         assert rows[0].asDict().keys() == {"s"}
 
 
+def test_should_compact_decision(tmp_path, monkeypatch):
+    """The size-adaptive fold-down decision in isolation: row-fraction
+    trigger, min-delta floor, unknown-footer fixed-cadence fallback,
+    and the hard fan-out cap."""
+    from hstream_spark.streaming.runtime import HStreamEngine, ViewInfo
+
+    vi = ViewInfo("d", "", "", None, str(tmp_path))
+    vi.delta_rows_cache.update({"v0": 100, "v0_d1": 10, "v0_d2": 20})
+    assert not HStreamEngine._should_compact(vi, 0, [1])  # below min deltas
+    assert not HStreamEngine._should_compact(vi, 0, [1, 2])  # 30 < 100*0.5
+    vi.delta_rows_cache["v0_d3"] = 25
+    assert HStreamEngine._should_compact(vi, 0, [1, 2, 3])  # 55 >= 50
+    # unknown footers (no pyarrow / remote state) → fixed cadence
+    vi2 = ViewInfo("d2", "", "", None, str(tmp_path / "x"))
+    monkeypatch.setattr(HStreamEngine, "_parquet_dir_rows",
+                        staticmethod(lambda p: -1))
+    assert not HStreamEngine._should_compact(vi2, 0, list(range(1, 8)))
+    assert HStreamEngine._should_compact(vi2, 0, list(range(1, 9)))
+    # the hard cap bounds read fan-out regardless of row counts
+    vi3 = ViewInfo("d3", "", "", None, str(tmp_path / "y"))
+    vi3.delta_rows_cache.update(
+        {"v0": 10**9, **{f"v0_d{k}": 1 for k in range(1, 65)}}
+    )
+    assert HStreamEngine._should_compact(vi3, 0, list(range(1, 65)))
+
+
 class TestViewStateCrashInjection:
     """Kill the view-state upsert at every fault window the crash-safety
     design names (dot-tmp write / rename / CURRENT swap / generation
