@@ -565,20 +565,23 @@ class HStreamEngine:
     # shuffle, amortized by compaction); with Delta/Iceberg available
     # this whole section is exactly MERGE INTO.
 
-    # Compaction cadence is SIZE-ADAPTIVE (round-9): fold the deltas into
-    # a new base when they carry a meaningful fraction of the base's rows
-    # — both counts read from parquet footers, zero extra Spark jobs. A
-    # fixed every-N cadence amplifies writes at large state (rewriting a
-    # 1M-row base to absorb 8 tiny deltas) and wastes read-side window
-    # work at tiny state; row-proportional folding keeps write
-    # amplification bounded at ~(1 + 1/fraction)× and compacts tiny
-    # state eagerly (where the fold is ~free). _VIEW_COMPACT_EVERY stays
-    # as the fallback when footers are unreadable; _MAX_DELTAS hard-caps
-    # the reader's union fan-out regardless of row counts.
-    _VIEW_COMPACT_EVERY = 8  # fallback cadence when footer counts unknown
+    # Compaction cadence is SIZE-ADAPTIVE (round-9): _VIEW_COMPACT_EVERY
+    # is the FLOOR — never fold more often than every N deltas; a fold
+    # is an extra Spark job whose fixed cost dominated the sf1 reduce
+    # sweep when dense (touch-most-groups) workloads folded every 2
+    # triggers under a pure row-fraction rule. At the floor, a fold
+    # only fires when the deltas carry ≥ _VIEW_COMPACT_FRACTION of the
+    # base's rows — otherwise tiny deltas on a large base keep
+    # accumulating (deferring the O(base) rewrite) up to
+    # _VIEW_COMPACT_MAX_DELTAS, which hard-caps the reader's union
+    # fan-out regardless of row counts. Counts come from parquet
+    # footers via the per-ViewInfo cache (zero extra jobs); unknown
+    # footers degrade to the fixed every-N cadence. Net: dense
+    # workloads keep exactly the round-8 cadence; sparse ones stop
+    # rewriting a 1M-row base to absorb a handful of 100-row deltas.
+    _VIEW_COMPACT_EVERY = 8  # cadence floor (and unknown-footer fallback)
     _VIEW_COMPACT_MAX_DELTAS = 64  # hard cap on read-side delta fan-out
-    _VIEW_COMPACT_MIN_DELTAS = 2  # never fold after every single trigger
-    _VIEW_COMPACT_FRACTION = 0.5  # fold when Σ delta rows ≥ ½ base rows
+    _VIEW_COMPACT_FRACTION = 0.5  # defer floor folds until Σ ≥ ½ base
 
     @staticmethod
     def _view_layout(state_dir: str) -> tuple[Optional[int], list[int]]:
@@ -874,20 +877,21 @@ class HStreamEngine:
     @staticmethod
     def _should_compact(vi: ViewInfo, base: int, ks: list) -> bool:
         """Size-adaptive fold-down decision from parquet footers only.
-        Fold when the deltas carry ≥ _VIEW_COMPACT_FRACTION of the
-        base's rows (write amplification bounded at ~(1+1/f)× instead
-        of rewriting a large base to absorb a handful of tiny deltas),
-        but never after a single delta, and always once the delta COUNT
-        reaches _VIEW_COMPACT_MAX_DELTAS (bounds the reader's union
-        fan-out when triggers touch few rows). Row counts come from
+        _VIEW_COMPACT_EVERY is the cadence FLOOR (a fold is an extra
+        Spark job; folding more often than round 8's fixed cadence
+        regressed the dense-workload sf1 reduce sweep); at the floor a
+        fold fires only when the deltas carry ≥ _VIEW_COMPACT_FRACTION
+        of the base's rows — tiny deltas on a large base defer the
+        O(base) rewrite up to _VIEW_COMPACT_MAX_DELTAS, the hard cap on
+        reader union fan-out. Row counts come from
         ``vi.delta_rows_cache`` (populated as each dir is written —
         dirs are immutable once renamed); footers are parsed only for
         dirs a restart made cache-cold. Unknown footers (no pyarrow /
-        non-local storage) fall back to the fixed cadence."""
+        non-local storage) fall back to the fixed every-N cadence."""
         n = len(ks)
         if n >= HStreamEngine._VIEW_COMPACT_MAX_DELTAS:
             return True
-        if n < HStreamEngine._VIEW_COMPACT_MIN_DELTAS:
+        if n < HStreamEngine._VIEW_COMPACT_EVERY:
             return False
 
         def rows_of(name: str) -> int:
@@ -903,12 +907,12 @@ class HStreamEngine:
 
         base_rows = rows_of(f"v{base}")
         if base_rows < 0:
-            return n >= HStreamEngine._VIEW_COMPACT_EVERY
+            return True  # footers unknown: fixed every-N cadence
         delta_rows = 0
         for k in ks:
             r = rows_of(f"v{base}_d{k}")
             if r < 0:
-                return n >= HStreamEngine._VIEW_COMPACT_EVERY
+                return True
             delta_rows += r
         return delta_rows >= base_rows * HStreamEngine._VIEW_COMPACT_FRACTION
 

@@ -1030,29 +1030,35 @@ class TestViewDeltaLog:
 
 
 def test_should_compact_decision(tmp_path, monkeypatch):
-    """The size-adaptive fold-down decision in isolation: row-fraction
-    trigger, min-delta floor, unknown-footer fixed-cadence fallback,
-    and the hard fan-out cap."""
+    """The size-adaptive fold-down decision in isolation: every-N
+    cadence FLOOR (never fold more often than round 8 did — fold jobs
+    have fixed cost), row-fraction deferral for tiny deltas at the
+    floor, unknown-footer fixed-cadence fallback, and the hard
+    fan-out cap."""
     from hstream_spark.streaming.runtime import HStreamEngine, ViewInfo
 
+    # dense deltas: folds exactly at the every-8 floor, like round 8
     vi = ViewInfo("d", "", "", None, str(tmp_path))
-    vi.delta_rows_cache.update({"v0": 100, "v0_d1": 10, "v0_d2": 20})
-    assert not HStreamEngine._should_compact(vi, 0, [1])  # below min deltas
-    assert not HStreamEngine._should_compact(vi, 0, [1, 2])  # 30 < 100*0.5
-    vi.delta_rows_cache["v0_d3"] = 25
-    assert HStreamEngine._should_compact(vi, 0, [1, 2, 3])  # 55 >= 50
-    # unknown footers (no pyarrow / remote state) → fixed cadence
+    vi.delta_rows_cache.update(
+        {"v0": 100, **{f"v0_d{k}": 50 for k in range(1, 9)}}
+    )
+    assert not HStreamEngine._should_compact(vi, 0, list(range(1, 8)))
+    assert HStreamEngine._should_compact(vi, 0, list(range(1, 9)))
+    # sparse deltas on a big base: the floor fold DEFERS (Σ=8 < 50)…
     vi2 = ViewInfo("d2", "", "", None, str(tmp_path / "x"))
+    vi2.delta_rows_cache.update(
+        {"v0": 100, **{f"v0_d{k}": 1 for k in range(1, 64)}}
+    )
+    assert not HStreamEngine._should_compact(vi2, 0, list(range(1, 9)))
+    assert not HStreamEngine._should_compact(vi2, 0, list(range(1, 40)))
+    # …until the fan-out hard cap forces it regardless of row counts
+    assert HStreamEngine._should_compact(vi2, 0, list(range(1, 65)))
+    # unknown footers (no pyarrow / remote state) → fixed cadence
+    vi3 = ViewInfo("d3", "", "", None, str(tmp_path / "y"))
     monkeypatch.setattr(HStreamEngine, "_parquet_dir_rows",
                         staticmethod(lambda p: -1))
-    assert not HStreamEngine._should_compact(vi2, 0, list(range(1, 8)))
-    assert HStreamEngine._should_compact(vi2, 0, list(range(1, 9)))
-    # the hard cap bounds read fan-out regardless of row counts
-    vi3 = ViewInfo("d3", "", "", None, str(tmp_path / "y"))
-    vi3.delta_rows_cache.update(
-        {"v0": 10**9, **{f"v0_d{k}": 1 for k in range(1, 65)}}
-    )
-    assert HStreamEngine._should_compact(vi3, 0, list(range(1, 65)))
+    assert not HStreamEngine._should_compact(vi3, 0, list(range(1, 8)))
+    assert HStreamEngine._should_compact(vi3, 0, list(range(1, 9)))
 
 
 class TestViewStateCrashInjection:
@@ -1097,13 +1103,16 @@ class TestViewStateCrashInjection:
 
     @pytest.mark.parametrize("point", FAULT_POINTS)
     def test_crash_at_each_fault_point_then_replay(
-        self, spark, tmp_path, point
+        self, spark, tmp_path, point, monkeypatch
     ):
         import hstream_spark.streaming.runtime as R
 
+        # lower the cadence floor so batch 3 reaches the compaction
+        # fault windows (production floor is 8)
+        monkeypatch.setattr(R.HStreamEngine, "_VIEW_COMPACT_EVERY", 2)
         vi = self._vi(tmp_path, f"cr_{point}")
         # batch 3 reaches the compaction windows: base(2 rows) + d1(1)
-        # + d2(2) → Σdeltas 3 ≥ ½·2 with ≥2 deltas → fold-down fires
+        # + d2(2) → Σdeltas 3 ≥ ½·2 at the floor → fold-down fires
         batches = [
             [("a", 1), ("b", 1)],
             [("a", 2)],
@@ -1209,7 +1218,7 @@ class TestViewStateCrashInjection:
                for r in R.HStreamEngine._view_state_frame(spark, vi).collect()}
         assert got == {("a", *w(0, 18), 2), ("b", *w(5, 15), 1)}
 
-    def test_randomized_kills_converge(self, spark, tmp_path):
+    def test_randomized_kills_converge(self, spark, tmp_path, monkeypatch):
         """Randomized kill schedule over a longer upsert log: every
         crash is followed by an epoch replay; the final state must be
         byte-identical to the crash-free fold."""
@@ -1217,6 +1226,7 @@ class TestViewStateCrashInjection:
 
         import hstream_spark.streaming.runtime as R
 
+        monkeypatch.setattr(R.HStreamEngine, "_VIEW_COMPACT_EVERY", 3)
         rng = random.Random(20260815)
         vi = self._vi(tmp_path, "cr_rand")
         expected: dict[str, int] = {}
