@@ -852,13 +852,33 @@ def logistic_probe_fit(
         grad = [by_pos[j][0] / n for j in range(dim + 1)]
         return grad, by_pos[dim + 1][0] / n
 
+    # Backtracking (step-halving) line search: fixed-lr full-batch GD
+    # only guarantees descent below the data-dependent curvature bound
+    # (~4n/||X||² for BCE) — embedding corpora with large feature norms
+    # can overshoot and break the loss-non-increasing oracle contract.
+    # Each candidate step is accepted only if the folded loss did not
+    # increase; otherwise the step halves and retries. In the
+    # no-overshoot case the grad pass at the accepted point doubles as
+    # the acceptance check for the NEXT step, so the job count matches
+    # the unguarded loop exactly (iters+1 passes); a halving costs one
+    # extra pass. After 20 halvings (lr·2⁻²⁰, gradient ≈ 0 territory)
+    # the update is skipped outright — loss unchanged, invariant holds.
     losses: list[float] = []
-    for _ in range(iters):
-        grad, loss = pass_once(w, with_grad=True)
+    grad, loss = pass_once(w, with_grad=True)
+    losses.append(loss)
+    for it in range(iters):
+        last = it == iters - 1
+        step = lr
+        for _halve in range(20):
+            cand = [wj - step * gj for wj, gj in zip(w, grad)]
+            cand_grad, cand_loss = pass_once(cand, with_grad=not last)
+            if cand_loss <= loss:
+                break
+            step /= 2.0
+        else:
+            cand, cand_grad, cand_loss = w, grad, loss  # skip the update
+        w, grad, loss = cand, cand_grad, cand_loss
         losses.append(loss)
-        w = [wj - lr * gj for wj, gj in zip(w, grad)]
-    _, final_loss = pass_once(w, with_grad=False)
-    losses.append(final_loss)
     return w, losses
 
 

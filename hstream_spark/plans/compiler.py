@@ -555,7 +555,7 @@ def _compile_sliding(
             # to the slice(sort_array(collect_list)) composition leaves
             # a bare collect_list Spark rejects with MISSING_GROUP_BY
             val = compile_expr(agg_node.args[0])
-            k = _require_int_lit(agg_node.args[1], agg_node.name)
+            k = _require_topk_k(agg_node.args[1], agg_node.name)
             base_fn = (F.collect_list if agg_node.name == "TOPK"
                        else F.collect_set)
             df = df.withColumn(hidden, AGG.topk_of(base_fn(val).over(spec), k))

@@ -3919,24 +3919,27 @@ def q_tpch_q17ish(spark, sf):
     correlated "below 20% of this part's average quantity" subquery as a
     join against the per-part aggregate. The threshold compare is kept
     in exact integer/decimal arithmetic (qty*cnt*5 < sum) so no engine
-    disagrees on borderline rows. Per-part aggregate of the filtered
-    brand would be smaller, but the reference pattern aggregates the
-    whole table once and reuses it — AQE broadcasts it if small."""
-    l = load_table(spark, sf, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
+    disagrees on borderline rows. The brand filter keeps only ~0.1% of
+    parts, so lineitem is semi-joined to the broadcast brand part keys
+    BEFORE the per-part aggregate: result-identical (groups for other
+    brands never survive the final join) but the aggregate's shuffle
+    input shrinks ~1000x — the whole-table pre-aggregate is exactly
+    what dies first at 100 TB."""
     p = (
         load_table(spark, sf, "part")
         .filter(F.col("p_brand") == "Brand#19")
         .select("p_partkey")
     )
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "semi")
+    )
     t = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
     )
-    j = l.join(F.broadcast(p), p["p_partkey"] == l["l_partkey"]).join(
-        t, F.col("t_partkey") == l["l_partkey"]
-    )
+    j = l.join(t, F.col("t_partkey") == l["l_partkey"])
     small = j.filter(_dec(F.col("l_quantity")) * F.col("cnt") * 5 < F.col("sum_qty"))
     return small.agg(
         (F.sum(_dec(F.col("l_extendedprice"))) / F.lit(7.0))

@@ -704,6 +704,30 @@ class HStreamEngine:
         return df
 
     @staticmethod
+    def _stored_state_columns(state_dir: str) -> Optional[set]:
+        """Column names actually present in the on-disk view state (one
+        parquet footer from the newest layout dir — base and deltas
+        share a schema). None when no committed state exists or the
+        footers aren't locally readable (remote storage): callers then
+        skip the probe rather than guess."""
+        try:
+            base, ks = HStreamEngine._view_layout(state_dir)
+            if base is None:
+                return None
+            d = f"v{base}_d{ks[-1]}" if ks else f"v{base}"
+            import pyarrow.parquet as pq
+
+            p = os.path.join(state_dir, d)
+            for name in os.listdir(p):
+                if name.endswith(".parquet"):
+                    return set(
+                        pq.ParquetFile(os.path.join(p, name)).schema_arrow.names
+                    )
+            return None
+        except Exception:  # noqa: BLE001
+            return None
+
+    @staticmethod
     def _parquet_dir_rows(path: str) -> int:
         """Total row count of a just-written local parquet dir, from
         the file footers — driver-side metadata only, no Spark job.
@@ -800,6 +824,14 @@ class HStreamEngine:
                         "bound"
                     )
                     _LOG.error(msg)
+                    # drop the just-written oversized generation before
+                    # raising: CURRENT still points at the old one, so
+                    # v{nxt} is invisible to readers — leaving it would
+                    # park an extra O(result) of disk per failing retry
+                    shutil.rmtree(
+                        os.path.join(vi.state_dir, f"v{nxt}"),
+                        ignore_errors=True,
+                    )
                     raise RuntimeError(msg)
             swap_current(nxt)
             HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
@@ -1705,6 +1737,32 @@ class HStreamEngine:
         # remember whether state pre-existed (RESUME rebuilds reuse it)
         # so a failed start can clean up ONLY dirs this call created
         state_existed = os.path.isdir(state_dir)
+        # schema probe on adopted state: state written by an engine
+        # version WITHOUT the hidden columns this compile expects
+        # (__gk_* dropped-key values, the __hv HAVING boolean, the
+        # sliding __slide_ts order stamp) would read those columns as
+        # NULL — a restored HAVING view's read-time filter(__hv) then
+        # silently hides every previously materialized row, and NULL
+        # hidden keys collapse distinct groups in the latest-wins
+        # window. The values were never stored, so no backfill exists;
+        # fail LOUDLY instead (during DDL replay this quarantines into
+        # SHOW REPLAY ERRORS rather than silently dropping rows).
+        expected_hidden = (list(hidden_keys)
+                           + ([having_col] if having_col else [])
+                           + ([order_col] if order_col else []))
+        if state_existed and expected_hidden:
+            stored = self._stored_state_columns(state_dir)
+            missing_cols = [c for c in expected_hidden
+                            if stored is not None and c not in stored]
+            if missing_cols:
+                raise CompileError(
+                    f"view {stmt.name!r}: on-disk state at {state_dir} "
+                    f"was written without hidden state column(s) "
+                    f"{missing_cols} (pre-upgrade engine); reading it "
+                    "would silently hide or collapse rows. DROP VIEW "
+                    f"{stmt.name} (clearing its state) and re-create "
+                    "it to rebuild from the source stream."
+                )
         os.makedirs(state_dir, exist_ok=True)
         vi = ViewInfo(
             stmt.name, sql, table, None, state_dir, out.schema, tuple(key_cols),

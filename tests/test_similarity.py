@@ -588,6 +588,27 @@ class TestLogisticProbe:
         assert all(abs(a - b) <= 1e-9 * max(1.0, abs(a))
                    for a, b in zip(l_clean, l_noisy))
 
+    def test_logistic_probe_backtracks_on_overshoot(self, spark):
+        """Large feature norms put fixed lr=0.25 above the BCE
+        curvature bound (~4n/||X||²) — unguarded full-batch GD then
+        overshoots and the loss INCREASES, flaking the oracle's
+        loss-non-increasing invariant. The step-halving guard must keep
+        the losses monotone non-increasing regardless of feature scale,
+        while still actually descending."""
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import similarity as SIM
+
+        df = self._separable(spark).withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x * 50.0)
+        )
+        w, losses = SIM.logistic_probe_fit(
+            df, label=F.col("y"), dim=8, iters=5, lr=0.25
+        )
+        assert len(losses) == 6
+        assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:])), losses
+        assert losses[-1] < losses[0]  # halving still makes progress
+
     def test_logistic_probe_all_null_raises(self, spark):
         import pytest as _pytest
 

@@ -570,6 +570,15 @@ class TestViewHavingAndFallbackBound:
                     "FROM SESSION(tkn_ev, INTERVAL 10 SECOND) GROUP BY k;"
                 )
         assert "tkn" not in engine.views  # no phantom registration
+        # the batch SLIDING path compiles TOPK through its own
+        # range-frame branch (_compile_sliding) — it must apply the
+        # same k>=1 gate, not defer to empty arrays / slice errors
+        for bad_k in (-1, 0):
+            with _pytest.raises(CompileError, match="k >= 1"):
+                engine.execute(
+                    f"SELECT k, TOPK(v, {bad_k}) AS t "
+                    "FROM SLIDING(tkn_ev, INTERVAL 10 SECOND) GROUP BY k;"
+                )
 
     def test_sliding_view_topk(self, engine):
         """TOPK over a SLIDING view: each key's state is the latest
@@ -641,6 +650,9 @@ class TestViewHavingAndFallbackBound:
         got = {r["k"] for r in
                HStreamEngine._view_state_frame(spark, vi).collect()}
         assert got == {f"k{i}" for i in range(3)}
+        # ...and its on-disk dir was removed before raising: a stuck
+        # view must not park an extra O(result) generation per retry
+        assert not os.path.exists(os.path.join(state_dir, "v1"))
         # unreadable footers must NOT silently disable the bound: the
         # check falls back to a Spark count of the written files
         import hstream_spark.streaming.runtime as R

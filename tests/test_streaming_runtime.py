@@ -309,6 +309,57 @@ class TestRestartRecovery:
         finally:
             b.shutdown()
 
+    def test_pre_upgrade_view_state_fails_loudly(self, spark, tmp_path):
+        """View state written WITHOUT the hidden state columns this
+        compile expects (__hv / __gk_* — a pre-upgrade engine) must be
+        rejected at replay, quarantined into SHOW REPLAY ERRORS: Spark
+        would otherwise read the missing columns as NULL, the read-time
+        filter(__hv) would silently hide every materialized row, and
+        NULL hidden keys would collapse distinct groups."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        root = str(tmp_path / "srvold")
+        a = HStreamEngine(spark, root)
+        a.execute("CREATE STREAM ov_ev (k STRING, v INTEGER);")
+        a.execute("INSERT INTO ov_ev (k, v) VALUES ('x', 3);")
+        a.execute(
+            "CREATE VIEW ov AS SELECT k, SUM(v) AS total FROM ov_ev "
+            "GROUP BY k HAVING SUM(v) > 0;"
+        )
+        a.views["ov"].handle.processAllAvailable()
+        assert [(r["k"], r["total"]) for r in
+                a.execute("SELECT k, total FROM ov;").collect()] == [("x", 3)]
+        state_dir = a.views["ov"].state_dir
+        a.shutdown()
+
+        # simulate the pre-upgrade writer: strip __hv from every stored
+        # parquet file (the column simply never existed back then)
+        for d in os.listdir(state_dir):
+            p = os.path.join(state_dir, d)
+            if not (os.path.isdir(p) and d.startswith("v")):
+                continue
+            for name in os.listdir(p):
+                if name.endswith(".parquet"):
+                    fp = os.path.join(p, name)
+                    t = pq.read_table(fp)
+                    t = t.drop_columns([c for c in ("__hv",)
+                                        if c in t.schema.names])
+                    pq.write_table(t, fp)
+
+        b = HStreamEngine(spark, root)
+        try:
+            assert "ov" not in b.views  # not silently adopted
+            errs = [e for e in b.replay_errors
+                    if "hidden state column" in e["error"]]
+            assert len(errs) == 1, b.replay_errors
+            assert "CREATE VIEW ov" in errs[0]["sql"]
+        finally:
+            b.shutdown()
+
     def test_terminated_query_stays_terminated(self, spark, tmp_path):
         from hstream_spark.streaming.runtime import HStreamEngine
 
