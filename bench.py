@@ -473,9 +473,26 @@ def main() -> None:
     # line must be compact or the captured tail starts mid-line and the
     # bench gate can't parse it (BENCH_r03 `parsed: null`).
     print(json.dumps(detail))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    # versioned per-round copy (BENCH_DETAIL_r{n}.json): round n inferred
+    # as max(existing BENCH_r*.json)+1 — the driver writes BENCH_r{n}
+    # AFTER running bench, so during round n the highest committed record
+    # is r{n-1}. Local iteration runs overwrite it; the driver's run is
+    # last and wins. Committed per round so per-query regression
+    # attribution survives (round-9 verdict item 4).
+    try:
+        import re as _re
+
+        rounds = [int(m.group(1)) for f in os.listdir(repo_dir)
+                  if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))]
+        n = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{n:02d}.json"),
+                  "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
