@@ -270,25 +270,39 @@ class PushQueryHandle:
     """
 
     def __init__(self, engine: "HStreamEngine", query, table: str,
-                 max_rows: int = 1_000_000):
+                 max_rows: int = 1_000_000, incremental: bool = True):
         self.engine = engine
         self.query = query
         self.table = table
         self.max_rows = max_rows
+        # append/update memory sinks APPEND each trigger's rows in
+        # order, so "new since last drain" is a row-count offset; the
+        # complete fallback REPLACES the table per trigger, so offsets
+        # are meaningless there and every drain returns the full result
+        self.incremental = incremental
+        self._delivered = 0
 
     def drain(self) -> list:
-        """Process all available input synchronously, return emitted rows."""
+        """Process all available input synchronously; return the rows
+        emitted SINCE the previous drain (server-streaming push
+        semantics — the reference sends each changelog row to the
+        client once, Core/Query.hs:114-116). Repeated drains return
+        disjoint suffixes of the emission sequence; a full-result read
+        of current state is a one-shot ``SELECT`` (or a view), not a
+        push query. ``max_rows`` bounds each drain's NEW rows."""
         self.query.processAllAvailable()
+        skip = self._delivered if self.incremental else 0
         rows = (
             self.engine.spark.sql(f"SELECT * FROM {self.table}")
-            .limit(self.max_rows + 1)
+            .limit(skip + self.max_rows + 1)
             .collect()
-        )
+        )[skip:]
         if len(rows) > self.max_rows:
             raise RuntimeError(
                 f"push query {self.table!r} exceeded max_rows={self.max_rows}; "
                 "route high-volume results to a stream/connector sink instead"
             )
+        self._delivered = skip + len(rows)
         return rows
 
     def stop(self):
@@ -2354,7 +2368,10 @@ class HStreamEngine:
                 )
         qi = QueryInfo(table, sql, None, "", q, mode=mode_label)
         self.queries[table] = qi
-        return PushQueryHandle(self, q, table)
+        return PushQueryHandle(
+            self, q, table,
+            incremental=mode_label != "complete(fallback)",
+        )
 
     def _exec_explain(self, stmt: A.Explain):
         inner = stmt.stmt

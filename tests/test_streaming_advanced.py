@@ -33,6 +33,34 @@ def test_stream_stream_interval_join(engine):
     handle.stop()
 
 
+def test_push_drain_incremental(engine):
+    """Server-streaming push semantics (Core/Query.hs:114-116): each
+    drain returns only rows emitted since the previous one — a
+    long-lived EMIT CHANGES consumer polling N times pays O(new), not
+    O(N·total), and never re-receives delivered rows. The max_rows
+    guard bounds each drain's NEW rows."""
+    import pytest as _pytest
+
+    engine.execute("CREATE STREAM pd_ev (k STRING, v INTEGER);")
+    engine.execute("INSERT INTO pd_ev (k, v) VALUES ('a', 1);")
+    h = engine.execute("SELECT k, v FROM pd_ev EMIT CHANGES;")
+    first = [(r["k"], r["v"]) for r in h.drain()]
+    assert first == [("a", 1)]
+    engine.execute("INSERT INTO pd_ev (k, v) VALUES ('b', 2);")
+    second = [(r["k"], r["v"]) for r in h.drain()]
+    assert second == [("b", 2)]  # disjoint suffix, nothing re-sent
+    assert h.drain() == []       # no new input -> empty
+    # max_rows guards NEW rows per drain, offset intact afterwards
+    h.max_rows = 1
+    engine.execute("INSERT INTO pd_ev (k, v) VALUES ('c', 3);")
+    engine.execute("INSERT INTO pd_ev (k, v) VALUES ('d', 4);")
+    with _pytest.raises(RuntimeError, match="max_rows"):
+        h.drain()
+    h.max_rows = 1_000_000
+    assert [(r["k"], r["v"]) for r in h.drain()] == [("c", 3), ("d", 4)]
+    h.stop()
+
+
 def test_late_data_dropped_beyond_grace(spark, tmp_path):
     """Reference semantics: records later than windowEnd + grace are
     dropped (TimeWindowedStream.hs:99-113; fixed 24h there, configurable
@@ -175,8 +203,10 @@ def test_push_query_emits_update_stream(engine):
     engine.execute(f"INSERT INTO uev (k, v, _ts) VALUES ('a', 4, {ts});")
     engine.execute(f"INSERT INTO uev (k, v, _ts) VALUES ('b', 7, {ts});")
     seq = [(r["k"], r["s"]) for r in handle.drain()]
-    # changelog retains the old accumulator AND appends the new ones
-    assert ("a", 1) in seq and ("a", 5) in seq and ("b", 7) in seq
+    # incremental drain: only the NEW accumulators since the first
+    # drain — the already-delivered ("a", 1) row is not re-sent
+    assert ("a", 5) in seq and ("b", 7) in seq
+    assert ("a", 1) not in seq
     handle.stop()
 
 
@@ -354,9 +384,8 @@ def test_session_push_query_emits_only_touched_sessions(engine):
     assert [r["k"] for r in first] == ["a"]
     engine.execute(f"INSERT INTO sp_ev (k, v, _ts) VALUES ('b', 1, {base});")
     second = handle.drain()
-    # memory sink accumulates; the delta is exactly one 'b' row
-    assert len(second) == len(first) + 1
-    assert [r["k"] for r in second if r["k"] == "b"] == ["b"]
+    # incremental drain: exactly the one new 'b' row, nothing re-sent
+    assert [r["k"] for r in second] == ["b"]
     handle.stop()
 
 

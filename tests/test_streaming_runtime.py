@@ -54,16 +54,18 @@ class TestBasics:
         # through (a subsequence of) 1, 3, 6 and end at 6.
         engine.execute("CREATE STREAM pairs (a INTEGER, b INTEGER);")
         handle = engine.execute("SELECT SUM(a) AS result, b FROM pairs GROUP BY b EMIT CHANGES;")
-        seq_b2 = []
+        emitted = []  # drains are disjoint suffixes — accumulate them
         for a, b in [(1, 2), (2, 2), (3, 2), (4, 3)]:
             engine.execute(f"INSERT INTO pairs (a, b) VALUES ({a}, {b});")
-            seq_b2 = [r["result"] for r in handle.drain() if r["b"] == 2]
+            emitted += [(r["b"], r["result"]) for r in handle.drain()]
+        seq_b2 = [v for b, v in emitted if b == 2]
         expected = [1, 3, 6]
         it = iter(expected)
         assert all(any(v == x for x in it) for v in seq_b2), seq_b2  # subsequence
         assert seq_b2[-1] == 6
-        final = {r["b"]: r["result"] for r in handle.drain()}
+        final = {b: v for b, v in emitted}  # latest accumulator per key
         assert final[3] == 4
+        assert handle.drain() == []  # nothing new -> empty suffix
         handle.stop()
 
 
