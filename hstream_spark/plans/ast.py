@@ -193,6 +193,9 @@ class CreateStreamAs:
 class CreateView:
     name: str
     select: Select
+    # WITH (DURATION = INTERVAL …) — view-state retention, mirroring
+    # CREATE STREAM's DURATION backlog option (SQL-v1.cf:53)
+    options: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -262,7 +262,11 @@ class Parser:
             self.next()
             name = self.ident()
             self.expect_kw("AS")
-            return A.CreateView(name, self._select())
+            sel = self._select()
+            # trailing WITH (…) mirrors CREATE STREAM AS SELECT; the
+            # only recognized view option is DURATION (state retention)
+            opts = self._options() if self.at_kw("WITH") else {}
+            return A.CreateView(name, sel, opts)
         if self.at_kw("SOURCE") or self.at_kw("SINK"):
             kind = self.next().text.upper()
             self.expect_kw("CONNECTOR")

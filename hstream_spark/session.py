@@ -38,6 +38,11 @@ _DEFAULTS: dict[str, str] = {
     # by default; the reference SQL dialect has a first-class TIME
     # (hstream-sql/src/HStream/SQL/AST.hs:84 RTypeTime)
     "spark.sql.timeType.enabled": "true",
+    # INT96 (the legacy default) carries NO row-group statistics and no
+    # predicate pushdown; micros-typed timestamps give both — view-state
+    # retention reads its event-time high-water mark from footer stats
+    # driver-side, and windowed scans can prune on window bounds
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.spill.compress": "true",
     "spark.ui.enabled": "false",

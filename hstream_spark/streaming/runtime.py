@@ -236,6 +236,19 @@ class ViewInfo:
     # delta's footers on every trigger. Purely a cache: cleared at
     # compaction, rebuilt from footers after a restart.
     delta_rows_cache: dict = field(default_factory=dict)
+    # WITH (DURATION = …) state retention for WINDOWED views: closed
+    # windows whose window_end trails the view's event-time high-water
+    # mark by more than this are dropped during the compaction fold —
+    # without it TUMBLE/HOP/SESSION view state (keyed on window bounds)
+    # accumulates every window ever closed, the one unbounded-state
+    # path under continuous ingest (the reference's in-memory
+    # groupbyStores, View.hs:235-243, has the same flaw). None = keep
+    # forever (reference parity).
+    retention_secs: Optional[float] = None
+    # event-time high-water mark (max window_end across state), read
+    # from parquet row-group statistics driver-side — never a Spark
+    # job. None until first computed; lazily rebuilt after a restart.
+    we_high_water: Optional[object] = None
 
 
 @dataclass
@@ -742,6 +755,34 @@ class HStreamEngine:
             return None
 
     @staticmethod
+    def _parquet_dir_col_max(path: str, col: str):
+        """Max value of ``col`` across a local parquet dir, from
+        row-group STATISTICS only — driver-side metadata, no Spark job
+        (the retention high-water mark must not re-execute anything).
+        None when unreadable (no pyarrow, remote storage, no stats)."""
+        try:
+            import pyarrow.parquet as pq
+
+            best = None
+            for name in os.listdir(path):
+                if not name.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(path, name))
+                try:
+                    idx = pf.schema_arrow.names.index(col)
+                except ValueError:
+                    return None
+                for g in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if best is None or st.max > best:
+                        best = st.max
+            return best
+        except Exception:  # noqa: BLE001
+            return None
+
+    @staticmethod
     def _parquet_dir_rows(path: str) -> int:
         """Total row count of a just-written local parquet dir, from
         the file footers — driver-side metadata only, no Spark job.
@@ -818,8 +859,25 @@ class HStreamEngine:
                 with open(ptr) as f:
                     cur_v = int(f.read().strip())
             nxt = cur_v + 1
+            if vi.retention_secs is not None and vi.we_high_water is not None:
+                # complete mode re-emits every group each trigger, so
+                # expired windows are filtered at write (the previous
+                # trigger's high-water mark — one-trigger lag is within
+                # the retention granularity contract)
+                import datetime as _dt
+
+                cutoff = vi.we_high_water - _dt.timedelta(
+                    seconds=vi.retention_secs
+                )
+                batch = batch.filter(
+                    F.col("window_end").isNull()
+                    | (F.col("window_end") >= F.lit(cutoff))
+                )
             batch.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{nxt}")
+            )
+            HStreamEngine._advance_high_water(
+                vi, os.path.join(vi.state_dir, f"v{nxt}")
             )
             if vi.complete_max_rows is not None:
                 rows = written_rows(os.path.join(vi.state_dir, f"v{nxt}"))
@@ -882,6 +940,7 @@ class HStreamEngine:
             os.rename(tmp_dir, dst)
             vi.delta_rows_cache.clear()
             vi.delta_rows_cache["v0"] = rows
+            HStreamEngine._advance_high_water(vi, dst)
             _fault("first-base-renamed")  # v0 on disk, CURRENT absent
             swap_current(0)
             return
@@ -895,12 +954,17 @@ class HStreamEngine:
         _fault("delta-written")  # tmp delta on disk, not yet listed
         os.rename(tmp_dir, os.path.join(vi.state_dir, f"v{base}_d{k}"))
         vi.delta_rows_cache[f"v{base}_d{k}"] = rows
+        HStreamEngine._advance_high_water(
+            vi, os.path.join(vi.state_dir, f"v{base}_d{k}")
+        )
         _fault("delta-renamed")  # delta visible, compaction not yet run
         if HStreamEngine._should_compact(vi, base, ks + [k]):
             # fold base+deltas into the next generation's base; the old
             # generation stays on disk for in-flight readers and is
             # removed when the one after supersedes it
             merged = HStreamEngine._view_state_frame(spark, vi)
+            merged = HStreamEngine._apply_retention(vi, merged, base,
+                                                    ks + [k])
             merged.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{base + 1}")
             )
@@ -919,6 +983,52 @@ class HStreamEngine:
                 if name.startswith(".tmp_"):  # stray crash leftovers
                     shutil.rmtree(os.path.join(vi.state_dir, name),
                                   ignore_errors=True)
+
+    @staticmethod
+    def _advance_high_water(vi: ViewInfo, new_dir: str) -> None:
+        """Advance the view's event-time high-water mark from the
+        just-written dir's parquet row-group stats (driver-side, ~ms).
+        No-op for views without retention — no footer parse spent."""
+        if vi.retention_secs is None:
+            return
+        m = HStreamEngine._parquet_dir_col_max(new_dir, "window_end")
+        if m is not None and (vi.we_high_water is None
+                              or m > vi.we_high_water):
+            vi.we_high_water = m
+
+    @staticmethod
+    def _apply_retention(vi: ViewInfo, merged: DataFrame, base: int,
+                         ks: list) -> DataFrame:
+        """Retention fold (WITH DURATION): drop state rows whose window
+        closed more than ``retention_secs`` before the view's event-time
+        high-water mark. Runs ONLY inside the compaction fold — the
+        expiry granularity is the compaction cadence, exactly like
+        stream DURATION's vacuum granularity — so per-trigger cost is
+        zero and the fold itself just gains one predicate. After a
+        restart the high-water mark is rebuilt lazily from the stats of
+        every live state dir (driver-side); if stats are unreadable the
+        fold keeps everything (retention degrades to reference-parity
+        keep-forever, never to wrong results)."""
+        if vi.retention_secs is None:
+            return merged
+        if vi.we_high_water is None:  # restart: rebuild from live dirs
+            dirs = [f"v{base}"] + [f"v{base}_d{k}" for k in ks]
+            for d in dirs:
+                m = HStreamEngine._parquet_dir_col_max(
+                    os.path.join(vi.state_dir, d), "window_end"
+                )
+                if m is not None and (vi.we_high_water is None
+                                      or m > vi.we_high_water):
+                    vi.we_high_water = m
+        if vi.we_high_water is None:
+            return merged
+        import datetime as _dt
+
+        cutoff = vi.we_high_water - _dt.timedelta(seconds=vi.retention_secs)
+        return merged.filter(
+            F.col("window_end").isNull()
+            | (F.col("window_end") >= F.lit(cutoff))
+        )
 
     @staticmethod
     def _should_compact(vi: ViewInfo, base: int, ks: list) -> bool:
@@ -1638,6 +1748,23 @@ class HStreamEngine:
         if not aggregated:
             raise CompileError("CREATE VIEW requires an aggregation (GROUP BY)")
         table = f"__view_{stmt.name}"
+        # WITH (DURATION = INTERVAL …): windowed-view state retention —
+        # mirrors CREATE STREAM's DURATION (SQL-v1.cf:53) on the view's
+        # durable state. Validated against the window shape below (a
+        # non-windowed view's state is bounded by group cardinality and
+        # has no window_end to expire on).
+        retention_secs: Optional[float] = None
+        for key, val in (stmt.options or {}).items():
+            if key != "DURATION":
+                raise CompileError(
+                    f"unknown CREATE VIEW option {key!r} (supported: "
+                    "DURATION)"
+                )
+            retention_secs = float(
+                val.seconds if hasattr(val, "seconds") else val
+            )
+            if retention_secs <= 0:
+                raise CompileError("DURATION must be a positive interval")
 
         # View state = latest accumulator per group key, upserted from the
         # UPDATE-mode changelog (the reference's in-memory groupbyStores,
@@ -1651,6 +1778,15 @@ class HStreamEngine:
             if isinstance(stmt.select.from_, A.WindowedRef)
             else None
         )
+        if retention_secs is not None and window_kind not in (
+            "TUMBLE", "HOP", "SESSION"
+        ):
+            raise CompileError(
+                "DURATION requires a windowed view (TUMBLE/HOP/SESSION): "
+                "only window-keyed state accumulates closed windows; a "
+                "plain or SLIDING view's state is bounded by its group "
+                "cardinality"
+            )
         # a GROUP BY key the projection DROPS still keys the state in
         # EVERY view shape: without it the upsert is keyless (or under-
         # keyed) and the state silently forgets groups — plain views
@@ -1795,6 +1931,7 @@ class HStreamEngine:
             + ((order_col,) if order_col else ()),
             having_col=having_col,
             complete_max_rows=self.complete_fallback_max_rows,
+            retention_secs=retention_secs,
         )
 
         def upsert(batch_df: DataFrame, epoch_id: int) -> None:

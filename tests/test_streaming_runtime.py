@@ -1114,6 +1114,108 @@ def test_should_compact_decision(tmp_path, monkeypatch):
     assert HStreamEngine._should_compact(vi3, 0, list(range(1, 9)))
 
 
+class TestViewRetention:
+    """WITH (DURATION = …) on windowed views: closed windows whose
+    window_end trails the view's event-time high-water mark by more
+    than the retention are dropped at the compaction fold — the one
+    previously unbounded state path under continuous windowed ingest
+    (the reference's in-memory groupbyStores never evicts either,
+    View.hs:235-243; this is the durable fix)."""
+
+    def test_duration_requires_windowed_view(self, engine):
+        import pytest as _pytest
+
+        from hstream_spark.plans.compiler import CompileError
+
+        engine.execute("CREATE STREAM vr_ev (k STRING, v INTEGER);")
+        with _pytest.raises(CompileError, match="windowed view"):
+            engine.execute(
+                "CREATE VIEW vrp AS SELECT k, COUNT(*) AS n FROM vr_ev "
+                "GROUP BY k WITH (DURATION = INTERVAL 1 MINUTE);"
+            )
+        with _pytest.raises(CompileError, match="windowed view"):
+            engine.execute(
+                "CREATE VIEW vrs AS SELECT k, SUM(v) AS s FROM "
+                "SLIDING(vr_ev, INTERVAL 10 SECOND) GROUP BY k "
+                "WITH (DURATION = INTERVAL 1 MINUTE);"
+            )
+        with _pytest.raises(CompileError, match="unknown CREATE VIEW"):
+            engine.execute(
+                "CREATE VIEW vrx AS SELECT k, COUNT(*) AS n FROM "
+                "TUMBLE(vr_ev, INTERVAL 10 SECOND) GROUP BY k "
+                "WITH (NOPE = 1);"
+            )
+
+    def test_retention_drops_closed_windows_at_compaction(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import time as _time
+
+        import hstream_spark.streaming.runtime as R
+        from hstream_spark.streaming.runtime import HStreamEngine
+
+        # low cadence floor + no size deferral → fold every 2 deltas
+        monkeypatch.setattr(R.HStreamEngine, "_VIEW_COMPACT_EVERY", 2)
+        monkeypatch.setattr(R.HStreamEngine, "_VIEW_COMPACT_FRACTION", 0.0)
+        eng = HStreamEngine(spark, str(tmp_path / "vret"))
+        try:
+            eng.execute("CREATE STREAM rt_ev (k STRING, v INTEGER);")
+            eng.execute(
+                "CREATE VIEW rt AS SELECT k, COUNT(*) AS n FROM "
+                "TUMBLE(rt_ev, INTERVAL 10 SECOND) GROUP BY k "
+                "WITH (DURATION = INTERVAL 1 MINUTE);"
+            )
+            vi = eng.views["rt"]
+            assert vi.retention_secs == 60.0
+            t0 = _time.time() - 3600
+            # one window per 30s step, each its own trigger/delta;
+            # spans 8 windows over 210s — far past the 60s retention
+            for i in range(8):
+                eng.execute(
+                    f"INSERT INTO rt_ev (k, v, _ts) VALUES "
+                    f"('a', {i}, {t0 + 30.0 * i});"
+                )
+                vi.handle.processAllAvailable()
+            frame = HStreamEngine._view_state_frame(spark, vi)
+            ends = sorted(r["window_end"] for r in frame.collect())
+            assert ends, "state must not be empty"
+            # expiry granularity is the COMPACTION cadence (like stream
+            # DURATION's vacuum granularity): state may lag retention by
+            # the windows accumulated since the last fold — here ≤ 2
+            # deltas × 30 s — but is BOUNDED, never accumulate-forever
+            span = max(ends).timestamp() - min(ends).timestamp()
+            assert span <= 60.0 + 2 * 30.0, ends
+            # expired windows were actually dropped (8 written)
+            assert len(ends) < 8
+            # and no over-deletion: every window inside the strict
+            # horizon is still present (30 s window spacing)
+            import datetime as _dt
+
+            assert max(ends) - _dt.timedelta(seconds=30) in ends
+            assert max(ends) - _dt.timedelta(seconds=60) in ends
+            # one-shot SELECT inside the horizon unchanged: the newest
+            # window's count is intact
+            rows = {
+                r["window_end"]: r["n"]
+                for r in eng.execute(
+                    "SELECT window_end, n FROM rt;"
+                ).collect()
+            }
+            assert rows[max(ends)] == 1
+            # retention round-trips the DDL log (WITH clause is logged)
+            eng.shutdown()
+            b = HStreamEngine(spark, str(tmp_path / "vret"))
+            try:
+                assert b.views["rt"].retention_secs == 60.0
+            finally:
+                b.shutdown()
+        finally:
+            try:
+                eng.shutdown()
+            except Exception:  # noqa: BLE001 — already shut down above
+                pass
+
+
 class TestViewStateCrashInjection:
     """Kill the view-state upsert at every fault window the crash-safety
     design names (dot-tmp write / rename / CURRENT swap / generation

@@ -63,6 +63,12 @@ OK_CASES = [
     "CREATE STREAM s WITH (REPLICATE = 3, DURATION = INTERVAL 7 DAY);",
     "CREATE STREAM out AS SELECT a, SUM(b) FROM s1 GROUP BY a;",
     "CREATE VIEW v AS SELECT k, COUNT(*) FROM s1 GROUP BY k;",
+    "CREATE VIEW v AS SELECT k, COUNT(*) FROM TUMBLE(s1, INTERVAL 10 "
+    "SECOND) GROUP BY k WITH (DURATION = INTERVAL 1 DAY);",
+    # comma FROM-lists (implicit cross joins, round 8)
+    "SELECT * FROM a, b;",
+    "SELECT x, y FROM a, b, c WHERE x = y;",
+    "SELECT COUNT(*) AS n FROM a, b GROUP BY x;",
     "CREATE SOURCE CONNECTOR c FROM mysql WITH (host = 'h', port = 3306);",
     "CREATE SINK CONNECTOR c TO postgresql WITH (stream = 's1');",
     "INSERT INTO s (a, b) VALUES (1, 'x');",

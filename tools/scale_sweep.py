@@ -1,10 +1,14 @@
-"""Empirical scale sweep (SCALE.md evidence): run the most expensive
-catalog entries at sf0.1 and at the 10x replica sf1
-(tools/gen_scale_data.py), record wall-clock per SF and the measured
-scaling factor. A plan whose cost is ~linear in input shows factor
-~<=10 (plus fixed overheads amortizing); a hidden quadratic shows ~100.
+"""Empirical scale sweep (SCALE.md evidence): run catalog entries at
+sf0.1 and at the 10x replica sf1 (tools/gen_scale_data.py), record
+wall-clock per SF and the measured scaling factor. A plan whose cost is
+~linear in input shows factor ~<=10 (plus fixed overheads amortizing);
+a hidden quadratic shows ~100.
 
-Usage: python tools/scale_sweep.py [out_json]
+Round 10: the default sweep is the FULL catalog (the round-5 sweep
+covered only the 23 most expensive entries — a super-linear cheap entry
+hides from the sf0.1-only bench gate). Pass entry names to subset.
+
+Usage: python tools/scale_sweep.py [out_json] [entry ...]
 """
 
 from __future__ import annotations
@@ -16,7 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SWEEP = [
+# retained for reference: the round-5 most-expensive subset
+SWEEP_R5 = [
     "curation_pipeline",
     "dedup_prune",
     "embedding_kmeans",
@@ -53,10 +58,11 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         repo, ".scale", "sweep.json"
     )
+    sweep = sys.argv[2:] or sorted(REGISTRY)
     spark = get_spark("scale-sweep")
     spark.range(1).count()
     results: dict[str, dict] = {}
-    for name in SWEEP:
+    for name in sweep:
         q = REGISTRY[name]
         row: dict = {}
         for label, sf in (("sf0.1", sf_small), ("sf1", sf_big)):

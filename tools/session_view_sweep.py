@@ -127,8 +127,69 @@ def run_case(spark, n_keys, mode, probes=5):
     return round(statistics.median(times), 3), round(read_s, 3)
 
 
+def run_read_fanout(spark, n_keys, session_mode, checkpoints=(8, 32, 64)):
+    """Read latency vs delta fan-out, up to the compaction hard cap
+    (round-10 task: the r9 A/B measured reads at 5 deltas; the worst
+    case a reader can meet is _VIEW_COMPACT_MAX_DELTAS). Compaction is
+    disabled for the sweep so the raw fan-out cost is visible; the
+    production cap stays 64. Measures BOTH view shapes — session
+    (overlap anti-join) and keyed latest-wins (row_number window) —
+    against the 0-delta plain-base scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hstream_spark.streaming.runtime import HStreamEngine, ViewInfo
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("window_end", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ])
+    state_dir = tempfile.mkdtemp(
+        prefix=f"svr_{'sess' if session_mode else 'keyed'}_{n_keys}_"
+    )
+    vi = ViewInfo("sv", "", "", None, state_dir, schema,
+                  ("window_start", "window_end", "k")
+                  if session_mode else ("k",),
+                  merge_on_overlap=session_mode, batch_unique=True)
+    base_s = 1_700_000_000
+
+    def batch(lo, hi, end_off=10):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            F.timestamp_seconds(F.lit(base_s) + F.col("id") % 7)
+            .alias("window_start"),
+            F.timestamp_seconds(F.lit(base_s) + F.col("id") % 7 + end_off)
+            .alias("window_end"),
+            F.lit(1).cast("long").alias("n"),
+        )
+
+    def timed_read():
+        t0 = time.perf_counter()
+        got = HStreamEngine._view_state_frame(spark, vi).count()
+        dt = time.perf_counter() - t0
+        assert got == n_keys, (got, n_keys)
+        return round(dt, 3)
+
+    out = {}
+    HStreamEngine._view_upsert(vi, batch(0, n_keys))
+    out["d0"] = timed_read()
+    d = 0
+    for cp in checkpoints:
+        while d < cp:
+            HStreamEngine._view_upsert(vi, batch(d, d + 1, end_off=12))
+            d += 1
+        _, ks = HStreamEngine._view_layout(vi.state_dir)
+        assert len(ks) == cp, (len(ks), cp)  # compaction stayed out
+        out[f"d{cp}"] = timed_read()
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from hstream_spark import get_spark
+    from hstream_spark.streaming.runtime import HStreamEngine
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
@@ -144,6 +205,22 @@ def main() -> None:
             results[f"{mode}_n{n}_read_s"] = rd
             print(f"{mode} n={n}: upsert {up}s, state read {rd}s",
                   flush=True)
+    # read-path fan-out sweep at the delta cap (compaction disabled so
+    # the raw 64-delta read cost is measurable)
+    saved = (HStreamEngine._VIEW_COMPACT_EVERY,
+             HStreamEngine._VIEW_COMPACT_MAX_DELTAS)
+    HStreamEngine._VIEW_COMPACT_EVERY = 10 ** 9
+    HStreamEngine._VIEW_COMPACT_MAX_DELTAS = 10 ** 9
+    try:
+        for session_mode in (True, False):
+            tag = "session" if session_mode else "keyed"
+            fan = run_read_fanout(spark, 2_000_000, session_mode)
+            for k, v in fan.items():
+                results[f"read_{tag}_{k}_s"] = v
+            print(f"read fan-out [{tag}]: {fan}", flush=True)
+    finally:
+        (HStreamEngine._VIEW_COMPACT_EVERY,
+         HStreamEngine._VIEW_COMPACT_MAX_DELTAS) = saved
     for mode in ("delta", "legacy"):
         results[f"{mode}_upsert_growth_10x"] = round(
             results[f"{mode}_n2000000_upsert_s"]
