@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_capped",
     "ann_cosine_topk",
     "ann_bruteforce_np",
     "ann_lsh_topk",
@@ -106,6 +107,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_subword_tokenize",
     "quality_classifier",
+    "gopher_quality_filters",
     "dedup_passage_removal",
     "containment_pairs",
     "normalize_text",

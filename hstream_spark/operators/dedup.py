@@ -1047,18 +1047,24 @@ def containment_pairs(
     short doc inside a long one scores low Jaccard but high
     containment).
 
-    Same blocked shape as ``ngram_jaccard_pairs``: exact and quadratic
-    WITHIN a block (bound your blocks; MinHash-LSH is the corpus-scale
-    candidate generator), gram sets int64-hashed so the self-join
-    compares longs. Emits both directions when both exceed the
-    threshold. Ties to corpus-scale use: feed LSH candidate pairs in
-    as blocks of size 2.
+    Result-identical to the naive within-block self-join, but the
+    candidate stage is a PREFIX-FILTER inverted-index join (All-Pairs /
+    PPJoin family, Bayardo et al. 2007): containment ≥ t means B holds
+    all but ⌊(1−t)·|A|⌋ of A's grams, so ANY ⌊(1−t)·|A|⌋+1 of A's grams
+    must intersect B — only that prefix of A explodes against the
+    block's full gram index, and the exact |A∩B|/|A| verify runs on the
+    surviving candidate pairs alone. The round-5 version self-joined
+    whole blocks (quadratic in block population): the round-10 sf1
+    sweep measured it 72.9× at 10× data ((lang, source) blocks grow
+    linearly → pairs quadratically); the prefix filter scales with
+    Σ_gram df(prefix)·df(gram), not Σ block². Emits both directions
+    when both exceed the threshold. Pairs sharing no gram can't reach
+    any threshold > 0, so candidate pruning never drops a result row.
 
-    The gram sets PERSIST before the self-join — without
-    materialization the join re-evaluates the gram expression once per
-    OUTPUT PAIR (O(pairs × doc_len) instead of O(docs × doc_len);
-    measured 40× at sf0.1), the same reason ``ngram_jaccard_pairs``
-    caches.
+    The gram sets PERSIST before the joins — without materialization
+    each join re-evaluates the gram expression per candidate
+    (O(pairs × doc_len); measured 40× at sf0.1), the same reason
+    ``ngram_jaccard_pairs`` caches.
     """
     sets = docs.select(
         *[F.col(c) for c in block_cols],
@@ -1068,15 +1074,55 @@ def containment_pairs(
         ).alias("__g"),
     ).where(F.size("__g") > 0).persist()
     _guard_block_size(docs, block_cols, max_block, "containment_pairs")
+    # prefix: any floor((1-t)*|A|)+1 grams satisfy the filter — which
+    # ones is pure optimization, and the canonical All-Pairs choice is
+    # the RAREST (global document frequency ascending): on a
+    # small-vocabulary corpus a hash-ordered prefix keeps stop-grams
+    # whose df² candidate blowup re-creates the quadratic this filter
+    # exists to kill. One linear df aggregate + an id-keyed window.
+    from pyspark.sql import Window as _W
+
+    a_all = sets.select(
+        *block_cols, F.col(id_col).alias("__ida"),
+        F.size("__g").alias("__na"),
+        F.explode("__g").alias("__gram"),
+    )
+    gram_df = a_all.groupBy("__gram").agg(F.count("*").alias("__df"))
+    rank_w = _W.partitionBy("__ida").orderBy("__df", "__gram")
+    a_pref = (
+        a_all.join(gram_df, "__gram")
+        .withColumn("__rk", F.row_number().over(rank_w))
+        .where(
+            F.col("__rk")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("__na")).cast("int") + 1
+        )
+        .select(*block_cols, "__ida", "__gram")
+    )
+    b_full = sets.select(
+        *block_cols, F.col(id_col).alias("__idb"),
+        F.explode("__g").alias("__gram"),
+    )
+    cand = (
+        a_pref.join(b_full, [*block_cols, "__gram"])
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(*block_cols, "__ida", "__idb")
+        .distinct()
+    )
     a = sets.alias("a")
     b = sets.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
-        F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
-    ]
     inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g")))
     containment = inter.cast("double") / F.size(F.col("a.__g")).cast("double")
     return (
-        a.join(b, cond)
+        cand.join(
+            a,
+            [F.col(f"a.{c}") == cand[c] for c in block_cols]
+            + [F.col(f"a.{id_col}") == cand["__ida"]],
+        )
+        .join(
+            b,
+            [F.col(f"b.{c}") == cand[c] for c in block_cols]
+            + [F.col(f"b.{id_col}") == cand["__idb"]],
+        )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),

@@ -205,15 +205,20 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
-def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8,
+                    first_plane: int = 0) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
 
-    All hyperplanes ship as ONE nested-array literal and the per-plane
-    dots come from a transform-over-planes fold — two Literal nodes
-    total instead of ``planes`` unrolled dot trees (plan construction
-    and analysis cost scale with expression size; see the F.lit note
-    in the module docstring)."""
-    plane_lit = F.lit([_hyperplane(dim, p) for p in range(planes)])
+    ``first_plane`` offsets into the deterministic hyperplane sequence
+    so multi-TABLE LSH (L independent plane sets) draws disjoint
+    planes per table. All hyperplanes ship as ONE nested-array literal
+    and the per-plane dots come from a transform-over-planes fold —
+    two Literal nodes total instead of ``planes`` unrolled dot trees
+    (plan construction and analysis cost scale with expression size;
+    see the F.lit note in the module docstring)."""
+    plane_lit = F.lit([
+        _hyperplane(dim, first_plane + p) for p in range(planes)
+    ])
     powers = F.lit([1 << p for p in range(planes)])
     dots = F.transform(plane_lit, lambda p: dot(vec, p))
     bits = F.zip_with(
@@ -260,6 +265,96 @@ def embedding_near_duplicates(
         pairs.select(
             "id_a", "id_b", dot(F.col("vec_a"), F.col("vec_b")).alias("cos")
         )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_duplicates_capped(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 2,
+    cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via MULTI-TABLE sign-LSH with
+    hot-bucket capping — the 100 TB shape of
+    ``embedding_near_duplicates(blocked=True)``.
+
+    The single-table blocked path holds bucket COUNT fixed (2^planes),
+    so occupancy grows linearly with the corpus and within-bucket pairs
+    quadratically — the round-10 sf1 sweep measured it 15.5× at 10×
+    data. Two changes, both standard LSH practice:
+
+    - ``tables`` independent plane sets (disjoint slices of the
+      deterministic hyperplane sequence): a pair is a candidate if it
+      co-buckets in ANY table — recall 1−(1−(1−θ/π)^planes)^tables,
+      strictly ABOVE the single-table path at equal planes;
+    - per (table, bucket) occupancy over ``cap`` splits into salted
+      sub-buckets (engine-agnostic md5(id#table) mod n_sub — each
+      table re-salts independently, the ``capped_band_candidates``
+      scheme): any one bucket's pair contribution drops from O(m²) to
+      O(m·cap). Buckets at or under the cap keep salt 0 everywhere, so
+      corpora without hot buckets get EXACTLY the uncapped multi-table
+      pair set. In a hot bucket a dup pair survives iff some table
+      co-salts it — the documented bounded-recall trade, and dup
+      CLUSTERS stay connected with overwhelming probability (what
+      component-based dedup consumes).
+
+    Exact cosine still verifies every candidate; capping and tabling
+    only shape the CANDIDATE set.
+    """
+    if dim is None:
+        raise ValueError("dim is required for the LSH path")
+    from pyspark.sql import Window as _W
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), normalized(F.col(vec_col)).alias("vec")
+    ).persist()
+    tb = base.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_lsh_bucket(
+                        F.col("vec"), dim, planes, first_plane=t * planes
+                    ).alias("bucket"),
+                )
+                for t in range(tables)
+            ])
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"),
+             F.col("tb.bucket").alias("bucket"))
+    bn = F.count(F.lit(1)).over(_W.partitionBy("tbl", "bucket"))
+    n_sub = ((bn + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+    salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("id").cast("string"),
+                                  F.col("tbl").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % n_sub
+    )
+    salted = tb.select("id", "tbl", "bucket", salt.alias("salt"))
+    cand = (
+        salted.alias("a")
+        .join(salted.alias("b"), ["tbl", "bucket", "salt"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b",
+                dot(F.col("vec_a"), F.col("vec_b")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

@@ -111,6 +111,69 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Gopher rule R7's required-stopword set (Rae et al. 2021, appendix A1.1:
+# "contains at least 2 of the following English words")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, Scaling
+    Language Models: ..., appendix A1.1 — the public heuristic-filter
+    suite most curation pipelines start from). Returns one BOOLEAN
+    column per rule plus the ``keep`` conjunction; every threshold is
+    compiled as INTEGER cross-multiplication (``3·nw ≤ Σlen ≤ 10·nw``
+    instead of a float mean) so the booleans hash byte-exact against
+    any engine's replay. Map-only — no shuffle, no UDF.
+
+    - word_count: 50 ≤ words ≤ 100,000
+    - mean_word_len: mean word length in [3, 10] chars
+    - symbol_ratio: (# of '#' chars + '…'/'...' occurrences) ≤ 0.1·words
+    - bullet_lines: < 90% of lines start with a bullet ('•', '-', '*')
+    - ellipsis_lines: ≤ 30% of lines end with an ellipsis
+    - alpha_words: ≥ 80% of words contain an alphabetic character
+    - stopword_hits: ≥ 2 distinct required stopwords present
+    """
+    toks = tokens(text)
+    nw = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    hash_syms = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    # count '…' plus disjoint '...' runs (each replace removes all)
+    uni_ell = F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    ascii_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbols = hash_syms + uni_ell + ascii_ell.cast("int")
+    lines = F.split(text, r"\n")
+    nl = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r"^[•\-\*]")
+    ))
+    ell_end = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+    ))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.lit(list(GOPHER_STOPWORDS)),
+    ))
+    rules = {
+        "r_word_count": (nw >= 50) & (nw <= 100_000),
+        "r_mean_word_len": (sum_len >= 3 * nw) & (sum_len <= 10 * nw),
+        "r_symbol_ratio": symbols * 10 <= nw,
+        "r_bullet_lines": bullet * 10 < nl * 9,
+        "r_ellipsis_lines": ell_end * 10 <= nl * 3,
+        "r_alpha_words": alpha * 5 >= nw * 4,
+        "r_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    rules["keep"] = keep
+    return rules
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-token counts (the n-gram heuristic's evidence)."""
     toks = tokens(F.lower(text))

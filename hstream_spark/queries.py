@@ -1318,9 +1318,65 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
 
 @register("dedup_embedding_lsh", _emb_neardup_lsh_oracle(), tags=("dedup", "embedding", "lsh"))
 def q_dedup_embedding_lsh(spark, sf):
+    """Single-table sign-LSH blocking — exact recall within buckets.
+    Bucket COUNT is fixed (2^planes), so occupancy grows linearly with
+    the corpus and within-bucket pairs quadratically (sf1 sweep: 15.5×
+    at 10× data): at scale, tune ``planes`` up with corpus size or use
+    `dedup_embedding_lsh_capped` (multi-table + hot-bucket capping),
+    whose candidate volume is bounded by construction."""
     emb = load_table(spark, sf, "embeddings")
     return SIM.embedding_near_duplicates(
         emb, threshold=0.2, dim=64, planes=8, blocked=True
+    )
+
+
+def _emb_neardup_lsh_capped_oracle(dim: int = 64, planes: int = 8,
+                                   tables: int = 2, cap: int = 64) -> str:
+    def terms(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_literal(dim, t * planes + p)}) > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(planes)
+        )
+
+    tb_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {terms(t)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
+tb AS ({tb_sel}),
+bn AS (SELECT tbl, bucket, count(*) AS n FROM tb GROUP BY tbl, bucket),
+bsalt AS (SELECT tb.vec_id, tb.tbl, tb.bucket,
+                 CASE WHEN bn.n <= {cap} THEN 0
+                      ELSE ('0x' || substring(md5(tb.vec_id::VARCHAR || '#' || tb.tbl::VARCHAR), 1, 15))::BIGINT
+                           % ((bn.n + {cap - 1}) // {cap})
+                 END AS salt
+          FROM tb JOIN bn ON tb.tbl = bn.tbl AND tb.bucket = bn.bucket),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bsalt a JOIN bsalt b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.salt = b.salt
+              AND a.vec_id < b.vec_id),
+nv AS (SELECT vec_id, vn FROM e)
+SELECT c.id_a, c.id_b, list_dot_product(na.vn, nb.vn) AS cos
+FROM cand c
+JOIN nv na ON na.vec_id = c.id_a
+JOIN nv nb ON nb.vec_id = c.id_b
+WHERE list_dot_product(na.vn, nb.vn) >= 0.2
+"""
+
+
+@register("dedup_embedding_lsh_capped", _emb_neardup_lsh_capped_oracle(),
+          tags=("dedup", "embedding", "lsh"))
+def q_dedup_embedding_lsh_capped(spark, sf):
+    """Multi-table sign-LSH with hot-bucket capping — the 100 TB shape
+    of embedding near-dup blocking (see
+    SIM.embedding_near_duplicates_capped): 2 independent plane sets
+    raise recall, per-(table,bucket) salted sub-buckets bound any one
+    bucket's pair contribution at O(m·cap). The oracle replays the
+    identical table/salt/cap rules."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_near_duplicates_capped(
+        emb, threshold=0.2, dim=64, planes=8, tables=2, cap=64
     )
 
 
@@ -2656,6 +2712,76 @@ def q_quality_score(spark, sf):
         "doc_id",
         TX.quality_score(F.col("text")).alias("quality"),
         TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(text, '\n') AS lines,
+         length(text) - length(replace(text, '#', '')) AS hash_syms,
+         length(text) - length(replace(text, '…', '')) AS uni_ell,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS ascii_ell
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS nw,
+         list_reduce(list_concat([0], list_transform(toks, t -> length(t))),
+                     (a, b) -> a + b) AS sum_len,
+         hash_syms + uni_ell + ascii_ell AS symbols,
+         len(lines) AS nl,
+         len(list_filter(lines,
+                         l -> regexp_matches(ltrim(l), '^[•\-\*]'))) AS bullet,
+         len(list_filter(lines,
+                         l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell_end,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+         len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+                            [__STOPS__])) AS stop_hits
+  FROM t)
+SELECT doc_id,
+       nw::BIGINT AS n_words,
+       nw >= 50 AND nw <= 100000                 AS r_word_count,
+       sum_len >= 3 * nw AND sum_len <= 10 * nw  AS r_mean_word_len,
+       symbols * 10 <= nw                        AS r_symbol_ratio,
+       bullet * 10 < nl * 9                      AS r_bullet_lines,
+       ell_end * 10 <= nl * 3                    AS r_ellipsis_lines,
+       alpha * 5 >= nw * 4                       AS r_alpha_words,
+       stop_hits >= 2                            AS r_stopwords,
+       (nw >= 50 AND nw <= 100000)
+       AND (sum_len >= 3 * nw AND sum_len <= 10 * nw)
+       AND symbols * 10 <= nw
+       AND bullet * 10 < nl * 9
+       AND ell_end * 10 <= nl * 3
+       AND alpha * 5 >= nw * 4
+       AND stop_hits >= 2                        AS keep
+FROM m
+""".replace("__STOPS__", stops)
+
+
+@register("gopher_quality_filters", _gopher_oracle(), tags=("text", "curation"))
+def q_gopher_quality_filters(spark, sf):
+    """Gopher heuristic quality rules (Rae et al. 2021, appendix A1.1)
+    per document: the public rule suite most curation pipelines apply
+    before model-based filtering. One map-only projection — every rule
+    is an integer cross-multiplication boolean (no float thresholds),
+    so the gate hashes byte-exact against the DuckDB replay. 100 TB:
+    embarrassingly parallel, no shuffle, whole-stage codegen."""
+    from hstream_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    rules = TX.gopher_rules(F.col("text"))
+    nw = F.size(TX.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        *[rules[k].alias(k) for k in (
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+            "r_stopwords", "keep",
+        )],
     )
 
 

@@ -674,26 +674,26 @@ class HStreamEngine:
             # REPLACES the whole state, and empty batches never write
             # deltas — the newest delta IS the state, in full.
             return read(f"v{base}_d{ks[-1]}")
-        paths = [os.path.join(vi.state_dir, f"v{base}")] + [
+        delta_paths = [
             os.path.join(vi.state_dir, f"v{base}_d{k}") for k in ks
         ]
-        allv = (
-            spark.read.schema(vi.schema)
-            .parquet(*paths)
-            .withColumn(
-                "__sv",
-                F.coalesce(
-                    F.nullif(
-                        F.regexp_extract(
-                            F.col("_metadata.file_path"),
-                            r"/v\d+_d(\d+)/[^/]*$", 1,
-                        ),
-                        F.lit(""),
+
+        def read_deltas() -> DataFrame:
+            # fresh lineage per call (self-join disambiguation); the
+            # version stamp comes from the file path, so any number of
+            # deltas stays ONE scan relation
+            return (
+                spark.read.schema(vi.schema)
+                .parquet(*delta_paths)
+                .withColumn(
+                    "__sv",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        r"/v\d+_d(\d+)/[^/]*$", 1,
                     ).cast("int"),
-                    F.lit(0),  # base dir (v{B}/…) carries no _d suffix
-                ),
+                )
             )
-        )
+
         if vi.merge_on_overlap:
             # session views: OVERLAP-wins, not key-equality-wins. The
             # upsert appends each trigger's merged sessions as a plain
@@ -705,32 +705,49 @@ class HStreamEngine:
             # folding makes "any newer overlap" exactly the sequential
             # per-trigger merge). Only DELTA rows can supersede (base is
             # version 0 — nothing is older), so the anti-join's right
-            # side filters to deltas: trigger-sized, so AQE broadcasts
-            # it and the read costs one scan of state + a broadcast
-            # join instead of shuffling the full state twice. The
-            # anti-join is keyed on the plain group columns —
+            # side is the deltas alone: typically trigger-sized, so AQE
+            # broadcasts it and the read costs one scan of state + a
+            # broadcast join instead of shuffling the full state twice.
+            # The anti-join is keyed on the plain group columns —
             # sort-merge/hash on keys with the window range as
             # residual, never a cartesian.
-            older = allv.alias("o")
-            newer = allv.filter(F.col("__sv") > 0).alias("n")
+            older = (
+                read(f"v{base}").withColumn("__sv", F.lit(0))
+                .unionByName(read_deltas())
+            )
+            newer = read_deltas()
+            cond = (
+                (newer["__sv"] > older["__sv"])
+                & (newer["window_start"] < older["window_end"])
+                & (newer["window_end"] > older["window_start"])
+            )
             plain = [k for k in vi.key_cols
                      if k not in ("window_start", "window_end")]
-            cond = (
-                (F.col("n.__sv") > F.col("o.__sv"))
-                & (F.col("n.window_start") < F.col("o.window_end"))
-                & (F.col("n.window_end") > F.col("o.window_start"))
-            )
             for k in plain:
-                cond = cond & F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}"))
+                cond = cond & newer[k].eqNullSafe(older[k])
             return older.join(newer, cond, "left_anti").drop("__sv")
+        # keyed latest-wins: only DELTA rows can supersede base rows, so
+        # the base NEVER shuffles — dedup the deltas by key (highest
+        # version wins; the shuffle is delta-sized), then anti-join the
+        # base against the surviving delta keys (AQE broadcasts the
+        # delta side when small; dense workloads fall back to a hash
+        # join — still never a sort of the full state).
         from pyspark.sql import Window
 
         w = Window.partitionBy(*vi.key_cols).orderBy(F.col("__sv").desc())
-        return (
-            allv.withColumn("__rn", F.row_number().over(w))
+        latest = (
+            read_deltas()
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__sv")
         )
+        base_df = read(f"v{base}")
+        keys = read_deltas().select(*vi.key_cols)
+        cond = None
+        for k in vi.key_cols:
+            c = base_df[k].eqNullSafe(keys[k])
+            cond = c if cond is None else cond & c
+        return base_df.join(keys, cond, "left_anti").unionByName(latest)
 
     def _view_state_read(self, vi: ViewInfo) -> DataFrame:
         df = self._view_state_frame(self.spark, vi)

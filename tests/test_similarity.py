@@ -78,6 +78,63 @@ def test_embedding_near_duplicates_lsh_subset_of_exact(spark, emb):
     assert blocked, "LSH blocking should retain some near-dup pairs"
 
 
+def test_embedding_near_duplicates_capped_supersets_single_table(spark, emb):
+    """Multi-table candidates ⊇ table-0 candidates (table 0 uses the
+    SAME planes as the single-table path), and every emitted pair is
+    exact-cosine verified — so with a cap no bucket exceeds, the capped
+    multi-table pair set contains the single-table one and stays a
+    subset of the exact pairs."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_duplicates(
+            emb, threshold=0.2, blocked=False
+        ).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_duplicates(
+            emb, threshold=0.2, dim=64, planes=8, blocked=True
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_duplicates_capped(
+            emb, threshold=0.2, dim=64, planes=8, tables=2,
+            cap=10_000_000,  # nothing capped: pure multi-table recall
+        ).collect()
+    }
+    assert single <= capped <= exact
+    assert capped, "multi-table LSH should retain near-dup pairs"
+
+
+def test_embedding_near_duplicates_capped_bounds_hot_bucket(spark):
+    """An adversarial corpus collapsing into ONE bucket (identical
+    vectors): uncapped pairs grow m²; the cap bounds any sub-bucket at
+    ~cap members so pair count drops to O(m·cap) — and the duplicate
+    CLUSTER stays connected through shared sub-bucket members."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.dedup import connected_components
+
+    m = 120
+    vecs = spark.range(m).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(8)]).alias("embedding"),
+    )
+    capped = SIM.embedding_near_duplicates_capped(
+        vecs, threshold=0.9, dim=8, planes=4, tables=2, cap=16
+    )
+    pairs = [(r.id_a, r.id_b) for r in capped.collect()]
+    # uncapped would emit m(m-1)/2 = 7140 pairs; the cap bounds each
+    # sub-bucket at ~16 members across 2 tables
+    assert 0 < len(pairs) < 2 * m * 16
+    comp = connected_components(
+        spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    )
+    n_components = comp.select("component").distinct().count()
+    assert n_components == 1, "duplicate cluster must stay connected"
+
+
 def test_connected_components_chain_and_islands(spark):
     from hstream_spark.operators.dedup import connected_components
 

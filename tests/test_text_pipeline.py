@@ -386,6 +386,44 @@ def test_quality_classifier_orders_and_decides(spark):
     assert abs(rows[2]["keep_prob"] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
 
 
+def test_gopher_rules_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and " * 5  # 50 words
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),                     # passes every rule
+            (2, "the of and " * 5),                # 15 words: too short
+            (3, ("a " * 25 + "the of and that " * 7).strip()),  # short words
+            (4, good.strip() + " " + "#tag " * 20),  # symbol-heavy
+            (5, "\n".join("- item the of" for _ in range(10))),  # bullets
+            (6, "\n".join("the of and so..." for _ in range(10))),  # ellipsis
+            (7, ("42 " * 60 + "the of").strip()),  # numeric words
+            (8, "word " * 60),                     # no required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rules = gopher_rules(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[rules[k].alias(k) for k in rules]
+        ).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["r_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["r_mean_word_len"] is False  # mean < 3 chars
+    assert rows[4]["r_symbol_ratio"] is False   # >0.1 symbols per word
+    assert rows[5]["r_bullet_lines"] is False   # 100% bullet lines
+    assert rows[6]["r_ellipsis_lines"] is False  # 100% ellipsis lines
+    assert rows[7]["r_alpha_words"] is False    # <80% alphabetic words
+    assert rows[8]["r_stopwords"] is False      # <2 required stopwords
+    # exactly-at-threshold: 50 words passes the lower word bound
+    assert rows[1]["r_word_count"] is True
+
+
 def test_remove_duplicate_passages_cuts_only_spans(spark):
     from hstream_spark.operators.dedup import remove_duplicate_passages
 
