@@ -102,12 +102,15 @@ HEADLINE = [
     "temperature_sample",
     "pq_encode",
     "ann_pq_topk",
+    "ann_sq_topk",
     "chunk_documents",
     "pack_sequences",
     "bpe_train",
     "bpe_subword_tokenize",
     "quality_classifier",
     "gopher_quality_filters",
+    "c4_quality_filters",
+    "line_dedup",
     "dedup_passage_removal",
     "containment_pairs",
     "normalize_text",

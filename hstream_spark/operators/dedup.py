@@ -679,6 +679,76 @@ def remove_duplicate_passages(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document LINE deduplication (the C4 three-sentence-span /
+    CCNet paragraph dedup shape): every non-empty line keeps exactly
+    ONE occurrence corpus-wide — its first by ``(doc_id, line_no)`` —
+    and each document is rebuilt from its surviving lines in order.
+    Kills navigation menus, footers, and cookie banners repeated across
+    a crawl, which document-level dedup never sees.
+
+    Plan: posexplode lines → md5 line key → one groupBy(min(struct))
+    picks each key's global winner (map-side combinable — NOT a window,
+    whose per-key ordering state would all land on one shuffle side) →
+    inner join back on (key, doc, pos) keeps winners → one groupBy(doc)
+    rebuilds the text with an array_sort on line position. Two shuffles
+    keyed by uniform 128-bit digests and by doc id; at 100 TB both
+    hash-partition evenly and the winner table is |distinct lines|,
+    far smaller than the corpus.
+
+    Emits ``(doc_id, n_lines_before, n_lines_after, clean_text)``;
+    documents whose every line lost pass through with an empty
+    ``clean_text`` (count 0). Blank lines are dropped as normalization
+    (they carry no dedupable content but would otherwise all collapse
+    into one global winner).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    ).where(F.trim(F.col("__line")) != "")
+    keyed = lines.withColumn("__lkey", F.md5(F.col("__line")))
+    winners = keyed.groupBy("__lkey").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias("__w")
+    )
+    # (doc_id, pos) uniquely identifies a line occurrence, so the
+    # winner set semi-joins back on those two keys alone — no
+    # ambiguous self-join on the digest column.
+    winner_keys = winners.select(
+        F.col("__w")["i"].alias(id_col), F.col("__w")["p"].alias("__pos")
+    )
+    surviving = keyed.join(winner_keys, [id_col, "__pos"], "leftsemi").select(
+        id_col, "__pos", "__line"
+    )
+    rebuilt = surviving.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    before = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_before"))
+    base = docs.select(id_col).distinct()
+    return (
+        base.join(before, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines_before", F.lit(0)).alias("n_lines_before"),
+            F.coalesce("n_lines_after", F.lit(0)).alias("n_lines_after"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def dedup_against_corpus(
     batch: DataFrame,
     corpus: DataFrame,

@@ -1028,6 +1028,265 @@ def quantize_embeddings(
 
 
 # ---------------------------------------------------------------------------
+# Scalar quantization (per-dimension affine uint8) + asymmetric search
+# ---------------------------------------------------------------------------
+
+# 2^-20 binary fixed point: float32→double→×2^20→floor is exact in IEEE
+# (power-of-two scaling), so every engine derives identical integers and
+# the whole SQ pipeline — train, encode, dequantize, score — is pure
+# int64 arithmetic with a byte-exact oracle replay.
+SQ_FP = 1 << 20
+
+
+def _sq_fixed(vec: Column) -> Column:
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(SQ_FP))).cast("long")
+    )
+
+
+def sq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[int]]:
+    """Train a per-dimension affine uint8 scalar quantizer: the global
+    min/max of every dimension, in 2^-20 fixed point. One explode +
+    groupBy(dim) aggregate (64 groups, map-side combined); the model
+    collected to the driver is 2×dim int64s — model-sized traffic, the
+    same contract as the k-means/IVF trainers."""
+    dims = corpus.select(F.posexplode(_sq_fixed(F.col(vec_col))).alias("dim", "x"))
+    rows = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()
+    mns = [0] * len(rows)
+    mxs = [0] * len(rows)
+    for r in rows:
+        mns[r["dim"]] = int(r["mn"])
+        mxs[r["dim"]] = int(r["mx"])
+    return mns, mxs
+
+
+def sq_encode(
+    corpus: DataFrame,
+    mns: list[int],
+    mxs: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to uint8 codes: code_i = ⌊(x_i − mn_i)·255 /
+    (mx_i − mn_i)⌋ in int64 fixed point (constant dims encode 0). 4×
+    compression (the stored/scanned representation); map-only, the
+    quantizer ships as two array literals. floor(a/b) on non-negative
+    int64 here is exact under double division (numerator ≤ 2^30, the
+    quotient's IEEE error ≪ 1/denominator), matching the oracle's
+    integer ``//``."""
+    mn = F.lit(mns).cast("array<long>")
+    mx = F.lit(mxs).cast("array<long>")
+    # materialize the fixed-point array as a column first — higher-
+    # order functions are interpreted without CSE, so element-wise
+    # references into an inline expression would re-derive the whole
+    # transform per dimension (the quantize_embeddings lesson); then
+    # chain two LINEAR zip_with passes instead of element_at-over-
+    # sequence (which is O(dim²) index lookups per row)
+    base = corpus.select(F.col(id_col), _sq_fixed(F.col(vec_col)).alias("__xi"))
+    paired = F.zip_with(
+        F.col("__xi"), mn, lambda x, m: F.struct(x.alias("x"), m.alias("m"))
+    )
+    codes = F.zip_with(
+        paired,
+        mx,
+        lambda p, mxv: F.when(mxv == p["m"], F.lit(0).cast("long")).otherwise(
+            F.floor(((p["x"] - p["m"]) * 255) / (mxv - p["m"])).cast("long")
+        ),
+    )
+    return base.select(id_col, codes.alias("codes"))
+
+
+def sq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    mns: list[int],
+    mxs: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Asymmetric top-k over scalar-quantized codes: the query stays
+    exact (fixed-point), each corpus row dequantizes from its uint8
+    codes on the fly (dq_i = mn_i + ⌊code_i·(mx_i−mn_i)/255⌋) and
+    scores Σ(q_i − dq_i)² — all int64, so ranking is byte-exact on any
+    engine. The scan reads CODES (dim bytes/row), not float vectors —
+    the 4× bandwidth cut is the point of SQ at corpus scale; the
+    quantizer is two dim-length literals, no join for model access.
+    Queries broadcast (small side by contract, loudly capped)."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"sq_adc_topk: query side exceeds max_queries={max_queries} rows; "
+            "it is broadcast against the code table. Pass a smaller query "
+            "set (or raise max_queries deliberately)."
+        )
+    mn = F.lit(mns).cast("array<long>")
+    mx = F.lit(mxs).cast("array<long>")
+    # linear zip_with dequantization (see sq_encode on why not
+    # element_at-over-sequence)
+    paired = F.zip_with(
+        F.col("codes"), mn, lambda c, m: F.struct(c.alias("c"), m.alias("m"))
+    )
+    dq = F.zip_with(
+        paired,
+        mx,
+        lambda p, mxv: p["m"]
+        + F.floor((p["c"] * (mxv - p["m"])) / 255).cast("long"),
+    )
+    corpus = codes.select(F.col(id_col).alias("c_id"), dq.alias("__dq"))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), _sq_fixed(F.col(vec_col)).alias("__q")
+        )
+    )
+    scored = (
+        q.crossJoin(corpus)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.aggregate(
+                F.zip_with(F.col("__q"), F.col("__dq"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sqdist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sqdist").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sqdist", "rank")
+    )
+
+
+def sq_encode_np(
+    corpus: DataFrame,
+    mns: list[int],
+    mxs: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized twin of ``sq_encode`` (same split as ``pq_encode`` /
+    ``pq_encode_np``): whole-batch numpy integer quantization —
+    byte-identical to the expression path (int64 floor-div on
+    non-negative operands), pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    mn = np.asarray(mns, dtype=np.int64)
+    span = np.asarray(mxs, dtype=np.int64) - mn
+    safe = np.where(span == 0, 1, span)
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * SQ_FP
+            ).astype(np.int64)
+            codes = np.where(span == 0, 0, ((X - mn) * 255) // safe)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        enc, f"{id_col} long, codes array<long>"
+    )
+
+
+def sq_adc_topk_np(
+    codes: DataFrame,
+    queries: DataFrame,
+    mns: list[int],
+    mxs: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Vectorized twin of ``sq_adc_topk`` (the production kernel, same
+    split as ``brute_force_topk`` / ``brute_force_topk_np``): queries
+    collect to a fixed-point int64 matrix (small side by contract,
+    loudly capped) and each Arrow code batch dequantizes + scores with
+    whole-array numpy integer ops — dequantize is two broadcasts and a
+    floor-div over the batch, distances one squared-difference sum.
+    All arithmetic is int64 (floor-div operands non-negative), so the
+    result is BYTE-IDENTICAL to the expression path — pinned in tests.
+    Each batch emits only its local top-(k+1) per query (argpartition),
+    so the global rank input is partitions × queries × (k+1) rows at
+    any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col)).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"sq_adc_topk_np: query side exceeds max_queries={max_queries} "
+            "rows; it is collected to the driver and broadcast per task. "
+            "Pass a smaller query set (or raise max_queries deliberately)."
+        )
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.floor(
+        np.asarray([list(r[1]) for r in qrows], dtype=np.float64) * SQ_FP
+    ).astype(np.int64)
+    mn = np.asarray(mns, dtype=np.int64)
+    span = np.asarray(mxs, dtype=np.int64) - mn
+    kk = k + 1  # spare so dropping a self-pair can't cost a hit
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            dq = mn + (C * span) // 255
+            frames = []
+            for j in range(Q.shape[0]):
+                diff = Q[j] - dq
+                d = (diff * diff).sum(axis=1)
+                cand = np.nonzero(ids != q_ids[j])[0]
+                if cand.size == 0:
+                    continue
+                if cand.size > kk:
+                    cand = cand[np.argpartition(d[cand], kk - 1)[:kk]]
+                order = np.lexsort((ids[cand], d[cand]))
+                cand = cand[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(cand.size, q_ids[j]),
+                            "c_id": ids[cand],
+                            "sqdist": d[cand],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.select(F.col(id_col), F.col("codes")).mapInPandas(
+        score, "q_id long, c_id long, sqdist long"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sqdist").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sqdist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persistent IVF index (build once, query many)
 # ---------------------------------------------------------------------------
 

@@ -2785,6 +2785,155 @@ def q_gopher_quality_filters(spark, sf):
     )
 
 
+# Deterministic "pagify" adapter for the LINE-level operators: the
+# synthetic corpus is single-line token soup with no sentence
+# punctuation, so line/sentence rules would degenerate to constants.
+# Re-chunk each document into 8-token lines, terminating a line with
+# '.' unless (doc_id + line_index) % 3 == 0 — pure integer/array
+# arithmetic, replayed verbatim by the oracle, so the gate still
+# hashes byte-exact while every rule branch sees both outcomes.
+# (Unit tests additionally pin the operators on handcrafted web-like
+# multi-line fixtures — tests/test_text_pipeline.py.)
+
+
+def _pagify(docs, id_col="doc_id", text_col="text"):
+    """documents → pagified (id, text) frame. The token array is
+    materialized as a COLUMN first: higher-order functions are
+    interpreted without CSE, so an inline split referenced from the
+    per-chunk lambda would re-tokenize the document once per line."""
+    staged = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
+    nchunks = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nchunks - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.when((F.col(id_col) + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    return staged.select(F.col(id_col), F.array_join(lines, "\n").alias(text_col))
+
+
+_PAGIFY_CTE = r"""
+pg AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+             i -> array_to_string(toks[i*8+1 : i*8+8], ' ')
+                  || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+           chr(10)) AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents))
+"""
+
+
+def _c4_oracle() -> str:
+    bad = ", ".join(f"'{w}'" for w in TX.C4_SPAM_WORDS)
+    return r"""
+WITH __PAGIFY__,
+t AS (SELECT doc_id, text, lower(text) AS low,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM pg),
+k AS (SELECT doc_id, text, low, len(lines) AS n_lines,
+             list_filter(lines, l ->
+                 regexp_matches(rtrim(l), '[.!?"”]$')
+                 AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t),
+c AS (SELECT doc_id, text, low, n_lines, len(kept) AS n_kept_lines,
+             -- DuckDB's array_to_string([]) is NULL; Spark's
+             -- array_join([]) is '' — pin the Spark semantics
+             coalesce(array_to_string(kept, chr(10)), '') AS clean
+      FROM k),
+r AS (SELECT doc_id, n_lines, n_kept_lines, md5(clean) AS clean_md5,
+             (length(clean)
+              - length(regexp_replace(clean, '[.!?]', '', 'g'))) >= 3
+                                                       AS r_min_sentences,
+             NOT contains(low, 'lorem ipsum')          AS r_no_lorem,
+             NOT contains(text, '{')                   AS r_no_braces,
+             (NOT contains(low, 'terms of use')
+              AND NOT contains(low, 'privacy policy')
+              AND NOT contains(low, 'cookie policy')
+              AND NOT contains(low, 'uses cookies'))   AS r_no_policy,
+             len(list_intersect(
+                 list_distinct(list_transform(
+                     regexp_split_to_array(trim(low), '\s+'),
+                     t2 -> lower(t2))),
+                 [__BAD__])) = 0                        AS r_no_badwords
+      FROM c)
+SELECT doc_id, n_lines, n_kept_lines, clean_md5,
+       r_min_sentences, r_no_lorem, r_no_braces, r_no_policy,
+       r_no_badwords,
+       r_min_sentences AND r_no_lorem AND r_no_braces
+       AND r_no_policy AND r_no_badwords AS keep
+FROM r
+""".replace("__PAGIFY__", _PAGIFY_CTE.strip().rstrip()).replace("__BAD__", bad)
+
+
+@register("c4_quality_filters", _c4_oracle(), tags=("text", "curation"))
+def q_c4_quality_filters(spark, sf):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) per document —
+    the line filter (terminal punctuation + ≥5 words + no javascript)
+    with the page rebuilt from retained lines, plus the page-level
+    drop rules (3-sentence floor, lorem ipsum, curly brace, policy
+    boilerplate, token blocklist). One map-only projection over the
+    pagified corpus; every predicate is a boolean Catalyst expression
+    the oracle replays verbatim. 100 TB: embarrassingly parallel, no
+    shuffle, whole-stage codegen (operators/text.py c4_rules)."""
+    from hstream_spark.sources.tables import spread
+
+    paged = _pagify(spread(load_table(spark, sf, "documents")))
+    out = TX.c4_filter(paged)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines",
+        F.md5(F.col("clean")).alias("clean_md5"),
+        "r_min_sentences", "r_no_lorem", "r_no_braces",
+        "r_no_policy", "r_no_badwords", "keep",
+    )
+
+
+_LINE_DEDUP_ORACLE = r"""
+WITH __PAGIFY__,
+l0 AS (SELECT doc_id,
+              unnest(regexp_split_to_array(text, '\n')) AS line,
+              unnest(range(0, len(regexp_split_to_array(text, '\n')))) AS pos
+       FROM pg),
+l AS (SELECT * FROM l0 WHERE trim(line) <> ''),
+w AS (SELECT doc_id, pos, line FROM l
+      QUALIFY row_number() OVER (PARTITION BY md5(line)
+                                 ORDER BY doc_id, pos) = 1),
+b AS (SELECT doc_id, count(*) AS n_before FROM l GROUP BY doc_id),
+a AS (SELECT doc_id, count(*) AS n_after,
+             string_agg(line, chr(10) ORDER BY pos) AS clean
+      FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(b.n_before, 0) AS n_lines_before,
+       coalesce(a.n_after, 0) AS n_lines_after,
+       md5(coalesce(a.clean, '')) AS clean_md5
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN b USING (doc_id) LEFT JOIN a USING (doc_id)
+""".replace("__PAGIFY__", _PAGIFY_CTE.strip())
+
+
+@register("line_dedup", _LINE_DEDUP_ORACLE, tags=("dedup", "text"))
+def q_line_dedup(spark, sf):
+    """Cross-document line deduplication (C4 span-dedup / CCNet
+    paragraph-dedup shape): every line keeps its first occurrence
+    corpus-wide, documents rebuild from surviving lines — the filter
+    that kills crawl boilerplate document-level dedup never sees.
+    Two uniform-key shuffles (md5 line digest, then doc id); winner
+    selection is a map-side-combinable min-struct groupBy, not a
+    window (operators/dedup.py dedup_lines)."""
+    paged = _pagify(load_table(spark, sf, "documents"))
+    out = D.dedup_lines(paged)
+    return out.select(
+        "doc_id", "n_lines_before", "n_lines_after",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
 @register(
     "token_stats",
     f"""
@@ -4944,6 +5093,65 @@ def q_ann_pq_topk(spark, sf):
     )
     queries = emb.where(F.col("vec_id") < 3)
     return pq_adc_topk(codes, queries, books, k=10)
+
+
+def _sq_oracle(k: int = 10, fp: int = 1 << 20) -> str:
+    return f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * {fp}) AS BIGINT)) AS xi
+           FROM embeddings),
+d AS (SELECT unnest(xi) AS x, unnest(range(1, len(xi) + 1)) AS dim FROM v),
+mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+ml AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM mm),
+c AS (SELECT vec_id, len(xi) AS nd,
+             list_transform(range(1, len(xi) + 1),
+                 i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                           ELSE ((xi[i] - mns[i]) * 255) // (mxs[i] - mns[i])
+                      END) AS code
+      FROM v, ml),
+dq AS (SELECT vec_id,
+              list_transform(range(1, nd + 1),
+                  i -> mns[i] + (code[i] * (mxs[i] - mns[i])) // 255) AS dqv
+       FROM c, ml),
+q AS (SELECT vec_id AS q_id, xi AS qv FROM v WHERE vec_id < 3),
+scored AS (SELECT q.q_id, dq.vec_id AS c_id,
+                  CAST(list_sum(list_transform(list_zip(qv, dqv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqdist
+           FROM q, dq WHERE q.q_id <> dq.vec_id),
+ranked AS (SELECT q_id, c_id, sqdist,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sqdist ASC, c_id ASC) AS rank
+           FROM scored)
+SELECT q_id, c_id, sqdist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ann_sq_topk", _sq_oracle(), tags=("similarity", "sq", "ann"))
+def q_ann_sq_topk(spark, sf):
+    """Asymmetric top-10 over per-dimension affine uint8 SCALAR
+    quantization for 3 query vectors — the FAISS-style SQ8 scan shape:
+    codes (dim bytes/row) are the stored representation, the quantizer
+    is two dim-length literals, queries stay exact. Complements
+    ``embedding_quantize`` (per-vector symmetric int8 for storage) and
+    ``ann_pq_topk`` (sub-vector codebooks): SQ trades PQ's 64×
+    compression for table-free decode at 4×. All arithmetic is int64
+    2^-20 fixed point, so the oracle replays train→encode→dequantize→
+    score byte-exactly. The catalog entry runs the vectorized Arrow
+    kernels (sq_encode_np/sq_adc_topk_np — whole-batch numpy int64);
+    the Catalyst expression path (sq_encode/sq_adc_topk) is pinned
+    byte-identical in tests/test_similarity.py."""
+    from hstream_spark.operators.similarity import (
+        sq_adc_topk_np,
+        sq_encode_np,
+        sq_train,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    mns, mxs = sq_train(emb)
+    codes = sq_encode_np(emb, mns, mxs)
+    queries = emb.where(F.col("vec_id") < 3)
+    return sq_adc_topk_np(codes, queries, mns, mxs, k=10)
 
 
 # ---------------------------------------------------------------------------

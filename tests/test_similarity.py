@@ -692,3 +692,109 @@ class TestLogisticProbe:
         )
         with _pytest.raises(ValueError, match="dim\\+1"):
             SIM.logistic_probe_fit(emb, F.col("y"), dim=8, init=[0.0] * 3)
+
+
+class TestScalarQuantization:
+    def _corpus(self, spark, dim=4):
+        rows = [
+            (0, [0.0, 1.0, -1.0, 0.5]),
+            (1, [0.1, 0.9, -0.8, 0.4]),
+            (2, [-1.0, -1.0, 1.0, -0.5]),
+            (3, [0.0, 1.0, -1.0, 0.5]),     # exact duplicate of 0
+            (4, [0.5, 0.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_encode_codes_in_range_and_monotone(self, spark):
+        from hstream_spark.operators.similarity import sq_encode, sq_train
+
+        emb = self._corpus(spark)
+        mns, mxs = sq_train(emb)
+        assert len(mns) == 4 and all(m <= x for m, x in zip(mns, mxs))
+        codes = {r["vec_id"]: r["codes"] for r in sq_encode(emb, mns, mxs).collect()}
+        for cs in codes.values():
+            assert all(0 <= c <= 255 for c in cs)
+        # the per-dim min encodes 0 and the max encodes 255
+        assert codes[2][0] == 0 and codes[0][1] == 255
+        # dim ordering preserved: doc 4 is mid-range on dim 0
+        assert 0 < codes[4][0] <= 255
+
+    def test_adc_topk_finds_exact_duplicate_first(self, spark):
+        from hstream_spark.operators.similarity import (
+            sq_adc_topk,
+            sq_encode,
+            sq_train,
+        )
+        from pyspark.sql import functions as F
+
+        emb = self._corpus(spark)
+        mns, mxs = sq_train(emb)
+        codes = sq_encode(emb, mns, mxs)
+        queries = emb.where(F.col("vec_id") == 0)
+        out = sq_adc_topk(codes, queries, mns, mxs, k=3).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        # vec 3 is byte-identical to the query — it must rank first,
+        # and closer than any non-identical vector
+        assert out[0]["c_id"] == 3
+        assert out[0]["sqdist"] < out[1]["sqdist"]
+        assert all(r["sqdist"] >= 0 for r in out)
+
+    def test_adc_topk_query_cap_raises(self, spark):
+        from hstream_spark.operators.similarity import (
+            sq_adc_topk,
+            sq_encode,
+            sq_train,
+        )
+
+        emb = self._corpus(spark)
+        mns, mxs = sq_train(emb)
+        codes = sq_encode(emb, mns, mxs)
+        import pytest
+
+        with pytest.raises(ValueError, match="max_queries"):
+            sq_adc_topk(codes, emb, mns, mxs, k=1, max_queries=2)
+
+    def test_constant_dimension_encodes_zero(self, spark):
+        from hstream_spark.operators.similarity import sq_encode, sq_train
+
+        emb = spark.createDataFrame(
+            [(0, [0.5, 1.0]), (1, [0.5, -1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        mns, mxs = sq_train(emb)
+        assert mns[0] == mxs[0]
+        codes = {r["vec_id"]: r["codes"] for r in sq_encode(emb, mns, mxs).collect()}
+        assert codes[0][0] == 0 and codes[1][0] == 0
+
+    def test_np_kernels_match_expression_path(self, spark):
+        """The catalog entry runs the Arrow/numpy kernels; the Catalyst
+        expression path must agree byte-exactly (all-int64 pipeline)."""
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators.similarity import (
+            sq_adc_topk,
+            sq_adc_topk_np,
+            sq_encode,
+            sq_encode_np,
+            sq_train,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        mns, mxs = sq_train(emb)
+        c_expr = {r["vec_id"]: list(r["codes"])
+                  for r in sq_encode(emb, mns, mxs).collect()}
+        c_np = {r["vec_id"]: list(r["codes"])
+                for r in sq_encode_np(emb, mns, mxs).collect()}
+        assert c_expr == c_np
+        q = emb.where(F.col("vec_id") < 3)
+        t_expr = sorted(
+            tuple(r) for r in
+            sq_adc_topk(sq_encode(emb, mns, mxs), q, mns, mxs, k=10).collect()
+        )
+        t_np = sorted(
+            tuple(r) for r in
+            sq_adc_topk_np(sq_encode_np(emb, mns, mxs), q, mns, mxs, k=10).collect()
+        )
+        assert t_expr == t_np

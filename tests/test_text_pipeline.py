@@ -1142,3 +1142,103 @@ class TestCappedMinhashLSH:
         assert hot.select("component").distinct().count() == 1
         # and the distinct docs never entered it
         assert comps.filter(F.col("doc_id") >= 1000).count() == 0
+
+
+def test_c4_rules_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.text import c4_rules
+
+    good3 = (
+        "One fine long sentence ends right here now.\n"
+        "Two fine long sentence ends right here now!\n"
+        "Three fine long sentence ends right here now?"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good3),                                    # passes everything
+            (2, good3 + "\nno terminal punctuation here"), # line dropped
+            (3, good3 + "\nTiny line."),                   # <5 words dropped
+            (4, good3 + "\nEnable javascript to continue reading this."),
+            (5, "Only one fine sentence ends here now."),  # <3 sentences
+            (6, good3 + "\nSome lorem ipsum filler shows up here."),
+            (7, good3 + "\nA code block { appears } in this one."),
+            (8, good3 + "\nSee our privacy policy for more details."),
+            (9, good3 + "\nBuy cheap viagra pills online right now."),
+        ],
+        "doc_id long, text string",
+    )
+    r = c4_rules(F.col("text"))
+    rows = {
+        row["doc_id"]: row
+        for row in docs.select("doc_id", *[r[k].alias(k) for k in r]).collect()
+    }
+    assert rows[1]["keep"] is True and rows[1]["n_kept_lines"] == 3
+    # the three LINE rules drop the offending line but keep the page
+    assert rows[2]["n_kept_lines"] == 3 and rows[2]["keep"] is True
+    assert rows[3]["n_kept_lines"] == 3
+    assert rows[4]["n_kept_lines"] == 3
+    assert "javascript" not in rows[4]["clean"]
+    # the PAGE rules each flip exactly their own boolean
+    assert rows[5]["r_min_sentences"] is False and rows[5]["keep"] is False
+    assert rows[6]["r_no_lorem"] is False and rows[6]["keep"] is False
+    assert rows[7]["r_no_braces"] is False and rows[7]["keep"] is False
+    assert rows[8]["r_no_policy"] is False and rows[8]["keep"] is False
+    assert rows[9]["r_no_badwords"] is False and rows[9]["keep"] is False
+    # boundary: exactly 3 sentences passes the floor
+    assert rows[1]["r_min_sentences"] is True
+
+
+def test_c4_rules_optional_terminal_punct(spark):
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.text import c4_rules
+
+    docs = spark.createDataFrame(
+        [(1, "five plain words without punctuation\nshort one")],
+        "doc_id long, text string",
+    )
+    strict = c4_rules(F.col("text"))
+    loose = c4_rules(F.col("text"), require_terminal_punct=False)
+    row_s, row_l = (
+        docs.select(
+            strict["n_kept_lines"].alias("s"), loose["n_kept_lines"].alias("l")
+        ).collect()
+    )[0].asDict().values()
+    assert row_s == 0      # no line ends in terminal punctuation
+    assert row_l == 1      # ≥5-word line survives without the punct rule
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from hstream_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon footer line\nunique one"),
+            (2, "common footer line\nunique two\n\nalpha beta"),
+            (3, "only mine\nonly mine"),  # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    # doc 1 owns both shared lines (lowest doc_id)
+    assert rows[1]["clean_text"] == "alpha beta\ncommon footer line\nunique one"
+    # doc 2 loses both shared lines; blank line dropped as normalization
+    assert rows[2]["clean_text"] == "unique two"
+    assert rows[2]["n_lines_before"] == 3 and rows[2]["n_lines_after"] == 1
+    # within-doc repeat keeps only the first occurrence
+    assert rows[3]["clean_text"] == "only mine"
+    assert rows[3]["n_lines_after"] == 1
+
+
+def test_dedup_lines_total_loss_yields_empty_doc(spark):
+    from hstream_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "the same line"), (2, "the same line")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert rows[1]["clean_text"] == "the same line"
+    assert rows[2]["clean_text"] == "" and rows[2]["n_lines_after"] == 0
+    assert rows[2]["n_lines_before"] == 1
