@@ -861,6 +861,27 @@ class HStreamEngine:
             # touched group per trigger — re-deduplicating would add a
             # whole shuffle to every trigger for nothing
             batch = batch_df
+        if vi.retention_secs is not None and vi.we_high_water is not None:
+            # write-time retention filter: rows whose window closed
+            # beyond the horizon never ENTER state. Without this, an
+            # epoch replay after a crash between the compaction's
+            # pointer swap and its cleanup re-appends the batch as a
+            # delta on the NEW generation and resurrects windows the
+            # fold just expired — replay would no longer converge to
+            # the crash-free result (found by the randomized
+            # retention state machine in test_view_state_properties).
+            # State rows still expire only at the fold; this filter
+            # only bounds what a trigger can add, at driver-variable
+            # cost (no extra job — one predicate on the batch).
+            import datetime as _dt
+
+            cutoff = vi.we_high_water - _dt.timedelta(
+                seconds=vi.retention_secs
+            )
+            batch = batch.filter(
+                F.col("window_end").isNull()
+                | (F.col("window_end") >= F.lit(cutoff))
+            )
         ptr = os.path.join(vi.state_dir, "CURRENT")
 
         def swap_current(v: int) -> None:
@@ -888,25 +909,11 @@ class HStreamEngine:
                 with open(ptr) as f:
                     cur_v = int(f.read().strip())
             nxt = cur_v + 1
-            if vi.retention_secs is not None and vi.we_high_water is not None:
-                # complete mode re-emits every group each trigger, so
-                # expired windows are filtered at write (the previous
-                # trigger's high-water mark — one-trigger lag is within
-                # the retention granularity contract)
-                import datetime as _dt
-
-                cutoff = vi.we_high_water - _dt.timedelta(
-                    seconds=vi.retention_secs
-                )
-                batch = batch.filter(
-                    F.col("window_end").isNull()
-                    | (F.col("window_end") >= F.lit(cutoff))
-                )
+            # retention for complete mode (full re-emit per trigger) is
+            # the shared write-time filter above — one-trigger lag is
+            # within the retention granularity contract
             batch.write.mode("overwrite").parquet(
                 os.path.join(vi.state_dir, f"v{nxt}")
-            )
-            HStreamEngine._advance_high_water(
-                vi, os.path.join(vi.state_dir, f"v{nxt}")
             )
             if vi.complete_max_rows is not None:
                 rows = written_rows(os.path.join(vi.state_dir, f"v{nxt}"))
@@ -935,6 +942,13 @@ class HStreamEngine:
                     )
                     raise RuntimeError(msg)
             swap_current(nxt)
+            # high-water advances only AFTER the swap: a crash between
+            # write and swap must not leave a phantom mark from a
+            # generation no reader ever saw (the replay's write-time
+            # retention filter would drop live rows against it)
+            HStreamEngine._advance_high_water(
+                vi, os.path.join(vi.state_dir, f"v{nxt}")
+            )
             HStreamEngine._rm_generation(vi.state_dir, nxt - 2)
             return
         # keyed latest-wins (and keyless ≤1-row) views: append the
@@ -969,9 +983,14 @@ class HStreamEngine:
             os.rename(tmp_dir, dst)
             vi.delta_rows_cache.clear()
             vi.delta_rows_cache["v0"] = rows
-            HStreamEngine._advance_high_water(vi, dst)
             _fault("first-base-renamed")  # v0 on disk, CURRENT absent
             swap_current(0)
+            # AFTER the swap: a crash while v0 was renamed-but-
+            # uncommitted must not advance the mark (the replay's
+            # write-time retention filter would silently drop the
+            # same batch's oldest windows against a horizon no reader
+            # ever observed — found by the retention state machine)
+            HStreamEngine._advance_high_water(vi, dst)
             return
         k = (ks[-1] if ks else 0) + 1
         tmp_dir = os.path.join(vi.state_dir, f".tmp_v{base}_d{k}")

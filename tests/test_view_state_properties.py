@@ -245,3 +245,76 @@ def spark_prop():
     from hstream_spark import get_spark
 
     return get_spark("hstream_spark-tests")
+
+
+_retention_ops = st.lists(
+    st.tuples(
+        st.dictionaries(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 5)),
+            st.integers(0, 99),
+            min_size=1, max_size=4,
+        ),
+        st.sampled_from(FAULT_POINTS),
+    ),
+    min_size=3, max_size=7,
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(ops=_retention_ops)
+def test_windowed_retention_matches_sequential_oracle(spark_prop, ops):
+    """WITH (DURATION …) windowed views, two-rule retention contract:
+
+    - WRITE: an incoming row whose window closed beyond the horizon
+      (pre-batch high-water mark − retention) never enters state —
+      without this an epoch replay after a crash between a fold's
+      pointer swap and its cleanup resurrects just-expired windows
+      onto the new generation (this state machine FOUND that bug).
+    - FOLD: state rows expire only at a generation advance, against
+      the post-batch high-water mark; between folds expired-but-
+      unfolded windows MUST still read back (retention is a state
+      bound, not a query filter).
+
+    The oracle is sequential latest-wins plus those two rules applied
+    at exactly the engine's observed fold points. Crash/replay
+    interleavings ride the same fault points as the other machines."""
+    import datetime as dt
+
+    from hstream_spark.streaming.runtime import HStreamEngine
+
+    epoch = dt.datetime(2026, 1, 1)
+    retention = 30.0
+    vi = _mk_vi("ret", "k string, window_end timestamp, n long",
+                ("k", "window_end"), retention_secs=retention)
+    oracle: dict[tuple, int] = {}
+    hw = None
+    for batch, fault in ops:
+        rows = [(k, epoch + dt.timedelta(seconds=20 * w), n)
+                for (k, w), n in batch.items()]
+        bdf = spark_prop.createDataFrame(
+            rows, "k string, window_end timestamp, n long"
+        )
+        base_before = HStreamEngine._view_layout(vi.state_dir)[0]
+        _apply_with_faults(spark_prop, vi, bdf, fault)
+        base_after = HStreamEngine._view_layout(vi.state_dir)[0]
+        # WRITE rule: pre-batch high-water gates what the batch may add
+        write_cut = (hw - dt.timedelta(seconds=retention)
+                     if hw is not None else None)
+        for (k, w), n in batch.items():
+            we = epoch + dt.timedelta(seconds=20 * w)
+            if write_cut is not None and we < write_cut:
+                continue
+            oracle[(k, we)] = n
+            if hw is None or we > hw:
+                hw = we
+        # FOLD rule: a fold is a GENERATION advance (v{n} → v{n+1});
+        # the initial base write (None → v0) is not a fold. Expiry
+        # uses the post-batch high-water mark (it advanced at the
+        # delta write, before the fold ran).
+        if (base_before is not None and base_after is not None
+                and base_after > base_before):
+            cutoff = hw - dt.timedelta(seconds=retention)
+            oracle = {kk: v for kk, v in oracle.items() if kk[1] >= cutoff}
+        got = {(r["k"], r["window_end"]): r["n"] for r in
+               HStreamEngine._view_state_frame(spark_prop, vi).collect()}
+        assert got == oracle, (batch, fault, base_before, base_after)
