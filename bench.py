@@ -109,6 +109,8 @@ HEADLINE = [
     "bpe_subword_tokenize",
     "quality_classifier",
     "gopher_quality_filters",
+    "gopher_repetition_filters",
+    "fineweb_quality_filters",
     "c4_quality_filters",
     "line_dedup",
     "dedup_passage_removal",

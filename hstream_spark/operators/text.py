@@ -355,6 +355,241 @@ def c4_filter(
     )
 
 
+def fineweb_filter(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """FineWeb custom filters (Penedo et al. 2024, §3.6 — the third
+    canonical public suite next to C4's and Gopher's; these three
+    heuristics removed ~22% of tokens and drove FineWeb past RefinedWeb
+    in their ablations). Over the document's non-empty lines:
+
+    - ``r_punct_lines``: ≥ 12% of lines end in terminal punctuation
+      (the C4-derived signal, applied as a fraction gate not a cut);
+    - ``r_dup_line_char``: ≤ 10% of line characters sit in duplicate
+      occurrences of a line (stricter than Gopher's 20%);
+    - ``r_short_lines``: ≤ 67% of lines are shorter than 30 chars.
+
+    Entirely map-only: the duplicate-char account folds over the
+    SORTED line array in one pass (equal neighbours = repeats), so no
+    explode and no shuffle — at 100 TB each document scores inside its
+    scan task. Integer cross-multiplication thresholds; byte-exact
+    oracle replay. Emits (id, n_lines, r_*, keep)."""
+    text = F.col(text_col)
+    s1 = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(text, r"\n"), lambda ln: F.trim(ln) != ""
+        ).alias("__lines"),
+    )
+    lines = F.col("__lines")
+    nl = F.size(lines)
+    end_punct = F.size(F.filter(lines, lambda ln: F.rtrim(ln).rlike(_C4_TERMINAL)))
+    short = F.size(F.filter(lines, lambda ln: F.length(ln) < 30))
+    lchars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["dup"] + F.length(x))
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        ),
+    )["dup"]
+    s2 = s1.select(
+        id_col,
+        nl.cast("long").alias("n_lines"),
+        (end_punct * 100 >= nl * 12).alias("r_punct_lines"),
+        (dup_chars * 10 <= lchars).alias("r_dup_line_char"),
+        (short * 100 <= nl * 67).alias("r_short_lines"),
+    )
+    return s2.select(
+        "*",
+        (
+            F.col("r_punct_lines")
+            & F.col("r_dup_line_char")
+            & F.col("r_short_lines")
+        ).alias("keep"),
+    )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, appendix A1 — the
+# repetition half of the A1.1 quality suite): max allowed share, in
+# integer percent so every rule compiles to cross-multiplication.
+GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+GOPHER_DUP_LINE_PCT = 30
+GOPHER_DUP_LINE_CHAR_PCT = 20
+
+
+def gopher_repetition(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> "DataFrame":
+    """Gopher repetition filters (Rae et al. 2021 appendix A1 — the
+    repetition table that complements ``gopher_rules``' heuristics):
+
+    - duplicate LINE fraction ≤ 30% and duplicate-line CHAR fraction
+      ≤ 20% (occurrences beyond a line's first, within the document);
+    - TOP n-gram char share for n∈top_ns (2→20%, 3→18%, 4→16%):
+      count(most frequent n-gram) × its token-chars over the doc's
+      total token-chars — ties break to the lexicographically smallest
+      gram so the pick is engine-deterministic;
+    - DUPLICATED n-gram char coverage for n∈dup_ns (5→15% … 10→10%):
+      token-chars under the UNION of positions covered by any n-gram
+      occurring ≥2 times (overlaps counted once — the union matters:
+      degenerate text is exactly where occurrences overlap).
+
+    Char totals are token characters (whitespace excluded) so every
+    numerator/denominator is an integer and each rule hashes byte-exact
+    against the oracle's replay.
+
+    Scale shape: one branch per rule family, each explode → groupBy
+    keyed by (doc, gram) / (doc, position) — uniform keys, map-side
+    combinable, linear in corpus size — then a doc-keyed join of the
+    tiny per-doc aggregates. The tokenized frame is built ONCE and
+    persisted (StorageLevel default) before the branches fan out:
+    tokenize/pagify are interpreted higher-order expressions, and
+    re-deriving them per branch multiplied the whole scan cost by the
+    branch count (measured ~2× end-to-end). The in-array single-pass
+    form (``repetition_signals``) stays the cheap count-based signal;
+    this is the full char-accounting suite.
+    """
+    text = F.col(text_col)
+    did = F.col(id_col)
+
+    base = docs.select(
+        did,
+        tokens(text).alias("__tk"),
+        F.split(text, r"\n").alias("__lines"),
+    ).persist()
+    tk = F.col("__tk")
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ids = base.select(did).distinct()
+    tot = base.select(
+        did,
+        F.aggregate(
+            F.transform(tk, F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("tchars"),
+    )
+
+    lines = base.select(
+        did, F.explode(F.col("__lines")).alias("__line")
+    ).where(F.trim(F.col("__line")) != "")
+    lg = lines.groupBy(id_col, "__line").agg(F.count("*").alias("c"))
+    la = lg.select(
+        did, F.col("c"), F.length(F.col("__line")).alias("l")
+    ).groupBy(id_col).agg(
+        F.sum("c").alias("nl"),
+        F.sum(F.col("c") - 1).alias("dup_lines"),
+        F.sum(F.col("c") * F.col("l")).alias("lchars"),
+        F.sum((F.col("c") - 1) * F.col("l")).alias("dup_lchars"),
+    )
+
+    out = ids.join(tot, id_col, "left").join(la, id_col, "left")
+
+    for n in top_ns:
+        gc = (
+            base.select(did, F.explode(_grams(n)).alias("__g"))
+            .groupBy(id_col, "__g")
+            .agg(F.count("*").alias("c"))
+        )
+        top = gc.groupBy(id_col).agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("__g").alias("g"))
+            ).alias("__t")
+        ).select(
+            did,
+            (
+                (-F.col("__t")["nc"])
+                * (F.length(F.col("__t")["g"]) - F.lit(n - 1))
+            ).alias(f"top{n}_chars"),
+        )
+        out = out.join(top, id_col, "left")
+
+    lens = base.select(
+        did, F.posexplode(tk).alias("__p", "__tok")
+    ).select(did, F.col("__p"), F.length("__tok").alias("l"))
+    for n in dup_ns:
+        gp = base.select(
+            did, F.posexplode(_grams(n)).alias("__i", "__g")
+        )
+        dup_keys = (
+            gp.groupBy(id_col, "__g")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2)
+            .select(id_col, "__g")
+        )
+        cover = (
+            gp.join(dup_keys, [id_col, "__g"])
+            .select(
+                did,
+                F.explode(
+                    F.sequence(F.col("__i"), F.col("__i") + F.lit(n - 1))
+                ).alias("__p"),
+            )
+            .distinct()
+        )
+        covch = cover.join(lens, [id_col, "__p"]).groupBy(id_col).agg(
+            F.sum("l").alias(f"dup{n}_chars")
+        )
+        out = out.join(covch, id_col, "left")
+
+    z = F.lit(0).cast("long")
+    nl = F.coalesce(F.col("nl"), z)
+    dup_lines = F.coalesce(F.col("dup_lines"), z)
+    lchars = F.coalesce(F.col("lchars"), z)
+    dup_lchars = F.coalesce(F.col("dup_lchars"), z)
+    tchars = F.coalesce(F.col("tchars"), z)
+    cols = [
+        did,
+        nl.alias("n_lines"),
+        tchars.alias("token_chars"),
+        (dup_lines * 100 <= nl * GOPHER_DUP_LINE_PCT).alias("r_dup_line"),
+        (dup_lchars * 100 <= lchars * GOPHER_DUP_LINE_CHAR_PCT).alias(
+            "r_dup_line_char"
+        ),
+    ]
+    rule_names = ["r_dup_line", "r_dup_line_char"]
+    for n in top_ns:
+        c = F.coalesce(F.col(f"top{n}_chars"), z)
+        cols.append(
+            (c * 100 <= tchars * GOPHER_TOP_NGRAM_PCT[n]).alias(f"r_top{n}")
+        )
+        rule_names.append(f"r_top{n}")
+    for n in dup_ns:
+        c = F.coalesce(F.col(f"dup{n}_chars"), z)
+        cols.append(
+            (c * 100 <= tchars * GOPHER_DUP_NGRAM_PCT[n]).alias(f"r_dup{n}")
+        )
+        rule_names.append(f"r_dup{n}")
+    res = out.select(*cols)
+    keep = _reduce(lambda a, r: a & F.col(r), rule_names[1:], F.col(rule_names[0]))
+    return res.select("*", keep.alias("keep"))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-token counts (the n-gram heuristic's evidence)."""
     toks = tokens(F.lower(text))

@@ -2894,6 +2894,140 @@ def q_c4_quality_filters(spark, sf):
     )
 
 
+_FINEWEB_ORACLE = r"""
+WITH __PAGIFY__,
+lv AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS line
+       FROM pg),
+lnz AS (SELECT doc_id, line FROM lv WHERE trim(line) <> ''),
+lg AS (SELECT doc_id, line, count(*) AS c FROM lnz GROUP BY doc_id, line),
+la AS (SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS nl,
+              CAST(sum(CASE WHEN regexp_matches(rtrim(line), '[.!?"”]$')
+                            THEN c ELSE 0 END) AS BIGINT) AS endp,
+              CAST(sum(CASE WHEN length(line) < 30 THEN c ELSE 0 END)
+                   AS BIGINT) AS short,
+              CAST(sum(c * length(line)) AS BIGINT) AS lchars,
+              CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_chars
+       FROM lg GROUP BY doc_id),
+r AS (SELECT d.doc_id,
+             coalesce(nl, 0) AS n_lines,
+             coalesce(endp, 0) * 100 >= coalesce(nl, 0) * 12
+                 AS r_punct_lines,
+             coalesce(dup_chars, 0) * 10 <= coalesce(lchars, 0)
+                 AS r_dup_line_char,
+             coalesce(short, 0) * 100 <= coalesce(nl, 0) * 67
+                 AS r_short_lines
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN la USING (doc_id))
+SELECT doc_id, n_lines, r_punct_lines, r_dup_line_char, r_short_lines,
+       r_punct_lines AND r_dup_line_char AND r_short_lines AS keep
+FROM r
+""".replace("__PAGIFY__", _PAGIFY_CTE.strip())
+
+
+@register("fineweb_quality_filters", _FINEWEB_ORACLE, tags=("text", "curation"))
+def q_fineweb_quality_filters(spark, sf):
+    """FineWeb custom filters (Penedo et al. 2024 §3.6) — terminal-
+    punctuation line fraction ≥12%, duplicated-line char fraction ≤10%,
+    short-line (<30 chars) fraction ≤67% — completing the trio of
+    canonical public heuristic suites (C4, Gopher, FineWeb) as
+    first-class catalog entries. Entirely map-only: the duplicate-char
+    account folds over the sorted line array in one pass, no shuffle
+    (operators/text.py fineweb_filter); the relational GROUP BY in the
+    oracle computes the identical Σ(count−1)·len."""
+    from hstream_spark.sources.tables import spread
+
+    paged = _pagify(spread(load_table(spark, sf, "documents")))
+    return TX.fineweb_filter(paged)
+
+
+def _gopher_rep_oracle(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> str:
+    parts = [
+        "WITH " + _PAGIFY_CTE.strip(),
+        r"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, text FROM pg),
+tot AS (SELECT doc_id, list_sum(list_transform(tk, t -> length(t))) AS tchars FROM toks),
+lv AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS line FROM pg),
+lnz AS (SELECT doc_id, line FROM lv WHERE trim(line) <> ''),
+lg AS (SELECT doc_id, line, count(*) AS c FROM lnz GROUP BY doc_id, line),
+la AS (SELECT doc_id, sum(c) AS nl, sum(c - 1) AS dup_lines,
+              sum(c * length(line)) AS lchars,
+              sum((c - 1) * length(line)) AS dup_lchars
+       FROM lg GROUP BY doc_id),
+lens AS (SELECT doc_id, unnest(range(0, len(tk))) AS p,
+                unnest(list_transform(tk, t -> length(t))) AS l
+         FROM toks)""",
+    ]
+    grams = (
+        "list_transform(range(1, greatest(len(tk) - {n} + 2, 1)),"
+        " i -> array_to_string(tk[i:i + {n} - 1], ' '))"
+    )
+    for n in top_ns:
+        parts.append(f"""g{n} AS (SELECT doc_id, unnest({grams.format(n=n)}) AS g FROM toks),
+gc{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+top{n} AS (SELECT doc_id, c * (length(g) - {n - 1}) AS top{n}_chars FROM gc{n}
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g ASC) = 1)""")
+    for n in dup_ns:
+        parts.append(f"""gp{n} AS (SELECT doc_id, unnest({grams.format(n=n)}) AS g,
+                 unnest(range(0, greatest(len(tk) - {n} + 1, 0))) AS i
+          FROM toks),
+dk{n} AS (SELECT doc_id, g FROM gp{n} GROUP BY doc_id, g HAVING count(*) >= 2),
+cov{n} AS (SELECT DISTINCT doc_id, p FROM
+            (SELECT gp{n}.doc_id, unnest(range(i, i + {n})) AS p
+             FROM gp{n} JOIN dk{n} USING (doc_id, g))),
+cc{n} AS (SELECT doc_id, sum(l) AS dup{n}_chars
+          FROM cov{n} JOIN lens USING (doc_id, p) GROUP BY doc_id)""")
+    sel = ["""SELECT d.doc_id,
+       CAST(coalesce(nl, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(tchars, 0) AS BIGINT) AS token_chars,
+       coalesce(dup_lines, 0) * 100 <= coalesce(nl, 0) * 30 AS r_dup_line,
+       coalesce(dup_lchars, 0) * 100 <= coalesce(lchars, 0) * 20
+           AS r_dup_line_char"""]
+    rules = ["r_dup_line", "r_dup_line_char"]
+    for n in top_ns:
+        pct = TX.GOPHER_TOP_NGRAM_PCT[n]
+        sel.append(f"coalesce(top{n}_chars, 0) * 100 <= "
+                   f"coalesce(tchars, 0) * {pct} AS r_top{n}")
+        rules.append(f"r_top{n}")
+    for n in dup_ns:
+        pct = TX.GOPHER_DUP_NGRAM_PCT[n]
+        sel.append(f"coalesce(dup{n}_chars, 0) * 100 <= "
+                   f"coalesce(tchars, 0) * {pct} AS r_dup{n}")
+        rules.append(f"r_dup{n}")
+    keep_exprs = []
+    keep_exprs.append("coalesce(dup_lines, 0) * 100 <= coalesce(nl, 0) * 30")
+    keep_exprs.append(
+        "coalesce(dup_lchars, 0) * 100 <= coalesce(lchars, 0) * 20")
+    for n in top_ns:
+        keep_exprs.append(f"coalesce(top{n}_chars, 0) * 100 <= "
+                          f"coalesce(tchars, 0) * {TX.GOPHER_TOP_NGRAM_PCT[n]}")
+    for n in dup_ns:
+        keep_exprs.append(f"coalesce(dup{n}_chars, 0) * 100 <= "
+                          f"coalesce(tchars, 0) * {TX.GOPHER_DUP_NGRAM_PCT[n]}")
+    joins = ["(SELECT doc_id FROM documents) d",
+             "LEFT JOIN tot USING (doc_id)", "LEFT JOIN la USING (doc_id)"]
+    joins += [f"LEFT JOIN top{n} USING (doc_id)" for n in top_ns]
+    joins += [f"LEFT JOIN cc{n} USING (doc_id)" for n in dup_ns]
+    return (",\n".join(parts) + "\n" + ",\n       ".join(sel)
+            + ",\n       " + "(" + ") AND (".join(keep_exprs) + ") AS keep"
+            + "\nFROM " + "\n     ".join(joins))
+
+
+@register("gopher_repetition_filters", _gopher_rep_oracle(),
+          tags=("text", "curation"))
+def q_gopher_repetition_filters(spark, sf):
+    """Gopher REPETITION filters (Rae et al. 2021 appendix A1 — the
+    repetition table, completing the A1.1 suite next to
+    gopher_quality_filters): duplicate-line fraction/char-fraction,
+    top-{2,3,4}-gram char share (deterministic tie-break), and
+    duplicated-{5,10}-gram char coverage with overlap-union accounting.
+    Per-rule branches are explode → groupBy on uniform (doc, gram) /
+    (doc, position) keys — linear, map-side combinable — joined on
+    doc id; integer cross-multiplication thresholds hash byte-exact
+    (operators/text.py gopher_repetition)."""
+    paged = _pagify(load_table(spark, sf, "documents"))
+    return TX.gopher_repetition(paged)
+
+
 _LINE_DEDUP_ORACLE = r"""
 WITH __PAGIFY__,
 l0 AS (SELECT doc_id,

@@ -1242,3 +1242,100 @@ def test_dedup_lines_total_loss_yields_empty_doc(spark):
     assert rows[1]["clean_text"] == "the same line"
     assert rows[2]["clean_text"] == "" and rows[2]["n_lines_after"] == 0
     assert rows[2]["n_lines_before"] == 1
+
+
+def test_gopher_repetition_line_rules(spark):
+    from hstream_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # 5 lines, "menu" ×4 → dup occurrences beyond first = 3;
+            # 3/5 = 60% > 30% → fail; chars: menu=4, dup chars 12 of
+            # (16 + 19) = 35 → 34% > 20% → fail
+            (1, "menu\nmenu\nmenu\nmenu\nactual content line"),
+            # 4 distinct lines → 0 dups → both line rules pass
+            (2, "alpha one\nbeta two\ngamma three\ndelta four"),
+            # exactly at the 30% boundary: 10 lines, dup=3 (x ×4)
+            # 3*100 <= 10*30 → pass
+            (3, "\n".join(["x"] * 4 + ["u1", "u2", "u3", "u4", "u5", "u6"])),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert rows[1]["r_dup_line"] is False
+    assert rows[1]["r_dup_line_char"] is False
+    assert rows[2]["r_dup_line"] is True and rows[2]["r_dup_line_char"] is True
+    assert rows[3]["r_dup_line"] is True  # boundary inclusive
+
+
+def test_gopher_repetition_top_and_dup_ngrams(spark):
+    from hstream_spark.operators.text import gopher_repetition
+
+    # doc 1: "buy now" bigram dominates — top-2 char share ≈ 100% > 20%
+    # doc 2: long varied text — every rule passes
+    varied = " ".join(f"w{i:03d}" for i in range(120))
+    # doc 3: a repeated 7-token phrase → duplicated 5-grams cover it;
+    # coverage is the UNION (overlaps once), rest of doc unique
+    phrase = "one two three four five six seven"
+    doc3 = f"{phrase} filler001 filler002 filler003 {phrase} trailer"
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 30), (2, varied), (3, doc3)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert rows[1]["r_top2"] is False and rows[1]["r_dup5"] is False
+    assert rows[2]["keep"] is True
+    # doc 3: dup 5-grams cover the two phrase spans (union, no
+    # double-count): covered token chars = 2 × chars(phrase tokens),
+    # well above 15% of the doc's token chars → fail
+    assert rows[3]["r_dup5"] is False
+    # but no 10-gram repeats verbatim → r_dup10 passes
+    assert rows[3]["r_dup10"] is True
+
+
+def test_gopher_repetition_short_doc_passes(spark):
+    from hstream_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    # docs below every n produce no grams — all rules pass vacuously
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is True
+
+
+def test_fineweb_filter_rules(spark):
+    from hstream_spark.operators.text import fineweb_filter
+
+    long_line = "a perfectly reasonable long content line with many words."
+    docs = spark.createDataFrame(
+        [
+            # 3 long punct-terminated distinct lines → all pass
+            (1, "\n".join(f"{long_line[:-1]} v{i}." for i in range(3))),
+            # no line ends in punctuation → punct rule fails
+            (2, "\n".join(f"{long_line[:-1]} v{i}" for i in range(3))),
+            # duplicated long line dominates chars → dup-char fails
+            (3, "\n".join([long_line] * 5 + ["unique tail line here."])),
+            # all lines short (<30 chars) → short-line rule fails
+            (4, "\n".join(f"short one {i}." for i in range(4))),
+            # empty doc: vacuous pass
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in fineweb_filter(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["r_punct_lines"] is False and rows[2]["keep"] is False
+    assert rows[3]["r_dup_line_char"] is False
+    assert rows[4]["r_short_lines"] is False
+    assert rows[5]["keep"] is True and rows[5]["n_lines"] == 0
+    # boundary: exactly 12% punct lines passes (25 lines, 3 punct)
+    b = spark.createDataFrame(
+        [(9, "\n".join([f"{long_line[:-1]} p{i}." for i in range(3)]
+                       + [f"{long_line[:-1]} n{i}" for i in range(22)]))],
+        "doc_id long, text string",
+    )
+    rb = fineweb_filter(b).collect()[0]
+    assert rb["r_punct_lines"] is True
