@@ -103,6 +103,7 @@ HEADLINE = [
     "pq_encode",
     "ann_pq_topk",
     "ann_sq_topk",
+    "ann_sq_topk_warm",
     "chunk_documents",
     "pack_sequences",
     "bpe_train",

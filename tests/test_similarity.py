@@ -798,3 +798,28 @@ class TestScalarQuantization:
             sq_adc_topk_np(sq_encode_np(emb, mns, mxs), q, mns, mxs, k=10).collect()
         )
         assert t_expr == t_np
+
+    def test_persisted_index_matches_direct_path(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators.similarity import (
+            build_sq_index,
+            sq_adc_topk_np,
+            sq_encode_np,
+            sq_index_topk,
+            sq_train,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "sqidx")
+        build_sq_index(emb, path)
+        q = emb.where(F.col("vec_id") < 2)
+        via_index = sorted(
+            tuple(r) for r in sq_index_topk(spark, path, q, k=5).collect()
+        )
+        mns, mxs = sq_train(emb)
+        direct = sorted(
+            tuple(r) for r in
+            sq_adc_topk_np(sq_encode_np(emb, mns, mxs), q, mns, mxs, k=5).collect()
+        )
+        assert via_index == direct and len(via_index) == 10

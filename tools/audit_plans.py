@@ -44,8 +44,8 @@ ALLOW_NESTED = {
     "lsh_recall_eval",        # 1-row total-candidates scalar broadcast
     "ann_pq_topk",            # tiny query side × code scan (ADC reads
                               # m-byte codes, not vectors — the PQ point)
-    "ann_sq_topk",            # tiny query side × SQ code scan (same
-                              # shape: dequantize-from-codes + score)
+    # ann_sq_topk needs no entry: its catalog path runs the Arrow
+    # kernels (query matrix ships in the task closure — no join node)
 }
 
 
