@@ -114,6 +114,7 @@ HEADLINE = [
     "fineweb_quality_filters",
     "c4_quality_filters",
     "line_dedup",
+    "line_dedup_against_index",
     "dedup_passage_removal",
     "containment_pairs",
     "normalize_text",

@@ -706,17 +706,23 @@ def dedup_lines(
     (they carry no dedupable content but would otherwise all collapse
     into one global winner).
     """
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
-    ).where(F.trim(F.col("__line")) != "")
+    lines = _nonempty_lines(docs, text_col, id_col)
     keyed = lines.withColumn("__lkey", F.md5(F.col("__line")))
+    return _first_win_rebuild(keyed, lines, docs.select(id_col).distinct(), id_col)
+
+
+def _first_win_rebuild(
+    keyed: DataFrame, lines: DataFrame, base: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared tail of the line-dedup family: pick each digest's global
+    winner by ``min(struct(doc, pos))`` (map-side combinable — NOT a
+    window), keep winners via a (doc, pos) semi-join — the pair
+    uniquely identifies a line occurrence, avoiding an ambiguous
+    self-join on the digest — and rebuild each document from its
+    surviving lines in order (zero-survivor docs emit '')."""
     winners = keyed.groupBy("__lkey").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias("__w")
     )
-    # (doc_id, pos) uniquely identifies a line occurrence, so the
-    # winner set semi-joins back on those two keys alone — no
-    # ambiguous self-join on the digest column.
     winner_keys = winners.select(
         F.col("__w")["i"].alias(id_col), F.col("__w")["p"].alias("__pos")
     )
@@ -736,7 +742,6 @@ def dedup_lines(
         ).alias("clean_text"),
     )
     before = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_before"))
-    base = docs.select(id_col).distinct()
     return (
         base.join(before, id_col, "left")
         .join(rebuilt, id_col, "left")
@@ -747,6 +752,76 @@ def dedup_lines(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def _nonempty_lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    ).where(F.trim(F.col("__line")) != "")
+
+
+def build_line_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the STANDING line-digest index for incremental line
+    dedup: the distinct md5 digests of every non-empty line in the
+    corpus, as parquet. 16 bytes per distinct line — far smaller than
+    the corpus — and each arriving batch thereafter pays only its own
+    line hashing plus one digest anti-join (the `build_dedup_index`
+    amortization applied at line granularity)."""
+    import os as _os
+
+    _nonempty_lines(docs, text_col, id_col).select(
+        F.md5(F.col("__line")).alias("lkey")
+    ).distinct().write.mode("overwrite").parquet(_os.path.join(path, "lines"))
+
+
+def append_lines_to_index(
+    accepted: DataFrame,
+    path: str,
+    text_col: str = "clean_text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an ACCEPTED batch's surviving lines into the standing
+    index (append-mode digest write — the per-batch index maintenance
+    step of continuous ingestion). Readers take the digest set as a
+    whole, so duplicate digests across appends only cost space until
+    the next compaction rewrite."""
+    import os as _os
+
+    _nonempty_lines(accepted, text_col, id_col).select(
+        F.md5(F.col("__line")).alias("lkey")
+    ).distinct().write.mode("append").parquet(_os.path.join(path, "lines"))
+
+
+def dedup_lines_against_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental cross-document line dedup of a NEW batch against
+    the EXISTING corpus via the standing digest index: a batch line
+    dies if its digest is already indexed (the corpus owns it), else
+    its first in-batch occurrence wins (same rule as ``dedup_lines``).
+    One anti-join against the 16-byte digest table + the in-batch
+    winner groupBy — the batch never touches corpus text, which is the
+    point at 100 TB of standing corpus. Emits the same shape as
+    ``dedup_lines``."""
+    import os as _os
+
+    idx = spark.read.parquet(_os.path.join(path, "lines"))
+    lines = _nonempty_lines(batch, text_col, id_col)
+    keyed = lines.withColumn("__lkey", F.md5(F.col("__line")))
+    fresh = keyed.join(
+        idx.withColumnRenamed("lkey", "__lkey"), "__lkey", "leftanti"
+    )
+    return _first_win_rebuild(fresh, lines, batch.select(id_col).distinct(), id_col)
 
 
 def dedup_against_corpus(

@@ -3051,6 +3051,80 @@ LEFT JOIN b USING (doc_id) LEFT JOIN a USING (doc_id)
 """.replace("__PAGIFY__", _PAGIFY_CTE.strip())
 
 
+_LINE_INDEX_ORACLE = r"""
+WITH __PAGIFY__,
+corp AS (SELECT doc_id, text FROM pg WHERE doc_id % 5 <> 0),
+bat AS (SELECT doc_id, text FROM pg WHERE doc_id % 5 = 0),
+idx AS (SELECT DISTINCT md5(line) AS lkey FROM
+         (SELECT unnest(regexp_split_to_array(text, '\n')) AS line FROM corp)
+        WHERE trim(line) <> ''),
+l0 AS (SELECT doc_id,
+              unnest(regexp_split_to_array(text, '\n')) AS line,
+              unnest(range(0, len(regexp_split_to_array(text, '\n')))) AS pos
+       FROM bat),
+l AS (SELECT * FROM l0 WHERE trim(line) <> ''),
+fresh AS (SELECT doc_id, pos, line FROM l
+          WHERE md5(line) NOT IN (SELECT lkey FROM idx)),
+w AS (SELECT doc_id, pos, line FROM fresh
+      QUALIFY row_number() OVER (PARTITION BY md5(line)
+                                 ORDER BY doc_id, pos) = 1),
+b AS (SELECT doc_id, count(*) AS n_before FROM l GROUP BY doc_id),
+a AS (SELECT doc_id, count(*) AS n_after,
+             string_agg(line, chr(10) ORDER BY pos) AS clean
+      FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(b.n_before, 0) AS n_lines_before,
+       coalesce(a.n_after, 0) AS n_lines_after,
+       md5(coalesce(a.clean, '')) AS clean_md5
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN b USING (doc_id) LEFT JOIN a USING (doc_id)
+""".replace("__PAGIFY__", _PAGIFY_CTE.strip())
+
+
+_LINE_INDEX_CACHE: dict = {}
+
+
+def _standing_line_index(spark, sf: str) -> str:
+    """Build-once per-sf standing line-digest index in a temp dir
+    (mirrors _standing_dedup_index / _standing_sq_index)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = _LINE_INDEX_CACHE.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hstream_line_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        corpus = _pagify(
+            load_table(spark, sf, "documents").where(F.col("doc_id") % 5 != 0)
+        )
+        D.build_line_index(corpus, path)
+        _LINE_INDEX_CACHE[sf] = path
+    return path
+
+
+@register("line_dedup_against_index", _LINE_INDEX_ORACLE,
+          tags=("dedup", "text", "incremental", "warm"))
+def q_line_dedup_against_index(spark, sf):
+    """Incremental line dedup of a NEW batch (doc_id % 5 == 0) against
+    the STANDING corpus line-digest index (`build_line_index` +
+    `dedup_lines_against_index`): a batch line dies if the corpus owns
+    its digest, else its first in-batch occurrence wins. The batch
+    anti-joins 16-byte digests and never touches corpus text — the
+    continuous-ingestion shape of `line_dedup`, completing the
+    standing-index family (MinHash/SQ8/lines)
+    (operators/dedup.py dedup_lines_against_index)."""
+    batch = _pagify(
+        load_table(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    )
+    path = _standing_line_index(spark, sf)
+    out = D.dedup_lines_against_index(spark, batch, path)
+    return out.select(
+        "doc_id", "n_lines_before", "n_lines_after",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
 @register("line_dedup", _LINE_DEDUP_ORACLE, tags=("dedup", "text"))
 def q_line_dedup(spark, sf):
     """Cross-document line deduplication (C4 span-dedup / CCNet

@@ -1339,3 +1339,54 @@ def test_fineweb_filter_rules(spark):
     )
     rb = fineweb_filter(b).collect()[0]
     assert rb["r_punct_lines"] is True
+
+
+def test_line_index_roundtrip_and_append(spark, tmp_path):
+    from hstream_spark.operators.dedup import (
+        append_lines_to_index,
+        build_line_index,
+        dedup_lines,
+        dedup_lines_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "corpus footer line\ncorpus body one"),
+         (11, "corpus body two\ncorpus footer line")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lineidx")
+    build_line_index(corpus, path)
+    batch = spark.createDataFrame(
+        [(1, "corpus footer line\nnew unique line\nshared batch line"),
+         (2, "shared batch line\nanother new line")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in dedup_lines_against_index(spark, batch, path).collect()}
+    # corpus-owned line dies; within-batch first occurrence wins
+    assert rows[1]["clean_text"] == "new unique line\nshared batch line"
+    assert rows[2]["clean_text"] == "another new line"
+    assert rows[1]["n_lines_before"] == 3 and rows[1]["n_lines_after"] == 2
+
+    # fold the accepted batch in; a replayed identical batch now loses
+    # every line to the index
+    accepted = spark.createDataFrame(
+        [(1, rows[1]["clean_text"]), (2, rows[2]["clean_text"])],
+        "doc_id long, clean_text string",
+    )
+    append_lines_to_index(accepted, path)
+    replay = {r["doc_id"]: r.asDict()
+              for r in dedup_lines_against_index(spark, batch, path).collect()}
+    assert replay[1]["n_lines_after"] == 0 and replay[1]["clean_text"] == ""
+    assert replay[2]["n_lines_after"] == 0
+
+    # parity: empty index == plain dedup_lines on the batch
+    empty = str(tmp_path / "emptyidx")
+    build_line_index(
+        spark.createDataFrame([], "doc_id long, text string"), empty
+    )
+    via_idx = sorted(
+        tuple(r) for r in dedup_lines_against_index(spark, batch, empty).collect()
+    )
+    plain = sorted(tuple(r) for r in dedup_lines(batch).collect())
+    assert via_idx == plain
