@@ -217,22 +217,74 @@ HISTORY_PATH = os.path.join(
 )
 HISTORY_WINDOW = 9
 MIN_HISTORY = 3
+# A run whose own drift read past this is a contended sweep; its
+# yardstick samples describe the contention, not the box, and must not
+# drag the calibration medians (the round-10 driver run, drift 1.378
+# with burst steal, polluted the window it was appended to).
+HISTORY_MAX_DRIFT = 2.0
 
 
-def load_calibration(sf: str = "0.1") -> tuple[dict[str, float], str]:
+def _proc_stat() -> tuple[int, int, int, int] | None:
+    """(total, idle, iowait, steal) jiffies from the aggregate cpu line,
+    or None off-Linux. One 4 KB read — cheap enough to bracket every
+    bench entry. Steal is the signal the start/end yardsticks provably
+    cannot see (round-10: 6%+ burst steal mid-sweep while the idle-box
+    probes read 0.02%)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq steal ...
+        total = sum(vals[:8])
+        steal = vals[7] if len(vals) > 7 else 0
+        return total, vals[3], vals[4], steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _env_delta(before, after) -> dict:
+    """Steal/iowait/busy percentages over a bracketed interval."""
+    if not before or not after:
+        return {}
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return {}
+    idle = after[1] - before[1]
+    iowait = after[2] - before[2]
+    steal = after[3] - before[3]
+    return {
+        "steal_pct": round(100.0 * steal / dt, 2),
+        "iowait_pct": round(100.0 * iowait / dt, 2),
+        "busy_pct": round(100.0 * (dt - idle - iowait) / dt, 1),
+    }
+
+
+def load_calibration(
+    sf: str = "0.1", path: str | None = None
+) -> tuple[dict[str, float], str]:
     """Median-of-history calibration; (values, source) where source is
     ``history(n=..)`` or ``pinned``. Records are keyed by scale factor
     — a quick sanity bench at sf0.01 must not drag the sf0.1 medians
     down ~10×. Legacy records without an ``sf`` field were all recorded
-    at the default sf0.1."""
+    at the default sf0.1. Records that carry their run's measured drift
+    are EXCLUDED above HISTORY_MAX_DRIFT: one contended sweep must not
+    drag the next round's medians (legacy records without the field
+    stay in — damped by the median as before)."""
     import statistics
 
     try:
-        with open(HISTORY_PATH) as fh:
+        with open(path or HISTORY_PATH) as fh:
             runs = [json.loads(line) for line in fh if line.strip()]
     except (OSError, ValueError):
         runs = []
     runs = [r for r in runs if str(r.get("sf", "0.1")) == str(sf)]
+    runs = [
+        r for r in runs
+        if not (
+            isinstance(r.get("drift"), (int, float))
+            and r["drift"] > HISTORY_MAX_DRIFT
+        )
+    ]
     runs = runs[-HISTORY_WINDOW:]
     if len(runs) < MIN_HISTORY:
         return dict(YARDSTICK_CAL), "pinned"
@@ -250,16 +302,18 @@ def load_calibration(sf: str = "0.1") -> tuple[dict[str, float], str]:
     return cal, f"history(n={len(runs)})"
 
 
-def append_history(yard_start: dict, yard_end: dict, sf: str = "0.1") -> None:
+def append_history(
+    yard_start: dict, yard_end: dict, sf: str = "0.1",
+    drift: float | None = None,
+) -> None:
     try:
+        rec = {"t": round(time.time()), "sf": str(sf),
+               "start": yard_start, "end": yard_end}
+        if drift is not None:
+            # self-describing: lets load_calibration drop contended runs
+            rec["drift"] = drift
         with open(HISTORY_PATH, "a") as fh:
-            fh.write(
-                json.dumps(
-                    {"t": round(time.time()), "sf": str(sf),
-                     "start": yard_start, "end": yard_end}
-                )
-                + "\n"
-            )
+            fh.write(json.dumps(rec) + "\n")
     except OSError:
         pass
 
@@ -407,9 +461,45 @@ def main() -> None:
             out[yname] = round(best, 3)
         return out
 
+    # Per-query contention visibility (round-10 verdict item 1): the
+    # start/end yardsticks bound a ~4-minute sweep, so a mid-run steal
+    # burst is invisible and un-attributable. Two complementary probes:
+    #  (a) every bench entry is bracketed by /proc/stat reads — its own
+    #      steal/iowait/busy percentages land in query_env[name];
+    #  (b) every PROBE_EVERY entries one micro-yardstick (agg_basic,
+    #      the cheapest stable plan, warm after run_yardsticks) samples
+    #      box speed into drift_timeline — each entry's local_drift is
+    #      the max of its bracketing probes.
+    # An entry is flagged `contended` when steal ≥ 1% of its window or
+    # local_drift ≥ 1.5 — so a slow number carries its own adjudication.
+    run_sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    cal, cal_source = load_calibration(run_sf)
+    PROBE_EVERY = 8
+    probe_q = REGISTRY["agg_basic"]
+    drift_timeline: list[dict] = []
+    query_env: dict[str, dict] = {}
+    probe_idx_before: dict[str, int] = {}
+
+    def run_probe(after_n: int) -> None:
+        start = time.perf_counter()
+        probe_q.builder(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        sec = time.perf_counter() - start
+        drift_timeline.append(
+            {
+                "after_n_queries": after_n,
+                "agg_basic": round(sec, 3),
+                "ratio": round(sec / cal["agg_basic"], 3),
+            }
+        )
+
     yard_start = run_yardsticks()
-    for name in HEADLINE:
+    run_probe(0)
+    for qi, name in enumerate(HEADLINE):
         q = REGISTRY[name]
+        probe_idx_before[name] = len(drift_timeline) - 1
+        env_before = _proc_stat()
         if name == "hypertable_rollup":
             # deterministic cold/warm split: cold pays the chunked
             # layout write + first full rollup (layout reset per run),
@@ -427,42 +517,72 @@ def main() -> None:
                 warm = min(warm, time.perf_counter() - start)
             timings["hypertable_rollup_cold"] = round(cold, 3)
             timings["hypertable_rollup_warm"] = round(warm, 3)
-            spark.catalog.clearCache()
-            continue
-        best = float("inf")
-        try:
-            for _ in range(max(1, runs)):
-                start = time.perf_counter()
-                q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — one bad query must not
-            # void the whole bench record; surface it in the JSON instead
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        else:
+            best = float("inf")
+            try:
+                for _ in range(max(1, runs)):
+                    start = time.perf_counter()
+                    q.builder(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    best = min(best, time.perf_counter() - start)
+                timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — one bad query must
+                # not void the whole bench record; surface it in the JSON
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        env = _env_delta(env_before, _proc_stat())
+        if env:
+            query_env[name] = env
         # drop any operator-internal persists so queries don't inherit
         # block-manager pressure from earlier ones
         spark.catalog.clearCache()
+        if (qi + 1) % PROBE_EVERY == 0:
+            run_probe(qi + 1)
+    run_probe(len(HEADLINE))
+
+    # per-entry local drift = worst bracketing probe; contended = hard
+    # evidence (steal) or local slowdown during the entry's window
+    contended: dict[str, dict] = {}
+    for name in HEADLINE:
+        i = probe_idx_before.get(name)
+        if i is None:
+            continue
+        after = min(i + 1, len(drift_timeline) - 1)
+        local = max(drift_timeline[i]["ratio"], drift_timeline[after]["ratio"])
+        env = query_env.get(name, {})
+        steal = env.get("steal_pct", 0.0)
+        if name in query_env:
+            query_env[name]["local_drift"] = round(local, 3)
+        if steal >= 1.0 or local >= 1.5:
+            contended[name] = {
+                "steal_pct": steal,
+                "local_drift": round(local, 3),
+            }
 
     yard_end = run_yardsticks()
-    run_sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
-    cal, cal_source = load_calibration(run_sf)
-    append_history(yard_start, yard_end, run_sf)
     ratios = sorted(
         ((yard_start[n] + yard_end[n]) / 2) / cal[n]
         for n in YARDSTICKS
     )
+    drift_factor = round(ratios[len(ratios) // 2], 3)  # median
+    append_history(yard_start, yard_end, run_sf, drift=drift_factor)
     drift = {
-        "factor": round(ratios[len(ratios) // 2], 3),  # median
+        "factor": drift_factor,
         "start": yard_start,
         "end": yard_end,
         "calibration": cal,
         "calibration_source": cal_source,
+        "timeline": drift_timeline,
     }
 
+    stream_env_before = _proc_stat()
     try:
         streaming = bench_streaming(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — keep the batch record intact
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    stream_env = _env_delta(stream_env_before, _proc_stat())
+    if stream_env and isinstance(streaming, dict):
+        streaming["env"] = stream_env
 
     total = round(sum(timings.values()), 3)
     sf = run_sf  # single derivation — keeps the calibration key and
@@ -475,6 +595,8 @@ def main() -> None:
         "errors": errors,
         "streaming": streaming,
         "drift": drift,
+        "query_env": query_env,
+        "contended": contended,
         "sf": float(sf),
     }
     # Full per-query record: printed FIRST and mirrored to a sidecar
@@ -513,6 +635,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "drift": drift["factor"],
+        "n_contended": len(contended),
         "streaming": {
             f"{k}_records_per_sec": v.get("records_per_sec")
             for k, v in streaming.items()

@@ -1094,8 +1094,18 @@ def sq_encode(
     codes = F.zip_with(
         paired,
         mx,
+        # clamp to [0, 255] (FAISS SQ8 behavior): encoding a vector
+        # outside the trained per-dimension range — the natural
+        # incremental use of a persisted quantizer — must still honor
+        # the uint8 contract; byte-identical to np.clip in the twin
         lambda p, mxv: F.when(mxv == p["m"], F.lit(0).cast("long")).otherwise(
-            F.floor(((p["x"] - p["m"]) * 255) / (mxv - p["m"])).cast("long")
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor(((p["x"] - p["m"]) * 255) / (mxv - p["m"])).cast("long"),
+                ),
+            )
         ),
     )
     return base.select(id_col, codes.alias("codes"))
@@ -1191,7 +1201,10 @@ def sq_encode_np(
             X = np.floor(
                 np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * SQ_FP
             ).astype(np.int64)
-            codes = np.where(span == 0, 0, ((X - mn) * 255) // safe)
+            # clamp mirrors the expression path (FAISS SQ8): encoding
+            # against a previously trained quantizer keeps the uint8
+            # contract for out-of-range values
+            codes = np.clip(np.where(span == 0, 0, ((X - mn) * 255) // safe), 0, 255)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(dtype=np.int64),
@@ -1309,9 +1322,17 @@ def sq_adc_topk_np(
                 if cand.size == 0:
                     continue
                 if cand.size > kk:
-                    cand = cand[np.argpartition(d[cand], kk - 1)[:kk]]
+                    # argpartition on distance alone would break the
+                    # (sqdist asc, c_id asc) contract at the cut: integer
+                    # sqdist over uint8 codes ties often (duplicate rows
+                    # collapse to identical codes), so widen the cut to
+                    # every candidate tied with the kk-th distance before
+                    # the lexsort truncates on the full tie-break.
+                    part = np.argpartition(d[cand], kk - 1)
+                    thresh = d[cand[part[kk - 1]]]
+                    cand = cand[d[cand] <= thresh]
                 order = np.lexsort((ids[cand], d[cand]))
-                cand = cand[order]
+                cand = cand[order][:kk]
                 frames.append(
                     pd.DataFrame(
                         {

@@ -254,10 +254,10 @@ def c4_rules(
         "r_min_sentences": n_sentences >= min_sentences,
         "r_no_lorem": ~low.contains("lorem ipsum"),
         "r_no_braces": ~text.contains("{"),
+        # vacuously true when the caller's phrase list leaves nothing
+        # beyond the dedicated lorem-ipsum rule
         "r_no_policy": _reduce(
-            lambda a, p: a & ~low.contains(p),
-            policy[1:],
-            ~low.contains(policy[0]),
+            lambda a, p: a & ~low.contains(p), policy, F.lit(True)
         ),
         "r_no_badwords": F.size(
             F.array_intersect(toks_low, F.lit(list(bad_words)))
@@ -324,9 +324,7 @@ def c4_filter(
         (~low.contains("lorem ipsum")).alias("r_no_lorem"),
         (~F.col("__text").contains("{")).alias("r_no_braces"),
         _reduce(
-            lambda a, p: a & ~low.contains(p),
-            policy[1:],
-            ~low.contains(policy[0]),
+            lambda a, p: a & ~low.contains(p), policy, F.lit(True)
         ).alias("r_no_policy"),
         (
             F.size(
@@ -587,7 +585,16 @@ def gopher_repetition(
         rule_names.append(f"r_dup{n}")
     res = out.select(*cols)
     keep = _reduce(lambda a, r: a & F.col(r), rule_names[1:], F.col(rule_names[0]))
-    return res.select("*", keep.alias("keep"))
+    final = res.select("*", keep.alias("keep"))
+    # The per-doc rule table (booleans + two longs per doc) is tiny next
+    # to the tokenized base, so materialize IT eagerly and release the
+    # fat cache here rather than leaking it to the caller: localCheckpoint
+    # blocks are ContextCleaner-managed (freed when the returned frame is
+    # GC'd), while a caller-invisible persist() would accumulate across
+    # catalog/bench invocations.
+    final = final.localCheckpoint(eager=True)
+    base.unpersist()
+    return final
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

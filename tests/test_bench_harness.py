@@ -1,0 +1,107 @@
+"""Bench-harness unit tests — no SparkSession needed.
+
+The bench record is the performance artifact of record, so its
+calibration and contention-attribution logic get the same test rigor
+as operators: a polluted history (one contended sweep) must not drag
+the medians (round-10 verdict item 5), and the /proc/stat bracket math
+must read steal correctly.
+"""
+
+import json
+
+import bench
+
+
+def _rec(t, q1, q6, agg, sf="0.1", drift=None):
+    rec = {
+        "t": t,
+        "sf": sf,
+        "start": {"tpch_q1": q1, "tpch_q6": q6, "agg_basic": agg},
+        "end": {"tpch_q1": q1, "tpch_q6": q6, "agg_basic": agg},
+    }
+    if drift is not None:
+        rec["drift"] = drift
+    return rec
+
+
+class TestLoadCalibration:
+    def _write(self, tmp_path, records):
+        p = tmp_path / "hist.jsonl"
+        with open(p, "w") as fh:
+            for r in records:
+                fh.write(json.dumps(r) + "\n")
+        return str(p)
+
+    def test_polluted_run_excluded_from_medians(self, tmp_path):
+        """A drift>2 sweep (the round-10 contamination shape) is dropped;
+        the medians come from the quiet runs only."""
+        quiet = [_rec(i, 1.0, 0.3, 0.3, drift=1.0) for i in range(5)]
+        polluted = [_rec(9, 5.0, 1.5, 1.5, drift=2.6)]
+        path = self._write(tmp_path, quiet + polluted)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == "history(n=5)"
+        assert cal == {"tpch_q1": 1.0, "tpch_q6": 0.3, "agg_basic": 0.3}
+
+    def test_boundary_drift_kept(self, tmp_path):
+        """Exactly HISTORY_MAX_DRIFT stays in (exclusion is strict >)."""
+        recs = [_rec(i, 1.0, 0.3, 0.3, drift=bench.HISTORY_MAX_DRIFT)
+                for i in range(4)]
+        path = self._write(tmp_path, recs)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == "history(n=4)"
+
+    def test_legacy_records_without_drift_still_count(self, tmp_path):
+        recs = [_rec(i, 1.2, 0.32, 0.31) for i in range(4)]
+        path = self._write(tmp_path, recs)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == "history(n=4)"
+        assert cal["tpch_q1"] == 1.2
+
+    def test_falls_back_to_pins_when_all_polluted(self, tmp_path):
+        recs = [_rec(i, 5.0, 1.5, 1.5, drift=3.0) for i in range(6)]
+        path = self._write(tmp_path, recs)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == "pinned"
+        assert cal == bench.YARDSTICK_CAL
+
+    def test_sf_keying_unchanged(self, tmp_path):
+        """sf0.01 sanity runs never leak into the sf0.1 medians."""
+        recs = [_rec(i, 0.1, 0.03, 0.03, sf="0.01", drift=1.0)
+                for i in range(6)]
+        recs += [_rec(10 + i, 1.0, 0.3, 0.3, drift=1.0) for i in range(3)]
+        path = self._write(tmp_path, recs)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert cal["tpch_q1"] == 1.0
+
+    def test_window_applies_after_pollution_filter(self, tmp_path):
+        """Quiet runs older than the raw window still count when newer
+        polluted runs are dropped — the window slides over CLEAN runs."""
+        quiet = [_rec(i, 1.0, 0.3, 0.3, drift=1.0)
+                 for i in range(bench.HISTORY_WINDOW + 2)]
+        polluted = [_rec(100 + i, 9.0, 3.0, 3.0, drift=4.0)
+                    for i in range(bench.HISTORY_WINDOW)]
+        path = self._write(tmp_path, quiet + polluted)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == f"history(n={bench.HISTORY_WINDOW})"
+        assert cal["tpch_q1"] == 1.0
+
+
+class TestProcStatBracket:
+    def test_env_delta_reads_steal_and_iowait(self):
+        # user nice system idle iowait irq softirq steal
+        before = (1000, 600, 10, 0)
+        after = (2000, 1100, 40, 60)  # +1000 total: 500 idle, 30 iowait, 60 steal
+        env = bench._env_delta(before, after)
+        assert env["steal_pct"] == 6.0
+        assert env["iowait_pct"] == 3.0
+        assert env["busy_pct"] == 47.0
+
+    def test_env_delta_degenerate_windows(self):
+        assert bench._env_delta(None, (10, 1, 0, 0)) == {}
+        assert bench._env_delta((10, 1, 0, 0), (10, 1, 0, 0)) == {}
+
+    def test_proc_stat_live(self):
+        snap = bench._proc_stat()
+        assert snap is not None
+        total, idle, iowait, steal = snap
+        assert total >= idle + iowait + steal >= 0

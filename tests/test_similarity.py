@@ -799,6 +799,65 @@ class TestScalarQuantization:
         )
         assert t_expr == t_np
 
+    def test_encode_clamps_out_of_range_vectors(self, spark):
+        """Encoding against a PREVIOUSLY trained quantizer (the
+        incremental-index use) must clamp to [0, 255] — FAISS SQ8
+        behavior — identically on both kernel paths."""
+        from hstream_spark.operators.similarity import (
+            sq_encode,
+            sq_encode_np,
+            sq_train,
+        )
+
+        train = spark.createDataFrame(
+            [(0, [0.0, 1.0]), (1, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        mns, mxs = sq_train(train)
+        # values outside the trained per-dim [min, max] on both sides
+        fresh = spark.createDataFrame(
+            [(10, [-5.0, 9.0]), (11, [0.5, 1.5])],
+            "vec_id long, embedding array<float>",
+        )
+        c_expr = {r["vec_id"]: list(r["codes"])
+                  for r in sq_encode(fresh, mns, mxs).collect()}
+        c_np = {r["vec_id"]: list(r["codes"])
+                for r in sq_encode_np(fresh, mns, mxs).collect()}
+        assert c_expr == c_np
+        assert c_expr[10] == [0, 255]
+        assert all(0 <= c <= 255 for cs in c_expr.values() for c in cs)
+
+    def test_adc_topk_np_tie_break_at_cut_boundary(self, spark):
+        """Duplicate vectors collapse to identical codes → exact sqdist
+        ties; a tie that straddles the per-batch k+1 cut must resolve by
+        (sqdist asc, c_id asc), not argpartition order. Single partition
+        forces every tied candidate through the same batch-local cut."""
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators.similarity import (
+            sq_adc_topk,
+            sq_adc_topk_np,
+            sq_encode_np,
+            sq_train,
+        )
+
+        # 8 identical vectors (all tie at distance 0 from the query)
+        # plus the query itself; k=3 → kk=4 < 8 tied candidates
+        rows = [(i, [0.25, 0.75]) for i in range(9)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        mns, mxs = sq_train(emb)
+        codes = sq_encode_np(emb, mns, mxs)
+        q = emb.where(F.col("vec_id") == 8)
+        got = [(r["c_id"], r["rank"])
+               for r in sq_adc_topk_np(codes, q, mns, mxs, k=3).collect()]
+        # global order: smallest c_ids among the tied set
+        assert got == [(0, 1), (1, 2), (2, 3)]
+        want = [(r["c_id"], r["rank"])
+                for r in sq_adc_topk(codes, q, mns, mxs, k=3).collect()]
+        assert got == want
+
     def test_persisted_index_matches_direct_path(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

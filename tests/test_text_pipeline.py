@@ -1209,6 +1209,25 @@ def test_c4_rules_optional_terminal_punct(spark):
     assert row_l == 1      # ≥5-word line survives without the punct rule
 
 
+def test_c4_rules_empty_policy_is_vacuously_true(spark):
+    """bad_phrases=() or the lorem-only tuple must not crash — the
+    policy rule is vacuously true, the lorem rule stands alone."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.text import c4_filter, c4_rules
+
+    docs = spark.createDataFrame(
+        [(1, "a perfectly ordinary sentence that keeps going fine here.")],
+        "doc_id long, text string",
+    )
+    for phrases in ((), ("lorem ipsum",)):
+        r = c4_rules(F.col("text"), bad_phrases=phrases)
+        row = docs.select(r["r_no_policy"].alias("p")).collect()[0]
+        assert row["p"] is True
+        out = c4_filter(docs, bad_phrases=phrases).collect()[0]
+        assert out["r_no_policy"] is True
+
+
 def test_dedup_lines_first_occurrence_wins(spark):
     from hstream_spark.operators.dedup import dedup_lines
 
