@@ -393,13 +393,24 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",
-                            cache_sigs: bool = True) -> DataFrame:
+                            cache_sigs: bool = True,
+                            cap: Optional[int] = None) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming, blocked on 8-bit bands.
 
     With 4 bands and Hamming ≤ 3, pigeonhole guarantees an equal band,
     so blocking loses no true pair while keeping the join keyed.
     Signatures are persisted (they feed both join sides); bands come
     from a single posexplode pass so the signature fold runs once.
+
+    ``cap`` bounds hot band buckets (the ``capped_band_candidates``
+    scheme, same engine-agnostic salt = md5(doc_id#band) mod n_sub):
+    a boilerplate-collapsed bucket of m docs contributes O(m·cap)
+    candidates instead of m²/2 — the 100 TB shape. Buckets at or under
+    the cap keep salt 0 on every member, so corpora without hot buckets
+    get EXACTLY the uncapped pair set; in a hot bucket a dup pair
+    survives iff some band co-salts it (bounded-recall trade; dup
+    CLUSTERS stay connected with overwhelming probability, which is
+    what component-based pruning consumes).
     """
     sh = simhash(docs, text_col, id_col)
     if cache_sigs:
@@ -413,14 +424,40 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     b = sh.select(
         "doc_id", "simhash", F.posexplode(band_keys).alias("band", "bkey")
     )
-    left = b.select("band", "bkey", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    right = b.select("band", "bkey", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    keys = ["band", "bkey"]
+    if cap is not None:
+        from pyspark.sql import Window as _W
+
+        bn = F.count(F.lit(1)).over(_W.partitionBy("band", "bkey"))
+        n_sub = ((bn + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+        salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.col("doc_id").cast("string"),
+                            F.col("band").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_sub
+        )
+        b = b.select("doc_id", "simhash", "band", "bkey", salt.alias("salt"))
+        keys = ["band", "bkey", "salt"]
+    left = b.select(*keys, F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    right = b.select(*keys, F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     # Hamming-filter BEFORE distinct: the filter is cheap codegen'd
     # bit arithmetic over the (possibly skew-inflated) candidate set,
     # and dedup then runs on the small survivor set only.
     return (
-        left.join(right, ["band", "bkey"])
+        left.join(right, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

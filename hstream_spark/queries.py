@@ -2558,7 +2558,11 @@ def q_curation_pipeline(spark, sf):
     return counts
 
 
-def _dedup_prune_priority_oracle() -> str:
+def _dedup_prune_priority_oracle(cap: int = 64) -> str:
+    # replays the Spark path's banded + hot-bucket-capped candidate
+    # generation exactly (same 8-bit bands, same md5(doc_id#band) salt,
+    # same ceil(n/cap) sub-bucket count), then the transitive closure —
+    # so the oracle diverges the moment the capping rules do
     return f"""
 WITH RECURSIVE
 t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -2566,8 +2570,20 @@ t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
 h AS (SELECT doc_id, {_H31.format(x='tok')} AS h FROM t),
 s AS (SELECT doc_id, {_simhash_sums_sql()} FROM h GROUP BY doc_id),
 sig AS (SELECT doc_id, {_simhash_assemble_sql()} AS simhash FROM s),
-pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+bands AS (SELECT doc_id, simhash, bd.band,
+                 (simhash >> (bd.band * 8)) & 255 AS bkey
+          FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bd),
+bn AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY band, bkey),
+bs AS (SELECT bands.doc_id, bands.simhash, bands.band, bands.bkey,
+              CASE WHEN bn.n <= {cap} THEN 0
+                   ELSE ('0x' || substring(md5(bands.doc_id::VARCHAR || '#' || bands.band::VARCHAR), 1, 15))::BIGINT
+                        % ((bn.n + {cap - 1}) // {cap})
+              END AS salt
+       FROM bands JOIN bn ON bands.band = bn.band AND bands.bkey = bn.bkey),
+pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bs a JOIN bs b
+         ON a.band = b.band AND a.bkey = b.bkey AND a.salt = b.salt
+            AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
 edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
 reach(a, b) AS (
@@ -2600,9 +2616,12 @@ def q_dedup_prune_priority(spark, sf):
     curated) before id — instead of the lowest id. The "prefer the
     curated dump over the crawl copy" rule of mixed-source training
     corpora (operators/dedup.py prune_duplicates_by: components + one
-    component-keyed window + one anti join)."""
+    component-keyed window + one anti join). The simhash candidate
+    stage runs hot-bucket-capped (cap=64): a boilerplate-collapsed
+    band bucket contributes O(m·cap) pairs, not m²/2 — the shape that
+    survives 100× data; the oracle replays the identical salt rules."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
-    pairs = D.simhash_near_duplicates(docs, max_hamming=3)
+    pairs = D.simhash_near_duplicates(docs, max_hamming=3, cap=64)
     ranked = docs.withColumn(
         "__prio", F.substring(F.col("source"), 4, 8).cast("int")
     )
@@ -2612,18 +2631,41 @@ def q_dedup_prune_priority(spark, sf):
     return kept.select("doc_id", "source")
 
 
-def _dedup_prune_oracle(dim: int = 64, planes: int = 8) -> str:
-    bucket_terms = " + ".join(
-        f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
-        for p in range(planes)
+def _dedup_prune_oracle(dim: int = 64, planes: int = 8,
+                        tables: int = 2, cap: int = 64) -> str:
+    # candidate stage = the capped MULTI-TABLE sign-LSH of
+    # _emb_neardup_lsh_capped_oracle (identical table/salt/cap rules),
+    # then the recursive transitive closure + anti-join of the prune
+    def terms(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_literal(dim, t * planes + p)}) > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(planes)
+        )
+
+    tb_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {terms(t)} AS bucket FROM e"
+        for t in range(tables)
     )
     return f"""
 WITH RECURSIVE
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
-b AS (SELECT vec_id, vn, {bucket_terms} AS bucket FROM e),
-pr AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       WHERE list_dot_product(a.vn, b2.vn) >= 0.2),
+tb AS ({tb_sel}),
+bn AS (SELECT tbl, bucket, count(*) AS n FROM tb GROUP BY tbl, bucket),
+bsalt AS (SELECT tb.vec_id, tb.tbl, tb.bucket,
+                 CASE WHEN bn.n <= {cap} THEN 0
+                      ELSE ('0x' || substring(md5(tb.vec_id::VARCHAR || '#' || tb.tbl::VARCHAR), 1, 15))::BIGINT
+                           % ((bn.n + {cap - 1}) // {cap})
+                 END AS salt
+          FROM tb JOIN bn ON tb.tbl = bn.tbl AND tb.bucket = bn.bucket),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bsalt a JOIN bsalt b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.salt = b.salt
+              AND a.vec_id < b.vec_id),
+pr AS (SELECT c.id_a, c.id_b
+       FROM cand c
+       JOIN e na ON na.vec_id = c.id_a
+       JOIN e nb ON nb.vec_id = c.id_b
+       WHERE list_dot_product(na.vn, nb.vn) >= 0.2),
 edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
 reach(a, b) AS (
   SELECT a, b FROM edges
@@ -2641,10 +2683,14 @@ def q_dedup_prune(spark, sf):
     """The dedup pipeline's final step: remove every near-duplicate
     except its cluster's canonical (minimum-id) member. pairs → min-
     label components → one left-anti join against the loser set; the
-    oracle replays it with a recursive transitive closure."""
+    oracle replays it with a recursive transitive closure. Candidates
+    come from the CAPPED multi-table sign-LSH (similarity.py
+    embedding_near_duplicates_capped) — the single-table blocked path
+    measured 15.5× per 10× data in the round-10 sf1 sweep, the capped
+    one 2.4×; end-to-end prune inherits that scale shape."""
     emb = load_table(spark, sf, "embeddings")
-    pairs = SIM.embedding_near_duplicates(
-        emb, threshold=0.2, dim=64, planes=8, blocked=True
+    pairs = SIM.embedding_near_duplicates_capped(
+        emb, threshold=0.2, dim=64, planes=8, tables=2, cap=64
     )
     return D.prune_duplicates(emb, pairs, id_col="vec_id").select("vec_id")
 

@@ -1144,6 +1144,56 @@ class TestCappedMinhashLSH:
         assert comps.filter(F.col("doc_id") >= 1000).count() == 0
 
 
+class TestCappedSimhash:
+    """simhash_near_duplicates(cap=..): banded candidates with hot-
+    bucket capping — same contract as the minhash twin (identical
+    decisions when buckets fit the cap, bounded pairs + connected
+    clusters when they don't)."""
+
+    def test_capped_equals_uncapped_when_buckets_fit(self, spark):
+        from hstream_spark.operators import dedup as D
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        base = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in D.simhash_near_duplicates(docs, max_hamming=3).collect()
+        )
+        # cap well above any sf0.001 band-bucket occupancy
+        capped = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in D.simhash_near_duplicates(
+                docs, max_hamming=3, cap=100_000
+            ).collect()
+        )
+        assert capped == base
+
+    def test_hot_bucket_bounded_and_cluster_connected(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import dedup as D
+
+        m, cap = 150, 8
+        boiler = "cookie consent banner please accept all cookies " * 4
+        rows = [(i, boiler) for i in range(m)]
+        rows += [(1000 + i, "unique document body " + " ".join(
+            f"tok{i}x{j}" for j in range(25))) for i in range(3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        capped = D.simhash_near_duplicates(docs, max_hamming=3, cap=cap)
+        n = capped.count()
+        # identical docs share every band bucket: uncapped would be
+        # m(m-1)/2 pairs; capped is O(bands·m·cap)
+        assert 0 < n < m * (m - 1) // 2
+        assert n <= 4 * m * cap
+        comps = D.connected_components(
+            capped, left_col="doc_a", right_col="doc_b"
+        )
+        hot = comps.filter(F.col("doc_id") < 1000)
+        assert hot.count() == m
+        assert hot.select("component").distinct().count() == 1
+        assert comps.filter(F.col("doc_id") >= 1000).count() == 0
+
+
 def test_c4_rules_boundaries(spark):
     from pyspark.sql import functions as F
 

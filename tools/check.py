@@ -6,7 +6,16 @@ count, column names, and order-insensitive values (columns sorted by
 name, rows sorted by all columns). Strictly stronger than a hash
 compare — on mismatch it prints the first differing rows.
 
-Usage: python tools/check.py [--strict] [query ...]   (no args = all queries)
+Usage: python tools/check.py [--strict] [--sf N] [query ...]
+       (no args = all queries)
+
+``--sf N`` points both engines at a different scale: 0.001/0.01/0.1
+resolve to /root/testdata/sfN, and 1 resolves to the replica-expanded
+<repo>/.scale/sf1 built by tools/gen_scale_data.py — the sf1 STRICT
+gate the round-10 verdict asked for: the sweep checks time at scale,
+this checks VALUES at scale (the capped dedup/ANN shapes change their
+candidate sets exactly when buckets overflow, which only happens at
+the bigger SF). $SPARK_GRAFT_SF_DIR_CHECK still overrides everything.
 
 ``--strict`` mirrors the driver's byte-exact hash gate instead of the
 tolerant local compare: floats must match to the last bit, any
@@ -129,11 +138,29 @@ def main() -> int:
     import __spark_entry__ as entry
     from hstream_spark import get_spark
 
-    global STRICT
+    global STRICT, SF_DIR
     argv = sys.argv[1:]
     if "--strict" in argv:
         STRICT = True
         argv = [a for a in argv if a != "--strict"]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        if "SPARK_GRAFT_SF_DIR_CHECK" not in os.environ:
+            if sf in ("0.001", "0.01", "0.1"):
+                SF_DIR = f"/root/testdata/sf{sf}"
+            else:
+                repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                SF_DIR = os.path.join(repo, ".scale", f"sf{sf}")
+                if not os.path.isdir(SF_DIR):
+                    print(
+                        f"--sf {sf}: {SF_DIR} missing — generate it first:\n"
+                        f"  python tools/gen_scale_data.py /root/testdata/sf0.1 "
+                        f"{SF_DIR} {int(float(sf) * 10)}"
+                    )
+                    return 2
+    print(f"sf_dir={SF_DIR} strict={STRICT}")
     only = set(argv)
     spark = get_spark("check")
     con = duckdb.connect()
