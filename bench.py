@@ -186,6 +186,8 @@ HEADLINE = [
     "sketch_quantiles",
     "train_test_split",
     "group_train_test_split",
+    # round 11
+    "dedup_simhash_capped",
 ]
 
 # Drift yardsticks: three stable-plan queries timed at the START and END

@@ -1123,6 +1123,49 @@ def q_dedup_simhash(spark, sf):
     return D.simhash_near_duplicates(load_table(spark, sf, "documents"), max_hamming=3)
 
 
+def _simhash_capped_oracle(cap: int = 64) -> str:
+    # the hot-bucket-capped banded candidate stage (identical bands,
+    # md5(doc_id#band) salt, ceil(n/cap) sub-buckets to the Spark path)
+    # WITHOUT the closure — the pairs-level gate that stays DuckDB-
+    # feasible at sf1, where band buckets genuinely overflow the cap
+    return f"""
+WITH docs AS ({_TOKS_CTE}),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+h AS (SELECT doc_id, {_H31.format(x='tok')} AS h FROM t),
+s AS (SELECT doc_id, {_simhash_sums_sql()} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_simhash_assemble_sql()} AS simhash FROM s),
+bands AS (SELECT doc_id, simhash, bd.band,
+                 (simhash >> (bd.band * 8)) & 255 AS bkey
+          FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bd),
+bn AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY band, bkey),
+bs AS (SELECT bands.doc_id, bands.simhash, bands.band, bands.bkey,
+              CASE WHEN bn.n <= {cap} THEN 0
+                   ELSE ('0x' || substring(md5(bands.doc_id::VARCHAR || '#' || bands.band::VARCHAR), 1, 15))::BIGINT
+                        % ((bn.n + {cap - 1}) // {cap})
+              END AS salt
+       FROM bands JOIN bn ON bands.band = bn.band AND bands.bkey = bn.bkey)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bs a JOIN bs b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.salt = b.salt
+     AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_capped", _simhash_capped_oracle(),
+          tags=("dedup", "simhash", "capped"))
+def q_dedup_simhash_capped(spark, sf):
+    """Hot-bucket-capped simhash near-dup pairs — the candidate stage
+    dedup_prune_priority runs on, gated at pairs level so the sf1
+    strict check stays DuckDB-feasible (the prune entries' recursive-
+    closure oracles are quadratic in component size at scale; the
+    ENGINE's pointer-jumping components are not)."""
+    return D.simhash_near_duplicates(
+        load_table(spark, sf, "documents"), max_hamming=3, cap=64
+    )
+
+
 _NGRAM_JACCARD_ORACLE = f"""
 WITH docs AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS toks
               FROM documents),
