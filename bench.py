@@ -288,16 +288,44 @@ def load_calibration(
         )
     ]
     runs = runs[-HISTORY_WINDOW:]
+
+    def _samples(rs, n):
+        out = []
+        for r in rs:
+            for side in ("start", "end"):
+                v = r.get(side, {}).get(n)
+                if isinstance(v, (int, float)) and v > 0:
+                    out.append(float(v))
+        return out
+
+    # Two-pass robust estimate: records that PREDATE the drift field
+    # (pre-round-11) can still be contended sweeps; a record whose own
+    # median sample sits > HISTORY_MAX_DRIFT x the window median on any
+    # yardstick describes contention, not the box — drop it and
+    # recompute. (Post-round-11 records self-describe via `drift`.)
+    first = {}
+    for n in YARDSTICKS:
+        s = _samples(runs, n)
+        if s:
+            first[n] = statistics.median(s)
+
+    def _outlier(r) -> bool:
+        for n in YARDSTICKS:
+            vals = [r.get(side, {}).get(n) for side in ("start", "end")]
+            vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+            if vals and n in first and first[n] > 0:
+                if statistics.median(vals) > HISTORY_MAX_DRIFT * first[n]:
+                    return True
+        return False
+
+    cleaned = [r for r in runs if not _outlier(r)]
+    if len(cleaned) >= MIN_HISTORY:
+        runs = cleaned
     if len(runs) < MIN_HISTORY:
         return dict(YARDSTICK_CAL), "pinned"
     cal = {}
     for n in YARDSTICKS:
-        samples = []
-        for r in runs:
-            for side in ("start", "end"):
-                v = r.get(side, {}).get(n)
-                if isinstance(v, (int, float)) and v > 0:
-                    samples.append(float(v))
+        samples = _samples(runs, n)
         if len(samples) < MIN_HISTORY:
             return dict(YARDSTICK_CAL), "pinned"
         cal[n] = round(statistics.median(samples), 3)

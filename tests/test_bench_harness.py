@@ -73,6 +73,27 @@ class TestLoadCalibration:
         cal, source = bench.load_calibration("0.1", path=path)
         assert cal["tpch_q1"] == 1.0
 
+    def test_legacy_contended_records_dropped_as_outliers(self, tmp_path):
+        """Pre-round-11 records carry no drift field; ones whose own
+        samples sit far above the window median are contention, not
+        box speed — the two-pass estimate drops them."""
+        quiet = [_rec(i, 1.0, 0.3, 0.3) for i in range(6)]
+        contended = [_rec(10, 5.7, 2.2, 1.6), _rec(11, 3.4, 1.9, 1.2)]
+        path = self._write(tmp_path, quiet + contended)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == "history(n=6)"
+        assert cal == {"tpch_q1": 1.0, "tpch_q6": 0.3, "agg_basic": 0.3}
+
+    def test_outlier_pass_keeps_minimum_history(self, tmp_path):
+        """If dropping outliers would leave < MIN_HISTORY runs, keep the
+        raw window (median damping) rather than falling back to pins."""
+        recs = [_rec(0, 1.0, 0.3, 0.3), _rec(1, 1.0, 0.3, 0.3),
+                _rec(2, 9.0, 3.0, 3.0)]
+        path = self._write(tmp_path, recs)
+        cal, source = bench.load_calibration("0.1", path=path)
+        assert source == "history(n=3)"
+        assert cal["tpch_q1"] == 1.0  # median still damps the outlier
+
     def test_window_applies_after_pollution_filter(self, tmp_path):
         """Quiet runs older than the raw window still count when newer
         polluted runs are dropped — the window slides over CLEAN runs."""
