@@ -109,7 +109,9 @@ def soak(spark, sf_dir: str, cycles: int, per_cycle: int) -> dict:
             "WITH (\"kafka_topic\" = 'docs', "
             f"\"kafka_bootstrap_servers\" = '{broker.bootstrap}', "
             "\"kafka_poll_interval_ms\" = 0, "  # manual poll: deterministic
-            "DURATION = INTERVAL 150 SECOND);"
+            # backlog retention short enough that vacuum provably drops
+            # aged files INSIDE the recorded run (~11 s/cycle x 12)
+            "DURATION = INTERVAL 60 SECOND);"
         )
         tailer = eng.connectors["__kafka_raw"].handle
         # continuous structural filter: junk-length pages never reach
@@ -127,6 +129,15 @@ def soak(spark, sf_dir: str, cycles: int, per_cycle: int) -> dict:
         )
         clean_path = eng.streams["clean"].path
         seen_files: set = set()
+        # Arrival ledger keyed on (doc_id, _ts): stream COMPACTION
+        # rewrites small parts into new segment files, so a file-set
+        # diff re-reads history — but a compaction re-read carries the
+        # SAME event time while a genuine resend carries a new one, so
+        # the ledger anti-join filters exactly the re-reads (the same
+        # exactly-once discipline a checkpointed streaming consumer
+        # gets from Spark; this batch step is a hand-rolled consumer,
+        # so it pays for its own)
+        ledger_path = os.path.join(root, "arrival_ledger")
         curated_total = 0
         index_built = False
 
@@ -165,7 +176,16 @@ def soak(spark, sf_dir: str, cycles: int, per_cycle: int) -> dict:
             if new_files:
                 arrivals = spark.read.parquet(
                     *[os.path.join(clean_path, f) for f in new_files]
-                ).select("doc_id", "text", "source")
+                ).select("doc_id", "text", "source", "_ts")
+                if os.path.isdir(ledger_path):
+                    led = spark.read.parquet(ledger_path)
+                    arrivals = arrivals.join(led, ["doc_id", "_ts"], "left_anti")
+                arrivals = arrivals.localCheckpoint()
+                arrivals.select("doc_id", "_ts").write.mode("append").parquet(
+                    ledger_path
+                )
+                m["arrivals"] = arrivals.count()
+                arrivals = arrivals.drop("_ts")
                 kept = arrivals.where(
                     TX.quality_score(F.col("text")) >= 0.4
                 )
