@@ -1423,27 +1423,68 @@ def q_dedup_embedding_lsh_capped(spark, sf):
     )
 
 
+def _components_sql(rounds: int = 17) -> str:
+    """Unrolled min-label pointer jumping over an ``edges(a, b)`` CTE
+    (must be symmetrized), emitting a drop-in ``comp(doc_id, component)``.
+
+    The component label (min node id per component) is ALGORITHM-
+    independent, so this is byte-identical to the recursive
+    transitive-closure min it replaces — but each round is one linear
+    join+group over |V|+|E| (self label ∪ neighbor labels ∪
+    label-of-label), not an all-pairs reachability materialization
+    that is quadratic in component size (measured DuckDB-infeasible at
+    sf1: 49 min CPU / 29 GB before abort). The label-of-label term is
+    pointer jumping: label distance to the minimum doubles per round,
+    so ``rounds=17`` converges for any component diameter ≤ 2^16 —
+    safe for every SF this repo tests (≤ 100k nodes). The ``__conv``
+    guard compares the last two rounds and empties ``comp`` on any
+    non-convergence, so too-few-rounds fails the row-count gate LOUDLY
+    instead of shipping a wrong label. Mirrors the engine's
+    pointer-jumping ``connected_components`` (operators/dedup.py)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times — inlined,
+    # the plan expands 3^rounds-fold (observed as an fd/planner
+    # explosion); materialized, each round computes exactly once
+    parts = [
+        "l0 AS MATERIALIZED "
+        "(SELECT a AS v, least(a, min(b)) AS l FROM edges GROUP BY a)"
+    ]
+    for k in range(rounds):
+        p, c = f"l{k}", f"l{k + 1}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT t.v, min(t.c) AS l FROM ("
+            f"SELECT v, l AS c FROM {p} "
+            f"UNION ALL SELECT e.a AS v, pl.l AS c FROM edges e JOIN {p} pl ON pl.v = e.b "
+            f"UNION ALL SELECT me.v, ll.l AS c FROM {p} me JOIN {p} ll ON ll.v = me.l"
+            f") t GROUP BY t.v)"
+        )
+    last, prev = f"l{rounds}", f"l{rounds - 1}"
+    parts.append(
+        f"__conv AS (SELECT count(*) AS n FROM {last} x "
+        f"JOIN {prev} y ON x.v = y.v AND x.l <> y.l)"
+    )
+    parts.append(
+        f"comp AS (SELECT v AS doc_id, l AS component FROM {last} "
+        f"WHERE (SELECT n FROM __conv) = 0)"
+    )
+    return ",\n".join(parts)
+
+
 def _dedup_components_oracle(dim: int = 64, planes: int = 8) -> str:
     bucket_terms = " + ".join(
         f"CASE WHEN list_dot_product(v, {_plane_literal(dim, p)}) > 0 THEN {1 << p} ELSE 0 END"
         for p in range(planes)
     )
     return f"""
-WITH RECURSIVE
+WITH
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_VEC} AS vn FROM embeddings),
 b AS (SELECT vec_id, vn, {bucket_terms} AS bucket FROM e),
 pr AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
        WHERE list_dot_product(a.vn, b2.vn) >= 0.2),
 edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-nodes AS (SELECT DISTINCT a FROM edges)
-SELECT n.a AS doc_id, least(n.a, min(r.b)) AS component
-FROM nodes n JOIN reach r ON r.a = n.a
-GROUP BY n.a
+{_components_sql()}
+SELECT doc_id, component FROM comp
 """
 
 
@@ -2538,11 +2579,7 @@ pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
 edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+{_components_sql()},
 final AS (SELECT doc_id, text FROM s1
           WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component))
 SELECT (SELECT count(*) FROM documents) AS n_raw,
@@ -2629,12 +2666,7 @@ pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
 edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-         FROM reach GROUP BY a),
+{_components_sql()},
 ranked AS (SELECT c.doc_id,
                   row_number() OVER (
                       PARTITION BY c.component
@@ -2710,12 +2742,7 @@ pr AS (SELECT c.id_a, c.id_b
        JOIN e nb ON nb.vec_id = c.id_b
        WHERE list_dot_product(na.vn, nb.vn) >= 0.2),
 edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-         FROM reach GROUP BY a)
+{_components_sql()}
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
 """
@@ -4849,13 +4876,13 @@ def q_tpch_q2ish(spark, sf):
     "tpch_q8ish",
     """
     SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
-           CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_3'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+           CAST(SUM(CASE WHEN n.n_name = 'NATION_3'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
                     ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-             AS DOUBLE) AS mkt_share
+             / CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) AS mkt_share
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -4873,7 +4900,16 @@ def q_tpch_q8ish(spark, sf):
     into a region per year — both the numerator (CASE-gated) and the
     denominator come out of the SAME aggregation pass, so the five-way
     join runs once. Customer/nation/region sides broadcast; the only
-    wide shuffle is lineitem⋈orders."""
+    wide shuffle is lineitem⋈orders.
+
+    Revenue sums run in 10^-4-currency-unit int64 fixed point (prices
+    and discounts are exact 2-decimal): the sums are exact and
+    engine-identical, each casts to double exactly (per-group sums
+    ≪ 2^53 up to sf~30), and the single IEEE division is
+    bit-deterministic — unlike exact DECIMAL sums, whose
+    decimal→double CAST differs in the last ulp between engines at
+    sf1 group sizes (observed 0.0366479909561888 vs …881). The ratio
+    is mathematically unchanged (fixed-point units cancel)."""
     l = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -4889,7 +4925,10 @@ def q_tpch_q8ish(spark, sf):
         F.col("n_regionkey").alias("cn_regionkey"),
     )
     sn = n.select(F.col("n_nationkey").alias("sn_nationkey"), "n_name")
-    rev = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
     j = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
