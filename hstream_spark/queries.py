@@ -792,8 +792,9 @@ def q_tpch_q3(spark, sf):
     "tpch_q5ish",
     """
     SELECT n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -819,10 +820,17 @@ def q_tpch_q5ish(spark, sf):
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
     )
+    # int64 fixed-point sum (10^-4 units; prices/discounts are exact
+    # 2-decimal) → exact engine-identical sums, exact int→double cast
+    # (per-group sums ≪ 2^53), one bit-deterministic IEEE division —
+    # the exact-DECIMAL sum diverged in the last ulp at sf1 because
+    # each engine's decimal→double CAST rounds differently
+    rev_fp = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
     return j.groupBy("n_name").agg(
-        F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
-        .cast("double")
-        .alias("revenue"),
+        (F.sum(rev_fp).cast("double") / F.lit(10000.0)).alias("revenue"),
     )
 
 
