@@ -188,6 +188,7 @@ HEADLINE = [
     "group_train_test_split",
     # round 11
     "dedup_simhash_capped",
+    "dsir_select",
 ]
 
 # Drift yardsticks: three stable-plan queries timed at the START and END

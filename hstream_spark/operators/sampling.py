@@ -269,3 +269,147 @@ def group_train_test_split(
             F.lit("train")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — integer fixed-point
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_FP = 1 << 20  # ratio fixed point: L_k = (p_k+1)·FP // (q_k+1)
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed-bigram feature counts per bucket — DSIR's corpus profile.
+
+    Each doc's whitespace bigrams hash (engine-agnostic md5-based
+    ``token_hash`` scheme) into ``buckets``; one explode → groupBy with
+    map-side combine, output is ``buckets`` rows regardless of corpus
+    size — the profile is model-sized at 100 TB."""
+    from hstream_spark.operators.text import tokens
+
+    tk = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+    return (
+        docs.select(F.explode(grams).alias("__g"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_ratio_table(
+    target_counts: dict[int, int],
+    raw_counts: dict[int, int],
+    buckets: int = DSIR_BUCKETS,
+    fp: int = DSIR_FP,
+) -> list[int]:
+    """Per-bucket importance ratio in fixed point:
+    ``L_k = (p_k + 1) * fp // (q_k + 1)`` (add-one smoothing).
+
+    Integer-only — byte-exact on any engine — where canonical DSIR uses
+    ``log p_k − log q_k``; the ranking this induces is a documented
+    monotone variant (per-bucket ratio instead of log-ratio; scores sum
+    count-weighted ratios rather than log-likelihood ratios), chosen so
+    the oracle can replay selection EXACTLY instead of tolerating
+    engine-specific ``ln`` ulps. The table is ``buckets`` int64s —
+    model-sized, ships as a literal to every executor."""
+    return [
+        ((target_counts.get(k, 0) + 1) * fp) // (raw_counts.get(k, 0) + 1)
+        for k in range(buckets)
+    ]
+
+
+def dsir_scores(
+    docs: DataFrame,
+    ratios: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-doc importance score: Σ over the doc's bigrams of the
+    bucket's fixed-point ratio — one explode → groupBy(doc) int64 sum;
+    the ratio table is an array literal (no join, no shuffle for model
+    access). Docs with < 2 tokens score 0."""
+    from hstream_spark.operators.text import tokens
+
+    tk = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+    lut = F.lit(ratios).cast("array<long>")
+    per_gram = docs.select(
+        F.col(id_col), F.explode_outer(grams).alias("__g")
+    ).select(
+        id_col,
+        F.when(
+            F.col("__g").isNull(), F.lit(0).cast("long")
+        ).otherwise(F.element_at(lut, (bucket + 1).cast("int"))).alias("__r"),
+    )
+    return per_gram.groupBy(id_col).agg(F.sum("__r").alias("dsir_score"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    keep_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """End-to-end DSIR selection: profile the target and raw corpora
+    (two model-sized aggregates), build the fixed-point ratio table
+    driver-side, score every raw doc, keep the top ``keep_n`` by
+    (score desc, id asc — deterministic tie-break).
+
+    Scale shape: the two profiles collect ``buckets`` rows each (the
+    only driver traffic); scoring is one explode → groupBy over the raw
+    corpus; selection is a global top-k (TakeOrdered — no full sort).
+    At 100 TB the raw-corpus pass dominates and is linear."""
+    t_counts = {
+        r["bucket"]: r["n"]
+        for r in dsir_bucket_counts(target, text_col, buckets).collect()
+    }
+    q_counts = {
+        r["bucket"]: r["n"]
+        for r in dsir_bucket_counts(docs, text_col, buckets).collect()
+    }
+    ratios = dsir_ratio_table(t_counts, q_counts, buckets)
+    scored = dsir_scores(docs, ratios, text_col, id_col, buckets)
+    # orderBy + limit compiles to TakeOrderedAndProject (distributed
+    # top-k, every partition ships only its local top keep_n); the rank
+    # column is then a window over the keep_n survivors only — an
+    # unpartitioned row_number over the full scored set would funnel
+    # the whole corpus through one task
+    kept = scored.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col).asc()
+    ).limit(keep_n)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+    return kept.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "dsir_score", "rank"
+    )

@@ -5571,6 +5571,53 @@ def q_temperature_sample(spark, sf):
     )
 
 
+_DSIR_ORACLE = """
+WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gm
+      FROM docs WHERE len(toks) >= 2),
+b AS (SELECT doc_id,
+             ('0x' || substring(md5(gm), 1, 15))::BIGINT % 1024 AS bucket
+      FROM g),
+tb AS (SELECT b.bucket, count(*) AS p
+       FROM b JOIN documents d ON d.doc_id = b.doc_id
+       WHERE d.source = 'src0' GROUP BY b.bucket),
+qb AS (SELECT bucket, count(*) AS q FROM b GROUP BY bucket),
+lut AS (SELECT qb.bucket,
+               ((coalesce(tb.p, 0) + 1) * 1048576) // (qb.q + 1) AS l
+        FROM qb LEFT JOIN tb ON tb.bucket = qb.bucket),
+sc AS (SELECT b.doc_id, CAST(sum(l.l) AS BIGINT) AS s
+       FROM b JOIN lut l ON l.bucket = b.bucket GROUP BY b.doc_id),
+allsc AS (SELECT d.doc_id, CAST(coalesce(sc.s, 0) AS BIGINT) AS dsir_score
+          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+top AS (SELECT doc_id, dsir_score,
+               row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC) AS rank
+        FROM allsc)
+SELECT doc_id, dsir_score, rank FROM top WHERE rank <= 400
+"""
+
+
+@register("dsir_select", _DSIR_ORACLE, tags=("sampling", "dsir", "selection"))
+def q_dsir_select(spark, sf):
+    """DSIR-style importance selection (Xie et al. 2023): profile the
+    TARGET slice (source = 'src0', the curated dump) and the raw corpus
+    as hashed-bigram bucket counts, build the per-bucket importance
+    ratio in integer fixed point (L_k = (p_k+1)·2^20 // (q_k+1) —
+    add-one smoothed; a documented monotone variant of the log-ratio so
+    both engines replay selection byte-exactly), score every raw doc by
+    its count-weighted ratio sum, keep the top 400 (score desc, id asc).
+    Scale shape: two model-sized profile aggregates (1024 rows each,
+    the only driver traffic), one linear explode→groupBy scoring pass,
+    distributed top-k (operators/sampling.py dsir_select)."""
+    from hstream_spark.operators import sampling as SMP
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    target = docs.where(F.col("source") == "src0")
+    return SMP.dsir_select(docs, target, keep_n=400)
+
+
 _GROUP_SPLIT_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN {_HB.format(x="md5(text)")} < 1000

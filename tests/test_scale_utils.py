@@ -169,3 +169,49 @@ def test_token_budget_sample_caps_expected_tokens(spark):
     out2 = token_budget_sample(df, "lang", 2000, n_tokens=F.col("n"))
     assert sorted(r["doc_id"] for r in out.collect()) == \
            sorted(r["doc_id"] for r in out2.collect())
+
+
+class TestDsirSelect:
+    """DSIR-style importance selection (operators/sampling.py): docs
+    bigram-similar to the target profile must outrank dissimilar ones,
+    and the integer fixed-point path is deterministic."""
+
+    def _corpus(self, spark):
+        target_like = "machine learning models train on curated text data"
+        noise = "zebra quartz vortex jumble plinth oboe grommet"
+        rows = [(i, target_like + f" extra{i}", "src0") for i in range(10)]
+        rows += [(100 + i, target_like + f" tail{i}", "raw") for i in range(5)]
+        rows += [(200 + i, noise + f" filler{i} gap{i}", "raw") for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_target_like_docs_outrank_noise(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import sampling as SMP
+
+        docs = self._corpus(spark)
+        target = docs.where(F.col("source") == "src0")
+        kept = SMP.dsir_select(docs, target, keep_n=15).collect()
+        ids = {r["doc_id"] for r in kept}
+        # every target-like raw doc beats every noise doc into the cut
+        assert all(100 + i in ids for i in range(5))
+        assert len(kept) == 15
+        # deterministic rank: re-run produces identical rows
+        again = SMP.dsir_select(docs, target, keep_n=15).collect()
+        assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+    def test_short_docs_score_zero_not_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import sampling as SMP
+
+        docs = spark.createDataFrame(
+            [(1, "single", "src0"), (2, "two words here", "src0")],
+            "doc_id long, text string, source string",
+        )
+        scored = SMP.dsir_select(docs, docs.where(F.col("source") == "src0"),
+                                 keep_n=5).collect()
+        by_id = {r["doc_id"]: r["dsir_score"] for r in scored}
+        assert by_id[1] == 0          # < 2 tokens -> no bigrams
+        assert by_id[2] > 0
+        assert len(scored) == 2       # keep_n above corpus size keeps all
