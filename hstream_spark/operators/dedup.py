@@ -62,22 +62,26 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 SHINGLE_B = 1_000_003  # polynomial combiner for token-hash n-grams
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct 31-bit word-n-gram hashes per document.
+def token_hash_array(text: Column) -> Column:
+    """31-bit md5 token hashes of the whitespace tokens, in order."""
+    return F.transform(tokens(text), token_hash)
+
+
+def shingles_from_hashes(th: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram hashes from an (already materialized)
+    token-hash array column.
 
     Each shingle hash is the polynomial fold of its n token hashes mod
     2^31-1 — arithmetic only, no string concat / re-hash per shingle;
-    intermediate products stay < 2^52.
-
-    Implementation note: built with ``zip_with`` over shifted slices of
-    the token-hash array rather than per-index ``element_at`` lambdas.
-    Higher-order functions are interpreted (no whole-stage codegen, no
+    intermediate products stay < 2^52. Built with ``zip_with`` over
+    shifted slices rather than per-index ``element_at`` lambdas:
+    higher-order functions are interpreted (no whole-stage codegen, no
     common-subexpression elimination), so an ``element_at(th, i)``
-    inside a lambda re-evaluates the *entire* md5 transform per access
-    — O(tokens²) hashing. The zip form evaluates the token-hash array
-    n times total.
+    inside a lambda re-evaluates its argument per access. The zip form
+    references ``th`` n times — which is why callers must pass a bound
+    COLUMN (cheap array re-read), never the md5 transform expression
+    itself (n full re-hashes of every token).
     """
-    th = F.transform(tokens(text), token_hash)
     acc = th
     for k in range(1, n):
         shifted = F.slice(th, k + 1, F.size(th))
@@ -86,15 +90,51 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 31-bit word-n-gram hashes per document, as ONE
+    expression (token-hash transform inlined n times).
+
+    Prefer ``doc_shingle_sets`` — it materializes the token-hash array
+    in its own projection so the md5 pass runs once per document.
+    Catalyst will not re-inline it (CollapseProject only merges
+    multiply-referenced producer expressions when they are cheap), but
+    a single-expression form like this one re-evaluates the full md5
+    transform at every one of its n references — and a pushed-down
+    size() filter doubles that again. Measured on the sf0.1 documents
+    corpus that plan shape evaluates md5 12x per document (round-12
+    A/B, tools/ab_bisect.py).
+    """
+    return shingles_from_hashes(token_hash_array(text), n)
+
+
 def doc_shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                     n: int = 3) -> DataFrame:
+                     n: int = 3, nonempty: bool = False) -> DataFrame:
     """(doc_id, hs) — the materialization point every downstream stage
-    (signatures, bands, Jaccard) reuses, so the tokenize+hash work runs
-    once per document instead of once per expression occurrence."""
+    (signatures, bands, Jaccard) reuses.
+
+    Two stacked projections: the first computes the token-hash array
+    (ONE md5 pass per document), the second folds it into shingles.
+    The split is load-bearing: the fold references the array n times,
+    and Catalyst's CollapseProject keeps the expensive md5 transform in
+    its own projection instead of inlining a copy per reference.
+
+    ``nonempty=True`` drops documents with fewer than ``n`` tokens —
+    exactly the rows whose shingle set is empty — as a CHEAP token-count
+    filter on the scan columns. Equivalent to ``.where(size(hs) > 0)``
+    but pushdown-safe: a size(hs) predicate pushed through the
+    projection re-evaluates the whole shingle tree per row.
+    """
     from hstream_spark.sources.tables import spread
 
-    return spread(docs).select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(F.col(text_col), n).alias("hs")
+    base = spread(docs)
+    if nonempty:
+        base = base.where(F.size(tokens(F.col(text_col))) >= n)
+    tok = base.select(
+        F.col(id_col).alias("doc_id"),
+        token_hash_array(F.col(text_col)).alias("_th"),
+    )
+    return tok.select(
+        "doc_id", shingles_from_hashes(F.col("_th"), n).alias("hs")
     )
 
 
@@ -132,8 +172,16 @@ def minhash_bands_from_sets(sets: DataFrame) -> DataFrame:
     downstream Jaccard filter would drop anyway (null similarity), but
     only after the join cost is paid. Consumers' results are unchanged;
     the join is strictly cheaper, and lsh_bucket_stats (which predicts
-    this join's cost) stays consistent with it."""
-    with_sig = minhash_signature_from_sets(sets.where(F.size("hs") > 0))
+    this join's cost) stays consistent with it.
+
+    The exclusion is a ``when(size(hs) > 0, …)`` guard on the exploded
+    array, NOT a Filter node: ``posexplode(NULL)`` emits no rows, so
+    the semantics are identical, while a Filter on size(hs) would be
+    pushed through the shingle projection and re-evaluate the whole
+    fold (and, pre-split, the md5 token transform) once more per row
+    (round-12 plan audit: that duplication put the md5 pass at 12x per
+    document across the family)."""
+    with_sig = minhash_signature_from_sets(sets)
     band_strs = F.transform(
         F.sequence(F.lit(0), F.lit(BANDS - 1)),
         lambda b: F.array_join(
@@ -144,8 +192,9 @@ def minhash_bands_from_sets(sets: DataFrame) -> DataFrame:
             "-",
         ),
     )
+    guarded = F.when(F.size("hs") > 0, band_strs)
     return with_sig.select(
-        "doc_id", F.posexplode(band_strs).alias("band", "band_sig")
+        "doc_id", F.posexplode(guarded).alias("band", "band_sig")
     )
 
 
@@ -507,10 +556,14 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str], threshold: float
     """
     from hstream_spark.sources.tables import spread
 
-    sets = spread(docs).select(
+    tok = spread(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), n).alias("hs"),
+        token_hash_array(F.col(text_col)).alias("_th"),
+    )
+    sets = tok.select(
+        *block_cols, "doc_id",
+        shingles_from_hashes(F.col("_th"), n).alias("hs"),
     )
     if cache_sets:
         sets = sets.persist()
@@ -1329,9 +1382,10 @@ def lsh_bucket_stats(docs: DataFrame, text_col: str = "text",
     cap/salting decision for the hot buckets.
     """
     # docs too short to shingle (< n tokens) have NO band membership:
-    # without this filter they'd all share the P31-sentinel signature
-    # and fabricate one giant phantom bucket per band
-    sets = doc_shingle_sets(docs, text_col, id_col).where(F.size("hs") > 0)
+    # a cheap token-count prefilter (see doc_shingle_sets) — without it
+    # they'd all share the P31-sentinel signature and fabricate one
+    # giant phantom bucket per band
+    sets = doc_shingle_sets(docs, text_col, id_col, nonempty=True)
     buckets = minhash_bands_from_sets(sets).groupBy("band", "band_sig").agg(
         F.count("*").alias("bucket_size")
     )
@@ -1374,8 +1428,7 @@ def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
     # (like minhash_near_duplicates); long-lived services should
     # unpersist via spark.catalog.clearCache() between evaluations.
     sets = (
-        doc_shingle_sets(sample, text_col, id_col)
-        .where(F.size("hs") > 0)
+        doc_shingle_sets(sample, text_col, id_col, nonempty=True)
         .persist()
     )
     ex = sets.select("doc_id", F.explode("hs").alias("h"))

@@ -182,3 +182,33 @@ def test_bigram_lm_broadcast_gate(spark, sf_dir):
     assert "ShuffledHashJoin [prev" in off or "ShuffledHashJoin" in off
     assert "BroadcastHashJoin" in off  # unigram model still broadcasts
     assert "ShuffledHashJoin" not in on  # default path unchanged
+
+
+def test_shingle_md5_pass_runs_once(spark, sf_dir):
+    """The md5 token-hash transform must appear EXACTLY ONCE in the
+    optimized plan of every single-corpus MinHash consumer.
+
+    The shingle fold references the token-hash array n times and a
+    size() filter pushed through the projection duplicates the whole
+    tree — before round 12 the family's plans evaluated the md5 pass
+    up to 12x per document (the dominant family cost; see
+    doc_shingle_sets). The two-projection split + the posexplode
+    when()-guard in minhash_bands_from_sets keep it at one; this pins
+    that property against refactors and Catalyst rule changes."""
+    from hstream_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = D.doc_shingle_sets(docs)
+    cases = {
+        "doc_shingle_sets": sets,
+        "doc_shingle_sets_nonempty": D.doc_shingle_sets(docs, nonempty=True),
+        "bands": D.minhash_bands_from_sets(sets),
+        "lsh_bucket_stats": D.lsh_bucket_stats(docs),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5(") == 1, (
+            f"{name}: md5 transform duplicated "
+            f"({plan.count('md5(')} occurrences) — an expression "
+            "reference or filter pushdown re-inlined the token-hash pass"
+        )
