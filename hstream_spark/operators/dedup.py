@@ -62,6 +62,19 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 SHINGLE_B = 1_000_003  # polynomial combiner for token-hash n-grams
 
 
+def ceil_div(num: Column, den: int) -> Column:
+    """ceil(num/den) on longs in exact integer arithmetic.
+
+    ``(num + den-1) / den`` with Column ``/`` is DOUBLE division then
+    truncation — exact in practice below 2^53, but the byte-exact
+    engine/oracle contract (DuckDB uses integer ``//``) should not rest
+    on an FP-rounding argument. Subtracting the remainder first makes
+    the quotient an exact integer by construction for any ``den``.
+    """
+    q = num + F.lit(den - 1)
+    return ((q - q % den) / den).cast("long")
+
+
 def token_hash_array(text: Column) -> Column:
     """31-bit md5 token hashes of the whitespace tokens, in order."""
     return F.transform(tokens(text), token_hash)
@@ -277,7 +290,7 @@ def capped_band_candidates(bands: DataFrame, cap: int) -> DataFrame:
     from pyspark.sql import Window
 
     bn = F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
-    n_sub = ((bn + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+    n_sub = ceil_div(bn, cap)
     salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
         F.conv(
             F.substring(
@@ -478,7 +491,7 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         from pyspark.sql import Window as _W
 
         bn = F.count(F.lit(1)).over(_W.partitionBy("band", "bkey"))
-        n_sub = ((bn + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+        n_sub = ceil_div(bn, cap)
         salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
             F.conv(
                 F.substring(

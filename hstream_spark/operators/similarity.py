@@ -22,6 +22,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hstream_spark.operators.dedup import ceil_div
 from hstream_spark.operators.text import P31
 
 
@@ -329,7 +330,7 @@ def embedding_near_duplicates_capped(
     ).select("id", F.col("tb.tbl").alias("tbl"),
              F.col("tb.bucket").alias("bucket"))
     bn = F.count(F.lit(1)).over(_W.partitionBy("tbl", "bucket"))
-    n_sub = ((bn + F.lit(cap - 1)) / F.lit(cap)).cast("long")
+    n_sub = ceil_div(bn, cap)
     salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
         F.conv(
             F.substring(

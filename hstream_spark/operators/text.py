@@ -434,6 +434,7 @@ def gopher_repetition(
     id_col: str = "doc_id",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 10),
+    materialize: bool = True,
 ) -> "DataFrame":
     """Gopher repetition filters (Rae et al. 2021 appendix A1 — the
     repetition table that complements ``gopher_rules``' heuristics):
@@ -586,12 +587,24 @@ def gopher_repetition(
     res = out.select(*cols)
     keep = _reduce(lambda a, r: a & F.col(r), rule_names[1:], F.col(rule_names[0]))
     final = res.select("*", keep.alias("keep"))
-    # The per-doc rule table (booleans + two longs per doc) is tiny next
-    # to the tokenized base, so materialize IT eagerly and release the
-    # fat cache here rather than leaking it to the caller: localCheckpoint
-    # blocks are ContextCleaner-managed (freed when the returned frame is
-    # GC'd), while a caller-invisible persist() would accumulate across
-    # catalog/bench invocations.
+    if not materialize:
+        # Lazy composition path: the caller keeps the full lineage
+        # (recoverable after executor loss, predicate/column pruning
+        # still reaches the scan) but also inherits the persisted
+        # tokenized base — compose-and-execute promptly, then
+        # unpersist/clearCache.
+        return final
+    # materialize=True (default): the per-doc rule table (booleans +
+    # two longs per doc) is tiny next to the tokenized base, so run the
+    # job NOW, keep only ITS blocks, and release the fat cache rather
+    # than leaking it to the caller: localCheckpoint blocks are
+    # ContextCleaner-managed (freed when the returned frame is GC'd),
+    # while a caller-invisible persist() would accumulate across
+    # catalog/bench invocations. CLUSTER-MODE CAVEAT: localCheckpoint
+    # truncates lineage to non-replicated executor blocks — an executor
+    # loss makes the frame unrecoverable, and the eager job runs at
+    # construction time; long-lived cluster pipelines that need fault
+    # tolerance or lazy composition should pass materialize=False.
     final = final.localCheckpoint(eager=True)
     base.unpersist()
     return final

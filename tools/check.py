@@ -145,6 +145,10 @@ def main() -> int:
         argv = [a for a in argv if a != "--strict"]
     if "--sf" in argv:
         i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            print("usage: check.py [--strict] [--sf N] [query ...] "
+                  "(--sf needs a value, e.g. --sf 0.01)")
+            return 2
         sf = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
         if "SPARK_GRAFT_SF_DIR_CHECK" not in os.environ:

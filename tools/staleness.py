@@ -12,9 +12,11 @@ Usage: python tools/staleness.py [--max-age N] [--markdown]
 
 ``--markdown`` prints the per-entry table for COVERAGE.md. Exit codes:
 0 = all entries within the age bound, 1 = stale entries exist,
-2 = entries that have never been driver-green (excluding brand-new
-ones added after the newest record, which the next round will draw
-first by rotation).
+2 = entries that have never been driver-green. NOTE: a brand-new entry
+registered after the newest correctness record also trips exit 2 until
+its first driver draw — deliberately, since the correctness records
+carry no registration dates to tell the two cases apart, and the
+reminder ("sweep new entries locally before round end") is useful.
 """
 
 from __future__ import annotations
