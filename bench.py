@@ -349,6 +349,52 @@ def append_history(
         pass
 
 
+def load_pins(repo_dir: str | None = None) -> dict:
+    """Per-entry sf0.1 pins from BASELINE_PINS.json (tools/gen_pins.py);
+    {} when the file is absent so bench never hard-fails on it."""
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_dir, "BASELINE_PINS.json")) as fh:
+            return json.load(fh)["pins"]
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+def compute_over_envelope(
+    timings: dict[str, float],
+    pins: dict[str, dict],
+    query_env: dict[str, dict],
+    factor: float = 2.0,
+) -> dict[str, dict]:
+    """Entries slower than ``factor`` x their pin, with their own
+    contention evidence attached so the record adjudicates itself."""
+    out: dict[str, dict] = {}
+    for name, sec in timings.items():
+        pin = pins.get(name, {}).get("sec")
+        if pin and sec / pin > factor:
+            out[name] = {
+                "sec": sec,
+                "pin": pin,
+                "ratio": round(sec / pin, 2),
+                **query_env.get(name, {}),
+            }
+    return out
+
+
+def compute_cal_creep(
+    cal: dict[str, float], pins: dict[str, dict], yardsticks=None
+) -> dict[str, float]:
+    """Rolling-median calibration vs each yardstick's round-1 pin: the
+    median tracker absorbs slow catalog-wide drift (drift factor stays
+    ~1.0 while everything ratchets), so this ratio is the creep alarm
+    (threshold ~1.5x)."""
+    return {
+        y: round(cal[y] / pins[y]["sec"], 3)
+        for y in (yardsticks or YARDSTICKS)
+        if y in cal and pins.get(y, {}).get("sec")
+    }
+
+
 def bench_streaming(spark, sf_dir: str) -> dict:
     """Streaming throughput — the reference's only published benchmark
     genre (hstream-diffflow/bench/throughout-{map,join,reduce}.hs:
@@ -606,6 +652,23 @@ def main() -> None:
         "timeline": drift_timeline,
     }
 
+    # Envelope enforcement (round-11 verdict task 4): every timed entry
+    # is compared against its BASELINE_PINS.json pin (generated from
+    # BASELINE.md by tools/gen_pins.py); ratio > 2x lands in
+    # `over_envelope` with the entry's own contention evidence attached,
+    # so a slow record adjudicates itself the way `contended` does.
+    # Calibration creep (task 5): the rolling-median yardstick
+    # calibration is also compared against each yardstick's ROUND-1 pin
+    # — a slow catalog-wide regression would ratchet the medians and
+    # read as drift ~1.0, so the creep ratio makes it visible (alert
+    # threshold 1.5x).
+    over_envelope: dict[str, dict] = {}
+    cal_creep: dict[str, float] = {}
+    if float(run_sf) == 0.1:  # pins are sf0.1 records
+        _pins = load_pins()
+        over_envelope = compute_over_envelope(timings, _pins, query_env)
+        cal_creep = compute_cal_creep(cal, _pins)
+
     stream_env_before = _proc_stat()
     try:
         streaming = bench_streaming(spark, sf_dir)
@@ -628,6 +691,8 @@ def main() -> None:
         "drift": drift,
         "query_env": query_env,
         "contended": contended,
+        "over_envelope": over_envelope,
+        "calibration_vs_round1_pin": cal_creep,
         "sf": float(sf),
     }
     # Full per-query record: printed FIRST and mirrored to a sidecar
@@ -667,6 +732,8 @@ def main() -> None:
         "n_errors": len(errors),
         "drift": drift["factor"],
         "n_contended": len(contended),
+        "n_over_envelope": len(over_envelope),
+        "calibration_vs_round1_pin": cal_creep,
         "streaming": {
             f"{k}_records_per_sec": v.get("records_per_sec")
             for k, v in streaming.items()

@@ -126,3 +126,44 @@ class TestProcStatBracket:
         assert snap is not None
         total, idle, iowait, steal = snap
         assert total >= idle + iowait + steal >= 0
+
+
+class TestEnvelopeAndCreep:
+    PINS = {
+        "q_fast": {"sec": 1.0},
+        "q_slow": {"sec": 1.0},
+        "q_edge": {"sec": 1.0},
+        "tpch_q6": {"sec": 0.232},
+    }
+
+    def test_over_envelope_flags_only_past_factor(self):
+        timings = {"q_fast": 1.5, "q_slow": 2.7, "q_edge": 2.0,
+                   "q_unpinned": 99.0}
+        env = {"q_slow": {"steal_pct": 0.3, "local_drift": 1.1}}
+        out = bench.compute_over_envelope(timings, self.PINS, env)
+        assert set(out) == {"q_slow"}  # 2.0x exactly is inside
+        assert out["q_slow"]["ratio"] == 2.7
+        assert out["q_slow"]["pin"] == 1.0
+        # the entry's own contention evidence rides along
+        assert out["q_slow"]["steal_pct"] == 0.3
+
+    def test_over_envelope_unpinned_entry_never_flags(self):
+        out = bench.compute_over_envelope({"new_entry": 50.0}, self.PINS, {})
+        assert out == {}
+
+    def test_cal_creep_ratio_vs_round1_pin(self):
+        cal = {"tpch_q6": 0.343, "agg_basic": 0.5}
+        out = bench.compute_cal_creep(cal, self.PINS,
+                                      yardsticks=("tpch_q6", "agg_basic"))
+        assert out == {"tpch_q6": round(0.343 / 0.232, 3)}
+
+    def test_load_pins_missing_file_is_empty(self, tmp_path):
+        assert bench.load_pins(str(tmp_path)) == {}
+
+    def test_load_pins_repo_file_covers_headline(self):
+        pins = bench.load_pins()
+        # every headline entry except the known-unpinned newcomer has a pin
+        missing = [n for n in bench.HEADLINE
+                   if n not in pins and n != "hypertable_rollup"]
+        assert missing == ["dsir_select"] or missing == []
+        assert "hypertable_rollup_cold" in pins
