@@ -280,6 +280,33 @@ DSIR_BUCKETS = 1024
 DSIR_FP = 1 << 20  # ratio fixed point: L_k = (p_k+1)·FP // (q_k+1)
 
 
+def _bigram_buckets(text: Column, buckets: int) -> Column:
+    """Hashed-bigram feature buckets of a document, linear-time.
+
+    One md5 ``token_hash`` per TOKEN, then each bigram is the
+    polynomial fold of its two token hashes mod 2^31-1, mod
+    ``buckets`` — the same engine-agnostic scheme the shingle oracles
+    replay in DuckDB SQL. Two wins over hashing the bigram STRING:
+    the md5 count halves (per token, not per gram — and no per-gram
+    concat), and the exploded feature rows are longs, not strings.
+    Built with zip_with over the 1-shifted slice: a
+    transform(sequence, slice(tk, i+1, 2)) form copies a slice per
+    index, O(tokens²) per document (measured: the dominant cost of the
+    whole DSIR pipeline at sf0.1 before round 12). The fold
+    null-propagates into the zip_with padding element, which the
+    filter drops; sub-2-token docs yield an empty array."""
+    from hstream_spark.operators.dedup import SHINGLE_B, token_hash_array
+    from hstream_spark.operators.text import P31
+
+    th = token_hash_array(text)
+    shifted = F.slice(th, 2, F.size(th))
+    gh = F.filter(
+        F.zip_with(th, shifted, lambda x, y: (x * SHINGLE_B + y) % P31),
+        lambda g: g.isNotNull(),
+    )
+    return F.transform(gh, lambda g: g % buckets)
+
+
 def dsir_bucket_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -287,27 +314,14 @@ def dsir_bucket_counts(
 ) -> DataFrame:
     """Hashed-bigram feature counts per bucket — DSIR's corpus profile.
 
-    Each doc's whitespace bigrams hash (engine-agnostic md5-based
-    ``token_hash`` scheme) into ``buckets``; one explode → groupBy with
+    Each doc's whitespace bigrams hash (md5 token-hash fold, see
+    ``_bigram_buckets``) into ``buckets``; one explode → groupBy with
     map-side combine, output is ``buckets`` rows regardless of corpus
     size — the profile is model-sized at 100 TB."""
-    from hstream_spark.operators.text import tokens
-
-    tk = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - 2),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
     return (
-        docs.select(F.explode(grams).alias("__g"))
-        .select(bucket.alias("bucket"))
+        docs.select(
+            F.explode(_bigram_buckets(F.col(text_col), buckets)).alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -346,28 +360,15 @@ def dsir_scores(
     bucket's fixed-point ratio — one explode → groupBy(doc) int64 sum;
     the ratio table is an array literal (no join, no shuffle for model
     access). Docs with < 2 tokens score 0."""
-    from hstream_spark.operators.text import tokens
-
-    tk = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - 2),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
     lut = F.lit(ratios).cast("array<long>")
     per_gram = docs.select(
-        F.col(id_col), F.explode_outer(grams).alias("__g")
+        F.col(id_col),
+        F.explode_outer(_bigram_buckets(F.col(text_col), buckets)).alias("__b"),
     ).select(
         id_col,
         F.when(
-            F.col("__g").isNull(), F.lit(0).cast("long")
-        ).otherwise(F.element_at(lut, (bucket + 1).cast("int"))).alias("__r"),
+            F.col("__b").isNull(), F.lit(0).cast("long")
+        ).otherwise(F.element_at(lut, (F.col("__b") + 1).cast("int"))).alias("__r"),
     )
     return per_gram.groupBy(id_col).agg(F.sum("__r").alias("dsir_score"))
 
@@ -393,12 +394,38 @@ def dsir_select(
         r["bucket"]: r["n"]
         for r in dsir_bucket_counts(target, text_col, buckets).collect()
     }
+    # The raw corpus feeds BOTH the q-profile and the scoring pass, and
+    # the expensive part of each is the same bigram tokenize+hash.
+    # Aggregate it ONCE to (doc, bucket, c) — map-side combinable, at
+    # most docs x buckets rows — persist that, and derive profile and
+    # scores from it: one raw-corpus hash pass instead of two
+    # (round-11 verdict task 2). NULL bucket rows keep sub-2-token docs
+    # in the output with score 0 (explode_outer).
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(
+                _bigram_buckets(F.col(text_col), buckets)
+            ).alias("__b"),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
     q_counts = {
-        r["bucket"]: r["n"]
-        for r in dsir_bucket_counts(docs, text_col, buckets).collect()
+        r["__b"]: r["n"]
+        for r in per_doc.where(F.col("__b").isNotNull())
+        .groupBy("__b").agg(F.sum("__c").alias("n")).collect()
     }
     ratios = dsir_ratio_table(t_counts, q_counts, buckets)
-    scored = dsir_scores(docs, ratios, text_col, id_col, buckets)
+    lut = F.lit(ratios).cast("array<long>")
+    scored = per_doc.select(
+        F.col(id_col),
+        F.when(F.col("__b").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.element_at(lut, (F.col("__b") + 1).cast("int")) * F.col("__c")
+        ).alias("__r"),
+    ).groupBy(id_col).agg(F.sum("__r").alias("dsir_score"))
     # orderBy + limit compiles to TakeOrderedAndProject (distributed
     # top-k, every partition ships only its local top keep_n); the rank
     # column is then a window over the keep_n survivors only — an

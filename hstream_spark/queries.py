@@ -5574,13 +5574,16 @@ def q_temperature_sample(spark, sf):
 _DSIR_ORACLE = """
 WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
               FROM documents),
-g AS (SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(toks) - 1),
-                                   i -> toks[i] || ' ' || toks[i + 1])) AS gm
-      FROM docs WHERE len(toks) >= 2),
+tha AS (SELECT doc_id,
+               list_transform(toks,
+                 t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647
+               ) AS th
+        FROM docs),
 b AS (SELECT doc_id,
-             ('0x' || substring(md5(gm), 1, 15))::BIGINT % 1024 AS bucket
-      FROM g),
+             unnest(list_transform(generate_series(1, len(th) - 1),
+               i -> ((th[i] * 1000003 + th[i + 1]) % 2147483647) % 1024
+             )) AS bucket
+      FROM tha WHERE len(th) >= 2),
 tb AS (SELECT b.bucket, count(*) AS p
        FROM b JOIN documents d ON d.doc_id = b.doc_id
        WHERE d.source = 'src0' GROUP BY b.bucket),
