@@ -17,18 +17,20 @@ sys.path.insert(
 
 
 def test_composed_pipeline_across_compaction(spark):
-    # 5 cycles crosses the cycle-3 stream compaction: the rewritten
-    # segments must NOT re-enter the batch step (arrival ledger on
-    # (doc_id, _ts) — a compaction re-read keeps its event time, a
-    # genuine resend gets a new one)
+    # 9 cycles crosses TWO stream compactions (cycles 3 and 7), the
+    # cycle-8 index compaction, and the 3-minute view retention
+    # horizon: the rewritten segments must NOT re-enter the batch step
+    # (arrival ledger on (doc_id, _ts) — a compaction re-read keeps
+    # its event time, a genuine resend gets a new one), and the
+    # cycles>=9 plateau invariants inside soak() are exercised
     from curation_soak import soak
 
-    result = soak(spark, "/root/testdata/sf0.001", cycles=5, per_cycle=40)
+    result = soak(spark, "/root/testdata/sf0.001", cycles=9, per_cycle=40)
     s = result["summary"]
     cycles = result["cycles"]
 
     assert s["ok"] is True
-    assert len(cycles) == 5
+    assert len(cycles) == 9
     # every produced record reached the engine through the wire client
     assert all(m["polled"] == m["produced"] for m in cycles)
     # and exactly once: cycle 4 (right after compaction) processes only
@@ -44,5 +46,14 @@ def test_composed_pipeline_across_compaction(spark):
     # accepted ≤ quality-kept ≤ arrivals, strictly monotone filtering
     for m in cycles:
         assert m["accepted"] <= m["quality_kept"] <= m["arrivals"]
-    # index grows only with accepted uniques: band files only append
-    assert cycles[-1]["index_files"]["bands"] >= cycles[0]["index_files"]["bands"]
+    # index file count grows with per-cycle appends UNTIL the cycle-8
+    # compaction rewrites the small parts into few large ones
+    assert cycles[7]["index_files"]["bands"] >= cycles[0]["index_files"]["bands"]
+    assert cycles[-1]["index_files"]["bands"] <= cycles[7]["index_files"]["bands"]
+    # the cycle-8 index compaction ran and shrank (or held) file counts
+    assert "index_compact" in cycles[8]
+    before = cycles[8]["index_compact"]["before"]
+    after = cycles[8]["index_compact"]["after"]
+    assert after["bands"] <= before["bands"]
+    # plateau figures are recorded for the SCALE.md trend line
+    assert s["wall_sec_second_half_median"] > 0

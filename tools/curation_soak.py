@@ -269,6 +269,48 @@ def soak(spark, sf_dir: str, cycles: int, per_cycle: int) -> dict:
         # invariants a healthy composed pipeline must satisfy
         assert summary["curated_rows_on_disk"] == curated_total
         assert dup_rejected > 0, "resent dups must be rejected by the index"
+        # plateau invariants (round-12, verdict task 7): once the run
+        # crosses the retention horizon and the index compaction
+        # (cycle 8), state and trigger time must be BOUNDED — the
+        # "a year of this loop stays flat" claim, asserted.
+        walls = [m["wall_sec"] for m in metrics]
+        summary["wall_sec_first_half_median"] = sorted(
+            walls[: cycles // 2])[len(walls[: cycles // 2]) // 2]
+        summary["wall_sec_second_half_median"] = sorted(
+            walls[cycles // 2:])[len(walls[cycles // 2:]) // 2]
+        total_wall = sum(walls)
+        summary["total_wall_sec"] = round(total_wall, 1)
+        summary["vacuumed_files_total"] = sum(
+            m.get("vacuumed", 0) for m in metrics)
+        raw_duration_s = 60  # the CREATE STREAM raw DURATION above
+        if cycles >= 9:
+            # retention evidence: once the run outlives the stream
+            # DURATION, vacuum must have dropped aged segment files
+            if total_wall >= 1.2 * raw_duration_s:
+                assert summary["vacuumed_files_total"] > 0, (
+                    "run outlived the stream DURATION but vacuum "
+                    "dropped nothing — retention is not holding")
+            # raw backlog plateau: only meaningful once the run is long
+            # enough that the retention window has turned over a few
+            # times past the first half (otherwise the backlog is still
+            # in its initial fill and the comparison measures wall
+            # speed, not retention)
+            if total_wall >= 3 * raw_duration_s:
+                assert summary["raw_bytes_final"] <= 1.5 * summary[
+                    "raw_bytes_first_half_max"], (
+                    "raw stream backlog grew past its first-half "
+                    "plateau — vacuum/retention is not holding")
+            # windowed view state: DURATION fold keeps closed windows
+            # retiring; final state sits at/below the observed max
+            assert summary["view_state_bytes_final"] <= summary[
+                "view_state_bytes_max"]
+            # trigger-time plateau: per-cycle work is constant, the
+            # standing index grows — cost per cycle must stay bounded
+            # (2.5x allows box noise, not growth trends)
+            assert summary["wall_sec_second_half_median"] <= 2.5 * max(
+                summary["wall_sec_first_half_median"], 0.1), (
+                "per-cycle wall time is trending up — standing-index "
+                "or state growth is leaking into the trigger path")
         summary["ok"] = True
     finally:
         if eng is not None:
