@@ -1459,3 +1459,55 @@ def test_line_index_roundtrip_and_append(spark, tmp_path):
     )
     plain = sorted(tuple(r) for r in dedup_lines(batch).collect())
     assert via_idx == plain
+
+
+class TestShinglePrefilterEquivalence:
+    def test_nonempty_flag_equals_size_filter(self, spark):
+        """doc_shingle_sets(nonempty=True) must select EXACTLY the docs
+        that .where(size(hs) > 0) would — the cheap token-count
+        prefilter (size(tokens) >= n) replaces the pushdown-duplicating
+        size(hs) predicate, so the equivalence is load-bearing for the
+        whole MinHash family's correctness. Edge rows: NULL text, empty
+        text, whitespace-only, exactly n-1 / n / n+1 tokens, repeated
+        identical tokens (distinct shingles collapse to one, still
+        nonempty)."""
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators import dedup as D
+
+        rows = [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "one two"),
+            (5, "one two three"),
+            (6, "one two three four"),
+            (7, "same same same same same"),
+            (8, "  padded   tokens\tand\nnewlines here  "),
+            (9, "a b"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for n in (2, 3, 4):
+            via_flag = sorted(
+                r["doc_id"]
+                for r in D.doc_shingle_sets(docs, n=n, nonempty=True)
+                .select("doc_id").collect()
+            )
+            via_size = sorted(
+                r["doc_id"]
+                for r in D.doc_shingle_sets(docs, n=n)
+                .where(F.size("hs") > 0).select("doc_id").collect()
+            )
+            assert via_flag == via_size, (n, via_flag, via_size)
+        # and the hs contents themselves agree row-for-row
+        flag_sets = {
+            r["doc_id"]: sorted(r["hs"])
+            for r in D.doc_shingle_sets(docs, nonempty=True).collect()
+        }
+        plain_sets = {
+            r["doc_id"]: sorted(r["hs"])
+            for r in D.doc_shingle_sets(docs).collect()
+            if r["hs"]
+        }
+        assert flag_sets == plain_sets
