@@ -349,15 +349,34 @@ def append_history(
         pass
 
 
-def load_pins(repo_dir: str | None = None) -> dict:
-    """Per-entry sf0.1 pins from BASELINE_PINS.json (tools/gen_pins.py);
-    {} when the file is absent so bench never hard-fails on it."""
+def _load_pins_doc(repo_dir: str | None = None) -> dict:
     repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo_dir, "BASELINE_PINS.json")) as fh:
-            return json.load(fh)["pins"]
-    except (OSError, KeyError, ValueError):
+            doc = json.load(fh)
+        return doc if isinstance(doc, dict) else {}
+    except (OSError, ValueError):
         return {}
+
+
+def load_pins(repo_dir: str | None = None) -> dict:
+    """Per-entry sf0.1 pins from BASELINE_PINS.json (tools/gen_pins.py);
+    {} when the file is absent or malformed so bench never hard-fails
+    on it."""
+    pins = _load_pins_doc(repo_dir).get("pins", {})
+    return pins if isinstance(pins, dict) else {}
+
+
+def load_yardstick_round1_pins(repo_dir: str | None = None) -> dict:
+    """ROUND-1 yardstick pins — the calibration-creep denominators.
+    These must never move with later re-pin rows (gen_pins records the
+    FIRST occurrence); falls back to the current pins for older
+    BASELINE_PINS.json files without the section."""
+    doc = _load_pins_doc(repo_dir)
+    r1 = doc.get("yardstick_round1_pins")
+    if isinstance(r1, dict) and r1:
+        return r1
+    return load_pins(repo_dir)
 
 
 def compute_over_envelope(
@@ -665,9 +684,8 @@ def main() -> None:
     over_envelope: dict[str, dict] = {}
     cal_creep: dict[str, float] = {}
     if float(run_sf) == 0.1:  # pins are sf0.1 records
-        _pins = load_pins()
-        over_envelope = compute_over_envelope(timings, _pins, query_env)
-        cal_creep = compute_cal_creep(cal, _pins)
+        over_envelope = compute_over_envelope(timings, load_pins(), query_env)
+        cal_creep = compute_cal_creep(cal, load_yardstick_round1_pins())
 
     stream_env_before = _proc_stat()
     try:

@@ -397,10 +397,15 @@ def dsir_select(
     # The raw corpus feeds BOTH the q-profile and the scoring pass, and
     # the expensive part of each is the same bigram tokenize+hash.
     # Aggregate it ONCE to (doc, bucket, c) — map-side combinable, at
-    # most docs x buckets rows — persist that, and derive profile and
-    # scores from it: one raw-corpus hash pass instead of two
+    # most docs x buckets rows — materialize that, and derive profile
+    # and scores from it: one raw-corpus hash pass instead of two
     # (round-11 verdict task 2). NULL bucket rows keep sub-2-token docs
-    # in the output with score 0 (explode_outer).
+    # in the output with score 0 (explode_outer). localCheckpoint, not
+    # persist: the q-profile collect() below forces the job anyway, and
+    # checkpoint blocks are ContextCleaner-GC'd when the returned frame
+    # drops out of scope — a caller-invisible persist() would pin a
+    # cache per invocation with nothing able to release it (the
+    # gopher_repetition lesson).
     per_doc = (
         docs.select(
             F.col(id_col),
@@ -410,7 +415,7 @@ def dsir_select(
         )
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     q_counts = {
         r["__b"]: r["n"]

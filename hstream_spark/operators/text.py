@@ -472,7 +472,15 @@ def gopher_repetition(
         did,
         tokens(text).alias("__tk"),
         F.split(text, r"\n").alias("__lines"),
-    ).persist()
+    )
+    if materialize:
+        # cache the tokenized frame across the rule-family branches;
+        # released below once the tiny rule table is checkpointed. The
+        # lazy path deliberately skips it: a persist the caller can't
+        # see or unpersist would outlive the call (the only release
+        # would be a session-wide clearCache), so lazy composition
+        # trades ~branch-count re-tokenization for a leak-free plan.
+        base = base.persist()
     tk = F.col("__tk")
 
     def _grams(n: int) -> Column:

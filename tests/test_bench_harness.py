@@ -167,3 +167,34 @@ class TestEnvelopeAndCreep:
                    if n not in pins and n != "hypertable_rollup"]
         assert missing == ["dsir_select"] or missing == []
         assert "hypertable_rollup_cold" in pins
+
+    def test_load_pins_malformed_file_is_empty(self, tmp_path):
+        (tmp_path / "BASELINE_PINS.json").write_text('["not", "a", "dict"]')
+        assert bench.load_pins(str(tmp_path)) == {}
+        (tmp_path / "BASELINE_PINS.json").write_text('{"pins": 42}')
+        assert bench.load_pins(str(tmp_path)) == {}
+
+    def test_yardstick_round1_pins_immune_to_repin(self, tmp_path):
+        # a later re-pin row must not move the creep denominator
+        (tmp_path / "BASELINE_PINS.json").write_text(json.dumps({
+            "pins": {"tpch_q6": {"sec": 0.4}},
+            "yardstick_round1_pins": {"tpch_q6": {"sec": 0.232}},
+        }))
+        r1 = bench.load_yardstick_round1_pins(str(tmp_path))
+        assert r1["tpch_q6"]["sec"] == 0.232
+        out = bench.compute_cal_creep({"tpch_q6": 0.348}, r1,
+                                      yardsticks=("tpch_q6",))
+        assert out == {"tpch_q6": 1.5}
+
+    def test_yardstick_round1_pins_fallback_for_old_files(self, tmp_path):
+        (tmp_path / "BASELINE_PINS.json").write_text(json.dumps({
+            "pins": {"tpch_q6": {"sec": 0.232}},
+        }))
+        r1 = bench.load_yardstick_round1_pins(str(tmp_path))
+        assert r1["tpch_q6"]["sec"] == 0.232
+
+    def test_repo_round1_yardsticks_present(self):
+        r1 = bench.load_yardstick_round1_pins()
+        assert set(bench.YARDSTICKS) <= set(r1)
+        # round-1 values, not any later re-pin
+        assert r1["tpch_q6"]["sec"] == 0.232

@@ -67,12 +67,10 @@ def main() -> None:
     sf_small = "/root/testdata/sf0.001"
     from hstream_spark import get_spark
     from hstream_spark.queries import REGISTRY
-    import re
 
-    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
-    headline = re.findall(
-        r'"([^"]+)"', re.search(r"HEADLINE\s*=\s*(\[.*?\n\])", src, re.S).group(1)
-    )
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    from bench import HEADLINE as headline
 
     spark = get_spark("ab-aging")
     spark.range(1).count()

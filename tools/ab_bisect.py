@@ -9,7 +9,6 @@ Usage: python tools/ab_bisect.py A B [probe ...]
 """
 import json
 import os
-import re
 import sys
 import time
 
@@ -64,12 +63,9 @@ def main() -> None:
     from hstream_spark import get_spark
     from hstream_spark.queries import REGISTRY
 
-    here = os.path.dirname(os.path.abspath(globals().get("__file__", "")))
-    cand = [os.path.join(here, "..", "bench.py"), "bench.py"]
-    src = open(next(p for p in cand if os.path.exists(p))).read()
-    headline = re.findall(
-        r'"([^"]+)"', re.search(r"HEADLINE\s*=\s*(\[.*?\n\])", src, re.S).group(1)
-    )
+    here = os.path.dirname(os.path.abspath(globals().get("__file__", ".")))
+    sys.path.insert(0, os.path.join(here, ".."))
+    from bench import HEADLINE as headline
 
     spark = get_spark("ab-bisect")
     spark.range(1).count()

@@ -6,7 +6,6 @@ prints the top frames of each so the extra CPU is attributable.
 """
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -25,12 +24,9 @@ def main() -> None:
     from hstream_spark import get_spark
     from hstream_spark.queries import REGISTRY
 
-    cand = [os.path.join(os.path.dirname(os.path.abspath(
-        globals().get("__file__", ""))), "..", "bench.py"), "bench.py"]
-    src = open(next(p for p in cand if os.path.exists(p))).read()
-    headline = re.findall(
-        r'"([^"]+)"', re.search(r"HEADLINE\s*=\s*(\[.*?\n\])", src, re.S).group(1)
-    )
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(globals().get("__file__", "."))), ".."))
+    from bench import HEADLINE as headline
 
     spark = get_spark("ab-jfr")
     spark.range(1).count()

@@ -9,7 +9,6 @@ Usage: python tools/ab_sweep_jfr.py [start_idx] [end_idx]
 """
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -22,12 +21,10 @@ def main() -> None:
     from hstream_spark import get_spark
     from hstream_spark.queries import REGISTRY
 
-    cand = [os.path.join(os.path.dirname(os.path.abspath(
-        globals().get("__file__", ""))), "..", "bench.py"), "bench.py"]
-    src = open(next(p for p in cand if os.path.exists(p))).read()
-    headline = re.findall(
-        r'"([^"]+)"', re.search(r"HEADLINE\s*=\s*(\[.*?\n\])", src, re.S).group(1)
-    )[a:b]
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(globals().get("__file__", "."))), ".."))
+    from bench import HEADLINE
+    headline = list(HEADLINE)[a:b]
 
     spark = get_spark("ab-sweep")
     spark.range(1).count()

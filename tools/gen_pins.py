@@ -21,32 +21,48 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: sections whose numeric tables are NOT seconds pins (scale factors,
+#: regression ratios, A/B investigations) — rows there must never
+#: override a pin (a 1.08 "factor" cell silently replacing a 0.18 s
+#: pin would widen that entry's envelope 12x)
+NON_PIN_SECTION_MARKERS = ("factor", "ratio", "aging", "a/b", "sweep")
+
+
 def extract() -> dict:
     pins: dict[str, dict] = {}
+    yard_round1: dict[str, dict] = {}
     section = ""
     row_re = re.compile(r"^\| ([a-z_0-9]+) \| ([0-9][0-9.]*)")
+    sys.path.insert(0, REPO)
+    from bench import HEADLINE, YARDSTICKS
+
     for i, line in enumerate(open(os.path.join(REPO, "BASELINE.md")), 1):
         if line.startswith("#"):
             section = line.strip("# \n")
             continue
         if "~~" in line and "SUPERSEDED" in line:
             continue
+        sec_l = section.lower()
+        if any(m in sec_l for m in NON_PIN_SECTION_MARKERS):
+            continue
         m = row_re.match(line)
         if m:
             name, sec = m.group(1), float(m.group(2))
             pins[name] = {"sec": sec, "section": section, "line": i}
+            # calibration-creep denominators are the FIRST (round-1)
+            # yardstick pins: a later re-pin row must not re-baseline
+            # them or a real catalog-wide slowdown reads as creep ~1.0
+            if name in YARDSTICKS and name not in yard_round1:
+                yard_round1[name] = {"sec": sec, "line": i}
 
-    src = open(os.path.join(REPO, "bench.py")).read()
-    headline = re.findall(
-        r'"([^"]+)"',
-        re.search(r"HEADLINE\s*=\s*(\[.*?\n\])", src, re.S).group(1),
-    )
+    headline = list(HEADLINE)
     # cold/warm split entries are timed under derived names
     timed = set(headline) - {"hypertable_rollup"} | {
         "hypertable_rollup_cold", "hypertable_rollup_warm"}
     unpinned = sorted(timed - set(pins))
     stale_pins = sorted(set(pins) - timed - {"hypertable_rollup"})
-    return {"pins": pins, "unpinned": unpinned, "not_in_headline": stale_pins}
+    return {"pins": pins, "yardstick_round1_pins": yard_round1,
+            "unpinned": unpinned, "not_in_headline": stale_pins}
 
 
 def main() -> int:
