@@ -22,10 +22,16 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import os as _os
+
+# HSTREAM_PROP_EXAMPLES=<n> runs a DEEP fuzz session: more examples,
+# fresh random seeds (derandomize off) — for bug-hunting outside CI.
+# Unset, the suite stays pinned-seed/6-example CI-stable.
+_DEEP = _os.environ.get("HSTREAM_PROP_EXAMPLES")
 PROP_SETTINGS = dict(
-    max_examples=6,
+    max_examples=int(_DEEP) if _DEEP else 6,
     deadline=None,
-    derandomize=True,  # pinned seeds: same examples every run
+    derandomize=not _DEEP,  # pinned seeds unless deep-fuzzing
     suppress_health_check=[
         HealthCheck.too_slow,
         # _fold_often's monkeypatch is idempotent global config: safe
