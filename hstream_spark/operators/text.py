@@ -96,19 +96,27 @@ def quality_score(text: Column) -> Column:
     0.4 * min(n_tokens/50, 1)            — length credit
     + 0.3 * (1 - punct_ratio)            — low punctuation density
     + 0.3 * distinct_token_ratio        — vocabulary diversity
+
+    The tokenize split evaluates once per row (``_bind_once``): the
+    score references the token array three times (size, distinct size
+    via size again, length credit), and composite consumers
+    (quality_classifier) stack several such scores.
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    n_d = n.cast("double")
-    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
-    punct_ratio = punct.cast("double") / F.length(text).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_d
-    length_credit = F.least(n_d / F.lit(50.0), F.lit(1.0))
-    return (
-        F.lit(0.4) * length_credit
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.3) * distinct_ratio
-    )
+
+    def score(toks: Column) -> Column:
+        n_d = F.size(toks).cast("double")
+        punct = F.length(text) - F.length(
+            F.regexp_replace(text, r"[.,!?;:]", ""))
+        punct_ratio = punct.cast("double") / F.length(text).cast("double")
+        distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_d
+        length_credit = F.least(n_d / F.lit(50.0), F.lit(1.0))
+        return (
+            F.lit(0.4) * length_credit
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+            + F.lit(0.3) * distinct_ratio
+        )
+
+    return _bind_once(tokens(text), score)
 
 
 # Gopher rule R7's required-stopword set (Rae et al. 2021, appendix A1.1:
@@ -618,9 +626,24 @@ def gopher_repetition(
     return final
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-token counts (the n-gram heuristic's evidence)."""
-    toks = tokens(F.lower(text))
+def _bind_once(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``fn`` as a bound lambda
+    variable: ``element_at(transform(array(value), fn), 1)``.
+
+    Column-level helpers that reference an expensive subexpression
+    several times (a tokenize split, a hash transform) inline a full
+    copy per reference — interpreted expression trees have no common-
+    subexpression elimination, so an N-reference consumer pays N
+    evaluations PER ROW (the round-12 md5-12x lesson, at expression
+    scope instead of plan scope). Binding through a single-element
+    higher-order function makes every reference a cheap variable read
+    while keeping the helper a pure Column (no DataFrame restructure
+    at the call sites). NULL propagates identically: array(NULL) gives
+    the lambda a NULL argument, same as the inlined form."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _lang_scores_from(toks: Column) -> dict[str, Column]:
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.lit(list(markers))
@@ -628,20 +651,37 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-token counts (the n-gram heuristic's
+    evidence). Each score re-tokenizes; prefer ``lang_id`` (which binds
+    the token array once) or hoist ``tokens(lower(text))`` to a column
+    when consuming several scores."""
+    return _lang_scores_from(tokens(F.lower(text)))
+
+
 def lang_id(text: Column) -> Column:
     """Predicted language = argmax marker count, ties broken by language
-    code ascending ('und' when no marker hits at all)."""
-    scores = lang_scores(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores, reverse=True):
-        s = scores[lang]
-        # iterate in reverse-alpha order with >= so that the final winner
-        # is the alphabetically-first among maxima
-        cond = s >= best_score
-        best_lang = F.when((s > 0) & cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best_lang
+    code ascending ('und' when no marker hits at all).
+
+    The tokenize split runs ONCE per row (``_bind_once``): the argmax
+    ladder references every language's score ~3 times, and with the
+    token array inlined per reference the plan evaluated the split
+    60+ times per row (round-12 duplication audit)."""
+
+    def pick(toks: Column) -> Column:
+        scores = _lang_scores_from(toks)
+        best_lang = F.lit("und")
+        best_score = F.lit(0)
+        for lang in sorted(scores, reverse=True):
+            s = scores[lang]
+            # iterate in reverse-alpha order with >= so that the final
+            # winner is the alphabetically-first among maxima
+            cond = s >= best_score
+            best_lang = F.when((s > 0) & cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(cond, s).otherwise(best_score)
+        return best_lang
+
+    return _bind_once(tokens(F.lower(text)), pick)
 
 
 def ngrams(text: Column, n: int) -> Column:
@@ -1289,16 +1329,23 @@ def quality_classifier(
     z-terms summed in fixed textual order, so probabilities reproduce
     bit-for-bit cross-engine (emitted rounded to 6 decimals).
 
-    Every feature derives from ONE canonical ``tokens(text)`` subtree
-    (stopwords lowercase per token, bigrams build from the shared
-    array) so whole-stage codegen's subexpression elimination runs the
-    regex tokenization once per row — the textually-independent
-    helpers (tokens of lower(text), ngrams re-tokenizing) each paid
-    their own split.
+    The token array is materialized in its OWN projection and every
+    feature reads the column: higher-order subtrees are interpreted
+    (CodegenFallback) and get NO subexpression elimination, so with
+    the split inlined per reference this plan evaluated the regex
+    tokenization 36x per row (round-12 duplication audit; same class
+    as the MinHash md5-12x finding). CollapseProject leaves the
+    two-projection split intact because the token column is referenced
+    many times and is not cheap. Bigrams fold by zip_with over the
+    1-shifted array — the sequence+slice form is O(tokens²) per row.
     """
     w = QUALITY_CLF_WEIGHTS
     text = F.col(text_col)
-    toks = tokens(text)
+    base = docs.select(
+        F.col(id_col), text.alias("__text"), tokens(text).alias("__tk")
+    )
+    toks = F.col("__tk")
+    btext = F.col("__text")
     n = F.size(toks)
     n_d = n.cast("double")
     length_credit = F.least(n_d / F.lit(50.0), F.lit(1.0))
@@ -1314,21 +1361,23 @@ def quality_classifier(
         )
     )
     sw_ratio = F.when(n > 0, sw_hits.cast("double") / n_d).otherwise(F.lit(0.0))
-    # bigrams from the shared token array (ngrams() would re-tokenize)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    # bigrams from the shared token array, linear-time (ngrams() would
+    # re-tokenize; concat null-propagates into the zip_with padding)
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda g: g.isNotNull(),
+    )
     n_bi = F.size(bigrams)
     dup_bigram_frac = F.when(
         n_bi > 0,
         F.lit(1.0)
         - F.size(F.array_distinct(bigrams)).cast("double") / n_bi.cast("double"),
     ).otherwise(F.lit(0.0))
-    pii = (pii_email_count(text) + pii_phone_count(text)).cast("double")
+    pii = (pii_email_count(btext) + pii_phone_count(btext)).cast("double")
     pii_density = F.when(n > 0, pii * F.lit(100.0) / n_d).otherwise(F.lit(0.0))
     z = (
         F.lit(w["bias"])
@@ -1339,7 +1388,7 @@ def quality_classifier(
         + F.lit(w["pii_density"]) * pii_density
     )
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return docs.select(
+    return base.select(
         F.col(id_col),
         F.round(p, 6).alias("keep_prob"),
         (p >= F.lit(threshold)).alias("keep"),

@@ -194,9 +194,16 @@ def test_shingle_md5_pass_runs_once(spark, sf_dir):
     up to 12x per document (the dominant family cost; see
     doc_shingle_sets). The two-projection split + the posexplode
     when()-guard in minhash_bands_from_sets keep it at one; this pins
-    that property against refactors and Catalyst rule changes."""
+    that property against refactors and Catalyst rule changes.
+
+    Cache is cleared first: earlier tests legitimately leave shingle
+    sets persisted for the session (dedup's cache_sets contract), and
+    the cache manager substitutes a matching InMemoryRelation whose
+    nested plan string double-counts md5 — this test pins the shape of
+    the FRESH plan, not cache-substitution behavior."""
     from hstream_spark.operators import dedup as D
 
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sets = D.doc_shingle_sets(docs)
     cases = {
@@ -211,4 +218,37 @@ def test_shingle_md5_pass_runs_once(spark, sf_dir):
             f"{name}: md5 transform duplicated "
             f"({plan.count('md5(')} occurrences) — an expression "
             "reference or filter pushdown re-inlined the token-hash pass"
+        )
+
+
+def test_text_tokenize_pass_runs_once(spark, sf_dir):
+    """The regex tokenize split must appear EXACTLY ONCE in the
+    optimized plan of every multi-feature text scorer.
+
+    Same failure class as the md5 pin above, at expression scope:
+    Column helpers that reference tokens(text) N times inline N copies
+    of the split (no CSE in interpreted/HOF subtrees) — lang_id's
+    argmax ladder paid 62 splits per row, quality_classifier's feature
+    set 36, before the round-12 _bind_once / own-projection fixes."""
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators import text as TX
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cases = {
+        "lang_id": docs.select(
+            "doc_id", TX.lang_id(F.col("text")).alias("lang_pred")
+        ),
+        "quality_score": docs.select(
+            "doc_id", TX.quality_score(F.col("text")).alias("q")
+        ),
+        "quality_classifier": TX.quality_classifier(docs),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, (
+            f"{name}: tokenize split duplicated "
+            f"({plan.count('split(')} occurrences) — a multi-reference "
+            "consumer re-inlined the tokenize pass"
         )
