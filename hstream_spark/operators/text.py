@@ -1601,7 +1601,20 @@ def _lm_ngram_tables(docs: DataFrame, text_col: str, id_col: str):
     Guard note: a <=1-token doc must contribute no bigrams, and
     Spark's sequence(1, 0) DESCENDS to [1, 0] instead of returning an
     empty range (element_at(arr, 0) then throws) — hence the explicit
-    size>=2 gate."""
+    size>=2 gate.
+
+    Deliberately NOT materialized, and the bespoke per-class branches
+    are deliberate too (round-12 measurements): the scorer DAGs
+    re-execute this subtree per consumer (8 physical scans for the
+    bigram scorer, 15 for the trigram; AQE reuses no stages), but on
+    page-cached local parquet persisting the tokenized frame ran
+    25-39% SLOWER (columnar cache build dominates a cheap scan), and
+    collapsing the branches into one position-record generator ran
+    8-110% slower (every branch then explodes 4-field structs it
+    mostly filters away, while whole-stage codegen already CSEs the
+    textual split copies the bespoke Filter+Project branches carry).
+    On remote/cold storage where scans dominate, persist the
+    tokenized projection upstream instead of changing this shape."""
     toks = tokens(F.col(text_col))
     t = docs.select(F.col(id_col), toks.alias("__t"))
     tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
