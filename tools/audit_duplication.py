@@ -9,20 +9,21 @@ WHAT A COUNT MEANS (round-12 calibration, measured):
 
 - Textual duplicates are usually FREE at runtime. Whole-stage codegen
   runs subexpression elimination across the operators fused into one
-  stage (Filter+Project included), so N copies of a codegen-capable
-  `split(` in a fused pipeline evaluate ~once per row. Measured: the
-  n-gram LM scorers carry 10-17 in-filter split copies, and two
-  rewrites that reduced the textual count to 1-per-branch ran SLOWER
-  (persist of the tokenized corpus: +25-39% at sf0.1/sf1; a unified
-  position-record generator: +8-10% on short docs, ~2x on 400-token
-  docs) — the bespoke branches + codegen CSE were already optimal.
-- Duplicates INSIDE higher-order-function lambdas are REAL. HOF
-  subtrees are CodegenFallback (interpreted, no CSE): the MinHash
-  family's md5 token-hash pass genuinely ran up to 12x per document
-  until hoisted (round 12), lang_id's tokenize 62x. If a hot entry
-  regresses here, look for an expensive subtree referenced from
-  lambda bodies and bind it once (operators/text.py `_bind_once`, or
-  a separate projection the next select folds from).
+  stage (Filter+Project included), and interpreted projections have
+  their own CSE (SubExprEvaluationRuntime) — so N copies of a
+  `split(` in one pipeline evaluate ~once per row even when HOF
+  lambdas reference them. Measured: the n-gram LM scorers carry
+  10-17 in-filter split copies and two count-reducing rewrites ran
+  25-110% SLOWER; gopher_quality_filters carries 29 HOF-referenced
+  copies and an own-Project barrier rewrite ran 25% slower at sf0.1,
+  equal on 400-token docs. The existing shapes + CSE were optimal.
+- Duplication CAN be real when copies land across operator
+  boundaries CSE doesn't span (Filter/Generate splits after
+  pushdown): the MinHash family's md5 token-hash pass genuinely ran
+  up to 12x per document until hoisted (round 12). If a hot entry
+  regresses, A/B with tools/ab_family.py before and after binding
+  the subtree once (operators/text.py `_bind_once`, or a separate
+  projection) — keep only measured wins.
 - Scan multiplicity is a SCALE concern, not a local one. The trigram
   LM plan executes 15 parquet scans (AQE reused zero stages); on
   page-cached local parquet that re-scan is cheaper than caching, but
