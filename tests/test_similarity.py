@@ -154,6 +154,45 @@ def test_connected_components_empty(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_connected_components_long_chain_contracts(spark):
+    """Round-12 star-contraction rewrite: a 300-node chain (worst-case
+    diameter for min propagation) must converge well inside max_iter —
+    the contracted edge set shrinks geometrically, so rounds are
+    O(log n) — and every node must land on the chain minimum. Ids are
+    REVERSED (min at the far end) so convergence can't come from a
+    lucky id layout."""
+    from hstream_spark.operators.dedup import connected_components
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r.doc_id: r.component for r in connected_components(pairs).collect()
+    }
+    assert len(comp) == n
+    assert set(comp.values()) == {1}
+
+
+def test_connected_components_two_components_interleaved(spark):
+    """Interleaved ids across two components: contraction must never
+    merge across components (labels only ever move within an edge-
+    connected neighborhood)."""
+    from hstream_spark.operators.dedup import connected_components
+
+    # evens form one chain, odds another; ids interleave
+    pairs = [(i, i + 2) for i in range(0, 20, 2)]
+    pairs += [(i, i + 2) for i in range(1, 21, 2)]
+    comp = {
+        r.doc_id: r.component
+        for r in connected_components(
+            spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        ).collect()
+    }
+    assert all(c == 0 for node, c in comp.items() if node % 2 == 0)
+    assert all(c == 1 for node, c in comp.items() if node % 2 == 1)
+
+
 def test_embedding_near_duplicates_lsh_no_cartesian(spark, emb):
     plan = (
         SIM.embedding_near_duplicates(emb, threshold=0.2, dim=64, blocked=True)
