@@ -558,7 +558,11 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: Optional[list[tuple[int, list[float]]]] = None,
-) -> list[tuple[int, list[float]]]:
+    return_objectives: bool = False,
+) -> (
+    list[tuple[int, list[float]]]
+    | tuple[list[tuple[int, list[float]]], list[float]]
+):
     """Distributed spherical k-means (Lloyd iterations, cosine metric)
     over an embedding column — the iterative trainer for the IVF coarse
     quantizer (`ivf_topk` accepts its output via ``quantizer=``).
@@ -589,6 +593,16 @@ def kmeans_fit(
     HALF_UP at grid-edge values (observed: DuckDB vs Spark, 1e-12
     grid). That exactness is what lets `kmeans_fit_fixed` hash-match a
     DuckDB replay of the full trainer.
+
+    ``return_objectives=True`` additionally returns, per iteration, the
+    spherical-k-means objective Σ cos(vec, assigned centroid) of the
+    model the iteration ASSIGNED with (i.e. the pre-update model) —
+    computed inside the same aggregation pass as the centroid update,
+    so a caller evaluating training curves (``embedding_kmeans``) pays
+    one corpus pass per iteration instead of two. The objective rides
+    the existing (cluster, pos) hash-agg as one extra partial sum
+    (non-null only at pos 0) and sums to the driver with the
+    model-sized collect; when the flag is off the plan is unchanged.
     """
     import math
 
@@ -603,6 +617,7 @@ def kmeans_fit(
         corpus, k, id_col, vec_col
     )
     base = corpus.select(normalized(F.col(vec_col)).alias("kvec"))
+    objectives: list[float] = []
     for _ in range(iters):
         cent_lit = F.lit([cvec for _, cvec in cents])
         ids_lit = F.lit([cl for cl, _ in cents])
@@ -614,42 +629,57 @@ def kmeans_fit(
             )
         )
         assigned = base.withColumn("cluster", -best["n"])
+        if return_objectives:
+            assigned = assigned.withColumn("bc", best["c"])
         scale = float(1 << 40)
         # the rounded longs accumulate as decimal(38,0) (128-bit sum):
         # an int64 accumulator would silently wrap past ~2^23 unit-norm
         # rows per (cluster,pos) in non-ANSI Spark; decimal keeps
         # ~10^25-row headroom, and DuckDB's SUM(BIGINT) is HUGEINT
         # already, so the oracle replay stays byte-exact
+        cols = ["cluster"]
+        if return_objectives:
+            cols.append("bc")
+        cv_agg = (
+            F.sum(
+                F.round(F.col("v") * F.lit(scale))
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
+            .cast("double")
+            / F.lit(scale)
+            / F.count(F.lit(1))
+        ).alias("cv")
+        aggs1 = [cv_agg]
+        aggs2 = [
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        ]
+        if return_objectives:
+            # per-row best cosine folded into the SAME hash-agg: non-null
+            # only in each cluster's pos-0 group, re-summed per cluster
+            aggs1.append(
+                F.sum(F.when(F.col("pos") == 0, F.col("bc"))).alias("obj0")
+            )
+            aggs2.append(F.sum("obj0").alias("obj"))
         per_dim = (
-            assigned.select("cluster", F.posexplode("kvec").alias("pos", "v"))
+            assigned.select(*cols, F.posexplode("kvec").alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("v") * F.lit(scale))
-                        .cast("long")
-                        .cast("decimal(38,0)")
-                    )
-                    .cast("double")
-                    / F.lit(scale)
-                    / F.count(F.lit(1))
-                ).alias("cv")
-            )
+            .agg(*aggs1)
         )
-        rows = (
-            per_dim.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("cvec")
+        rows = per_dim.groupBy("cluster").agg(*aggs2).collect()
+        if return_objectives:
+            objectives.append(
+                float(sum(r["obj"] for r in rows if r["obj"] is not None))
             )
-            .collect()
-        )
         updated = {r["cluster"]: _l2(r["cvec"]) for r in rows}
         cents = sorted(
             (cl, updated.get(cl, old)) for cl, old in cents
         )
+    if return_objectives:
+        return cents, objectives
     return cents
 
 

@@ -5756,10 +5756,15 @@ def q_embedding_kmeans(spark, sf):
             F.sum("cos").alias("s")
         ).collect()[0]["s"]
 
-    models = [train_ivf_quantizer(emb, 4)]  # the seed = iteration 0
-    for _ in range(3):
-        models.append(kmeans_fit(emb, k=4, iters=1, init=models[-1]))
-    objs = [objective(m) for m in models]
+    # one fused trainer call: each Lloyd iteration emits the objective
+    # of the model it assigned with from the SAME aggregation pass
+    # (4 corpus passes total instead of 7 — round-12; the 1e-9 slack
+    # already absorbs the partial-sum association difference)
+    seed = train_ivf_quantizer(emb, 4)  # the seed = iteration 0
+    final_model, objs = kmeans_fit(
+        emb, k=4, iters=3, init=seed, return_objectives=True
+    )
+    objs = list(objs) + [objective(final_model)]
     rows = [
         (i, objs[i] >= objs[i - 1] - 1e-9) for i in range(1, len(objs))
     ]

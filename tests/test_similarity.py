@@ -249,6 +249,45 @@ class TestKMeans:
         assert [cl for cl, _ in t1] == [0, 1, 2, 3]
         assert t1 != sorted(init)  # it actually moved the centroids
 
+    def test_kmeans_fit_fused_objectives(self, spark, sf_dir):
+        """Round-12: ``return_objectives=True`` must not change the
+        trained model (the fused objective rides the same hash-agg as
+        the centroid update), must emit one objective per iteration —
+        each equal (up to partial-sum association, far under the 1e-9
+        slack the consumer uses) to the separate-pass
+        ``kmeans_assign(...).sum(cos)`` of the pre-update model — and
+        a fused ``iters=3`` call must equal three chained ``iters=1``
+        calls."""
+        from pyspark.sql import functions as F
+
+        from hstream_spark.operators.similarity import (
+            kmeans_assign,
+            kmeans_fit,
+            train_ivf_quantizer,
+        )
+        from hstream_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        seed = train_ivf_quantizer(emb, 4)
+        fused, objs = kmeans_fit(
+            emb, k=4, iters=3, init=seed, return_objectives=True
+        )
+        assert kmeans_fit(emb, k=4, iters=3, init=seed) == fused
+        chained = seed
+        models = [seed]
+        for _ in range(3):
+            chained = kmeans_fit(emb, k=4, iters=1, init=chained)
+            models.append(chained)
+        assert chained == fused
+        assert len(objs) == 3
+        for m, got in zip(models[:3], objs):
+            ref = (
+                kmeans_assign(emb, m)
+                .agg(F.sum("cos").alias("s"))
+                .collect()[0]["s"]
+            )
+            assert abs(got - ref) < 1e-9 * max(1.0, abs(ref))
+
 
 def test_bruteforce_np_rejects_oversized_query_side(spark, emb):
     with pytest.raises(ValueError, match="max_queries"):
