@@ -877,10 +877,13 @@ def boilerplate_signals(
     8-byte keys through every shuffle); one gram-keyed groupBy with
     map-side partial counts produces the document-frequency table; the
     high-DF "boiler" set is TINY by construction (repetition across
-    >= min_df docs) so the membership check is a broadcast-eligible
-    semi join; a final per-doc re-aggregation emits the signals. At
-    100 TB: two shuffles (gram DF, per-doc re-agg), boiler set
-    broadcast, no strings wider than the hash ever move.
+    >= min_df docs) so membership rides a broadcast LEFT join whose
+    marker feeds the SAME per-doc aggregation that counts total grams
+    (round-12: previously totals and hits were two separate per-doc
+    aggregations joined at the end — one more corpus explode, one more
+    shuffle, one more join for identical output). At 100 TB: two
+    corpus passes (gram DF, annotated per-doc agg), two shuffles,
+    boiler set broadcast, no strings wider than the hash ever move.
     """
     from pyspark.sql.functions import broadcast
 
@@ -895,22 +898,20 @@ def boilerplate_signals(
     boiler = (
         g.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
     ).select("g")
-    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        g.join(broadcast(boiler), "g", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
     return (
-        totals.join(hits, id_col, "left")
+        g.join(broadcast(boiler.withColumn("__b", F.lit(1))), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__b").alias("n_boiler"),
+        )
         .select(
             id_col,
             "n_grams",
-            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
-            (
-                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
-                / F.col("n_grams")
-            ).alias("boiler_frac"),
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias(
+                "boiler_frac"
+            ),
         )
     )
 
