@@ -363,7 +363,20 @@ def connected_components(
     two distributed joins + one groupBy; the convergence flag rides the
     checkpointed frame (no extra join job), and ``localCheckpoint``
     truncates lineage so the plan stays flat regardless of rounds.
+
+    The label table is SEEDED at min(node, min direct neighbor) — with
+    identity labels that is exactly what the first fixpoint round
+    computes (nb_label = min neighbor id; label-of-label degenerates to
+    the node's own id), so seeding replaces a whole round — two joins,
+    a checkpoint and a count job — with one aggregate folded into the
+    init that was already scanning the edges (round-12 A/B: the node
+    set came from a distinct over the same frame). Every later round is
+    byte-identical by induction from the identical post-round-1 state.
+    ``HSTREAM_COMPONENTS_SEED=0`` restores the identity init (A/B
+    harness hook; the fixpoint reached is the same either way).
     """
+    import os as _os
+
     e = pairs.select(
         F.col(left_col).cast("long").alias("a"),
         F.col(right_col).cast("long").alias("b"),
@@ -371,12 +384,23 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    if _os.environ.get("HSTREAM_COMPONENTS_SEED", "1") == "1":
+        labels = (
+            edges.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("__mb")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
     for _ in range(max_iter):
         nb_min = (
             edges.join(labels, edges["b"] == labels["node"])

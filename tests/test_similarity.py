@@ -154,6 +154,44 @@ def test_connected_components_empty(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_connected_components_seeded_init_matches_identity_init(spark):
+    """Round-12 session-3 seeding: the label table starts at
+    min(node, min direct neighbor) — exactly the incumbent's
+    post-round-1 state — so the final labels must be IDENTICAL to the
+    identity-init loop on any graph. Pinned on a mixed graph (reversed
+    chain + star + islands) where a wrong seed would surface as a
+    different component minimum or a missing node."""
+    import os
+
+    from hstream_spark.operators.dedup import connected_components
+
+    # reversed chain 9-8-...-1, star around 50, island pair, singleton
+    # edge, all interleaved with ids that punish a lucky layout
+    pairs = [(i + 1, i) for i in range(1, 9)]
+    pairs += [(50, x) for x in (77, 41, 93, 62)]
+    pairs += [(30, 31), (100, 99)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    old_flag = os.environ.get("HSTREAM_COMPONENTS_SEED")
+    try:
+        os.environ["HSTREAM_COMPONENTS_SEED"] = "0"
+        identity = {
+            r.doc_id: r.component for r in connected_components(df).collect()
+        }
+        os.environ["HSTREAM_COMPONENTS_SEED"] = "1"
+        seeded = {
+            r.doc_id: r.component for r in connected_components(df).collect()
+        }
+    finally:
+        if old_flag is None:
+            os.environ.pop("HSTREAM_COMPONENTS_SEED", None)
+        else:
+            os.environ["HSTREAM_COMPONENTS_SEED"] = old_flag
+
+    assert seeded == identity
+    assert set(seeded.values()) == {1, 41, 30, 99}
+
+
 def test_connected_components_long_chain_contracts(spark):
     """Round-12 star-contraction rewrite: a 300-node chain (worst-case
     diameter for min propagation) must converge well inside max_iter —
