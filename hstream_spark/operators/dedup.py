@@ -487,6 +487,17 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     so blocking loses no true pair while keeping the join keyed.
     Signatures are persisted (they feed both join sides); bands come
     from a single posexplode pass so the signature fold runs once.
+    On the CAPPED path the salted band frame is localCheckpoint-ed
+    before the self-join instead: Spark plans no ReusedExchange across
+    the two self-join sides, so without materialization each side
+    re-runs the posexplode + the occupancy Window (its own exchange) —
+    a measured 3.0 → 1.95 s at sf0.1 with byte-identical pairs. The
+    signature fold then feeds exactly one consumer (the checkpoint), so
+    ``cache_sigs`` is moot there and the persist is skipped. Cluster
+    caveat (same as every localCheckpoint site in this module): the
+    checkpoint truncates lineage to non-replicated executor blocks, so
+    an executor loss during the self-join forces a job re-run rather
+    than a partition recompute.
 
     ``cap`` bounds hot band buckets (the ``capped_band_candidates``
     scheme, same engine-agnostic salt = md5(doc_id#band) mod n_sub):
@@ -499,7 +510,7 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     what component-based pruning consumes).
     """
     sh = simhash(docs, text_col, id_col)
-    if cache_sigs:
+    if cache_sigs and cap is None:
         sh = sh.persist()
     band_keys = F.array(
         *[
@@ -534,7 +545,9 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
             ).cast("long")
             % n_sub
         )
-        b = b.select("doc_id", "simhash", "band", "bkey", salt.alias("salt"))
+        b = b.select(
+            "doc_id", "simhash", "band", "bkey", salt.alias("salt")
+        ).localCheckpoint()
         keys = ["band", "bkey", "salt"]
     left = b.select(*keys, F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     right = b.select(*keys, F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
