@@ -381,6 +381,16 @@ def connected_components(
         F.col(left_col).cast("long").alias("a"),
         F.col(right_col).cast("long").alias("b"),
     )
+    if _os.environ.get("HSTREAM_COMPONENTS_CKPT_PAIRS", "1") == "1":
+        # The symmetric edge set references the pair frame TWICE (once
+        # per union branch) and Spark plans no reuse across the
+        # branches — so an expensive candidate pipeline (banded
+        # self-join + distinct + verification) would evaluate twice
+        # while `edges` materializes. One localCheckpoint pins the pair
+        # list (always candidate-stage-bounded, far smaller than the
+        # corpus) so the union reads blocks instead of re-running the
+        # pipeline.
+        e = e.localCheckpoint()
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()

@@ -48,7 +48,7 @@ def main() -> None:
         times: dict[str, list[float]] = {"incumbent": [], "seeded": []}
         for r in range(reps):
             for variant, flag in (("incumbent", "0"), ("seeded", "1")):
-                os.environ["HSTREAM_COMPONENTS_SEED"] = flag
+                os.environ[os.environ.get("HSTREAM_AB_FLAG", "HSTREAM_COMPONENTS_SEED")] = flag
                 start = time.perf_counter()
                 q.builder(spark, sf_dir).write.mode("overwrite").format(
                     "noop").save()
