@@ -146,6 +146,15 @@ def main() -> int:
             print(f"!! {name}: plan build failed: {exc}")
             bad += 1
             continue
+        finally:
+            # builders persist frames at construction time; without a
+            # per-entry cache reset the CacheManager substitutes those
+            # frames into LATER entries' optimized plans, making counts
+            # depend on catalog iteration order (simhash_signature read
+            # 0 heads while dedup_simhash's builder cached the
+            # signature frame, and its true standalone count the
+            # moment that persist was removed)
+            spark.catalog.clearCache()
         r = entry_counts(plan)
         results[name] = r
         pinned = baseline.get(name, {}).get("worst")
