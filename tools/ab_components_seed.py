@@ -26,6 +26,7 @@ def main() -> None:
     sf_dir = args[0] if args and os.path.isdir(args[0]) else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(args[1]) if len(args) > 1 else 5
+    extra = args[2:]
 
     from hstream_spark import get_spark
     from hstream_spark.queries import REGISTRY
@@ -33,7 +34,7 @@ def main() -> None:
     spark = get_spark("ab-components-seed")
     spark.range(1).count()
 
-    entries = [
+    entries = extra or [
         "dedup_components",
         "dedup_prune",
         "dedup_prune_priority",
