@@ -1485,6 +1485,8 @@ def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
     index surfaced, and recall; plus the total candidate count (the
     precision denominator / join cost).
     """
+    import os as _os
+
     sample = docs.where(F.col(id_col) < max_id) if max_id is not None else docs
     # exclude unshingleable docs (see lsh_bucket_stats) — they can be
     # neither ground truth nor candidates. NOTE: the returned frame is
@@ -1529,6 +1531,13 @@ def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if _os.environ.get("HSTREAM_RECALL_CKPT_CAND", "1") == "1":
+        # `cand` feeds both the recall scoring join and the
+        # total_candidates count in the same plan, and Spark reuses
+        # nothing across the two references — without pinning, the
+        # band self-join + distinct runs twice. The distinct pair list
+        # is tiny, so the checkpoint is near-free.
+        cand = cand.localCheckpoint()
     scored = jac.join(
         cand.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
     )
