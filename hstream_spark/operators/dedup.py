@@ -561,7 +561,9 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         )
         b = b.select(
             "doc_id", "simhash", "band", "bkey", salt.alias("salt")
-        ).localCheckpoint()
+        )
+        if cache_sigs:
+            b = b.localCheckpoint()
         keys = ["band", "bkey", "salt"]
     left = b.select(*keys, F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     right = b.select(*keys, F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
