@@ -534,9 +534,24 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         # same no-ReusedExchange story as the capped branch below, just
         # a cheaper duplicated subtree (posexplode only): checkpointing
         # the band frame measured 1.60 -> 1.44 s at sf0.1 vs persisting
-        # the signatures and re-exploding per join side
+        # the signatures and re-exploding per join side. Eager on
+        # purpose (round 13 re-measured the ADVICE r12 lazy
+        # suggestion): with eager=False the two self-join sides —
+        # independent stages of one job — each computed the signature
+        # fold concurrently before any partition was checkpointed,
+        # +36% on dedup_simhash / +65% on curation_pipeline at sf0.1.
         b = b.localCheckpoint()
     if cap is not None:
+        # Occupancy stays a count Window ON PURPOSE (round 13
+        # re-derivation): the Window's (band, bkey) hash partitioning
+        # is a SUBSET of the self-join keys (band, bkey, salt), so the
+        # checkpointed frame below satisfies the join's distribution
+        # and the candidate self-join plans with ZERO further
+        # exchanges. The tempting groupBy-counts + broadcast-join-back
+        # alternative measured dedup_simhash_capped 1.23 -> 2.2-2.5 s
+        # at sf0.1: it reintroduces per-side join exchanges (4 -> 12
+        # Exchange nodes) and the bogus-small post-broadcast size
+        # estimate flips the self-join to a full-side broadcast.
         from pyspark.sql import Window as _W
 
         bn = F.count(F.lit(1)).over(_W.partitionBy("band", "bkey"))

@@ -306,29 +306,41 @@ def embedding_near_duplicates_capped(
 
     Exact cosine still verifies every candidate; capping and tabling
     only shape the CANDIDATE set.
+
+    Plan shape (round 13): the per-table bucket folds are columns of
+    the SAME persisted frame as the normalized vectors, so the
+    8×``tables`` hyperplane dot products run once at materialization —
+    each self-join side (and the cosine verify) reads them from cache
+    instead of re-running the fold per reference (round 12 left the
+    fold recomputing on each side). Occupancy stays a count Window
+    whose (tbl, bucket) hash partitioning is a SUBSET of the self-join
+    keys (tbl, bucket, salt), and the salted frame is checkpointed, so
+    the candidate self-join plans with ZERO further exchanges — the
+    window exchange runs once and is the only shuffle before the
+    verify joins. (A groupBy-counts + broadcast-join-back variant
+    measured SLOWER and erratic at sf0.1: it reintroduces per-side
+    join exchanges and its bogus-small post-broadcast size estimate
+    can flip the self-join to a full-side broadcast.)
     """
     if dim is None:
         raise ValueError("dim is required for the LSH path")
     from pyspark.sql import Window as _W
 
-    base = corpus.select(
-        F.col(id_col).alias("id"), normalized(F.col(vec_col)).alias("vec")
-    ).persist()
-    tb = base.select(
-        "id",
-        F.explode(
+    base = (
+        corpus.select(
+            F.col(id_col).alias("id"), normalized(F.col(vec_col)).alias("vec")
+        )
+        .select(
+            "id",
+            "vec",
             F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    sign_lsh_bucket(
-                        F.col("vec"), dim, planes, first_plane=t * planes
-                    ).alias("bucket"),
-                )
+                sign_lsh_bucket(F.col("vec"), dim, planes, first_plane=t * planes)
                 for t in range(tables)
-            ])
-        ).alias("tb"),
-    ).select("id", F.col("tb.tbl").alias("tbl"),
-             F.col("tb.bucket").alias("bucket"))
+            ]).alias("__buckets"),
+        )
+        .persist()
+    )
+    tb = base.select("id", F.posexplode("__buckets").alias("tbl", "bucket"))
     bn = F.count(F.lit(1)).over(_W.partitionBy("tbl", "bucket"))
     n_sub = ceil_div(bn, cap)
     salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
@@ -341,7 +353,7 @@ def embedding_near_duplicates_capped(
             16, 10,
         ).cast("long") % n_sub
     )
-    salted = tb.select("id", "tbl", "bucket", salt.alias("salt"))
+    salted = tb.select("id", "tbl", "bucket", salt.alias("salt")).localCheckpoint()
     cand = (
         salted.alias("a")
         .join(salted.alias("b"), ["tbl", "bucket", "salt"])
