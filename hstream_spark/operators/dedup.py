@@ -285,7 +285,15 @@ def capped_band_candidates(bands: DataFrame, cap: int) -> DataFrame:
 
     Bucket sizes come from a count window over the same (band,
     band_sig) key the candidate self-join shuffles on, so AQE reuses
-    one exchange; no extra join against a sizes table.
+    one exchange; no extra join against a sizes table. Round 13
+    re-measured the tempting hot-only alternative (aggregate counts,
+    keep only buckets over the cap, broadcast-LEFT-join the tiny hot
+    set back — byte-identical salts, pinned by
+    test_capped_band_candidates_hot_only_broadcast_matches_window):
+    it ran +31% on the full capped pipeline at sf0.1 (1.48 -> 1.94 s
+    median, alternating same-JVM A/B) because the counting pass
+    re-runs the band fold over the shingle sets, which costs more
+    than the window's sort of the band frame.
     """
     from pyspark.sql import Window
 
@@ -348,6 +356,8 @@ def connected_components(
     left_col: str = "doc_a",
     right_col: str = "doc_b",
     max_iter: int = 50,
+    seed_labels: Optional[bool] = None,
+    ckpt_pairs: Optional[bool] = None,
 ) -> DataFrame:
     """Near-duplicate clusters from a pair list: iterative min-label
     propagation (each node adopts the smallest id reachable so far)
@@ -372,16 +382,28 @@ def connected_components(
     init that was already scanning the edges (round-12 A/B: the node
     set came from a distinct over the same frame). Every later round is
     byte-identical by induction from the identical post-round-1 state.
-    ``HSTREAM_COMPONENTS_SEED=0`` restores the identity init (A/B
-    harness hook; the fixpoint reached is the same either way).
+
+    ``seed_labels`` / ``ckpt_pairs`` select the seeded init and the
+    pair-list checkpoint explicitly (the fixpoint reached is the same
+    either way); ``None`` (the default) falls back to the
+    ``HSTREAM_COMPONENTS_SEED`` / ``HSTREAM_COMPONENTS_CKPT_PAIRS``
+    env flags — a harness-level override for A/B tooling, kept out of
+    the normal API path (ADVICE r12: ambient environment should not
+    silently steer library plans; callers that care pass the kwarg).
     """
     import os as _os
 
+    if seed_labels is None:
+        seed_labels = _os.environ.get("HSTREAM_COMPONENTS_SEED", "1") == "1"
+    if ckpt_pairs is None:
+        ckpt_pairs = (
+            _os.environ.get("HSTREAM_COMPONENTS_CKPT_PAIRS", "1") == "1"
+        )
     e = pairs.select(
         F.col(left_col).cast("long").alias("a"),
         F.col(right_col).cast("long").alias("b"),
     )
-    if _os.environ.get("HSTREAM_COMPONENTS_CKPT_PAIRS", "1") == "1":
+    if ckpt_pairs:
         # The symmetric edge set references the pair frame TWICE (once
         # per union branch) and Spark plans no reuse across the
         # branches — so an expensive candidate pipeline (banded
@@ -394,7 +416,7 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
-    if _os.environ.get("HSTREAM_COMPONENTS_SEED", "1") == "1":
+    if seed_labels:
         labels = (
             edges.groupBy("a")
             .agg(F.min("b").alias("__mb"))
@@ -1486,7 +1508,8 @@ def lsh_bucket_stats(docs: DataFrame, text_col: str = "text",
 
 def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
                     max_id: Optional[int] = None, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    ckpt_cand: Optional[bool] = None) -> DataFrame:
     """Recall of MinHash-LSH candidate generation against exact
     shingle-Jaccard ground truth — the measurement behind the
     (bands × rows-per-band) parameter choice: fewer rows per band
@@ -1548,7 +1571,11 @@ def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
         .select("doc_a", "doc_b")
         .distinct()
     )
-    if _os.environ.get("HSTREAM_RECALL_CKPT_CAND", "1") == "1":
+    if ckpt_cand is None:
+        # kwarg preferred; env flag is the A/B-harness override only
+        # (ADVICE r12)
+        ckpt_cand = _os.environ.get("HSTREAM_RECALL_CKPT_CAND", "1") == "1"
+    if ckpt_cand:
         # `cand` feeds both the recall scoring join and the
         # total_candidates count in the same plan, and Spark reuses
         # nothing across the two references — without pinning, the

@@ -2630,20 +2630,34 @@ def q_curation_pipeline(spark, sf):
     final = D.prune_duplicates(
         s1, pairs, id_col="doc_id", left_col="doc_a", right_col="doc_b"
     )
-    counts = (
-        docs.agg(F.count(F.lit(1)).alias("n_raw"))
-        .crossJoin(good.agg(F.count(F.lit(1)).alias("n_quality")))
-        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n_exact")))
-        .crossJoin(
-            final.agg(
-                F.count(F.lit(1)).alias("n_final"),
-                F.sum(TX.token_count(F.col("text")))
-                .cast("long")
-                .alias("total_tokens"),
+    # ONE multi-aggregate over a union of stage-tagged frames instead
+    # of four scalar aggregates chained by cross joins: the cross-join
+    # shape serializes four tiny broadcast-build jobs after the heavy
+    # stages, while the union's branches (raw scan, two checkpoint
+    # scans, the final anti-join) all feed a single count/sum pass in
+    # one job. Declared output unchanged: same five columns, same
+    # values — count(when(stage)) ≡ each frame's count(1), and the
+    # token sum still covers exactly the `final` rows.
+    tagged = (
+        docs.select(F.lit(0).alias("__st"), F.lit(0).alias("__tok"))
+        .unionAll(good.select(F.lit(1).alias("__st"), F.lit(0).alias("__tok")))
+        .unionAll(s1.select(F.lit(2).alias("__st"), F.lit(0).alias("__tok")))
+        .unionAll(
+            final.select(
+                F.lit(3).alias("__st"),
+                TX.token_count(F.col("text")).alias("__tok"),
             )
         )
     )
-    return counts
+    return tagged.agg(
+        F.count(F.when(F.col("__st") == 0, F.lit(1))).alias("n_raw"),
+        F.count(F.when(F.col("__st") == 1, F.lit(1))).alias("n_quality"),
+        F.count(F.when(F.col("__st") == 2, F.lit(1))).alias("n_exact"),
+        F.count(F.when(F.col("__st") == 3, F.lit(1))).alias("n_final"),
+        F.sum(F.when(F.col("__st") == 3, F.col("__tok")))
+        .cast("long")
+        .alias("total_tokens"),
+    )
 
 
 def _dedup_prune_priority_oracle(cap: int = 64) -> str:
@@ -5744,27 +5758,27 @@ def q_embedding_kmeans(spark, sf):
     hash-gated contract. Each objective is ONE scalar to the driver —
     the same model-sized traffic the trainer itself already pays."""
     from hstream_spark.operators.similarity import (
-        kmeans_assign,
         kmeans_fit,
         train_ivf_quantizer,
     )
 
     emb = load_table(spark, sf, "embeddings")
 
-    def objective(model) -> float:
-        return kmeans_assign(emb, model).agg(
-            F.sum("cos").alias("s")
-        ).collect()[0]["s"]
-
     # one fused trainer call: each Lloyd iteration emits the objective
     # of the model it assigned with from the SAME aggregation pass
     # (4 corpus passes total instead of 7 — round-12; the 1e-9 slack
-    # already absorbs the partial-sum association difference)
+    # already absorbs the partial-sum association difference). The 4th
+    # objective comes from one extra fused iteration whose trained
+    # model is discarded (ADVICE r12): all four objectives then flow
+    # through the SAME summation path, so the monotonicity booleans
+    # can't be flipped by cross-path double-association noise at
+    # larger scale. Same pass count: the extra iteration's aggregation
+    # replaces the separate kmeans_assign objective pass.
     seed = train_ivf_quantizer(emb, 4)  # the seed = iteration 0
-    final_model, objs = kmeans_fit(
-        emb, k=4, iters=3, init=seed, return_objectives=True
+    _discarded, objs = kmeans_fit(
+        emb, k=4, iters=4, init=seed, return_objectives=True
     )
-    objs = list(objs) + [objective(final_model)]
+    objs = list(objs)
     rows = [
         (i, objs[i] >= objs[i - 1] - 1e-9) for i in range(1, len(objs))
     ]

@@ -676,6 +676,7 @@ class TestKafkaWireProtocol:
                 eng.shutdown()
                 prod.close()
 
+    @pytest.mark.slow
     def test_kafka_tailer_pages_through_large_topics(self, spark, tmp_path):
         """The fetch loop drains a topic bigger than one fetch response:
         with a small max_batch_bytes the tailer needs many round trips
@@ -864,6 +865,7 @@ class TestKafkaWireProtocol:
                 eng.shutdown()
                 prod.close()
 
+    @pytest.mark.slow
     def test_kafka_sink_keyed_partitioning(self, engine):
         """key_column routes every record for a key to ONE topic
         partition (per-key ordering) and carries the key bytes."""
@@ -1117,6 +1119,7 @@ def test_kafka_stream_coordinated_group(spark, tmp_path):
         prod.close()
 
 
+@pytest.mark.slow
 def test_two_engines_share_topic_via_consumer_group(spark, tmp_path):
     """The headline multi-instance story end to end: TWO engine
     instances declare the same KAFKA_TOPIC stream under one consumer

@@ -7,6 +7,7 @@ compaction / index compaction). Each piece has its own tests; this
 proves the COMPOSITION — the reference's actual operating mode
 (hstream/src/HStream/Server/Handler/Common.hs:411-499)."""
 
+import pytest
 import os
 import sys
 
@@ -16,6 +17,7 @@ sys.path.insert(
 )
 
 
+@pytest.mark.slow
 def test_composed_pipeline_across_compaction(spark):
     # 9 cycles crosses TWO stream compactions (cycles 3 and 7), the
     # cycle-8 index compaction, and the 3-minute view retention

@@ -5,6 +5,7 @@ bounds)."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import sys
 
@@ -15,6 +16,7 @@ sys.path.insert(
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_curation_example_end_to_end(spark, sf_dir):
     from examples.curate_training_data import curate
 

@@ -135,6 +135,70 @@ def test_embedding_near_duplicates_capped_bounds_hot_bucket(spark):
     assert n_components == 1, "duplicate cluster must stay connected"
 
 
+def test_capped_band_candidates_hot_only_broadcast_matches_window(spark):
+    """No tested SF produces a hot MinHash bucket (sf0.1 max occupancy
+    13 < cap 32), so the oracle gate never exercises
+    capped_band_candidates' over-cap salt arm. This pins it
+    synthetically: identical docs collapse into one band bucket over
+    the cap, and the pair set must match an independently-written
+    count-Window formulation byte-for-byte. (Round 13 also A/B'd a
+    hot-only broadcast-join variant against the window — byte-equal
+    by this same construction, but +31% slower; the window stays.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hstream_spark.operators.dedup import (
+        capped_band_candidates,
+        ceil_div,
+        doc_shingle_sets,
+        minhash_bands_from_sets,
+    )
+
+    # 60 docs sharing one shingle set (hot bucket, 60 > cap=8) plus
+    # distinct fillers that stay under the cap
+    rows = [(i, "the quick brown fox jumps over the lazy dog again")
+            for i in range(60)]
+    rows += [(100 + i, f"unique filler text number {i} with tokens {i * 7}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = doc_shingle_sets(docs, "text", "doc_id", 3).persist()
+    bands = minhash_bands_from_sets(sets)
+    cap = 8
+    occ = bands.groupBy("band", "band_sig").count()
+    assert occ.agg(F.max("count")).collect()[0][0] > cap, (
+        "test corpus must actually produce a hot bucket"
+    )
+
+    got = {(r.doc_a, r.doc_b) for r in
+           capped_band_candidates(bands, cap).collect()}
+
+    # reference: the pre-round-13 count-Window formulation, verbatim
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+    n_sub = ceil_div(bn, cap)
+    salt = F.when(bn <= cap, F.lit(0).cast("long")).otherwise(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("doc_id").cast("string"),
+                                  F.col("band").cast("string"))), 1, 15,
+            ), 16, 10,
+        ).cast("long") % n_sub
+    )
+    salted = bands.select("doc_id", "band", "band_sig", salt.alias("salt"))
+    left = salted.select("band", "band_sig", "salt",
+                         F.col("doc_id").alias("doc_a"))
+    right = salted.select("band", "band_sig", "salt",
+                          F.col("doc_id").alias("doc_b"))
+    want = {(r.doc_a, r.doc_b) for r in (
+        left.join(right, ["band", "band_sig", "salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct().collect()
+    )}
+    sets.unpersist()
+    assert got == want
+    # the hot bucket really was split: fewer pairs than all-pairs
+    assert len(got) < 60 * 59 / 2 + 200
+
+
 def test_connected_components_chain_and_islands(spark):
     from hstream_spark.operators.dedup import connected_components
 
@@ -160,9 +224,10 @@ def test_connected_components_seeded_init_matches_identity_init(spark):
     post-round-1 state — so the final labels must be IDENTICAL to the
     identity-init loop on any graph. Pinned on a mixed graph (reversed
     chain + star + islands) where a wrong seed would surface as a
-    different component minimum or a missing node."""
-    import os
-
+    different component minimum or a missing node. Selected via the
+    ``seed_labels`` kwarg (round 13): mutating process-global
+    os.environ from a test could race concurrent callers (ADVICE
+    r12)."""
     from hstream_spark.operators.dedup import connected_components
 
     # reversed chain 9-8-...-1, star around 50, island pair, singleton
@@ -172,21 +237,14 @@ def test_connected_components_seeded_init_matches_identity_init(spark):
     pairs += [(30, 31), (100, 99)]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
 
-    old_flag = os.environ.get("HSTREAM_COMPONENTS_SEED")
-    try:
-        os.environ["HSTREAM_COMPONENTS_SEED"] = "0"
-        identity = {
-            r.doc_id: r.component for r in connected_components(df).collect()
-        }
-        os.environ["HSTREAM_COMPONENTS_SEED"] = "1"
-        seeded = {
-            r.doc_id: r.component for r in connected_components(df).collect()
-        }
-    finally:
-        if old_flag is None:
-            os.environ.pop("HSTREAM_COMPONENTS_SEED", None)
-        else:
-            os.environ["HSTREAM_COMPONENTS_SEED"] = old_flag
+    identity = {
+        r.doc_id: r.component
+        for r in connected_components(df, seed_labels=False).collect()
+    }
+    seeded = {
+        r.doc_id: r.component
+        for r in connected_components(df, seed_labels=True).collect()
+    }
 
     assert seeded == identity
     assert set(seeded.values()) == {1, 41, 30, 99}
@@ -943,6 +1001,7 @@ class TestScalarQuantization:
         assert c_expr[10] == [0, 255]
         assert all(0 <= c <= 255 for cs in c_expr.values() for c in cs)
 
+    @pytest.mark.slow
     def test_adc_topk_np_tie_break_at_cut_boundary(self, spark):
         """Duplicate vectors collapse to identical codes → exact sqdist
         ties; a tie that straddles the per-batch k+1 cut must resolve by

@@ -16,6 +16,7 @@ def engine(spark, tmp_path):
     eng.shutdown()
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(engine):
     # FIXTURES.md §6: orders_s ⋈ clicks ON cid WITHIN 10s, streaming mode
     engine.execute("CREATE STREAM orders_s (oid INTEGER, cid INTEGER, amt INTEGER);")
@@ -33,6 +34,7 @@ def test_stream_stream_interval_join(engine):
     handle.stop()
 
 
+@pytest.mark.slow
 def test_push_drain_incremental(engine):
     """Server-streaming push semantics (Core/Query.hs:114-116): each
     drain returns only rows emitted since the previous one — a
@@ -61,6 +63,7 @@ def test_push_drain_incremental(engine):
     h.stop()
 
 
+@pytest.mark.slow
 def test_late_data_dropped_beyond_grace(spark, tmp_path):
     """Reference semantics: records later than windowEnd + grace are
     dropped (TimeWindowedStream.hs:99-113; fixed 24h there, configurable
@@ -100,6 +103,7 @@ def test_insert_ts_override_sets_event_time(spark, tmp_path):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_streaming_left_outer_interval_join(spark, tmp_path):
     """LEFT outer stream-stream interval join in true streaming mode:
     the unmatched left row emits with nulls once BOTH watermarks pass
@@ -167,6 +171,7 @@ def test_multi_join_with_merged_event_time(engine):
     assert [(r["x"], r["y"], r["z"]) for r in rows] == [(10, 10, 10)]
 
 
+@pytest.mark.slow
 def test_duration_backlog_retention(spark, tmp_path):
     """DURATION bounds the stored backlog (reference default 7 days;
     AST.hs:708-712): files older than the retention are vacuumed."""
@@ -188,6 +193,7 @@ def test_duration_backlog_retention(spark, tmp_path):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_push_query_emits_update_stream(engine):
     """Aggregated EMIT CHANGES is a changelog: each trigger appends the
     touched groups' new accumulators (reference GroupedStream.hs:98-102;
@@ -210,6 +216,7 @@ def test_push_query_emits_update_stream(engine):
     handle.stop()
 
 
+@pytest.mark.slow
 def test_running_topk_stateful(engine, spark):
     from hstream_spark.streaming.stateful import running_topk
 
@@ -231,6 +238,7 @@ def test_running_topk_stateful(engine, spark):
     assert rows["b"] == [9.0]
 
 
+@pytest.mark.slow
 def test_stateful_topk_incremental_across_batches(engine, spark):
     from hstream_spark.streaming.stateful import running_topk
 
@@ -254,6 +262,7 @@ def test_stateful_topk_incremental_across_batches(engine, spark):
     assert [7.0, 1.0] in rows  # final accumulator includes both batches
 
 
+@pytest.mark.slow
 def test_streaming_session_window_view(engine):
     """SESSION(gap) in a continuous view: records closer than the gap
     merge into one session; a silence longer than the gap splits them
@@ -281,6 +290,7 @@ def test_streaming_session_window_view(engine):
     assert counts == [2, 3]
 
 
+@pytest.mark.slow
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Streaming exact dedup: duplicate keys inside the watermark window
     collapse to one row; state is evicted past the watermark."""
@@ -312,6 +322,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_view_state_distributed_multi_partition(engine, spark):
     """View state lives in a keyed parquet table merged by the cluster
     (anti-join + union), never a driver structure: many keys across
@@ -340,6 +351,7 @@ def test_view_state_distributed_multi_partition(engine, spark):
     assert os.path.exists(os.path.join(vi.state_dir, "CURRENT"))
 
 
+@pytest.mark.slow
 def test_session_view_update_mode_and_merge(engine):
     """Streaming SESSION views run in UPDATE mode (per-trigger deltas
     via the stateful session operator, not a complete-mode refresh), and
@@ -389,6 +401,7 @@ def test_session_push_query_emits_only_touched_sessions(engine):
     handle.stop()
 
 
+@pytest.mark.slow
 def test_streaming_sliding_window_push_query(engine, spark):
     """V2 SLIDING windows in a streaming push query: each record emits
     its group's trailing-interval aggregate (insert at t, retract at
@@ -422,6 +435,7 @@ def test_streaming_sliding_window_push_query(engine, spark):
     assert [g[1] for g in got] == sorted([1, 3, 7, 8, 24])
 
 
+@pytest.mark.slow
 def test_sliding_view_keeps_latest_trailing_aggregate(engine):
     """A SLIDING view materializes each key's LATEST trailing-window
     aggregate (the V2 update-stream read): after events at t, t+5, t+30
@@ -458,6 +472,7 @@ class TestViewHavingAndFallbackBound:
     bounded by complete_fallback_max_rows instead of silently
     rewriting O(result) per trigger."""
 
+    @pytest.mark.slow
     def test_plain_view_having_retracts_below_threshold(self, engine):
         """HAVING on an update-mode view must RETRACT a group that
         falls back below the predicate — an inline streaming filter
@@ -483,6 +498,7 @@ class TestViewHavingAndFallbackBound:
         rows = engine.execute("SELECT k, s FROM hv;").collect()
         assert [(r["k"], r["s"]) for r in rows] == [("b", 2)]
 
+    @pytest.mark.slow
     def test_session_view_having_stays_stateful(self, engine):
         """SESSION + HAVING now rides the stateful update path (round-8
         fell back to complete): the state keeps non-passing sessions so
@@ -548,6 +564,7 @@ class TestViewHavingAndFallbackBound:
                 engine.execute(f"CREATE VIEW {name} AS {sel};")
             assert engine.queries[f"view_{name}"].mode == want_mode, name
 
+    @pytest.mark.slow
     def test_session_view_topk_stateful(self, engine):
         """TOPK/TOPKDISTINCT session views run as UPDATE streams with
         bounded top-k partials in state (round 9 — previously the
@@ -609,6 +626,7 @@ class TestViewHavingAndFallbackBound:
                     "FROM SLIDING(tkn_ev, INTERVAL 10 SECOND) GROUP BY k;"
                 )
 
+    @pytest.mark.slow
     def test_sliding_view_topk(self, engine):
         """TOPK over a SLIDING view: each key's state is the latest
         trailing-window top-k, folded fresh from the raw-event buffer
@@ -696,6 +714,7 @@ class TestViewHavingAndFallbackBound:
             R.HStreamEngine._parquet_dir_rows = staticmethod(orig)
 
 
+@pytest.mark.slow
 def test_stream_joins_view_state(engine):
     """A push query can enrich a stream against a VIEW's materialized
     state (stream-static join with the view as the table side)."""
@@ -756,6 +775,7 @@ def test_sliding_view_aliased_group_key(engine):
     assert [(r["kk"], r["s"]) for r in rows] == [("a", 3)]
 
 
+@pytest.mark.slow
 def test_stateful_window_int64_exact_beyond_2_53(engine):
     """SUM over bigint keeps exact int64 partials in stateful windows:
     2^53+1 summed twice must not round to the nearest float64
@@ -842,6 +862,7 @@ def test_view_lifecycle_survives_restart(spark, tmp_path):
         b.shutdown()
 
 
+@pytest.mark.slow
 def test_session_view_expressions_over_aggregates(engine):
     """Items may be expressions over the supported aggregates (the
     batch path's agg-dedup rewrite applied to the stateful update
@@ -921,6 +942,7 @@ def test_streaming_shuffle_partitions_scoped_per_query(spark, tmp_path):
     eng.shutdown() if hasattr(eng, "shutdown") else None
 
 
+@pytest.mark.slow
 def test_streaming_full_outer_interval_join(spark, tmp_path):
     """FULL outer stream-stream interval join in true streaming mode:
     unmatched rows from BOTH sides emit with nulls after both
@@ -956,6 +978,7 @@ def test_streaming_full_outer_interval_join(spark, tmp_path):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_time_group_key_view_and_push_query_survive_restart(spark, tmp_path):
     """Round-7 TIME e2e: a view grouped on a native TIME column runs
     through the streaming surface (keyed-parquet state carries

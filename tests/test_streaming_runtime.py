@@ -47,6 +47,7 @@ class TestBasics:
         df = engine.execute("SELECT x, y FROM j;")
         assert [(r["x"], r["y"]) for r in df.collect()] == [(7, "hi")]
 
+    @pytest.mark.slow
     def test_group_by_update_stream(self, engine):
         # RunSQLSpec "GROUP BY without timewindow" (pairs fixture,
         # RunSQLSpec.hs:80-90): the emitted update stream per key is a
@@ -70,6 +71,7 @@ class TestBasics:
 
 
 class TestViews:
+    @pytest.mark.slow
     def test_derived_stream_and_view(self, engine):
         # RunSQLSpec ViewSpec chain: source1 → source2 (CSAS) → view v
         engine.execute("CREATE STREAM source1 (a INTEGER);")
@@ -98,6 +100,7 @@ class TestViews:
 
 
 class TestWindows:
+    @pytest.mark.slow
     def test_tumbling_window_agg(self, engine):
         import time as _time
 
@@ -281,6 +284,7 @@ class TestRestartRecovery:
     same data_root replays the DDL log, reattaching to stream parquet,
     view state, and query checkpoints (exactly-once resume)."""
 
+    @pytest.mark.slow
     def test_catalog_and_view_survive_restart(self, spark, tmp_path):
         from hstream_spark.streaming.runtime import HStreamEngine
 
@@ -415,6 +419,7 @@ def test_idempotent_sink_skips_replayed_epochs(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 2
 
 
+@pytest.mark.slow
 def test_streaming_topk_view(engine):
     """TOPK as a streaming incremental aggregate through the view path
     (the reference's update-mode TOPK accumulator, AggOp.hs:153-157)."""
@@ -490,6 +495,7 @@ def test_session_view_survives_restart(spark, tmp_path):
         b.shutdown()
 
 
+@pytest.mark.slow
 def test_session_view_delta_log_survives_restart(spark, tmp_path):
     """Session view with UNCOMPACTED deltas on disk at shutdown: the
     restarted engine's overlap-resolving reader sees the folded state,
@@ -560,6 +566,7 @@ class TestStreamCompaction:
         p = eng.streams[name].path
         return sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
 
+    @pytest.mark.slow
     def test_compact_preserves_rows_and_reduces_files(self, engine):
         engine.execute("CREATE STREAM cmp (k INTEGER, v INTEGER);")
         for i in range(12):
@@ -582,6 +589,7 @@ class TestStreamCompaction:
         stats = engine.compact("cmps")
         assert stats["cmps"].get("skipped") is True
 
+    @pytest.mark.slow
     def test_compact_refuses_active_readers(self, engine):
         engine.execute("CREATE STREAM cmpr (k INTEGER, v INTEGER);")
         for i in range(10):
@@ -595,6 +603,7 @@ class TestStreamCompaction:
         stats = engine.compact("cmpr")
         assert stats["cmpr"]["files_after"] == 1
 
+    @pytest.mark.slow
     def test_compact_refuses_sink_connector_reader(self, engine, tmp_path):
         engine.execute("CREATE STREAM cmpk (k INTEGER);")
         for i in range(9):
@@ -605,6 +614,7 @@ class TestStreamCompaction:
         with pytest.raises(RuntimeError, match="active readers"):
             engine.compact("cmpk")
 
+    @pytest.mark.slow
     def test_compact_preserves_retention_clock(self, engine):
         """Segments inherit the NEWEST source mtime, so DURATION
         retention (mtime-based vacuum) never drops a compacted record
@@ -624,6 +634,7 @@ class TestStreamCompaction:
         (seg,) = self._files(engine, "cmpt")
         assert abs(os.path.getmtime(os.path.join(p, seg)) - newest) < 1.0
 
+    @pytest.mark.slow
     def test_interrupted_commit_rolls_forward_on_restart(self, spark, tmp_path):
         """Crash between the atomic commit rename and the segment swap:
         recovery must finish the swap (remove superseded sources, move
@@ -661,6 +672,7 @@ class TestStreamCompaction:
         finally:
             b.shutdown()
 
+    @pytest.mark.slow
     def test_streaming_query_after_compaction_reads_once(self, engine):
         """A fresh checkpoint over a compacted stream sees each record
         exactly once — and compaction is allowed again after its reader
@@ -676,6 +688,7 @@ class TestStreamCompaction:
         rows = {r["k"]: r["s"] for r in engine.execute("SELECT k, s FROM cmpq_v;").collect()}
         assert rows == {0: 5, 1: 5}
 
+    @pytest.mark.slow
     def test_compact_payload_stream_with_evolving_records(self, engine):
         """Schemaless (payload) streams compact too: records with
         different field sets share one physical payload column, so the
@@ -699,6 +712,7 @@ class TestStreamCompaction:
         )
         assert after == before and len(after) == 16
 
+    @pytest.mark.slow
     def test_recovery_never_starts_terminated_reader_after_compaction(
         self, spark, tmp_path
     ):
@@ -741,6 +755,7 @@ class TestStreamCompaction:
         finally:
             b.shutdown()
 
+    @pytest.mark.slow
     def test_maintenance_janitor_skips_busy_compacts_idle(self, engine):
         """maintenance() = retention vacuum + compact-with-skip: busy
         streams are reported (not failed) and idle streams compact."""
@@ -758,6 +773,7 @@ class TestStreamCompaction:
         rows = engine.execute("SELECT k FROM mnt_idle;").collect()
         assert len(rows) == 10
 
+    @pytest.mark.slow
     def test_drop_view_forgets_refresh_query_and_unblocks_compact(
         self, spark, tmp_path
     ):
@@ -810,6 +826,7 @@ class TestStreamCompaction:
         rows = engine.execute("SELECT k, s FROM pv_v;").collect()
         assert [(r["k"], r["s"]) for r in rows] == [(1, 2)]
 
+    @pytest.mark.slow
     def test_pause_resume_view_query_keeps_upserting(self, engine):
         """RESUME of a paused view refresh rebuilds through the view
         machinery (same state dir + checkpoint, upsert writer) — not
@@ -828,6 +845,7 @@ class TestStreamCompaction:
         rows = engine.execute("SELECT k, s FROM pr_v;").collect()
         assert [(r["k"], r["s"]) for r in rows] == [(1, 15)]  # upserted, once
 
+    @pytest.mark.slow
     def test_failed_resume_restores_paused_view(self, engine, monkeypatch):
         """A RESUME whose rebuild fails must restore the PAUSED catalog
         entries — the view must not silently vanish mid-session."""
@@ -884,6 +902,7 @@ class TestViewDeltaLog:
     deltas fold into a new base generation. Latest version wins per
     key; readers never see half-written deltas (atomic dir rename)."""
 
+    @pytest.mark.slow
     def test_deltas_accumulate_then_compact(self, engine):
         import os
 
@@ -922,6 +941,7 @@ class TestViewDeltaLog:
         for i in range(n_triggers):
             assert rows[f"k{i}"] == (1, 1)
 
+    @pytest.mark.slow
     def test_delta_state_survives_restart(self, spark, tmp_path):
         from hstream_spark.streaming.runtime import HStreamEngine
 
@@ -958,6 +978,7 @@ class TestViewDeltaLog:
         finally:
             b.shutdown()
 
+    @pytest.mark.slow
     def test_keyless_view_over_deltas(self, engine):
         engine.execute("CREATE STREAM gl_ev (v INTEGER);")
         engine.execute(
@@ -969,6 +990,7 @@ class TestViewDeltaLog:
         rows = engine.execute("SELECT n, s FROM gl;").collect()
         assert [(r["n"], r["s"]) for r in rows] == [(4, 6)]
 
+    @pytest.mark.slow
     def test_stray_tmp_dir_is_invisible_and_cleaned(self, engine):
         import os
 
@@ -996,6 +1018,7 @@ class TestViewDeltaLog:
             ("a", 1 + HStreamEngine._VIEW_COMPACT_EVERY)
         ]
 
+    @pytest.mark.slow
     def test_unprojected_group_key_view_keeps_all_groups(self, engine):
         """GROUP BY whose key is NOT projected: the dropped key is
         re-added as a hidden __gk_* state column so the upsert stays
@@ -1020,6 +1043,7 @@ class TestViewDeltaLog:
         # the hidden key column never leaks into reads
         assert rows[0].asDict().keys() == {"n"}
 
+    @pytest.mark.slow
     def test_unprojected_group_key_session_view(self, engine):
         """SESSION view whose GROUP BY key is NOT projected: the key
         must still key the state (hidden __gk_*) — before round 9's fix
@@ -1050,6 +1074,7 @@ class TestViewDeltaLog:
         assert sorted(r["n"] for r in rows) == [1, 2]
         assert rows[0].asDict().keys() == {"n"}
 
+    @pytest.mark.slow
     def test_unprojected_group_key_sliding_view(self, engine):
         """SLIDING view whose GROUP BY key is NOT projected: hidden key
         columns keep the upsert keyed — before round 9's fix key_cols
@@ -1146,6 +1171,7 @@ class TestViewRetention:
                 "WITH (NOPE = 1);"
             )
 
+    @pytest.mark.slow
     def test_retention_drops_closed_windows_at_compaction(
         self, spark, tmp_path, monkeypatch
     ):

@@ -132,6 +132,7 @@ _keyed_ops = st.lists(
 
 @settings(**PROP_SETTINGS)
 @given(ops=_keyed_ops)
+@pytest.mark.slow
 def test_keyed_latest_wins_matches_sequential_oracle(spark_prop, ops):
     from hstream_spark.streaming.runtime import HStreamEngine
 
@@ -159,6 +160,7 @@ _keyless_ops = st.lists(
 
 @settings(**PROP_SETTINGS)
 @given(ops=_keyless_ops)
+@pytest.mark.slow
 def test_keyless_replace_matches_sequential_oracle(spark_prop, ops):
     """Keyless views: every non-empty batch REPLACES the state; empty
     batches must leave it untouched (an empty delta would blank the
@@ -201,6 +203,7 @@ _session_ops = st.lists(
 
 @settings(**PROP_SETTINGS)
 @given(ops=_session_ops)
+@pytest.mark.slow
 def test_session_supersession_matches_sequential_oracle(spark_prop, ops):
     import datetime as dt
 
@@ -268,6 +271,7 @@ _retention_ops = st.lists(
 
 @settings(**PROP_SETTINGS)
 @given(ops=_retention_ops)
+@pytest.mark.slow
 def test_windowed_retention_matches_sequential_oracle(spark_prop, ops):
     """WITH (DURATION …) windowed views, two-rule retention contract:
 
