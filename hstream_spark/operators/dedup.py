@@ -1582,6 +1582,15 @@ def lsh_recall_eval(docs: DataFrame, thresholds=(0.3, 0.5, 0.7),
         # band self-join + distinct runs twice. The distinct pair list
         # is tiny, so the checkpoint is near-free.
         cand = cand.localCheckpoint()
+    if thresholds:
+        # pairs below every threshold contribute 0 to each __true_i
+        # (otherwise-0 arm) and 0 to each __hit_i (null hit coalesced),
+        # so dropping them BEFORE the scoring join is exact — the join
+        # and final aggregation then run over the near-dup pairs only,
+        # not every co-shingle pair (1.13M rows at sf0.1)
+        jac = jac.where(F.col("jaccard") >= float(min(
+            float(t) for t in thresholds
+        )))
     scored = jac.join(
         cand.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
     )
