@@ -373,6 +373,16 @@ def connected_components(
     two distributed joins + one groupBy; the convergence flag rides the
     checkpointed frame (no extra join job), and ``localCheckpoint``
     truncates lineage so the plan stays flat regardless of rounds.
+    localCheckpoint (not persist) is LOAD-BEARING here, not merely
+    faster: round 13 measured the executor-loss-resilient
+    persist(MEMORY_AND_DISK) alternative and it never finished at
+    sf0.1 — each round's plan references the previous labels THREE
+    times (self, neighbor join, label-of-label), so without lineage
+    truncation the logical tree grows 3^rounds and driver-side
+    analysis explodes (>13 min near-idle vs ~8 s; killed). On a
+    cluster the executor-loss trade therefore stands as documented:
+    a lost executor re-runs the job from the last checkpoint rather
+    than recomputing partitions.
 
     The label table is SEEDED at min(node, min direct neighbor) — with
     identity labels that is exactly what the first fixpoint round
@@ -530,6 +540,10 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     in this module): the checkpoint truncates lineage to
     non-replicated executor blocks, so an executor loss during the
     self-join forces a job re-run rather than a partition recompute.
+    The resilient persist(MEMORY_AND_DISK)+count alternative measured
+    ~8% slower at sf0.1 (1.72 vs 1.86 s median, round-13 alternating
+    A/B) — close enough that a cluster deployment on preemptible
+    executors should flip to it; locally the checkpoint stays.
 
     ``cap`` bounds hot band buckets (the ``capped_band_candidates``
     scheme, same engine-agnostic salt = md5(doc_id#band) mod n_sub):

@@ -1614,8 +1614,14 @@ def _lm_ngram_tables(docs: DataFrame, text_col: str, id_col: str):
     8-110% slower (every branch then explodes 4-field structs it
     mostly filters away, while whole-stage codegen already CSEs the
     textual split copies the bespoke Filter+Project branches carry).
-    On remote/cold storage where scans dominate, persist the
-    tokenized projection upstream instead of changing this shape."""
+    Round 13 re-measured under a DROPPED page cache
+    (echo 3 > drop_caches before every rep): trigram plain 4.21 s vs
+    persist-upstream 4.72 s — persisting loses in BOTH regimes on
+    local NVMe, because cold sequential reads of a corpus this size
+    are nearly free while the columnar cache build is not. The regime
+    where persisting wins is genuinely REMOTE storage (object-store
+    latency), which this box cannot emulate; on such storage persist
+    the tokenized projection upstream instead of changing this shape."""
     toks = tokens(F.col(text_col))
     t = docs.select(F.col(id_col), toks.alias("__t"))
     tok = t.select(id_col, F.explode(F.col("__t")).alias("tok"))
